@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Batch trade aggregates — the reference's `FeatureBuilder` trade-batch
+  * stats (SURVEY §2.4 A1; reference `services/aggregator/src/feature_builder.py:88-185`):
+  * per group — count, volume, min/max/mean price, VWAP, price stddev, buy/sell
+  * volume split on the buyer-maker flag (maker-sell convention,
+  * `feature_builder.py:119-123`), volume imbalance, price change first->last.
+  *
+  * Spark-first shape: a single hash aggregate with conditional sums. Partial
+  * (map-side) aggregation means one shuffle of pre-combined state per group —
+  * at 100 TB the shuffle volume is O(groups), not O(rows).
+  *
+  * Determinism note: double sums are accumulated in DECIMAL(20,8)/(30,10) and
+  * cast back to double so results are bit-identical regardless of partition
+  * order / engine (a plain double sum is order-dependent).
+  */
+object TradeAggregates {
+
+  /** Exact, order-independent sum of a double column: accumulate as decimal,
+    * cast back to double.
+    */
+  def exactSum(c: Column, scale: Int = 8): Column =
+    sum(c.cast(s"decimal(27,$scale)")).cast("double")
+
+  /** A1: one row per `keys` group with the reference's trade-batch features.
+    *
+    * @param isSell   boolean column; true means the aggressor sold (the
+    *                 reference's `is_buyer_maker=true` => sell volume).
+    */
+  def tradeBatchStats(
+      trades: DataFrame,
+      keys: Seq[Column],
+      price: Column,
+      qty: Column,
+      isSell: Column,
+      tsMs: Column,
+      tieBreak: Column): DataFrame = {
+    val ord = struct(tsMs, tieBreak)
+    trades
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("trade_count"),
+        exactSum(qty).as("total_volume"),
+        min(price).as("min_price"),
+        max(price).as("max_price"),
+        round(avg(price), 4).as("avg_price"),
+        round(exactSum(price * qty, 10) / exactSum(qty), 4).as("vwap"),
+        round(stddev_samp(price), 4).as("price_std"),
+        exactSum(when(!isSell, qty).otherwise(lit(0.0))).as("buy_volume"),
+        exactSum(when(isSell, qty).otherwise(lit(0.0))).as("sell_volume"),
+        min_by(price, ord).as("first_price"),
+        max_by(price, ord).as("last_price")
+      )
+      .withColumn(
+        "volume_imbalance",
+        round((col("buy_volume") - col("sell_volume")) / col("total_volume"), 6))
+      .withColumn("price_change", round(col("last_price") - col("first_price"), 8))
+      .withColumn(
+        "price_change_pct",
+        round((col("last_price") - col("first_price")) / col("first_price") * 100, 6))
+  }
+}

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [verifyOutDir]
+
+Reads <out>/oracle_sql.json, runs each SQL in DuckDB against the parquet
+tables in sfDir, and compares to the parquet the Spark side dumped at
+<out>/<name>/. Reports schema/rowcount/value mismatches; floats are compared
+both bit-exact and with tolerance so near-misses are visible.
+"""
+import duckdb, sys, json, glob, os
+import pandas as pd
+import numpy as np
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+n_pass = 0
+fails = []
+
+
+def norm(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    # canonicalize dtypes for compare
+    for c in cols:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+
+for name in sorted(oracle):
+    sql = oracle[name]
+    res_dir = f"{out}/{name}"
+    files = glob.glob(f"{res_dir}/*.parquet")
+    if not files:
+        fails.append((name, "no spark output"))
+        continue
+    try:
+        s = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    except Exception as e:
+        fails.append((name, f"spark read: {e}"))
+        continue
+    try:
+        d = con.execute(sql).df()
+    except Exception as e:
+        fails.append((name, f"duckdb: {str(e).splitlines()[0]}"))
+        continue
+    if sorted(s.columns) != sorted(d.columns):
+        fails.append((name, f"schema: spark={sorted(s.columns)} duck={sorted(d.columns)}"))
+        continue
+    if len(s) != len(d):
+        fails.append((name, f"rowcount: spark={len(s)} duck={len(d)}"))
+        continue
+    s, d = norm(s), norm(d)
+    bad = []
+    for c in s.columns:
+        a, b = s[c].to_numpy(), d[c].to_numpy()
+        if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(d[c].dtype, np.floating):
+            a = a.astype(float); b = b.astype(float)
+            exact = np.array_equal(a, b, equal_nan=True)
+            if not exact:
+                close = np.allclose(a, b, rtol=1e-8, atol=1e-10, equal_nan=True)
+                i = int(np.argmax(~(np.isclose(a, b, rtol=0, atol=0) | (np.isnan(a) & np.isnan(b)))))
+                bad.append(f"{c}(float exact=F close={close} e.g. [{i}] {a[i]!r} vs {b[i]!r})")
+        else:
+            if not np.array_equal(a, b):
+                i = int(np.argmax(a != b))
+                bad.append(f"{c}(e.g. [{i}] {a[i]!r} vs {b[i]!r})")
+    if bad:
+        fails.append((name, "; ".join(bad)))
+    else:
+        n_pass += 1
+        print(f"PASS {name} ({len(s)} rows)")
+
+for name, msg in fails:
+    print(f"FAIL {name}: {msg}")
+print(f"\n{n_pass}/{len(oracle)} pass")
+sys.exit(1 if fails else 0)
