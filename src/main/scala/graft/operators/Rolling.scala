@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time rolling (range-frame) statistics — the reference's 1 s/5 s
+  * sliding trade stats (SURVEY §2.4 A5, `docs/architecture/DATA_PIPELINE.md:109-157`)
+  * and the forward path-stats used for 10 s-ahead labels (W5,
+  * `docs/schemas/S3_SCHEMA.md:648-653`).
+  *
+  * Scale shape: window functions shuffle once on the partition key (symbol)
+  * and then run a single ordered scan per partition — O(rows log rows) local
+  * sort, no self-join. Range frames on the epoch-ms long axis express
+  * "last N seconds" exactly (event-time, not row-count).
+  *
+  * Per SURVEY §7.5.5 the reference's `trades_per_second` floors the time span
+  * at 1 s, underestimating sub-second intensity; here intensity uses the true
+  * window span with a small epsilon.
+  */
+object Rolling {
+
+  /** A5: per-row trailing-window trade stats over `windowMs`.
+    *
+    * Adds: `n_w` (count), `vol_w` (exact sum), `vwap_w`, `price_std_w`,
+    * `price_range_w`, `interarrival_ms` (this row vs previous),
+    * `trade_intensity_w` (trades/sec over true span).
+    */
+  def trailingStats(
+      trades: DataFrame,
+      symbol: Column,
+      tsMs: Column,
+      price: Column,
+      qty: Column,
+      tieBreak: Column,
+      windowMs: Long = 5000L): DataFrame = {
+    val wRange = Window.partitionBy(symbol).orderBy(tsMs).rangeBetween(-windowMs, 0)
+    val wSeq = Window.partitionBy(symbol).orderBy(tsMs, tieBreak)
+    val spanSec = (tsMs - min(tsMs).over(wRange)).cast("double") / 1000.0
+    trades
+      .withColumn("n_w", count(lit(1)).over(wRange))
+      .withColumn("vol_w", sum(qty.cast("decimal(27,8)")).over(wRange).cast("double"))
+      .withColumn(
+        "vwap_w",
+        round(
+          sum((price * qty).cast("decimal(27,10)")).over(wRange).cast("double") /
+            nullif(col("vol_w"), lit(0.0)),
+          6))
+      .withColumn("price_std_w", round(stddev_samp(price).over(wRange), 4))
+      .withColumn(
+        "price_range_w",
+        round(max(price).over(wRange) - min(price).over(wRange), 8))
+      .withColumn("interarrival_ms", tsMs - lag(tsMs, 1).over(wSeq))
+      .withColumn(
+        "trade_intensity_w",
+        round(col("n_w").cast("double") / greatest(spanSec, lit(0.001)), 6))
+  }
+
+  /** W5: forward path stats over `(t, t + horizonMs]` — the label-side
+    * max/min/range/volume/count of the 10 s window after each feature tick.
+    */
+  def forwardPathStats(
+      rows: DataFrame,
+      symbol: Column,
+      tsMs: Column,
+      price: Column,
+      qty: Column,
+      horizonMs: Long = 10000L): DataFrame = {
+    // (t, t+h]: exclude the current instant, include the horizon end.
+    val w = Window.partitionBy(symbol).orderBy(tsMs).rangeBetween(1, horizonMs)
+    rows
+      .withColumn("path_max", max(price).over(w))
+      .withColumn("path_min", min(price).over(w))
+      .withColumn("path_range", round(col("path_max") - col("path_min"), 8))
+      .withColumn("path_volume", sum(qty.cast("decimal(27,8)")).over(w).cast("double"))
+      .withColumn("path_trades", count(price).over(w))
+  }
+
+  /** W6: momentum / acceleration — differences of lagged rolling means
+    * (`S3_SCHEMA.md:569-578`). `momentum` = current trailing mean minus the
+    * trailing mean one row earlier; `acceleration` = diff of momentum.
+    */
+  def momentum(
+      rows: DataFrame,
+      symbol: Column,
+      tsMs: Column,
+      price: Column,
+      tieBreak: Column,
+      windowMs: Long = 5000L): DataFrame = {
+    val wRange = Window.partitionBy(symbol).orderBy(tsMs).rangeBetween(-windowMs, 0)
+    val wSeq = Window.partitionBy(symbol).orderBy(tsMs, tieBreak)
+    // Decimal-accumulated mean: exact under any evaluation order, so the
+    // momentum diffs are engine- and partition-order-independent.
+    val maExact =
+      sum(price.cast("decimal(27,8)")).over(wRange).cast("double") /
+        count(lit(1)).over(wRange)
+    rows
+      .withColumn("ma_w", maExact)
+      .withColumn("momentum", round(col("ma_w") - lag(col("ma_w"), 1).over(wSeq), 8))
+      .withColumn("acceleration", round(col("momentum") - lag(col("momentum"), 1).over(wSeq), 8))
+      .withColumn("ma_w", round(col("ma_w"), 8))
+  }
+}

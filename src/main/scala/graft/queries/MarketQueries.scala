@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TimeUnits
+import graft.operators._
+
+/** Market-data operator queries (SURVEY §2.4/§2.5/§2.6) bound to the driver's
+  * synthetic tables, each paired with DuckDB oracle SQL.
+  */
+object MarketQueries {
+  private val T = Tables.tradesOracleCte
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 — trade-batch aggregate (feature_builder.py:88-185) on lineitem.
+    "a1_trade_batch_stats" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      TradeAggregates.tradeBatchStats(
+        li,
+        keys = Seq(col("l_returnflag"), col("l_linestatus")),
+        price = col("l_extendedprice"),
+        qty = col("l_quantity"),
+        isSell = col("l_returnflag") === "R",
+        tsMs = TimeUnits.asMillis(col("l_shipdate")),
+        tieBreak = struct(col("l_orderkey"), col("l_linenumber")))
+    },
+    // A4 — 1-minute OHLCV+VWAP bars (S3_SCHEMA.md:316-392), the minimum slice.
+    "a4_bars_1m" -> { (s, dir) =>
+      Bars.ohlcv(
+        Tables.trades(s, dir),
+        symbol = col("symbol"), tsMs = col("ts_ms"), price = col("price"),
+        qty = col("qty"), tieBreak = col("trade_id"), barMs = 60000L)
+    },
+    // A5 — trailing range-frame trade stats (DATA_PIPELINE.md:109-157); the
+    // events table is sparse, so the "5 s" window is scaled to 5 min.
+    "a5_rolling_stats" -> { (s, dir) =>
+      Rolling
+        .trailingStats(
+          Tables.trades(s, dir),
+          symbol = col("symbol"), tsMs = col("ts_ms"), price = col("price"),
+          qty = col("qty"), tieBreak = col("trade_id"), windowMs = 300000L)
+        .select(
+          "symbol", "ts_ms", "trade_id", "price", "n_w", "vol_w", "vwap_w",
+          "price_std_w", "price_range_w", "interarrival_ms", "trade_intensity_w")
+    },
+    // A6 — daily trading summary (RDS_SCHEMA.md:446-497).
+    "a6_daily_summary" -> { (s, dir) =>
+      Bars.dailySummary(
+        Tables.trades(s, dir),
+        symbol = col("symbol"), tsMs = col("ts_ms"), price = col("price"),
+        qty = col("qty"), tieBreak = col("trade_id"))
+    },
+    // W1 — lag-derived deltas per key (transformer.py:262-291).
+    "w1_lag_features" -> { (s, dir) =>
+      Windows
+        .lagFeatures(
+          Tables.trades(s, dir),
+          key = col("user_id"), tsMs = col("ts_ms"), price = col("price"),
+          tieBreak = col("trade_id"))
+        .select("user_id", "trade_id", "ts_ms", "price", "prev_price",
+          "price_change", "price_change_pct")
+    },
+    // W4 — sequence-gap detection (gap_detector/README.md:24-38).
+    "w4_sequence_gaps" -> { (s, dir) =>
+      Windows
+        .sequenceGaps(
+          Tables.trades(s, dir),
+          key = col("user_id"), tsMs = col("ts_ms"), seq = col("trade_id"),
+          tolerance = 50L)
+        .select("user_id", "trade_id", "ts_ms", "prev_seq", "gap")
+    },
+    // W5 — forward path stats for the 10 s-ahead label window
+    // (S3_SCHEMA.md:648-653); horizon scaled to 10 min for the sparse table.
+    "w5_path_stats" -> { (s, dir) =>
+      Rolling
+        .forwardPathStats(
+          Tables.trades(s, dir),
+          symbol = col("symbol"), tsMs = col("ts_ms"), price = col("price"),
+          qty = col("qty"), horizonMs = 600000L)
+        .select("symbol", "ts_ms", "trade_id", "price", "path_max", "path_min",
+          "path_range", "path_volume", "path_trades")
+    },
+    // W6 — momentum / acceleration (S3_SCHEMA.md:569-578).
+    "w6_momentum" -> { (s, dir) =>
+      Rolling
+        .momentum(
+          Tables.trades(s, dir),
+          symbol = col("symbol"), tsMs = col("ts_ms"), price = col("price"),
+          tieBreak = col("trade_id"), windowMs = 300000L)
+        .select("symbol", "ts_ms", "trade_id", "ma_w", "momentum", "acceleration")
+    },
+    // A9/W2 — latest row per key (DISTINCT ON, RDS_SCHEMA.md:573-605).
+    "a9_latest_per_key" -> { (s, dir) =>
+      Windows
+        .latestPerKey(
+          Tables.trades(s, dir),
+          key = col("user_id"), tsMs = col("ts_ms"), tieBreak = col("trade_id"))
+        .select("user_id", "trade_id", "ts_ms", "symbol", "price")
+    },
+    // O3 — recent-N global (redis_writer.py:158-200).
+    "o3_recent_events" -> { (s, dir) =>
+      Tables.trades(s, dir)
+        .orderBy(col("ts_ms").desc, col("trade_id").desc)
+        .limit(10)
+        .select("trade_id", "ts_ms", "symbol", "price")
+    },
+    // O4 — top-N per group (DATA_PIPELINE.md:84-95).
+    "o4_top5_per_group" -> { (s, dir) =>
+      Windows
+        .topNPerGroup(
+          Tables.trades(s, dir),
+          key = col("symbol"), ord = col("price"), tieBreak = col("trade_id"), n = 5)
+        .select("symbol", "trade_id", "price", "rank_in_group")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a1_trade_batch_stats" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS trade_count,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(27,8))) AS DOUBLE) AS total_volume,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(27,10))) AS DOUBLE)
+        |        / CAST(sum(CAST(l_quantity AS DECIMAL(27,8))) AS DOUBLE), 4) AS vwap,
+        |  round(stddev_samp(l_extendedprice), 4) AS price_std,
+        |  CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_quantity END AS DECIMAL(27,8))) AS DOUBLE) AS buy_volume,
+        |  CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END AS DECIMAL(27,8))) AS DOUBLE) AS sell_volume,
+        |  first(l_extendedprice ORDER BY l_shipdate, l_orderkey, l_linenumber) AS first_price,
+        |  last(l_extendedprice ORDER BY l_shipdate, l_orderkey, l_linenumber) AS last_price,
+        |  round((buy_volume - sell_volume) / total_volume, 6) AS volume_imbalance,
+        |  round(last_price - first_price, 8) AS price_change,
+        |  round((last_price - first_price) / first_price * 100, 6) AS price_change_pct
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "a4_bars_1m" ->
+      s"""WITH t AS ($T)
+         |SELECT symbol, (ts_ms // 60000) * 60000 AS open_time_ms,
+         |  first(price ORDER BY ts_ms, trade_id) AS open_price,
+         |  last(price ORDER BY ts_ms, trade_id) AS close_price,
+         |  max(price) AS high_price,
+         |  min(price) AS low_price,
+         |  CAST(sum(CAST(qty AS DECIMAL(27,8))) AS DOUBLE) AS volume,
+         |  CAST(sum(CAST(price * qty AS DECIMAL(27,10))) AS DOUBLE) AS notional,
+         |  count(*) AS trade_count,
+         |  round(notional / nullif(volume, 0.0), 6) AS vwap,
+         |  round(high_price - low_price, 8) AS price_range,
+         |  round(close_price - open_price, 8) AS price_change
+         |FROM t GROUP BY 1, 2""".stripMargin,
+    "a5_rolling_stats" ->
+      s"""WITH t AS ($T)
+         |SELECT symbol, ts_ms, trade_id, price,
+         |  count(*) OVER wr AS n_w,
+         |  CAST(sum(CAST(qty AS DECIMAL(27,8))) OVER wr AS DOUBLE) AS vol_w,
+         |  round(CAST(sum(CAST(price * qty AS DECIMAL(27,10))) OVER wr AS DOUBLE)
+         |        / nullif(CAST(sum(CAST(qty AS DECIMAL(27,8))) OVER wr AS DOUBLE), 0.0), 6) AS vwap_w,
+         |  round(stddev_samp(price) OVER wr, 4) AS price_std_w,
+         |  round(max(price) OVER wr - min(price) OVER wr, 8) AS price_range_w,
+         |  ts_ms - lag(ts_ms, 1) OVER ws AS interarrival_ms,
+         |  round((count(*) OVER wr) / greatest((ts_ms - min(ts_ms) OVER wr) / 1000.0, 0.001), 6) AS trade_intensity_w
+         |FROM t
+         |WINDOW wr AS (PARTITION BY symbol ORDER BY ts_ms RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW),
+         |       ws AS (PARTITION BY symbol ORDER BY ts_ms, trade_id)""".stripMargin,
+    "a6_daily_summary" ->
+      s"""WITH t AS ($T)
+         |SELECT symbol, strftime(make_timestamp(ts_ms * 1000), '%Y-%m-%d') AS trading_date,
+         |  first(price ORDER BY ts_ms, trade_id) AS open_price,
+         |  last(price ORDER BY ts_ms, trade_id) AS close_price,
+         |  max(price) AS high_price,
+         |  min(price) AS low_price,
+         |  count(*) AS total_trades,
+         |  CAST(sum(CAST(qty AS DECIMAL(27,8))) AS DOUBLE) AS total_volume,
+         |  max(qty) AS largest_trade,
+         |  round(avg(qty), 6) AS avg_trade_size,
+         |  round(stddev_samp(price), 4) AS volatility,
+         |  round(CAST(sum(CAST(price * qty AS DECIMAL(27,10))) AS DOUBLE)
+         |        / CAST(sum(CAST(qty AS DECIMAL(27,8))) AS DOUBLE), 6) AS vwap,
+         |  round((close_price - open_price) / open_price * 100, 6) AS daily_change_pct,
+         |  round(high_price - low_price, 8) AS price_range
+         |FROM t GROUP BY 1, 2""".stripMargin,
+    "w1_lag_features" ->
+      s"""WITH t AS ($T)
+         |SELECT user_id, trade_id, ts_ms, price,
+         |  lag(price, 1) OVER w AS prev_price,
+         |  round(price - prev_price, 8) AS price_change,
+         |  round((price - prev_price) / prev_price * 100, 6) AS price_change_pct
+         |FROM t
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, trade_id)""".stripMargin,
+    "w4_sequence_gaps" ->
+      s"""WITH t AS ($T),
+         |g AS (
+         |  SELECT user_id, trade_id, ts_ms,
+         |    lag(trade_id, 1) OVER (PARTITION BY user_id ORDER BY ts_ms, trade_id) AS prev_seq,
+         |    trade_id - prev_seq AS gap
+         |  FROM t)
+         |SELECT * FROM g WHERE gap > 50""".stripMargin,
+    "w5_path_stats" ->
+      s"""WITH t AS ($T)
+         |SELECT symbol, ts_ms, trade_id, price,
+         |  max(price) OVER w AS path_max,
+         |  min(price) OVER w AS path_min,
+         |  round(path_max - path_min, 8) AS path_range,
+         |  CAST(sum(CAST(qty AS DECIMAL(27,8))) OVER w AS DOUBLE) AS path_volume,
+         |  count(price) OVER w AS path_trades
+         |FROM t
+         |WINDOW w AS (PARTITION BY symbol ORDER BY ts_ms RANGE BETWEEN 1 FOLLOWING AND 600000 FOLLOWING)""".stripMargin,
+    "w6_momentum" ->
+      s"""WITH t AS ($T),
+         |m AS (
+         |  SELECT symbol, ts_ms, trade_id,
+         |    CAST(sum(CAST(price AS DECIMAL(27,8))) OVER wr AS DOUBLE) / (count(*) OVER wr) AS ma_raw
+         |  FROM t
+         |  WINDOW wr AS (PARTITION BY symbol ORDER BY ts_ms RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)),
+         |d AS (
+         |  SELECT symbol, ts_ms, trade_id, ma_raw,
+         |    round(ma_raw - lag(ma_raw, 1) OVER ws, 8) AS momentum
+         |  FROM m
+         |  WINDOW ws AS (PARTITION BY symbol ORDER BY ts_ms, trade_id))
+         |SELECT symbol, ts_ms, trade_id, round(ma_raw, 8) AS ma_w, momentum,
+         |  round(momentum - lag(momentum, 1) OVER ws2, 8) AS acceleration
+         |FROM d
+         |WINDOW ws2 AS (PARTITION BY symbol ORDER BY ts_ms, trade_id)""".stripMargin,
+    "a9_latest_per_key" ->
+      s"""WITH t AS ($T),
+         |r AS (
+         |  SELECT user_id, trade_id, ts_ms, symbol, price,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, trade_id DESC) AS rn
+         |  FROM t)
+         |SELECT user_id, trade_id, ts_ms, symbol, price FROM r WHERE rn = 1""".stripMargin,
+    "o3_recent_events" ->
+      s"""WITH t AS ($T)
+         |SELECT trade_id, ts_ms, symbol, price FROM t
+         |ORDER BY ts_ms DESC, trade_id DESC LIMIT 10""".stripMargin,
+    "o4_top5_per_group" ->
+      s"""WITH t AS ($T),
+         |r AS (
+         |  SELECT symbol, trade_id, price,
+         |    row_number() OVER (PARTITION BY symbol ORDER BY price DESC, trade_id) AS rank_in_group
+         |  FROM t)
+         |SELECT * FROM r WHERE rank_in_group <= 5""".stripMargin
+  )
+}
