@@ -23,9 +23,17 @@ object TimeUnits {
   def secondsToMillis(s: Column): Column = (s * 1000L).cast("long")
   def millisToTimestamp(ms: Column): Column = timestamp_millis(ms.cast("long"))
 
+  /** Tumbling-bucket index, computed exactly in integer arithmetic.
+    * (`floor(ts / width)` via double division can round across a bucket
+    * boundary once quotients get large; `(ts - ts % width) / width` divides
+    * an exact multiple, which doubles represent exactly below 2^53.)
+    */
+  def bucketIndex(tsMs: Column, widthMs: Long): Column =
+    ((tsMs.cast("long") - pmod(tsMs.cast("long"), lit(widthMs))) / widthMs).cast("long")
+
   /** Tumbling-bucket start for a given window width, on the ms axis. */
   def bucketStartMs(tsMs: Column, widthMs: Long): Column =
-    floor(tsMs / widthMs).cast("long") * widthMs
+    tsMs.cast("long") - pmod(tsMs.cast("long"), lit(widthMs))
 
   /** Hive-style partition columns from epoch ms — the reference's
     * `bronze/{sym}/{type}/yyyy=/mm=/dd=/hh=` key layout

@@ -35,7 +35,7 @@ object Bars {
     trades
       .groupBy(
         symbol.as("symbol"),
-        (floor(tsMs / barMs).cast("long") * barMs).as("open_time_ms"))
+        graft.functions.TimeUnits.bucketStartMs(tsMs, barMs).as("open_time_ms"))
       .agg(
         min_by(price, ord).as("open_price"),
         max_by(price, ord).as("close_price"),

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators._
+
+/** Curated analytics-view queries (SURVEY §2.4 A7/A8/A10, §2.2 P1-P10). */
+object AnalyticsQueries {
+  private val T = Tables.tradesOracleCte
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A7 — prediction-performance rollup: MAE/RMSE/directional accuracy/
+    // exact p95/p99 (RDS_SCHEMA.md:610-628). l_discount stands in for the
+    // prediction error, l_extendedprice for latency.
+    "a7_prediction_rollup" -> { (s, dir) =>
+      Analytics.predictionRollup(
+        Tables.lineitem(s, dir),
+        key = col("l_returnflag"),
+        error = col("l_discount"),
+        directionOk = col("l_discount") > 0.05,
+        latency = col("l_extendedprice"))
+    },
+    // A8 — per-model grouped stats over a window (RDS_SCHEMA.md:635-661).
+    "a8_per_model_stats" -> { (s, dir) =>
+      Analytics.perModelStats(
+        Tables.orders(s, dir),
+        model = col("o_orderpriority"),
+        value = col("o_totalprice"),
+        tsMs = graft.functions.TimeUnits.asMillis(col("o_orderdate")),
+        entity = col("o_custkey"))
+    },
+    // A10/K7 — high-watermark lookups per key (db_writer.py:287-320).
+    "a10_watermarks" -> { (s, dir) =>
+      Analytics.watermarks(
+        Tables.trades(s, dir), key = col("symbol"), tsMs = col("ts_ms"))
+    },
+    // P1-P5 + P9 + P10 — projection/rename, required-field + positive +
+    // ts-sanity filters, decimal-safe cast, derived scalars, CASE bucket
+    // (transformer.py:27-260, feature_builder.py:114).
+    "p1_projection_validation" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          col("event_id").as("trade_id"),
+          col("ts_ms"),
+          col("value").as("price"),
+          get_json_object(col("props"), "$.k").cast("double").as("qty"),
+          upper(col("event_type")).as("symbol"))
+        .filter(
+          col("price").isNotNull && col("qty").isNotNull && col("ts_ms").isNotNull)
+        .filter(col("price") > 0 && col("qty") > 0)
+        .filter(col("ts_ms").between(1577836800000L, 1893456000000L))
+        .withColumn("price_dec", expr("try_cast(price AS DECIMAL(20,8))").cast("double"))
+        .withColumn("notional", round(col("price") * col("qty"), 8))
+        .withColumn("trade_size_category", Analytics.sizeBucket(col("qty"), 10.0, 60.0))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a7_prediction_rollup" ->
+      """SELECT l_returnflag AS model_version,
+        |  count(*) AS n_predictions,
+        |  round(avg(abs(l_discount)), 6) AS avg_abs_error,
+        |  round(sqrt(avg(l_discount * l_discount)), 6) AS rmse,
+        |  round(avg(CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END), 6) AS directional_accuracy,
+        |  round(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p95_latency,
+        |  round(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p99_latency
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a8_per_model_stats" ->
+      """SELECT o_orderpriority AS model_version,
+        |  count(*) AS n,
+        |  round(avg(o_totalprice), 4) AS avg_value,
+        |  min(epoch_ms(o_orderdate)) AS first_ts,
+        |  max(epoch_ms(o_orderdate)) AS last_ts,
+        |  count(DISTINCT o_custkey) AS n_entities
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "a10_watermarks" ->
+      s"""WITH t AS ($T)
+         |SELECT symbol AS key, max(ts_ms) AS max_ts, min(ts_ms) AS min_ts,
+         |       count(*) AS n_records
+         |FROM t GROUP BY symbol""".stripMargin,
+    "p1_projection_validation" ->
+      """SELECT event_id AS trade_id,
+        |  epoch_ms(ts) AS ts_ms,
+        |  value AS price,
+        |  CAST(props->>'$.k' AS DOUBLE) AS qty,
+        |  upper(event_type) AS symbol,
+        |  CAST(TRY_CAST(value AS DECIMAL(20,8)) AS DOUBLE) AS price_dec,
+        |  round(value * CAST(props->>'$.k' AS DOUBLE), 8) AS notional,
+        |  CASE WHEN CAST(props->>'$.k' AS DOUBLE) < 10.0 THEN 'small'
+        |       WHEN CAST(props->>'$.k' AS DOUBLE) < 60.0 THEN 'medium'
+        |       ELSE 'large' END AS trade_size_category
+        |FROM events
+        |WHERE value IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+        |  AND epoch_ms(ts) IS NOT NULL
+        |  AND value > 0 AND CAST(json_extract_string(props, '$.k') AS DOUBLE) > 0
+        |  AND epoch_ms(ts) BETWEEN 1577836800000 AND 1893456000000""".stripMargin
+  )
+}
