@@ -21,12 +21,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MarketQueries.queries ++ JoinQueries.queries ++
-      AnalyticsQueries.queries ++ ScalarQueries.queries
+      AnalyticsQueries.queries ++ ScalarQueries.queries ++
+      TextQueries.queries ++ VectorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
     MarketQueries.oracle ++ JoinQueries.oracle ++
-      AnalyticsQueries.oracle ++ ScalarQueries.oracle
+      AnalyticsQueries.oracle ++ ScalarQueries.oracle ++
+      TextQueries.oracle ++ VectorQueries.oracle
 }

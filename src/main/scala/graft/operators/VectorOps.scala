@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.md5PrefixHash
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set
+  * against the corpus; one pass, no shuffle of the corpus, rank per query.
+  * Scale path: sign-random-projection LSH buckets (deterministic
+  * pseudo-random hyperplanes) so candidate generation becomes an equi-join
+  * on bucket id, exactly like the text LSH. Dot products run as higher-order
+  * array folds inside codegen — no UDF.
+  */
+object VectorOps {
+
+  /** Sequential-fold dot product of two double arrays (deterministic order:
+    * left-to-right, matching DuckDB's list accumulation).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  private def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Brute-force cosine top-k: for each row of `queries`, the k most similar
+    * corpus rows. Rank orders by the ROUNDED similarity (6 dp) then corpus
+    * id, so results are stable under sub-ulp engine differences.
+    */
+  def annTopK(
+      queries: DataFrame, // query_id, embedding
+      corpus: DataFrame, // vec_id, embedding
+      k: Int): DataFrame = {
+    val q = queries.select(
+      col("query_id"),
+      asDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+    val joined = c
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
+  /** Cosine near-dup pairs within a blocking key (e.g. a cluster/label or an
+    * LSH bucket): all pairs (a < b) with rounded cosine >= threshold.
+    */
+  def nearDupPairs(
+      vecs: DataFrame, // id, embedding, block
+      threshold: Double): DataFrame = {
+    val a = vecs.select(col("block"), col("id").as("id_a"), asDouble(col("embedding")).as("va"))
+    val b = vecs.select(col("block"), col("id").as("id_b"), asDouble(col("embedding")).as("vb"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("block", "id_a", "id_b", "cos_sim")
+  }
+
+  /** Sign-random-projection bucket id: `nBits` hyperplanes whose components
+    * are deterministic pseudo-random ±1 derived from md5 of (bit, dim) — so
+    * the bucketing is reproducible anywhere. Vectors in the same bucket are
+    * near-dup candidates; at 100 TB candidate generation is an equi-join on
+    * (bucket), replacing the per-block quadratic scan.
+    */
+  def srpBucket(embedding: Column, dim: Int, nBits: Int = 12): Column = {
+    val v = asDouble(embedding)
+    (0 until nBits)
+      .map { bit =>
+        val proj = (0 until dim)
+          .map { d =>
+            val sign =
+              if (java.security.MessageDigest
+                  .getInstance("MD5")
+                  .digest(s"srp_${bit}_$d".getBytes("UTF-8"))(0) % 2 == 0) 1.0
+              else -1.0
+            element_at(v, d + 1) * sign
+          }
+          .reduce(_ + _)
+        when(proj > 0, lit(1L << bit)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+  }
+
+  /** LSH-bucketed near-dup: block by SRP bucket, then exact cosine verify
+    * within buckets. Trades recall (hamming-0 buckets only) for linear scale.
+    */
+  def nearDupLsh(
+      vecs: DataFrame, // id, embedding
+      dim: Int,
+      threshold: Double,
+      nBits: Int = 12): DataFrame =
+    nearDupPairs(
+      vecs.select(col("id"), col("embedding"), srpBucket(col("embedding"), dim, nBits).as("block")),
+      threshold)
+}

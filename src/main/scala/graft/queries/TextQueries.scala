@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators._
+
+/** Training-data text-pipeline queries: exact/near dedup, simhash, token
+  * stats, quality + language heuristics. Oracle SQL for the hash-based ops is
+  * generated from the same constants so both engines run the identical
+  * algorithm.
+  */
+object TextQueries {
+  private val P = TextFunctions.MinhashP
+  private val K = 16
+  private val params = TextFunctions.minhashParams(K)
+  private val stopwords = Seq("the", "a")
+
+  /** DuckDB shingle CTE: distinct 3-gram word shingles per doc. */
+  private val shCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(tk) < 3 THEN []
+      |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+      |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
+      |       FROM toks)""".stripMargin
+
+  private def duckHash(x: String): String =
+    s"(CAST(concat('0x', substr(md5($x), 1, 8)) AS BIGINT) % $P)"
+
+  private val duckSigExprs: String = params.zipWithIndex
+    .map { case ((a, b), j) =>
+      s"list_min(list_transform(s, x -> ($a * ${duckHash("x")} + $b) % $P)) AS sig_$j"
+    }
+    .mkString(",\n  ")
+
+  private val duckBandsUnion: String = (0 until K / 2)
+    .map(k => s"SELECT doc_id, $k AS band, sig_${2 * k} * 1000003 + sig_${2 * k + 1} AS bh FROM sigs")
+    .mkString(" UNION ALL ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // D-exact — content-hash dedup: docs unioned with re-keyed copies of
+    // themselves collapse back to one row per distinct content.
+    "t1_dedup_exact" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val copies = d.withColumn("doc_id", col("doc_id") + 1000000L)
+      TextDedup.exactByContent(d.unionByName(copies), col("doc_id"), col("text"))
+    },
+    // D-minhash — per-doc 16-value minhash signature (no shuffle).
+    "t2_minhash_signatures" -> { (s, dir) =>
+      TextDedup
+        .minhashSignatures(Tables.documents(s, dir), col("doc_id"), col("text"), K)
+        .drop("sh")
+    },
+    // D-LSH — banded candidate pairs + exact jaccard verify >= 0.3. The
+    // oracle runs the SAME LSH pipeline, so both sides miss the same
+    // below-band pairs (that's the semantics of the operator, not a bug).
+    "t3_lsh_neardup_pairs" -> { (s, dir) =>
+      TextDedup.nearDuplicates(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        k = K, rowsPerBand = 2, threshold = 0.3)
+    },
+    // D-simhash — 32-bit simhash fingerprint per doc.
+    "t4_simhash" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.simhash32(col("text")).as("simhash"))
+    },
+    // T-quality — token stats, type-token ratio, stopword ratio, composite
+    // quality score, and the n-gram language-ID heuristic.
+    "t5_text_quality" -> { (s, dir) =>
+      val tk = TextFunctions.tokens(col("text"))
+      val nTok = size(tk)
+      val nUniq = size(array_distinct(tk))
+      val stop = TextFunctions.stopwordCount(tk, stopwords)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        nTok.as("n_tokens"),
+        nUniq.as("n_unique"),
+        round(nUniq.cast("double") / nTok, 6).as("ttr"),
+        round((length(col("text")) - (nTok - 1)).cast("double") / nTok, 6).as("avg_token_len"),
+        round(stop.cast("double") / nTok, 6).as("stopword_ratio"),
+        round(
+          least(nTok.cast("double") / 200.0, lit(1.0)) * 0.5 +
+            (nUniq.cast("double") / nTok) * 0.3 +
+            (lit(1.0) - stop.cast("double") / nTok) * 0.2,
+          6).as("quality_score"),
+        when(stop.cast("double") / nTok >= 0.03, "en").otherwise("unknown").as("lang_guess"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t1_dedup_exact" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT md5(text) AS content_md5, min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM u GROUP BY 1""".stripMargin,
+    "t2_minhash_signatures" ->
+      s"""WITH $shCte
+         |SELECT doc_id,
+         |  $duckSigExprs
+         |FROM sh""".stripMargin,
+    "t3_lsh_neardup_pairs" ->
+      s"""WITH $shCte,
+         |sigs AS (
+         |  SELECT doc_id,
+         |    $duckSigExprs
+         |  FROM sh),
+         |bands AS ($duckBandsUnion),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+         |   AND x.doc_id < y.doc_id),
+         |ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+         |common AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN ex x ON x.doc_id = c.doc_a
+         |  JOIN ex y ON y.doc_id = c.doc_b AND y.tok = x.tok
+         |  GROUP BY 1, 2)
+         |SELECT m.doc_a, m.doc_b, m.n_common,
+         |  round(m.n_common * 1.0 / (sa.n + sb.n - m.n_common), 6) AS jaccard
+         |FROM common m
+         |JOIN sz sa ON sa.doc_id = m.doc_a
+         |JOIN sz sb ON sb.doc_id = m.doc_b
+         |WHERE round(m.n_common * 1.0 / (sa.n + sb.n - m.n_common), 6) >= 0.3""".stripMargin,
+    "t4_simhash" -> {
+      val h = "(CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))"
+      val bits = (0 until 32)
+        .map(j =>
+          s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << $j) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH hs0 AS (
+         |  SELECT doc_id,
+         |    list_transform(list_distinct(string_split(text, ' ')), t -> $h) AS hs
+         |  FROM documents)
+         |SELECT doc_id, $bits AS simhash FROM hs0""".stripMargin
+    },
+    "t5_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    len(tk) AS n_tokens,
+        |    len(list_distinct(tk)) AS n_unique,
+        |    len(list_filter(tk, x -> x = 'the' OR x = 'a')) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_chars, n_tokens, n_unique,
+        |  round(n_unique * 1.0 / n_tokens, 6) AS ttr,
+        |  round((n_chars - (n_tokens - 1)) * 1.0 / n_tokens, 6) AS avg_token_len,
+        |  round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+        |  round(least(n_tokens / 200.0, 1.0) * 0.5 + (n_unique * 1.0 / n_tokens) * 0.3
+        |        + (1.0 - n_stop * 1.0 / n_tokens) * 0.2, 6) AS quality_score,
+        |  CASE WHEN n_stop * 1.0 / n_tokens >= 0.03 THEN 'en' ELSE 'unknown' END AS lang_guess
+        |FROM m""".stripMargin
+  )
+}
