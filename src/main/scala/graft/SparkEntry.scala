@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MarketQueries.queries ++ JoinQueries.queries ++
       AnalyticsQueries.queries ++ ScalarQueries.queries ++
-      TextQueries.queries ++ VectorQueries.queries
+      TextQueries.queries ++ VectorQueries.queries ++
+      MicrostructureQueries.queries ++ MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -30,5 +31,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     MarketQueries.oracle ++ JoinQueries.oracle ++
       AnalyticsQueries.oracle ++ ScalarQueries.oracle ++
-      TextQueries.oracle ++ VectorQueries.oracle
+      TextQueries.oracle ++ VectorQueries.oracle ++
+      MicrostructureQueries.oracle ++ MultimodalQueries.oracle
 }

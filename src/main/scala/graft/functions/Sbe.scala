@@ -1,0 +1,89 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SBE-style binary decode — SURVEY §2.1 S2, the reference's only native
+  * operator (`services/sbe_ingestor/src/sbe_decoder/src/sbe_decoder.cpp`).
+  *
+  * Frame layout (simplified from the reference's header + fixed block +
+  * var-length symbol; little-endian like the wire format,
+  * `sbe_decoder.cpp:157-185`):
+  * {{{
+  *   u16 blockLength | u16 templateId | u16 schemaId | u16 version
+  *   trade (10000):  i64 ts_us | i64 trade_id | i64 mantissa | i8 exp | u8 maker
+  *   bba   (10001):  i64 ts_us | i64 bid_mant | i8 bid_exp | i64 ask_mant | i8 ask_exp
+  *   then: u8 symbolLen | bytes symbol
+  * }}}
+  * Prices are mantissa·10^exponent int64+int8 pairs (`sbe_decoder.cpp:107-111`);
+  * µs timestamps are floored to ms (`sbe_decoder.cpp:134-136`).
+  *
+  * Decode is a Catalyst `Expression` (no UDF row-encoding overhead; null on
+  * foreign templateId like the reference's dispatch). CodegenFallback for
+  * now — the eval path is a single ByteBuffer walk; doGenCode is the
+  * documented upgrade if decode ever dominates a profile.
+  */
+object Sbe {
+
+  val tradeSchema: StructType = StructType(Seq(
+    StructField("ts_ms", LongType),
+    StructField("trade_id", LongType),
+    StructField("price", DoubleType),
+    StructField("is_buyer_maker", BooleanType),
+    StructField("symbol", StringType)))
+
+  case class SbeTradeDecode(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = tradeSchema
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val bb = ByteBuffer.wrap(input.asInstanceOf[Array[Byte]]).order(ByteOrder.LITTLE_ENDIAN)
+      if (bb.remaining() < 8) return null
+      bb.getShort() // blockLength
+      val templateId = bb.getShort()
+      bb.getShort(); bb.getShort() // schemaId, version
+      if (templateId != 10000 || bb.remaining() < 27) return null
+      val tsUs = bb.getLong()
+      val tradeId = bb.getLong()
+      val mantissa = bb.getLong()
+      val exp = bb.get()
+      val maker = bb.get() == 1.toByte
+      val symLen = bb.get() & 0xff
+      if (bb.remaining() < symLen) return null
+      val sym = new Array[Byte](symLen)
+      bb.get(sym)
+      InternalRow(
+        java.lang.Long.valueOf(Math.floorDiv(tsUs, 1000L)),
+        java.lang.Long.valueOf(tradeId),
+        java.lang.Double.valueOf(mantissa * math.pow(10.0, exp.toDouble)),
+        java.lang.Boolean.valueOf(maker),
+        UTF8String.fromBytes(sym))
+    }
+    override protected def withNewChildInternal(newChild: Expression): SbeTradeDecode =
+      copy(child = newChild)
+  }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def decodeTrade(c: Column): Column =
+    ColumnBridge.column(SbeTradeDecode(ColumnBridge.expression(c)))
+
+  /** Test/ingest-side encoder (UDF is fine off the hot path). */
+  val encodeTrade: UserDefinedFunction = udf(
+    (tsUs: Long, tradeId: Long, mantissa: Long, exp: Int, maker: Boolean, symbol: String) => {
+      val sym = symbol.getBytes("UTF-8")
+      val bb = ByteBuffer.allocate(8 + 27 + sym.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(27.toShort).putShort(10000.toShort).putShort(1.toShort).putShort(0.toShort)
+      bb.putLong(tsUs).putLong(tradeId).putLong(mantissa)
+      bb.put(exp.toByte).put(if (maker) 1.toByte else 0.toByte)
+      bb.put(sym.length.toByte).put(sym)
+      bb.array()
+    })
+}

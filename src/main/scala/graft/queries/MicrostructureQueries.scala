@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Sbe, TimeUnits}
+import graft.operators._
+
+/** Quote/depth microstructure aggregates (A2/A3), the SBE binary decode
+  * roundtrip (S2), and bronze partition-key derivation (K2/S8).
+  *
+  * The testdata has no quote/book tables, so quotes are derived
+  * deterministically from trades (bid/ask straddling the price, sizes from
+  * qty) and books from per-day top/bottom price levels — the OPERATORS are
+  * the real thing; only the inputs are synthesized views.
+  */
+object MicrostructureQueries {
+  private val T = Tables.tradesOracleCte
+
+  private val quotesCte =
+    """q AS (
+      |  SELECT symbol, ts_ms, trade_id AS quote_id,
+      |    price - qty * 0.01 AS bid_px,
+      |    price + 0.01 + qty * 0.005 AS ask_px,
+      |    qty + 1.0 AS bid_sz,
+      |    101.0 - qty AS ask_sz
+      |  FROM t)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A2 — BBA batch aggregate (feature_builder.py:187-286), incl. the
+    // latest_bid_size the reference meant to compute (SURVEY §7.5.5).
+    "a2_bba_stats" -> { (s, dir) =>
+      val q = Tables.trades(s, dir).select(
+        col("symbol"), col("ts_ms"), col("trade_id").as("quote_id"),
+        (col("price") - col("qty") * 0.01).as("bid_px"),
+        (col("price") + lit(0.01) + col("qty") * 0.005).as("ask_px"),
+        (col("qty") + 1.0).as("bid_sz"),
+        (lit(101.0) - col("qty")).as("ask_sz"))
+      QuoteAggregates.bbaStats(
+        q,
+        Seq(col("symbol"), TimeUnits.bucketStartMs(col("ts_ms"), 86400000L).as("day_ms")))
+    },
+    // A3 — depth snapshot features over array<struct> book levels
+    // (feature_builder.py:288-354): per (symbol, day) the bottom-10 prices
+    // form the bid side (sorted desc) and top-10 the ask side (sorted asc);
+    // stats are computed on the LATEST snapshot per symbol.
+    "a3_depth_snapshot" -> { (s, dir) =>
+      val t = Tables.trades(s, dir)
+        .withColumn("day", TimeUnits.bucketIndex(col("ts_ms"), 86400000L))
+      val wAsc = Window.partitionBy(col("symbol"), col("day"))
+        .orderBy(col("price"), col("trade_id"))
+      val wDesc = Window.partitionBy(col("symbol"), col("day"))
+        .orderBy(col("price").desc, col("trade_id").desc)
+      val rk = t
+        .withColumn("ra", row_number().over(wAsc))
+        .withColumn("rd", row_number().over(wDesc))
+      val lvl = struct(col("price"), col("qty"), col("trade_id"))
+      val bids = rk.filter(col("ra") <= 10)
+        .groupBy(col("symbol"), col("day"))
+        .agg(reverse(sort_array(collect_list(lvl))).as("bids"))
+      val asks = rk.filter(col("rd") <= 10)
+        .groupBy(col("symbol"), col("day"))
+        .agg(sort_array(collect_list(lvl)).as("asks"))
+      val books = bids
+        .join(asks, Seq("symbol", "day"))
+        .withColumn("ts_ms", col("day") * 86400000L)
+        .withColumn("snap_id", col("day"))
+      QuoteAggregates.depthSnapshotStats(books, Seq(col("symbol")), topN = 5)
+    },
+    // S2 — SBE mantissa·10^exp binary decode roundtrip through the custom
+    // Catalyst expression (sbe_decoder.cpp:107-111, 134-136).
+    "s2_sbe_roundtrip" -> { (s, dir) =>
+      val t = Tables.trades(s, dir).filter(col("trade_id") < 2000)
+      val enc = t.select(
+        col("trade_id").as("orig_id"),
+        Sbe.encodeTrade(
+          col("ts_ms") * 1000L, col("trade_id"),
+          round(col("price") * 100).cast("long"), lit(-2),
+          col("qty") > 50, upper(col("symbol"))).as("frame"))
+      enc
+        .select(col("orig_id"), Sbe.decodeTrade(col("frame")).as("d"))
+        .select(
+          col("orig_id"),
+          col("d.ts_ms").as("ts_ms"),
+          col("d.trade_id").as("trade_id"),
+          round(col("d.price"), 2).as("price"),
+          col("d.is_buyer_maker").as("is_buyer_maker"),
+          col("d.symbol").as("symbol"))
+    },
+    // K2/S8 — bronze object-key derivation and parse-back
+    // (s3_writer.py:216-230, s3_reader.py:124-152).
+    "k2_partition_keys" -> { (s, dir) =>
+      val ts = TimeUnits.millisToTimestamp(col("ts_ms"))
+      Tables.trades(s, dir)
+        .filter(col("trade_id") < 1000)
+        .select(
+          col("trade_id"),
+          concat(
+            lit("bronze/"), lower(col("symbol")), lit("/trade/yyyy="),
+            date_format(ts, "yyyy"), lit("/mm="), date_format(ts, "MM"),
+            lit("/dd="), date_format(ts, "dd"), lit("/hh="), date_format(ts, "HH"),
+            lit("/trade_"), col("ts_ms").cast("string"), lit(".jsonl.gz")).as("object_key"))
+        .withColumn(
+          "parsed_symbol", regexp_extract(col("object_key"), "bronze/([a-z]+)/", 1))
+        .withColumn(
+          "parsed_mm", regexp_extract(col("object_key"), "mm=(\\d+)", 1).cast("int"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a2_bba_stats" ->
+      s"""WITH t AS ($T),
+         |$quotesCte
+         |SELECT symbol, (ts_ms // 86400000) * 86400000 AS day_ms,
+         |  count(*) AS n_quotes,
+         |  last(bid_px ORDER BY ts_ms, quote_id) AS latest_bid,
+         |  last(ask_px ORDER BY ts_ms, quote_id) AS latest_ask,
+         |  last(bid_sz ORDER BY ts_ms, quote_id) AS latest_bid_size,
+         |  last(ask_sz ORDER BY ts_ms, quote_id) AS latest_ask_size,
+         |  round(avg(ask_px - bid_px), 6) AS avg_spread,
+         |  min(ask_px - bid_px) AS min_spread,
+         |  max(ask_px - bid_px) AS max_spread,
+         |  round(stddev_samp(ask_px - bid_px), 4) AS spread_std,
+         |  round(avg((ask_px + bid_px) / 2.0), 6) AS avg_mid,
+         |  CAST(sum(CAST(bid_sz AS DECIMAL(27,8))) AS DOUBLE) AS total_bid_size,
+         |  CAST(sum(CAST(ask_sz AS DECIMAL(27,8))) AS DOUBLE) AS total_ask_size,
+         |  first((ask_px + bid_px) / 2.0 ORDER BY ts_ms, quote_id) AS first_mid,
+         |  last((ask_px + bid_px) / 2.0 ORDER BY ts_ms, quote_id) AS last_mid,
+         |  round((total_bid_size - total_ask_size) / nullif(total_bid_size + total_ask_size, 0.0), 6) AS size_imbalance,
+         |  round(last_mid - first_mid, 8) AS mid_change
+         |FROM q GROUP BY 1, 2""".stripMargin,
+    "a3_depth_snapshot" ->
+      s"""WITH t AS ($T),
+         |d AS (SELECT symbol, ts_ms // 86400000 AS day, price, qty, trade_id FROM t),
+         |rk AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY symbol, day ORDER BY price, trade_id) AS ra,
+         |    row_number() OVER (PARTITION BY symbol, day ORDER BY price DESC, trade_id DESC) AS rd
+         |  FROM d),
+         |bids AS (
+         |  SELECT symbol, day,
+         |    list(struct_pack(price := price, qty := qty, trade_id := trade_id)
+         |         ORDER BY price DESC, qty DESC, trade_id DESC) AS bids
+         |  FROM rk WHERE ra <= 10 GROUP BY 1, 2),
+         |asks AS (
+         |  SELECT symbol, day,
+         |    list(struct_pack(price := price, qty := qty, trade_id := trade_id)
+         |         ORDER BY price, qty, trade_id) AS asks
+         |  FROM rk WHERE rd <= 10 GROUP BY 1, 2),
+         |books AS (
+         |  SELECT b.symbol, b.day, b.bids, a.asks
+         |  FROM bids b JOIN asks a USING (symbol, day)),
+         |latest AS (
+         |  SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY day DESC) AS rn
+         |  FROM books)
+         |SELECT symbol, day * 86400000 AS snapshot_ts,
+         |  bids[1].price AS best_bid,
+         |  asks[1].price AS best_ask,
+         |  round(asks[1].price - bids[1].price, 8) AS spread,
+         |  round((asks[1].price + bids[1].price) / 2.0, 8) AS mid,
+         |  round(list_sum(list_transform(bids[1:5], l -> l.qty)), 6) AS bid_depth,
+         |  round(list_sum(list_transform(asks[1:5], l -> l.qty)), 6) AS ask_depth,
+         |  round((list_sum(list_transform(bids[1:5], l -> l.qty)) - list_sum(list_transform(asks[1:5], l -> l.qty)))
+         |        / nullif(list_sum(list_transform(bids[1:5], l -> l.qty)) + list_sum(list_transform(asks[1:5], l -> l.qty)), 0.0), 6) AS depth_imbalance,
+         |  round(list_sum(list_transform(bids[1:5], l -> l.price * l.qty))
+         |        / nullif(list_sum(list_transform(bids[1:5], l -> l.qty)), 0.0), 6) AS bid_vwap_top,
+         |  round(list_sum(list_transform(asks[1:5], l -> l.price * l.qty))
+         |        / nullif(list_sum(list_transform(asks[1:5], l -> l.qty)), 0.0), 6) AS ask_vwap_top,
+         |  len(bids) AS bid_levels,
+         |  len(asks) AS ask_levels
+         |FROM latest WHERE rn = 1""".stripMargin,
+    "s2_sbe_roundtrip" ->
+      s"""WITH t AS ($T)
+         |SELECT trade_id AS orig_id, ts_ms, trade_id,
+         |  round(CAST(round(price * 100) AS BIGINT) * 0.01, 2) AS price,
+         |  qty > 50 AS is_buyer_maker,
+         |  upper(symbol) AS symbol
+         |FROM t WHERE trade_id < 2000""".stripMargin,
+    "k2_partition_keys" ->
+      s"""WITH t AS ($T)
+         |SELECT trade_id,
+         |  concat('bronze/', lower(symbol), '/trade/yyyy=',
+         |         strftime(make_timestamp(ts_ms * 1000), '%Y'), '/mm=',
+         |         strftime(make_timestamp(ts_ms * 1000), '%m'), '/dd=',
+         |         strftime(make_timestamp(ts_ms * 1000), '%d'), '/hh=',
+         |         strftime(make_timestamp(ts_ms * 1000), '%H'),
+         |         '/trade_', CAST(ts_ms AS VARCHAR), '.jsonl.gz') AS object_key,
+         |  lower(symbol) AS parsed_symbol,
+         |  CAST(strftime(make_timestamp(ts_ms * 1000), '%m') AS INT) AS parsed_mm
+         |FROM t WHERE trade_id < 1000""".stripMargin
+  )
+}

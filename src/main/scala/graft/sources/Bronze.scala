@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TimeUnits
+
+/** Bronze-layer IO — the reference's partitioned object store
+  * (SURVEY §2.1 K2/S6/S7/S8/K7, §2.9 T7).
+  *
+  * - Hive-style `yyyy=/mm=/dd=/hh=` partition layout (`s3_writer.py:216-230`)
+  *   becomes `partitionBy` columns: partition pruning is then free — a
+  *   time-range predicate touches only matching directories, the 100 TB
+  *   replacement for the reference's manual key-prefix listing.
+  * - Incremental consumption becomes a high-watermark predicate with a
+  *   re-read overlap (`scheduler.py:72-81`) + downstream dedup, instead of
+  *   LastModified bookkeeping.
+  * - The JSON checkpoint file (`checkpoint.py`) becomes a one-row parquet
+  *   watermark table.
+  */
+object Bronze {
+
+  /** P7: tolerant alias normalization at the bronze boundary — for each
+    * target column, coalesce over its known aliases (`qty`|`volume`,
+    * `bid_px`|`bid_price`, `feature_builder.py:110,209-212`).
+    */
+  def normalizeAliases(df: DataFrame, aliases: Map[String, Seq[String]]): DataFrame =
+    aliases.foldLeft(df) { case (d, (target, names)) =>
+      val present = names.filter(d.columns.contains)
+      if (present.isEmpty) d
+      else d.withColumn(target, coalesce(present.map(col): _*))
+    }
+
+  /** K2: partitioned write with derived calendar partition columns. */
+  def writePartitioned(df: DataFrame, tsMs: Column, path: String): Unit = {
+    val withParts = TimeUnits.partitionCols(tsMs).foldLeft(df) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+    withParts.write
+      .mode("overwrite")
+      .partitionBy("yyyy", "mm", "dd", "hh")
+      .parquet(path)
+  }
+
+  /** S6/T7: incremental read — everything after (watermark - overlap).
+    * The predicate lands on the partition columns first (directory pruning)
+    * and then on the row timestamp.
+    */
+  def readIncremental(
+      spark: SparkSession,
+      path: String,
+      tsMsCol: String,
+      watermarkMs: Long,
+      overlapMs: Long): DataFrame = {
+    val cutoff = watermarkMs - overlapMs
+    val cutoffDay = TimeUnits.millisToTimestamp(lit(cutoff)).cast("date")
+    spark.read
+      .parquet(path)
+      // partition-level prune (yyyy/mm/dd are strings; compare lexicographically via a derived date)
+      .filter(
+        to_date(concat_ws("-", col("yyyy"), col("mm"), col("dd"))) >= cutoffDay)
+      .filter(col(tsMsCol) > cutoff)
+  }
+
+  /** K7: durable watermark (one-row parquet). */
+  def saveWatermark(spark: SparkSession, path: String, key: String, valueMs: Long): Unit = {
+    import spark.implicits._
+    Seq((key, valueMs)).toDF("key", "watermark_ms").write.mode("overwrite").parquet(path)
+  }
+
+  def loadWatermark(spark: SparkSession, path: String, key: String): Option[Long] =
+    try {
+      spark.read.parquet(path).filter(col("key") === key)
+        .select("watermark_ms").collect().headOption.map(_.getLong(0))
+    } catch { case _: Exception => None }
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4's `Column` wraps a ColumnNode rather than a Catalyst Expression,
+  * and the conversion helpers are `private[sql]`. This shim lives inside the
+  * `org.apache.spark.sql` package purely to re-export those two conversions
+  * for graft's custom Catalyst expressions.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
