@@ -18,16 +18,53 @@ object TextFunctions {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles ("w1 w2 w3"). Empty when fewer than n
-    * tokens (guarded: Spark's `sequence(1,0)` would count DOWN).
+  /** JVM-side md5 prefix hash — bit-identical to [[md5PrefixHash]]: the
+    * first 4 digest bytes read as an unsigned big-endian int (= parsing the
+    * first 8 hex chars).
+    */
+  private def md5Prefix(s: String, md: java.security.MessageDigest): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  private def shingleSeq(text: String, n: Int): IndexedSeq[String] = {
+    val tk = text.split(' ')
+    if (tk.length < n) Vector.empty
+    else {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      var i = 0
+      while (i <= tk.length - n) {
+        seen += tk.slice(i, i + n).mkString(" ")
+        i += 1
+      }
+      seen.toVector
+    }
+  }
+
+  /** Distinct word n-gram shingles ("w1 w2 w3"). A row-level Scala kernel:
+    * the equivalent `transform(sequence(...), concat_ws(element_at...))`
+    * builtin runs interpreted per ELEMENT in Spark (profiled ~3.4 s for 1.5M
+    * shingles vs ~0.3 s here); one deterministic scalar UDF call per row is
+    * the faster shape until this becomes a codegen Expression.
     */
   def shingles(text: Column, n: Int = 3): Column = {
-    val tk = tokens(text)
-    val make = transform(
-      sequence(lit(1), size(tk) - lit(n - 1)),
-      i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*))
-    when(size(tk) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(make))
+    val f = udf((t: String) => if (t == null) Seq.empty[String] else shingleSeq(t, n))
+    f(text)
+  }
+
+  /** Shingle hashes (md5-prefix mod p) directly — skips materializing the
+    * shingle strings as a column when only the hashes are needed.
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column = {
+    val f = udf { (t: String) =>
+      if (t == null) Seq.empty[Long]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        shingleSeq(t, n).map(s => md5Prefix(s, md) % MinhashP)
+      }
+    }
+    f(text)
   }
 
   /** MinHash parameters: k permutations of h -> (a*h + b) mod p over the
@@ -48,20 +85,31 @@ object TextFunctions {
       s => (lit(a) * (md5PrefixHash(s) % MinhashP) + lit(b)) % MinhashP))
 
   /** 32-bit SimHash over distinct tokens: bit j is set when the sum of
-    * ±1 votes from each token's hash bit j is positive.
+    * ±1 votes from each token's hash bit j is positive. Row-level kernel for
+    * the same reason as [[shingles]] (32 interpreted `aggregate` passes
+    * profiled ~4.5 s at sf0.1 vs ~0.3 s here).
     */
   def simhash32(text: Column): Column = {
-    val hs = transform(array_distinct(tokens(text)), t => md5PrefixHash(t))
-    (0 until 32)
-      .map { j =>
-        val votes = aggregate(
-          hs,
-          lit(0L),
-          (acc, h) =>
-            acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    val f = udf { (t: String) =>
+      if (t == null) 0L
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val votes = new Array[Int](32)
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        t.split(' ').foreach { tok =>
+          if (seen.add(tok)) {
+            val h = md5Prefix(tok, md)
+            var j = 0
+            while (j < 32) {
+              if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+              j += 1
+            }
+          }
+        }
+        (0 until 32).map(j => if (votes(j) > 0) 1L << j else 0L).sum
       }
-      .reduce(_ + _)
+    }
+    f(text)
   }
 
   /** Stopword-membership count used by the quality/language heuristics. */

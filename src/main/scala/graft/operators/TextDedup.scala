@@ -31,23 +31,42 @@ object TextDedup {
 
   /** Per-document minhash signature columns sig_0..sig_{k-1} plus the
     * distinct shingle set (kept for downstream verification).
+    *
+    * Shape: explode shingles → one codegen'd md5 per shingle → hash-aggregate
+    * with k `min` functions. Higher-order array lambdas evaluate interpreted
+    * in Spark (k array_min×transform passes profiled ~25× slower than this);
+    * the explode+agg form keeps everything inside whole-stage codegen at the
+    * cost of one shuffle of O(docs) pre-aggregated rows — the right trade at
+    * any scale.
     */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column, k: Int = 16): DataFrame = {
-    val withSh = docs.select(id.as("doc_id"), shingles(text).as("sh"))
-    minhashParams(k).zipWithIndex.foldLeft(withSh) { case (df, ((a, b), j)) =>
-      df.withColumn(s"sig_$j", minhashSig(col("sh"), a, b))
+    val base = docs.select(id.as("doc_id"), shingles(text).as("sh"), shingleHashes(text).as("__hs"))
+    val ex = base.select(col("doc_id"), explode_outer(col("__hs")).as("h"))
+    val aggs = minhashParams(k).zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("h") + lit(b)) % MinhashP).as(s"sig_$j")
     }
+    val sigs = ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    base.drop("__hs").join(sigs, Seq("doc_id"))
   }
 
-  /** LSH candidate pairs: documents sharing at least one band hash.
-    * `rowsPerBand` signature values concatenate into one band hash.
+  /** Band-hash fold modulus: keeps the running hash < 1e12 so the next
+    * `*1000003 + sig` step stays far from int64 overflow (ANSI mode throws
+    * on overflow). Shared with the DuckDB oracle.
     */
-  def lshCandidates(sigs: DataFrame, k: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+  val BandM: Long = 1000000000007L
+
+  /** LSH candidate pairs: documents sharing at least one band hash.
+    * `rowsPerBand` signature values fold into one band hash. More rows per
+    * band = sharper collision threshold (P[candidate] ≈ jaccard^rowsPerBand
+    * per band) — essential when a small vocabulary makes random docs share
+    * many shingles.
+    */
+  def lshCandidates(sigs: DataFrame, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val nBands = k / rowsPerBand
     val bandStructs = (0 until nBands).map { bIdx =>
       val bh = (0 until rowsPerBand)
         .map(r => col(s"sig_${bIdx * rowsPerBand + r}"))
-        .reduce((acc, s) => acc * 1000003L + s)
+        .reduce((acc, s) => (acc * 1000003L + s) % BandM)
       struct(lit(bIdx).as("band"), bh.as("bh"))
     }
     val bands = sigs
@@ -90,9 +109,14 @@ object TextDedup {
       id: Column,
       text: Column,
       k: Int = 16,
-      rowsPerBand: Int = 2,
+      rowsPerBand: Int = 4,
       threshold: Double = 0.3): DataFrame = {
-    val sigs = minhashSignatures(docs, id, text, k).cache()
+    // No cache: signatures are a cheap per-row computation (~0.2 s at sf0.1),
+    // while caching the shingle string arrays costs ~5 s of columnar
+    // serialization. Recomputing the branch is the faster plan here; on a
+    // cluster where the corpus scan itself is expensive, persist
+    // `minhashSignatures(...).drop("sh")` (the small part) instead.
+    val sigs = minhashSignatures(docs, id, text, k)
     val cands = lshCandidates(sigs, k, rowsPerBand)
     verifyJaccard(cands, sigs.select(col("doc_id"), col("sh")), threshold)
   }

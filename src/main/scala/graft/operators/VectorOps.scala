@@ -37,13 +37,17 @@ object VectorOps {
       queries: DataFrame, // query_id, embedding
       corpus: DataFrame, // vec_id, embedding
       k: Int): DataFrame = {
+    // Norms are per-vector, so compute them once per side instead of per
+    // pair (cuts the array folds per pair from 3 to 1).
     val q = queries.select(
       col("query_id"),
       asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
     val joined = c
       .crossJoin(broadcast(q))
-      .withColumn("cos_sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos_sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     joined
       .withColumn("rank", row_number().over(w))
@@ -58,10 +62,12 @@ object VectorOps {
       vecs: DataFrame, // id, embedding, block
       threshold: Double): DataFrame = {
     val a = vecs.select(col("block"), col("id").as("id_a"), asDouble(col("embedding")).as("va"))
+      .withColumn("na", l2Norm(col("va")))
     val b = vecs.select(col("block"), col("id").as("id_b"), asDouble(col("embedding")).as("vb"))
+      .withColumn("nb", l2Norm(col("vb")))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cos_sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("block", "id_a", "id_b", "cos_sim")
   }

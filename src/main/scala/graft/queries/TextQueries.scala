@@ -36,8 +36,14 @@ object TextQueries {
     }
     .mkString(",\n  ")
 
-  private val duckBandsUnion: String = (0 until K / 2)
-    .map(k => s"SELECT doc_id, $k AS band, sig_${2 * k} * 1000003 + sig_${2 * k + 1} AS bh FROM sigs")
+  private val R = 4 // rows per band (matches TextDedup default)
+  private val duckBandsUnion: String = (0 until K / R)
+    .map { k =>
+      val bh = (0 until R)
+        .map(r => s"sig_${k * R + r}")
+        .foldLeft("0")((acc, s) => s"(($acc) * 1000003 + $s) % ${TextDedup.BandM}")
+      s"SELECT doc_id, $k AS band, $bh AS bh FROM sigs"
+    }
     .mkString(" UNION ALL ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
