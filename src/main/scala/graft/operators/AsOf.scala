@@ -28,6 +28,39 @@ object AsOf {
     * Result: inner — left rows with no right row within tolerance are absent
     * (callers needing outer semantics left-join the result back, see J1).
     */
+  /** Backward as-of join: for each left row, the LATEST right row with
+    * `rightTs <= leftTs` within `toleranceMs` (the classic "state as of this
+    * event" lookup — J3 stream-static enrichment: each trade gets the most
+    * recent quote's mid). Same bucket trick, right side replicated 2×.
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      toleranceMs: Long,
+      leftId: String,
+      rightValueCols: Seq[String],
+      rightTieBreak: String): DataFrame = {
+    val rb = expr(s"__right_ts div $toleranceMs")
+    val r = right
+      .select((col(key) +: col(rightTs).as("__right_ts") +: rightValueCols.map(col)): _*)
+      .withColumn("__b", explode(array(rb, rb + 1)))
+    val l = left.withColumn("__b", expr(s"$leftTs div $toleranceMs"))
+    val joined = l
+      .join(r, Seq(key, "__b"))
+      .filter(col("__right_ts") <= col(leftTs) &&
+        col(leftTs) - col("__right_ts") <= toleranceMs)
+    val w = Window
+      .partitionBy(col(key), col(leftId))
+      .orderBy(col("__right_ts").desc, col(rightTieBreak).desc)
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__b")
+  }
+
   def nearest(
       left: DataFrame,
       right: DataFrame,

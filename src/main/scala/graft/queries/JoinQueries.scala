@@ -99,6 +99,24 @@ object JoinQueries {
             2).as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"))
     },
+    // J3 — stream-static enrichment: each trade gets the most recent quote
+    // mid at-or-before its timestamp (vwap_minus_mid input,
+    // DATA_PIPELINE.md:129,153) via a backward as-of join.
+    "j3_enrich_latest_mid" -> { (s, dir) =>
+      val t = Tables.trades(s, dir)
+      val quotes = t.filter(pmod(col("trade_id"), lit(2)) === 0)
+        .select(col("symbol"), col("ts_ms"), col("trade_id").as("qid"), col("price").as("mid"))
+      val tr = t.filter(pmod(col("trade_id"), lit(2)) === 1)
+        .select("symbol", "ts_ms", "trade_id", "price")
+      AsOf
+        .backward(tr, quotes, key = "symbol", leftTs = "ts_ms", rightTs = "ts_ms",
+          toleranceMs = 3600000L, leftId = "trade_id",
+          rightValueCols = Seq("mid", "qid"), rightTieBreak = "qid")
+        .select(
+          col("symbol"), col("trade_id"), col("ts_ms"), col("price"),
+          col("__right_ts").as("quote_ts"), col("mid"),
+          round(col("price") - col("mid"), 8).as("price_minus_mid"))
+    },
     // U1/J4 — SBE+REST union with source_mix provenance (S3_SCHEMA.md:352).
     "u1_source_mix" -> { (s, dir) =>
       val t = Tables.trades(s, dir)
@@ -187,6 +205,21 @@ object JoinQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
+    "j3_enrich_latest_mid" ->
+      s"""WITH t AS ($T),
+         |quotes AS (
+         |  SELECT symbol, ts_ms AS qts, trade_id AS qid, price AS mid
+         |  FROM t WHERE trade_id % 2 = 0),
+         |tr AS (SELECT symbol, ts_ms, trade_id, price FROM t WHERE trade_id % 2 = 1),
+         |j AS (
+         |  SELECT tr.symbol, tr.trade_id, tr.ts_ms, tr.price, q.qts, q.mid,
+         |    row_number() OVER (PARTITION BY tr.symbol, tr.trade_id
+         |                       ORDER BY q.qts DESC, q.qid DESC) AS rn
+         |  FROM tr JOIN quotes q
+         |    ON q.symbol = tr.symbol AND q.qts <= tr.ts_ms AND tr.ts_ms - q.qts <= 3600000)
+         |SELECT symbol, trade_id, ts_ms, price, qts AS quote_ts, mid,
+         |  round(price - mid, 8) AS price_minus_mid
+         |FROM j WHERE rn = 1""".stripMargin,
     "u1_source_mix" ->
       s"""WITH t AS ($T),
          |m AS (

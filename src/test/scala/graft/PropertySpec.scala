@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Property-style invariants from SURVEY §5 over seeded random fixtures
+  * (deterministic `scala.util.Random(seed)` — no extra test deps).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomTrades(seed: Long, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val syms = Seq("BTC", "ETH", "SOL")
+    (0 until n).map { i =>
+      (syms(rnd.nextInt(3)), rnd.nextInt(1000L.toInt).toLong * 100L,
+        10.0 + rnd.nextDouble() * 90.0, 0.1 + rnd.nextDouble() * 9.9,
+        rnd.nextBoolean(), i.toLong)
+    }.toDF("symbol", "ts_ms", "price", "qty", "is_buyer_maker", "trade_id")
+  }
+
+  for (seed <- Seq(1L, 7L, 42L)) {
+    test(s"A1 invariants hold on seed $seed: vwap in [min,max], imbalance in [-1,1], buy+sell=total") {
+      val out = TradeAggregates.tradeBatchStats(
+        randomTrades(seed, 500), Seq($"symbol"), $"price", $"qty",
+        $"is_buyer_maker", $"ts_ms", $"trade_id").collect()
+      out.foreach { r =>
+        val vwap = r.getAs[Double]("vwap")
+        assert(vwap >= r.getAs[Double]("min_price") - 1e-9)
+        assert(vwap <= r.getAs[Double]("max_price") + 1e-9)
+        val imb = r.getAs[Double]("volume_imbalance")
+        assert(imb >= -1.0 && imb <= 1.0)
+        assert(
+          math.abs(
+            r.getAs[Double]("buy_volume") + r.getAs[Double]("sell_volume") -
+              r.getAs[Double]("total_volume")) < 1e-6)
+      }
+    }
+
+    test(s"A4 bar invariants hold on seed $seed: high>=max(open,close), low<=min(open,close), counts sum") {
+      val trades = randomTrades(seed, 500)
+      val bars = Bars.ohlcv(trades, $"symbol", $"ts_ms", $"price", $"qty", $"trade_id", 10000L)
+        .collect()
+      bars.foreach { b =>
+        val (o, h, l, c) = (
+          b.getAs[Double]("open_price"), b.getAs[Double]("high_price"),
+          b.getAs[Double]("low_price"), b.getAs[Double]("close_price"))
+        assert(h >= math.max(o, c) && l <= math.min(o, c))
+      }
+      assert(bars.map(_.getAs[Long]("trade_count")).sum === 500L)
+    }
+
+    test(s"D1 dedup is idempotent and order-insensitive on seed $seed") {
+      val t = randomTrades(seed, 300)
+      // introduce duplicates by halving the key space
+      val dup = t.withColumn("k", pmod($"trade_id", lit(40L)))
+      val once = SetOps.dedupFirst(dup, Seq($"symbol", $"k"), $"ts_ms", $"trade_id")
+      val twice = SetOps.dedupFirst(once, Seq($"symbol", $"k"), $"ts_ms", $"trade_id")
+      assert(once.count() === twice.count())
+      val shuffled = SetOps.dedupFirst(
+        dup.orderBy(rand(seed)), Seq($"symbol", $"k"), $"ts_ms", $"trade_id")
+      val a = once.select("symbol", "k", "trade_id").collect().map(_.toString).sorted
+      val b = shuffled.select("symbol", "k", "trade_id").collect().map(_.toString).sorted
+      assert(a.toSeq === b.toSeq)
+    }
+
+    test(s"U1 union-then-dedup == dedup-then-union on seed $seed") {
+      val t = randomTrades(seed, 200).withColumn("k", pmod($"trade_id", lit(50L)))
+      val h1 = t.filter($"trade_id" < 100)
+      val h2 = t.filter($"trade_id" >= 60) // overlap [60,100)
+      val unionThen = SetOps
+        .dedupFirst(h1.unionByName(h2), Seq($"k"), $"ts_ms", $"trade_id").count()
+      val full = SetOps.dedupFirst(t, Seq($"k"), $"ts_ms", $"trade_id").count()
+      assert(unionThen === full)
+    }
+  }
+
+  test("AsOf.backward never returns a right row after the left ts, nearest always within tolerance") {
+    val rnd = new scala.util.Random(11L)
+    val left = (0 until 200).map(i => ("K", rnd.nextInt(100000).toLong, i.toLong))
+      .toDF("k", "lts", "lid")
+    val right = (0 until 300).map(i => ("K", rnd.nextInt(100000).toLong, i.toLong, rnd.nextDouble()))
+      .toDF("k", "rts", "rid", "v")
+    val bw = AsOf.backward(left, right, "k", "lts", "rts", 5000L, "lid", Seq("v", "rid"), "rid")
+    assert(bw.filter(col("__right_ts") > col("lts")).count() === 0)
+    assert(bw.filter(col("lts") - col("__right_ts") > 5000L).count() === 0)
+    assert(bw.groupBy("lid").count().filter($"count" > 1).count() === 0)
+    val nr = AsOf.nearest(left, right, "k", "lts", "rts", 5000L, "lid", Seq("v"))
+    assert(nr.filter(abs(col("__right_ts") - col("lts")) > 5000L).count() === 0)
+    assert(nr.groupBy("lid").count().filter($"count" > 1).count() === 0)
+  }
+
+  test("LSH finds planted exact-duplicate pairs (jaccard 1.0 detection probability = 1)") {
+    val rnd = new scala.util.Random(5L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docs = (0 until 60).map { i =>
+      val words = (0 until 30).map(_ => vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, words.mkString(" "))
+    }
+    // plant exact copies of docs 0..4 as ids 100..104
+    val planted = (0 until 5).map(i => (100L + i, docs(i)._2))
+    val df = (docs ++ planted).toDF("doc_id", "text")
+    val pairs = TextDedup.nearDuplicates(df, $"doc_id", $"text", threshold = 0.99)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    (0 until 5).foreach { i =>
+      assert(pairs.contains((i.toLong, 100L + i)), s"missing planted pair $i")
+    }
+  }
+
+  test("TimeUnits: micros->millis->timestamp roundtrips and bucket index is floor-consistent") {
+    val rnd = new scala.util.Random(3L)
+    val ts = (0 until 500).map(_ => math.abs(rnd.nextLong()) % 4102444800000L).toDF("ms")
+    val bad = ts
+      .withColumn("b", graft.functions.TimeUnits.bucketIndex($"ms", 60000L))
+      .filter($"b" * 60000L > $"ms" || ($"b" + 1) * 60000L <= $"ms")
+    assert(bad.count() === 0)
+    val us = ts.select(($"ms" * 1000 + 999).as("us"))
+      .withColumn("back", graft.functions.TimeUnits.microsToMillis($"us"))
+    assert(us.filter($"back" =!= ($"us" - 999) / 1000).count() === 0)
+  }
+}
