@@ -59,6 +59,36 @@ object ScalarQueries {
         length(col("text")).as("text_len"),
         substring(col("text"), 1, 16).as("prefix16"))
     },
+    // K3 — Binance kline positional-array → named-struct normalization
+    // (s3_writer.py:151-175) + derived vwap (transformer.py:134-135), and
+    // P6 — fixed-8dp numeric formatting with trailing-zero strip
+    // (binance_sbe.py:339-352).
+    "k3_kline_normalize" -> { (s, dir) =>
+      val t = Tables.trades(s, dir).filter(col("trade_id") < 2000)
+      // build the 12-element kline-style array, then destructure positionally
+      val arr = array(
+        col("ts_ms").cast("double"), col("price") * 0.99, col("price") * 1.01,
+        col("price") * 0.98, col("price"), col("qty"),
+        (col("ts_ms") + 59999L).cast("double"), col("price") * col("qty"),
+        lit(7.0), col("qty") * 0.4, col("price") * col("qty") * 0.4, lit(0.0))
+      t.select(col("trade_id"), arr.as("k"))
+        .select(
+          col("trade_id"),
+          element_at(col("k"), 1).cast("long").as("open_time"),
+          element_at(col("k"), 2).as("open_price"),
+          element_at(col("k"), 3).as("high_price"),
+          element_at(col("k"), 4).as("low_price"),
+          element_at(col("k"), 5).as("close_price"),
+          element_at(col("k"), 6).as("volume"),
+          element_at(col("k"), 7).cast("long").as("close_time"),
+          element_at(col("k"), 8).as("quote_volume"),
+          element_at(col("k"), 9).cast("int").as("trade_count"),
+          round(element_at(col("k"), 8) / nullif(element_at(col("k"), 6), lit(0.0)), 6)
+            .as("vwap"),
+          regexp_replace(
+            regexp_replace(format_string("%.8f", element_at(col("k"), 5)), "0+$", ""),
+            "\\.$", "").as("close_str"))
+    },
     // Hash family: md5 of record content (kinesis_client.py:336-344), plus
     // the hex-prefix→int64 primitive the minhash dedup reuses.
     "f_hash_scalars" -> { (s, dir) =>
@@ -117,6 +147,27 @@ object ScalarQueries {
         |  length(text) AS text_len,
         |  substr(text, 1, 16) AS prefix16
         |FROM documents""".stripMargin,
+    "k3_kline_normalize" ->
+      s"""WITH t AS ($T),
+         |k AS (
+         |  SELECT trade_id,
+         |    [CAST(ts_ms AS DOUBLE), price * 0.99, price * 1.01, price * 0.98,
+         |     price, qty, CAST(ts_ms + 59999 AS DOUBLE), price * qty,
+         |     7.0, qty * 0.4, price * qty * 0.4, 0.0] AS k
+         |  FROM t WHERE trade_id < 2000)
+         |SELECT trade_id,
+         |  CAST(k[1] AS BIGINT) AS open_time,
+         |  k[2] AS open_price,
+         |  k[3] AS high_price,
+         |  k[4] AS low_price,
+         |  k[5] AS close_price,
+         |  k[6] AS volume,
+         |  CAST(k[7] AS BIGINT) AS close_time,
+         |  k[8] AS quote_volume,
+         |  CAST(k[9] AS INT) AS trade_count,
+         |  round(k[8] / nullif(k[6], 0.0), 6) AS vwap,
+         |  regexp_replace(regexp_replace(printf('%.8f', k[5]), '0+$$', ''), '\\.$$', '') AS close_str
+         |FROM k""".stripMargin,
     "f_hash_scalars" ->
       """SELECT doc_id,
         |  md5(text) AS text_md5,

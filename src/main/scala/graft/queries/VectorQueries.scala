@@ -26,6 +26,16 @@ object VectorQueries {
         corpus = e.filter(col("vec_id") >= 10),
         k = 3)
     },
+    // V3 — scale-path ANN: sign-random-projection LSH buckets instead of
+    // label blocking. No SQL oracle (the deterministic hyperplanes are not
+    // practically expressible in DuckDB); driver records rows-only, and the
+    // golden test asserts the pairs are a subset of brute-force truth.
+    "x_v3_ann_lsh_neardup" -> { (s, dir) =>
+      VectorOps.nearDupLsh(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id").as("id"), col("embedding")),
+        dim = 64, threshold = 0.35, nBits = 8)
+    },
     // V2 — embedding-cosine near-dup pairs blocked by label.
     "v2_cosine_neardup" -> { (s, dir) =>
       VectorOps.nearDupPairs(

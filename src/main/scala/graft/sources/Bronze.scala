@@ -62,6 +62,24 @@ object Bronze {
       .filter(col(tsMsCol) > cutoff)
   }
 
+  /** T6: re-anchor — rebuild state offline, then swap atomically
+    * (the reference writes `*:new:*` Redis keys and RENAMEs,
+    * `ARCHITECTURE.md:191-231`). Here: write the rebuilt state to a fresh
+    * versioned directory, then flip a one-row pointer file; readers resolve
+    * the pointer first, so they always see a complete version.
+    */
+  def reAnchor(spark: SparkSession, basePath: String, newState: DataFrame): Long = {
+    import spark.implicits._
+    val version = loadWatermark(spark, s"$basePath/_current", "version").getOrElse(0L) + 1L
+    newState.write.mode("overwrite").parquet(s"$basePath/v$version")
+    saveWatermark(spark, s"$basePath/_current", "version", version)
+    version
+  }
+
+  def readCurrent(spark: SparkSession, basePath: String): Option[DataFrame] =
+    loadWatermark(spark, s"$basePath/_current", "version")
+      .map(v => spark.read.parquet(s"$basePath/v$v"))
+
   /** K7: durable watermark (one-row parquet). */
   def saveWatermark(spark: SparkSession, path: String, key: String, valueMs: Long): Unit = {
     import spark.implicits._

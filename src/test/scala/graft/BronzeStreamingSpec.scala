@@ -49,6 +49,37 @@ class BronzeStreamingSpec extends SparkSpec {
     assert(Bronze.loadWatermark(spark, dir, "BTC").contains(12345L))
   }
 
+  test("Bronze: re-anchor swaps state versions atomically via the pointer") {
+    val base = Files.createTempDirectory("anchor").toString
+    assert(Bronze.readCurrent(spark, base).isEmpty)
+    val v1 = Bronze.reAnchor(spark, base, Seq(("BTC", 1.0)).toDF("symbol", "state"))
+    assert(v1 === 1L)
+    assert(Bronze.readCurrent(spark, base).get.count() === 1L)
+    val v2 = Bronze.reAnchor(spark, base, Seq(("BTC", 2.0), ("ETH", 3.0)).toDF("symbol", "state"))
+    assert(v2 === 2L)
+    val cur = Bronze.readCurrent(spark, base).get
+    assert(cur.count() === 2L)
+    assert(cur.filter($"symbol" === "BTC").select("state").as[Double].collect()(0) === 2.0)
+  }
+
+  test("VectorOps: SRP-LSH near-dup pairs are a subset of brute-force pairs") {
+    import graft.operators.VectorOps
+    val rnd = new scala.util.Random(9L)
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    // plant exact duplicates (cosine 1.0, same bucket by construction)
+    val planted = (0 until 3).map(i => (100L + i, base(i)._2))
+    val df = (base ++ planted).toDF("id", "embedding")
+    val lsh = VectorOps.nearDupLsh(df, dim = 16, threshold = 0.9, nBits = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = VectorOps.nearDupPairs(
+      df.withColumn("block", lit(1)), threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute))
+    (0 until 3).foreach(i => assert(lsh.contains((i.toLong, 100L + i))))
+  }
+
   test("HotPath: event-time windows aggregate out-of-order input; late data beyond watermark dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double, Double)]
