@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation — SURVEY §7.2.10: a single hot key (one symbol carrying
+  * most of the firehose) serializes a plain groupBy into one reducer. Salted
+  * two-phase aggregation splits each key into `saltBuckets` sub-keys for the
+  * partial phase, then merges partials per real key. AQE's skew-join
+  * handling covers joins; this covers aggregations.
+  *
+  * Only algebraically decomposable aggregates participate (sum/count/min/
+  * max — exactly what the hot-path features need); non-decomposable ones
+  * (exact percentile, stddev) should aggregate unsalted or switch to
+  * sketches.
+  */
+object Skew {
+
+  /** Deterministic salt derived from a tie-break column (not `rand()` — keeps
+    * results reproducible and retry-safe).
+    */
+  def salt(tieBreak: Column, buckets: Int): Column = pmod(hash(tieBreak), lit(buckets))
+
+  /** Two-phase salted aggregation. `partials` defines phase-1 aggregates per
+    * (keys, salt); `merges` defines how phase 2 combines them per key.
+    * E.g. sum -> (sum, sum), count -> (count, sum), min -> (min, min).
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[Column],
+      tieBreak: Column,
+      buckets: Int,
+      partials: Seq[Column], // aliased phase-1 agg columns
+      merges: Seq[Column] // aliased phase-2 agg columns over phase-1 names
+  ): DataFrame = {
+    val phase1 = df
+      .withColumn("__salt", salt(tieBreak, buckets))
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(partials.head, partials.tail: _*)
+    phase1.groupBy(keys: _*).agg(merges.head, merges.tail: _*)
+  }
+
+  /** Convenience: salted count/sum/min/max over one value column. */
+  def saltedBasicStats(
+      df: DataFrame,
+      keys: Seq[Column],
+      value: Column,
+      tieBreak: Column,
+      buckets: Int = 32): DataFrame =
+    saltedAgg(
+      df, keys, tieBreak, buckets,
+      partials = Seq(
+        count(lit(1)).as("__n"),
+        sum(value.cast("decimal(27,8)")).as("__s"),
+        min(value).as("__mn"),
+        max(value).as("__mx")),
+      merges = Seq(
+        sum(col("__n")).as("n"),
+        sum(col("__s")).cast("double").as("total"),
+        min(col("__mn")).as("min_value"),
+        max(col("__mx")).as("max_value")))
+}

@@ -99,6 +99,14 @@ object MarketQueries {
           key = col("user_id"), tsMs = col("ts_ms"), tieBreak = col("trade_id"))
         .select("user_id", "trade_id", "ts_ms", "symbol", "price")
     },
+    // Skew — salted two-phase aggregation (SCALE.md): must equal the direct
+    // groupBy, which is exactly what the oracle runs.
+    "d2_salted_agg_stats" -> { (s, dir) =>
+      Skew.saltedBasicStats(
+        Tables.trades(s, dir),
+        keys = Seq(col("symbol")), value = col("qty"), tieBreak = col("trade_id"),
+        buckets = 16)
+    },
     // O3 — recent-N global (redis_writer.py:158-200).
     "o3_recent_events" -> { (s, dir) =>
       Tables.trades(s, dir)
@@ -230,6 +238,12 @@ object MarketQueries {
          |    row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, trade_id DESC) AS rn
          |  FROM t)
          |SELECT user_id, trade_id, ts_ms, symbol, price FROM r WHERE rn = 1""".stripMargin,
+    "d2_salted_agg_stats" ->
+      s"""WITH t AS ($T)
+         |SELECT symbol, count(*) AS n,
+         |  CAST(sum(CAST(qty AS DECIMAL(27,8))) AS DOUBLE) AS total,
+         |  min(qty) AS min_value, max(qty) AS max_value
+         |FROM t GROUP BY symbol""".stripMargin,
     "o3_recent_events" ->
       s"""WITH t AS ($T)
          |SELECT trade_id, ts_ms, symbol, price FROM t

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sbe
+import graft.operators.Skew
+import graft.streaming.HotPath
+
+/** End-to-end hot path (SURVEY §3.1): SBE binary frames → decode expression
+  * → event-time windowed features → latest-per-key sink — the reference's
+  * wss→decoder→aggregator→Redis lifecycle as one streaming plan.
+  */
+class HotPathIntegrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hot path: binary frames stream → decode → windowed bars → latest features") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Array[Byte]]
+    val frames = mem.toDF().toDF("frame")
+    val decoded = frames
+      .select(Sbe.decodeTrade(col("frame")).as("d"))
+      .filter(col("d").isNotNull)
+      .select(
+        timestamp_millis(col("d.ts_ms")).as("ts"),
+        col("d.symbol").as("symbol"),
+        col("d.price").as("price"),
+        lit(1.0).as("qty"))
+    val features = HotPath.windowedTradeStats(
+      decoded, "ts", "symbol", "price", "qty",
+      windowDuration = "1 minute", watermark = "30 seconds")
+    val q = features.writeStream.outputMode("append")
+      .format("memory").queryName("hotpath").start()
+
+    def frame(tsMs: Long, id: Long, priceCents: Long, sym: String): Array[Byte] = {
+      // reuse the encode UDF through a one-row DataFrame
+      Seq((tsMs * 1000, id, priceCents, -2, false, sym))
+        .toDF("us", "id", "m", "e", "mk", "s")
+        .select(Sbe.encodeTrade($"us", $"id", $"m", $"e", $"mk", $"s").as("f"))
+        .as[Array[Byte]].collect()(0)
+    }
+    mem.addData(frame(5000L, 1, 10000, "BTC")) // 100.00 in window 0
+    mem.addData(frame(30000L, 2, 10200, "BTC")) // 102.00 in window 0
+    mem.addData(frame(200000L, 3, 10400, "BTC")) // advances watermark past window 0
+    q.processAllAvailable()
+    val out = spark.table("hotpath").orderBy("open_time").collect()
+    q.stop()
+    assert(out.nonEmpty)
+    assert(out(0).getAs[Long]("trade_count") === 2L)
+    assert(math.abs(out(0).getAs[Double]("vwap") - 101.0) < 1e-9)
+
+    // latest-feature view over the emitted feature rows (K4 analog)
+    val latest = HotPath.latestPerKeyBatch(
+      spark.table("hotpath"), col("symbol"), unix_millis(col("open_time")))
+    assert(latest.count() === 1L)
+  }
+
+  test("Skew: salted two-phase aggregation equals direct aggregation") {
+    val rnd = new scala.util.Random(13L)
+    // 90% of rows on one hot key
+    val rows = (0 until 2000).map { i =>
+      val k = if (rnd.nextDouble() < 0.9) "HOT" else s"k${rnd.nextInt(10)}"
+      (k, rnd.nextDouble() * 100, i.toLong)
+    }.toDF("k", "v", "id")
+    val salted = Skew.saltedBasicStats(rows, Seq(col("k")), col("v"), col("id"), buckets = 16)
+    val direct = rows.groupBy("k").agg(
+      count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(27,8)")).cast("double").as("total"),
+      min("v").as("min_value"),
+      max("v").as("max_value"))
+    val a = salted.orderBy("k").collect().map(_.toString)
+    val b = direct.orderBy("k").collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+}
