@@ -4,8 +4,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{codegen, Expression, UnaryExpression}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions.udf
 import org.apache.spark.sql.types._
@@ -40,32 +39,54 @@ object Sbe {
     StructField("is_buyer_maker", BooleanType),
     StructField("symbol", StringType)))
 
-  case class SbeTradeDecode(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  /** Decode kernel shared by the interpreted and codegen paths. */
+  def decodeTradeBytes(bytes: Array[Byte]): InternalRow = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (bb.remaining() < 8) return null
+    bb.getShort() // blockLength
+    val templateId = bb.getShort()
+    bb.getShort(); bb.getShort() // schemaId, version
+    if (templateId != 10000 || bb.remaining() < 27) return null
+    val tsUs = bb.getLong()
+    val tradeId = bb.getLong()
+    val mantissa = bb.getLong()
+    val exp = bb.get()
+    val maker = bb.get() == 1.toByte
+    val symLen = bb.get() & 0xff
+    if (bb.remaining() < symLen) return null
+    val sym = new Array[Byte](symLen)
+    bb.get(sym)
+    InternalRow(
+      java.lang.Long.valueOf(Math.floorDiv(tsUs, 1000L)),
+      java.lang.Long.valueOf(tradeId),
+      java.lang.Double.valueOf(mantissa * math.pow(10.0, exp.toDouble)),
+      java.lang.Boolean.valueOf(maker),
+      UTF8String.fromBytes(sym))
+  }
+
+  case class SbeTradeDecode(child: Expression) extends UnaryExpression {
     override def dataType: DataType = tradeSchema
     override def nullable: Boolean = true
-    override def nullSafeEval(input: Any): Any = {
-      val bb = ByteBuffer.wrap(input.asInstanceOf[Array[Byte]]).order(ByteOrder.LITTLE_ENDIAN)
-      if (bb.remaining() < 8) return null
-      bb.getShort() // blockLength
-      val templateId = bb.getShort()
-      bb.getShort(); bb.getShort() // schemaId, version
-      if (templateId != 10000 || bb.remaining() < 27) return null
-      val tsUs = bb.getLong()
-      val tradeId = bb.getLong()
-      val mantissa = bb.getLong()
-      val exp = bb.get()
-      val maker = bb.get() == 1.toByte
-      val symLen = bb.get() & 0xff
-      if (bb.remaining() < symLen) return null
-      val sym = new Array[Byte](symLen)
-      bb.get(sym)
-      InternalRow(
-        java.lang.Long.valueOf(Math.floorDiv(tsUs, 1000L)),
-        java.lang.Long.valueOf(tradeId),
-        java.lang.Double.valueOf(mantissa * math.pow(10.0, exp.toDouble)),
-        java.lang.Boolean.valueOf(maker),
-        UTF8String.fromBytes(sym))
+    override def nullSafeEval(input: Any): Any =
+      decodeTradeBytes(input.asInstanceOf[Array[Byte]])
+    // Whole-stage-codegen path: a static call into the shared kernel (the
+    // StaticInvoke pattern) — no interpreted Expression.eval dispatch per
+    // row, and the decode result can be null even for non-null input.
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext,
+        ev: codegen.ExprCode): codegen.ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val childGen = child.genCode(ctx)
+      val rowType = classOf[InternalRow].getName
+      ev.copy(code = code"""
+          ${childGen.code}
+          boolean ${ev.isNull} = true;
+          $rowType ${ev.value} = null;
+          if (!${childGen.isNull}) {
+            ${ev.value} = graft.functions.Sbe.decodeTradeBytes(${childGen.value});
+            ${ev.isNull} = (${ev.value} == null);
+          }
+        """)
     }
     override protected def withNewChildInternal(newChild: Expression): SbeTradeDecode =
       copy(child = newChild)

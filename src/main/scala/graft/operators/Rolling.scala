@@ -51,6 +51,32 @@ object Rolling {
         "price_range_w",
         round(max(price).over(wRange) - min(price).over(wRange), 8))
       .withColumn("interarrival_ms", tsMs - lag(tsMs, 1).over(wSeq))
+      // Interarrival mean/variance from EXACT integer power sums: windowed
+      // var_samp differs across engines at ~1e-6 relative (segment-tree vs
+      // streaming accumulation), which no output rounding survives. Integer
+      // Σx and Σx² are exact everywhere; the textbook formula then runs in
+      // deterministic double arithmetic. (Σx² stays in int64 for gaps up to
+      // ~34 days per key.)
+      .withColumn("__ia_n", count(col("interarrival_ms")).over(wRange))
+      .withColumn("__ia_s1", sum(col("interarrival_ms")).over(wRange).cast("double"))
+      .withColumn(
+        "__ia_s2",
+        sum(col("interarrival_ms") * col("interarrival_ms")).over(wRange).cast("double"))
+      // No rounding here: the values are already bit-deterministic (pure
+      // double arithmetic over exact integer sums), and round() itself is
+      // the non-portable part — integer-derived ratios sit exactly on .5
+      // boundaries where Spark's BigDecimal rounding and a scaled-multiply
+      // rounding disagree.
+      .withColumn(
+        "interarrival_mean_s_w",
+        col("__ia_s1") / col("__ia_n") / 1000.0)
+      .withColumn(
+        "interarrival_var_s_w",
+        when(
+          col("__ia_n") >= 2,
+          (col("__ia_s2") - col("__ia_s1") * col("__ia_s1") / col("__ia_n")) /
+            (col("__ia_n") - 1) / 1.0e6))
+      .drop("__ia_n", "__ia_s1", "__ia_s2")
       .withColumn(
         "trade_intensity_w",
         round(col("n_w").cast("double") / greatest(spanSec, lit(0.001)), 6))

@@ -36,6 +36,18 @@ object AnalyticsQueries {
       Analytics.watermarks(
         Tables.trades(s, dir), key = col("symbol"), tsMs = col("ts_ms"))
     },
+    // Sketch extension (SCALE.md): HLL distinct + approx percentile for the
+    // aggregations whose exact forms don't scale per-group. No DuckDB oracle
+    // (sketch algorithms differ across engines) — rows-only check; the
+    // ScalaTest asserts error bounds against the exact values.
+    "x_a12_approx_stats" -> { (s, dir) =>
+      Tables.trades(s, dir)
+        .groupBy(col("symbol"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_percentile(col("price"), lit(0.95), lit(10000)).as("approx_p95"),
+          countDistinct(col("user_id")).as("exact_users"))
+    },
     // P1-P5 + P9 + P10 — projection/rename, required-field + positive +
     // ts-sanity filters, decimal-safe cast, derived scalars, CASE bucket
     // (transformer.py:27-260, feature_builder.py:114).

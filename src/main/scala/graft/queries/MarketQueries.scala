@@ -43,7 +43,8 @@ object MarketQueries {
           qty = col("qty"), tieBreak = col("trade_id"), windowMs = 300000L)
         .select(
           "symbol", "ts_ms", "trade_id", "price", "n_w", "vol_w", "vwap_w",
-          "price_std_w", "price_range_w", "interarrival_ms", "trade_intensity_w")
+          "price_std_w", "price_range_w", "interarrival_ms",
+          "interarrival_mean_s_w", "interarrival_var_s_w", "trade_intensity_w")
     },
     // A6 — daily trading summary (RDS_SCHEMA.md:446-497).
     "a6_daily_summary" -> { (s, dir) =>
@@ -159,7 +160,10 @@ object MarketQueries {
          |  round(close_price - open_price, 8) AS price_change
          |FROM t GROUP BY 1, 2""".stripMargin,
     "a5_rolling_stats" ->
-      s"""WITH t AS ($T)
+      s"""WITH t AS ($T),
+         |ia AS (
+         |  SELECT *, ts_ms - lag(ts_ms, 1) OVER (PARTITION BY symbol ORDER BY ts_ms, trade_id) AS interarrival_ms
+         |  FROM t)
          |SELECT symbol, ts_ms, trade_id, price,
          |  count(*) OVER wr AS n_w,
          |  CAST(sum(CAST(qty AS DECIMAL(27,8))) OVER wr AS DOUBLE) AS vol_w,
@@ -167,9 +171,15 @@ object MarketQueries {
          |        / nullif(CAST(sum(CAST(qty AS DECIMAL(27,8))) OVER wr AS DOUBLE), 0.0), 6) AS vwap_w,
          |  round(stddev_samp(price) OVER wr, 4) AS price_std_w,
          |  round(max(price) OVER wr - min(price) OVER wr, 8) AS price_range_w,
-         |  ts_ms - lag(ts_ms, 1) OVER ws AS interarrival_ms,
+         |  interarrival_ms,
+         |  CAST(sum(interarrival_ms) OVER wr AS DOUBLE) / (count(interarrival_ms) OVER wr) / 1000.0 AS interarrival_mean_s_w,
+         |  CASE WHEN count(interarrival_ms) OVER wr >= 2 THEN
+         |    (CAST(sum(interarrival_ms * interarrival_ms) OVER wr AS DOUBLE)
+         |     - CAST(sum(interarrival_ms) OVER wr AS DOUBLE) * CAST(sum(interarrival_ms) OVER wr AS DOUBLE) / (count(interarrival_ms) OVER wr))
+         |    / (count(interarrival_ms) OVER wr - 1) / 1.0e6
+         |  END AS interarrival_var_s_w,
          |  round((count(*) OVER wr) / greatest((ts_ms - min(ts_ms) OVER wr) / 1000.0, 0.001), 6) AS trade_intensity_w
-         |FROM t
+         |FROM ia
          |WINDOW wr AS (PARTITION BY symbol ORDER BY ts_ms RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW),
          |       ws AS (PARTITION BY symbol ORDER BY ts_ms, trade_id)""".stripMargin,
     "a6_daily_summary" ->

@@ -108,6 +108,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("approx sketches stay within error bounds of exact aggregates") {
+    val t = Tables.trades(spark, sf)
+    val r = SparkEntry.queries("x_a12_approx_stats")(spark, sf).collect()
+    r.foreach { row =>
+      val approx = row.getAs[Long]("approx_users").toDouble
+      val exact = row.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1, s"HLL off: $approx vs $exact")
+    }
+    val exactP95 = t.groupBy("symbol").agg(percentile(col("price"), lit(0.95)).as("p"))
+      .select("p").as[Double].collect()
+    val approxP95 = r.map(_.getAs[Double]("approx_p95"))
+    assert(approxP95.min >= exactP95.min * 0.9 && approxP95.max <= exactP95.max * 1.1)
+  }
+
   test("TimeUnits: micros->millis->timestamp roundtrips and bucket index is floor-consistent") {
     val rnd = new scala.util.Random(3L)
     val ts = (0 until 500).map(_ => math.abs(rnd.nextLong()) % 4102444800000L).toDF("ms")
