@@ -23,7 +23,8 @@ object SparkEntry {
     MarketQueries.queries ++ JoinQueries.queries ++
       AnalyticsQueries.queries ++ ScalarQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++
-      MicrostructureQueries.queries ++ MultimodalQueries.queries
+      MicrostructureQueries.queries ++ MultimodalQueries.queries ++
+      GoldQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -32,5 +33,6 @@ object SparkEntry {
     MarketQueries.oracle ++ JoinQueries.oracle ++
       AnalyticsQueries.oracle ++ ScalarQueries.oracle ++
       TextQueries.oracle ++ VectorQueries.oracle ++
-      MicrostructureQueries.oracle ++ MultimodalQueries.oracle
+      MicrostructureQueries.oracle ++ MultimodalQueries.oracle ++
+      GoldQueries.oracle
 }

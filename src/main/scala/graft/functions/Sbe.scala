@@ -96,6 +96,158 @@ object Sbe {
   def decodeTrade(c: Column): Column =
     ColumnBridge.column(SbeTradeDecode(ColumnBridge.expression(c)))
 
+  // ── BBA (templateId 10001) ───────────────────────────────────────────────
+  val bbaSchema: StructType = StructType(Seq(
+    StructField("ts_ms", LongType),
+    StructField("bid_px", DoubleType),
+    StructField("ask_px", DoubleType),
+    StructField("bid_sz", DoubleType),
+    StructField("ask_sz", DoubleType),
+    StructField("symbol", StringType)))
+
+  def decodeBbaBytes(bytes: Array[Byte]): InternalRow = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (bb.remaining() < 8) return null
+    bb.getShort()
+    if (bb.getShort() != 10001) return null
+    bb.getShort(); bb.getShort()
+    if (bb.remaining() < 8 + 4 * 9 + 1) return null
+    val tsUs = bb.getLong()
+    def px(): Double = { val m = bb.getLong(); val e = bb.get(); m * math.pow(10.0, e.toDouble) }
+    val bid = px(); val ask = px(); val bidSz = px(); val askSz = px()
+    val symLen = bb.get() & 0xff
+    if (bb.remaining() < symLen) return null
+    val sym = new Array[Byte](symLen); bb.get(sym)
+    InternalRow(
+      java.lang.Long.valueOf(Math.floorDiv(tsUs, 1000L)),
+      java.lang.Double.valueOf(bid), java.lang.Double.valueOf(ask),
+      java.lang.Double.valueOf(bidSz), java.lang.Double.valueOf(askSz),
+      UTF8String.fromBytes(sym))
+  }
+
+  case class SbeBbaDecode(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = bbaSchema
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      decodeBbaBytes(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext,
+        ev: codegen.ExprCode): codegen.ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val childGen = child.genCode(ctx)
+      val rowType = classOf[InternalRow].getName
+      ev.copy(code = code"""
+          ${childGen.code}
+          boolean ${ev.isNull} = true;
+          $rowType ${ev.value} = null;
+          if (!${childGen.isNull}) {
+            ${ev.value} = graft.functions.Sbe.decodeBbaBytes(${childGen.value});
+            ${ev.isNull} = (${ev.value} == null);
+          }
+        """)
+    }
+    override protected def withNewChildInternal(newChild: Expression): SbeBbaDecode =
+      copy(child = newChild)
+  }
+
+  def decodeBba(c: Column): Column =
+    ColumnBridge.column(SbeBbaDecode(ColumnBridge.expression(c)))
+
+  val encodeBba: UserDefinedFunction = udf(
+    (tsUs: Long, bidM: Long, askM: Long, bidSzM: Long, askSzM: Long, exp: Int, symbol: String) => {
+      val sym = symbol.getBytes("UTF-8")
+      val bb = ByteBuffer.allocate(8 + 8 + 4 * 9 + 1 + sym.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(44.toShort).putShort(10001.toShort).putShort(1.toShort).putShort(0.toShort)
+      bb.putLong(tsUs)
+      Seq(bidM, askM, bidSzM, askSzM).foreach { m => bb.putLong(m); bb.put(exp.toByte) }
+      bb.put(sym.length.toByte).put(sym)
+      bb.array()
+    })
+
+  // ── Depth (templateId 10003): repeating price-level groups ───────────────
+  // Layout after header: i64 ts_us | i64 first_update_id | i64 final_update_id
+  //   | u8 nBids | nBids × (i64 mant, i8 exp, i64 qty_mant, i8 qty_exp)
+  //   | u8 nAsks | nAsks × (...) | u8 symLen | symbol
+  // (the reference's repeating-group walk, sbe_decoder.cpp:456-542 — minus
+  // its "first 10 levels are bids" guess, SURVEY §7.5.5: counts are explicit)
+  val levelType: StructType = StructType(Seq(
+    StructField("price", DoubleType), StructField("qty", DoubleType)))
+  val depthSchema: StructType = StructType(Seq(
+    StructField("ts_ms", LongType),
+    StructField("first_update_id", LongType),
+    StructField("final_update_id", LongType),
+    StructField("bids", ArrayType(levelType)),
+    StructField("asks", ArrayType(levelType)),
+    StructField("symbol", StringType)))
+
+  def decodeDepthBytes(bytes: Array[Byte]): InternalRow = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (bb.remaining() < 8) return null
+    bb.getShort()
+    if (bb.getShort() != 10003) return null
+    bb.getShort(); bb.getShort()
+    if (bb.remaining() < 25) return null
+    val tsUs = bb.getLong()
+    val firstId = bb.getLong()
+    val finalId = bb.getLong()
+    def levels(): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+      val n = bb.get() & 0xff
+      val arr = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val pm = bb.getLong(); val pe = bb.get()
+        val qm = bb.getLong(); val qe = bb.get()
+        arr(i) = InternalRow(
+          java.lang.Double.valueOf(pm * math.pow(10.0, pe.toDouble)),
+          java.lang.Double.valueOf(qm * math.pow(10.0, qe.toDouble)))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    }
+    val bids = levels(); val asks = levels()
+    val symLen = bb.get() & 0xff
+    if (bb.remaining() < symLen) return null
+    val sym = new Array[Byte](symLen); bb.get(sym)
+    InternalRow(
+      java.lang.Long.valueOf(Math.floorDiv(tsUs, 1000L)),
+      java.lang.Long.valueOf(firstId), java.lang.Long.valueOf(finalId),
+      bids, asks, UTF8String.fromBytes(sym))
+  }
+
+  case class SbeDepthDecode(child: Expression)
+      extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = depthSchema
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      decodeDepthBytes(input.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(newChild: Expression): SbeDepthDecode =
+      copy(child = newChild)
+  }
+
+  def decodeDepth(c: Column): Column =
+    ColumnBridge.column(SbeDepthDecode(ColumnBridge.expression(c)))
+
+  val encodeDepth: UserDefinedFunction = udf(
+    (tsUs: Long, firstId: Long, finalId: Long,
+     bids: Seq[Long], asks: Seq[Long], exp: Int, symbol: String) => {
+      // each level is encoded from a single mantissa m: price m, qty m+1
+      val sym = symbol.getBytes("UTF-8")
+      val bb = ByteBuffer
+        .allocate(8 + 24 + 2 + (bids.length + asks.length) * 18 + 1 + sym.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(0.toShort).putShort(10003.toShort).putShort(1.toShort).putShort(0.toShort)
+      bb.putLong(tsUs).putLong(firstId).putLong(finalId)
+      def side(ls: Seq[Long]): Unit = {
+        bb.put(ls.length.toByte)
+        ls.foreach { m =>
+          bb.putLong(m); bb.put(exp.toByte); bb.putLong(m + 1); bb.put(exp.toByte)
+        }
+      }
+      side(bids); side(asks)
+      bb.put(sym.length.toByte).put(sym)
+      bb.array()
+    })
+
   /** Test/ingest-side encoder (UDF is fine off the hot path). */
   val encodeTrade: UserDefinedFunction = udf(
     (tsUs: Long, tradeId: Long, mantissa: Long, exp: Int, maker: Boolean, symbol: String) => {

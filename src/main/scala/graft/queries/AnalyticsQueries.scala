@@ -45,7 +45,7 @@ object AnalyticsQueries {
         .groupBy(col("symbol"))
         .agg(
           approx_count_distinct(col("user_id")).as("approx_users"),
-          approx_percentile(col("price"), lit(0.95), lit(10000)).as("approx_p95"),
+          approx_percentile(col("price"), lit(0.95), lit(1000)).as("approx_p95"),
           countDistinct(col("user_id")).as("exact_users"))
     },
     // P1-P5 + P9 + P10 — projection/rename, required-field + positive +

@@ -145,6 +145,63 @@ class BronzeStreamingSpec extends SparkSpec {
     assert(bad.filter($"d".isNotNull).count() === 0)
   }
 
+  test("SBE: BBA frame decode roundtrip") {
+    val df = Seq((1704067200123456L, 4523050L, 4523150L, 150L, 220L, -2, "BTCUSDT"))
+      .toDF("us", "bm", "am", "bs", "as_", "e", "sym")
+    val d = df
+      .select(Sbe.encodeBba($"us", $"bm", $"am", $"bs", $"as_", $"e", $"sym").as("f"))
+      .select(Sbe.decodeBba($"f").as("d")).select("d.*").collect()(0)
+    assert(d.getAs[Long]("ts_ms") === 1704067200123L)
+    assert(math.abs(d.getAs[Double]("bid_px") - 45230.50) < 1e-9)
+    assert(math.abs(d.getAs[Double]("ask_px") - 45231.50) < 1e-9)
+    assert(math.abs(d.getAs[Double]("bid_sz") - 1.50) < 1e-9)
+    assert(d.getAs[String]("symbol") === "BTCUSDT")
+  }
+
+  test("SBE: depth frame decode walks repeating groups with explicit counts") {
+    val df = Seq((1704067200000000L, 100L, 105L, Seq(4523000L, 4522900L), Seq(4523100L, 4523200L, 4523300L), -2, "BTCUSDT"))
+      .toDF("us", "fid", "lid", "bids", "asks", "e", "sym")
+    val d = df
+      .select(Sbe.encodeDepth($"us", $"fid", $"lid", $"bids", $"asks", $"e", $"sym").as("f"))
+      .select(Sbe.decodeDepth($"f").as("d"))
+      .select(
+        $"d.first_update_id", $"d.final_update_id",
+        expr("size(d.bids)").as("nb"), expr("size(d.asks)").as("na"),
+        expr("d.bids[0].price").as("b0p"), expr("d.bids[0].qty").as("b0q"),
+        expr("d.asks[2].price").as("a2p"), $"d.symbol")
+      .collect()(0)
+    assert(d.getAs[Long]("first_update_id") === 100L)
+    assert(d.getAs[Long]("final_update_id") === 105L)
+    assert(d.getAs[Int]("nb") === 2 && d.getAs[Int]("na") === 3)
+    assert(math.abs(d.getAs[Double]("b0p") - 45230.00) < 1e-9)
+    assert(math.abs(d.getAs[Double]("b0q") - 45230.01) < 1e-9)
+    assert(math.abs(d.getAs[Double]("a2p") - 45233.00) < 1e-9)
+  }
+
+  test("Bronze -> file stream: partitioned bronze parquet drives a streaming window aggregation") {
+    val dir = Files.createTempDirectory("bronze_stream").toString
+    val day0 = 1704067200000L
+    val rows = Seq(
+      ("BTC", day0 + 1000L, 100.0, 1.0, 1L),
+      ("BTC", day0 + 2000L, 110.0, 1.0, 2L),
+      ("BTC", day0 + 120000L, 120.0, 1.0, 3L)
+    ).toDF("symbol", "ts_ms", "price", "qty", "trade_id")
+    Bronze.writePartitioned(rows, col("ts_ms"), dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val agg = HotPath.windowedTradeStats(stream, "ts", "symbol", "price", "qty",
+      windowDuration = "1 minute", watermark = "0 seconds")
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("bstream").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("bstream").orderBy("open_time").collect()
+    assert(out.length >= 1)
+    assert(out(0).getAs[Long]("trade_count") === 2L)
+  }
+
   test("Multimodal: batched mapPartitions feature extraction over binary payloads") {
     val media = Seq((1L, "hello"), (2L, ""), (3L, "abc"))
       .toDF("id", "s")
