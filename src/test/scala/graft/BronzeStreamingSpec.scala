@@ -187,9 +187,13 @@ class BronzeStreamingSpec extends SparkSpec {
       ("BTC", day0 + 120000L, 120.0, 1.0, 3L)
     ).toDF("symbol", "ts_ms", "price", "qty", "trade_id")
     Bronze.writePartitioned(rows, col("ts_ms"), dir)
+    // All files in ONE trigger: with per-file triggers the arrival order is
+    // nondeterministic and the watermark can advance past window 0 before
+    // its rows arrive (they'd be dropped as late — correct semantics, wrong
+    // test). The no-data batch after the single trigger emits the closed
+    // window deterministically.
     val stream = spark.readStream
       .schema(spark.read.parquet(dir).schema)
-      .option("maxFilesPerTrigger", "1")
       .parquet(dir)
       .withColumn("ts", timestamp_millis(col("ts_ms")))
     val agg = HotPath.windowedTradeStats(stream, "ts", "symbol", "price", "qty",

@@ -98,6 +98,33 @@ class GoldenSpec extends SparkSpec {
     assert(!lab(1).getAs[Boolean]("is_valid")) // last tick has no future
   }
 
+  test("J1: prediction with no bar inside tolerance gets null outcome (FIXTURES trap)") {
+    val bars = Seq(("BTC", 0L, 60000L, 100.0)).toDF("symbol", "open_time_ms", "close_time_ms", "close_price")
+    val preds = Seq(("BTC", 10_000_000L, 1L)).toDF("symbol", "target_ts", "prediction_id")
+    val near = AsOf.nearest(preds, bars, "symbol", "target_ts", "close_time_ms",
+      toleranceMs = 30000L, leftId = "prediction_id", rightValueCols = Seq("close_price"))
+    assert(near.count() === 0) // bar is ~10^7 ms away: no outcome
+  }
+
+  test("S7: JSONL(.gz) reader with explicit schema skips malformed lines (PERMISSIVE)") {
+    import java.nio.file.{Files, Paths}
+    import java.util.zip.GZIPOutputStream
+    val dir = Files.createTempDirectory("jsonl")
+    val gz = new GZIPOutputStream(Files.newOutputStream(Paths.get(s"$dir/part-0.jsonl.gz")))
+    gz.write(
+      """{"symbol":"BTC","event_ts":1000,"price":100.5,"qty":1.0}
+        |not json at all
+        |{"symbol":"ETH","event_ts":2000,"price":10.25,"qty":2.0}
+        |""".stripMargin.getBytes("UTF-8"))
+    gz.close()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "symbol STRING, event_ts LONG, price DOUBLE, qty DOUBLE")
+    val df = spark.read.schema(schema).json(dir.toString)
+    val good = df.filter($"symbol".isNotNull)
+    assert(good.count() === 2) // bad line dropped, gz transparent
+    assert(good.filter($"symbol" === "BTC").select("price").as[Double].collect()(0) === 100.5)
+  }
+
   test("TimeUnits.bucketStartMs is exact at large epochs") {
     val df = Seq(1706313599999L, 1706313600000L).toDF("ts_ms")
     val out = df.select(functions.TimeUnits.bucketStartMs($"ts_ms", 60000L).as("b"))
