@@ -95,8 +95,8 @@ object QuoteAggregates {
       .withColumn(
         "ask_vwap_top",
         round(notionalSum(col("asks")) / nullif(qtySum(col("asks")), lit(0.0)), 6))
-      .withColumn("bid_levels", size(col("bids")))
-      .withColumn("ask_levels", size(col("asks")))
+      .withColumn("bid_levels", size(col("bids")).cast("long"))
+      .withColumn("ask_levels", size(col("asks")).cast("long"))
       .drop("bids", "asks")
   }
 }

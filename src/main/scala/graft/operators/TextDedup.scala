@@ -92,7 +92,7 @@ object TextDedup {
     candidates
       .join(a, Seq("doc_a"))
       .join(b, Seq("doc_b"))
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn(
         "jaccard",
         round(

@@ -65,6 +65,6 @@ object Windows {
     */
   def topNPerGroup(rows: DataFrame, key: Column, ord: Column, tieBreak: Column, n: Int): DataFrame = {
     val w = Window.partitionBy(key).orderBy(ord.desc, tieBreak)
-    rows.withColumn("rank_in_group", row_number().over(w)).filter(col("rank_in_group") <= n)
+    rows.withColumn("rank_in_group", row_number().over(w).cast("long")).filter(col("rank_in_group") <= n)
   }
 }

@@ -51,7 +51,7 @@ object GoldQueries {
         .trainingRecords(features(s, dir), gridMs = 120000L, horizonBuckets = 5)
         .select(
           col("symbol"), col("feature_ts"),
-          size(col("features")).as("n_features"),
+          size(col("features")).cast("long").as("n_features"),
           aggregate(col("features"), lit(0.0), (a, x) => a + x).as("feat_sum"),
           col("current_price"), col("future_price"), col("label_return"),
           col("is_valid"))

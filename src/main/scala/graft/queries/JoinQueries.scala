@@ -228,8 +228,8 @@ object JoinQueries {
          |  FROM t)
          |SELECT symbol, (ts_ms // 3600000) * 3600000 AS bucket_ms,
          |  count(*) AS n,
-         |  sum(CASE WHEN source = 'sbe' THEN 1 ELSE 0 END) AS n_sbe,
-         |  sum(CASE WHEN source = 'rest' THEN 1 ELSE 0 END) AS n_rest,
+         |  CAST(sum(CASE WHEN source = 'sbe' THEN 1 ELSE 0 END) AS BIGINT) AS n_sbe,
+         |  CAST(sum(CASE WHEN source = 'rest' THEN 1 ELSE 0 END) AS BIGINT) AS n_rest,
          |  CASE WHEN n_sbe > 0 AND n_rest > 0 THEN 'mixed'
          |       WHEN n_sbe > 0 THEN 'sbe' ELSE 'rest' END AS source_mix
          |FROM m GROUP BY 1, 2""".stripMargin,

@@ -39,7 +39,7 @@ object ScalarQueries {
         .select(
           col("trade_id"),
           col("ts_ms"),
-          hour(ts).as("hour_of_day"),
+          hour(ts).cast("long").as("hour_of_day"),
           date_format(ts, "EEEE").as("day_name"),
           date_format(ts, "yyyy").as("yyyy"),
           date_format(ts, "MM").as("mm"),
@@ -54,9 +54,9 @@ object ScalarQueries {
         col("doc_id"),
         upper(col("lang")).as("lang_uc"),
         regexp_extract(col("source"), "src(\\d+)", 1).cast("int").as("src_num"),
-        size(split(col("text"), " ")).as("n_tokens"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
         element_at(split(col("text"), " "), 1).as("first_token"),
-        length(col("text")).as("text_len"),
+        length(col("text")).cast("long").as("text_len"),
         substring(col("text"), 1, 16).as("prefix16"))
     },
     // K3 — Binance kline positional-array → named-struct normalization
@@ -103,7 +103,7 @@ object ScalarQueries {
       val asDouble = transform(col("embedding"), (x: org.apache.spark.sql.Column) => x.cast("double"))
       Tables.embeddings(s, dir).select(
         col("vec_id"),
-        size(col("embedding")).as("dim"),
+        size(col("embedding")).cast("long").as("dim"),
         round(element_at(col("embedding"), 1).cast("double"), 6).as("first_elem"),
         round(
           aggregate(slice(asDouble, 1, 5), lit(0.0), (acc, x) => acc + x), 6)

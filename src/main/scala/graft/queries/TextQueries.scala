@@ -66,7 +66,7 @@ object TextQueries {
     "t3_lsh_neardup_pairs" -> { (s, dir) =>
       TextDedup.nearDuplicates(
         Tables.documents(s, dir), col("doc_id"), col("text"),
-        k = K, rowsPerBand = 2, threshold = 0.3)
+        k = K, rowsPerBand = R, threshold = 0.3)
     },
     // D-simhash — 32-bit simhash fingerprint per doc.
     "t4_simhash" -> { (s, dir) =>
@@ -82,9 +82,9 @@ object TextQueries {
       val stop = TextFunctions.stopwordCount(tk, stopwords)
       Tables.documents(s, dir).select(
         col("doc_id"),
-        length(col("text")).as("n_chars"),
-        nTok.as("n_tokens"),
-        nUniq.as("n_unique"),
+        length(col("text")).cast("long").as("n_chars"),
+        nTok.cast("long").as("n_tokens"),
+        nUniq.cast("long").as("n_unique"),
         round(nUniq.cast("double") / nTok, 6).as("ttr"),
         round((length(col("text")) - (nTok - 1)).cast("double") / nTok, 6).as("avg_token_len"),
         round(stop.cast("double") / nTok, 6).as("stopword_ratio"),

@@ -73,11 +73,20 @@ for name in sorted(oracle):
             if not np.array_equal(a, b):
                 i = int(np.argmax(a != b))
                 bad.append(f"{c}(e.g. [{i}] {a[i]!r} vs {b[i]!r})")
+    # surface dtype skew (int32 vs int64 etc.) — values may match but a
+    # stricter driver-side schema check could still fail
+    dt = [
+        f"{c}({s[c].dtype}!={d[c].dtype})"
+        for c in s.columns
+        if str(s[c].dtype) != str(d[c].dtype)
+        and not (np.issubdtype(s[c].dtype, np.floating) and np.issubdtype(d[c].dtype, np.floating))
+    ]
     if bad:
         fails.append((name, "; ".join(bad)))
     else:
         n_pass += 1
-        print(f"PASS {name} ({len(s)} rows)")
+        note = f"  [dtype skew: {', '.join(dt)}]" if dt else ""
+        print(f"PASS {name} ({len(s)} rows){note}")
 
 for name, msg in fails:
     print(f"FAIL {name}: {msg}")
