@@ -97,6 +97,72 @@ object VectorOps {
       .reduce(_ + _)
   }
 
+  /** IVF (inverted-file) index: deterministic Lloyd k-means (seeded by the
+    * first k vectors in id order, fixed iteration count — reproducible
+    * anywhere), assigning every vector to its nearest centroid. Queries probe
+    * only their own cell (`nProbe=1` semantics), turning top-k search into a
+    * per-cell scan — the classic recall/throughput dial for ANN at corpus
+    * scale. Pure DataFrame ops: centroid update is a groupBy + per-dimension
+    * mean via `posexplode`, assignment a broadcast cross-join over k rows.
+    */
+  def ivfAssign(
+      vecs: DataFrame, // id, embedding
+      k: Int,
+      iterations: Int = 3): (DataFrame, DataFrame) = {
+    val v = vecs.select(col("id"), asDouble(col("embedding")).as("v"))
+    var centroids = v.orderBy("id").limit(k)
+      .select(col("id").cast("int").as("cid"), col("v").as("c"))
+      .withColumn("cid", row_number().over(Window.orderBy(col("cid"))) - 1)
+    for (_ <- 0 until iterations) {
+      val assigned = assignToNearest(v, centroids)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cid"), transform(col("dm"), e => e.getField("m")).as("c"))
+    }
+    (assignToNearest(v, centroids), centroids)
+  }
+
+  private def assignToNearest(v: DataFrame, centroids: DataFrame): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, z) => acc + z)
+    val w = Window.partitionBy(col("id")).orderBy(col("__d2"), col("cid"))
+    v.crossJoin(broadcast(centroids))
+      .withColumn("__d2", d2)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("v"), col("cid"))
+  }
+
+  /** IVF top-k: each query searches only its own cell. */
+  def annTopKIvf(
+      vecs: DataFrame, // id, embedding
+      queryIds: Seq[Long],
+      k: Int,
+      nCells: Int,
+      iterations: Int = 3): DataFrame = {
+    val (assigned, _) = ivfAssign(vecs, nCells, iterations)
+    val queries = assigned
+      .filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"), col("cid"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val corpus = assigned
+      .filter(!col("id").isin(queryIds: _*))
+      .select(col("id").as("vec_id"), col("v").as("cv"), col("cid"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    corpus
+      .join(broadcast(queries), Seq("cid"))
+      .withColumn("cos_sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
   /** LSH-bucketed near-dup: block by SRP bucket, then exact cosine verify
     * within buckets. Trades recall (hamming-0 buckets only) for linear scale.
     */

@@ -36,6 +36,14 @@ object VectorQueries {
           .select(col("vec_id").as("id"), col("embedding")),
         dim = 64, threshold = 0.35, nBits = 8)
     },
+    // V4 — IVF-cell-probed ANN (scale path #2). Rows-only: k-means centroid
+    // means are partition-order-sensitive doubles, so no cross-engine oracle;
+    // the spec asserts cluster-structure properties instead.
+    "x_v4_ann_ivf" -> { (s, dir) =>
+      VectorOps.annTopKIvf(
+        Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding")),
+        queryIds = (0L until 10L).toSeq, k = 3, nCells = 8)
+    },
     // V2 — embedding-cosine near-dup pairs blocked by label.
     "v2_cosine_neardup" -> { (s, dir) =>
       VectorOps.nearDupPairs(

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.GapDetector
+import graft.streaming.GapDetector.{GapEvent, SeqEvent}
+
+class GapDetectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming gap detector: state persists across micro-batches, emits gaps and regressions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SeqEvent]
+    val q = GapDetector
+      .detect(mem.toDS(), tolerance = 1L)
+      .writeStream.outputMode("append").format("memory").queryName("gaps").start()
+
+    mem.addData(SeqEvent("BTC", 1, 1000), SeqEvent("BTC", 2, 2000))
+    q.processAllAvailable()
+    assert(spark.table("gaps").count() === 0) // contiguous
+
+    mem.addData(SeqEvent("BTC", 10, 3000)) // jump of 8 ACROSS batches
+    mem.addData(SeqEvent("ETH", 5, 3500)) // first event for key: no gap
+    q.processAllAvailable()
+    val g1 = spark.table("gaps").as[GapEvent].collect()
+    assert(g1.length === 1)
+    assert(g1(0).key === "BTC" && g1(0).prev_seq === 2 && g1(0).seq === 10 && g1(0).gap === 8)
+    assert(g1(0).kind === "gap")
+
+    mem.addData(SeqEvent("BTC", 4, 4000)) // replayed old id -> regression
+    q.processAllAvailable()
+    val g2 = spark.table("gaps").as[GapEvent].collect()
+    q.stop()
+    assert(g2.length === 2)
+    val reg = g2.find(_.kind === "regression").get
+    assert(reg.prev_seq === 10 && reg.seq === 4)
+  }
+
+  test("IVF ANN: cell-probed top-k returns same-cell neighbors, subset check vs brute force") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.VectorOps
+    val rnd = new scala.util.Random(21L)
+    // two well-separated clusters so IVF cells align with ground truth
+    val a = (0 until 30).map(i => (i.toLong, Array.fill(8)(1.0f + rnd.nextFloat() * 0.1f)))
+    val b = (0 until 30).map(i => (100L + i, Array.fill(8)(-1.0f - rnd.nextFloat() * 0.1f)))
+    val df = (a ++ b).toDF("id", "embedding")
+    val topk = VectorOps.annTopKIvf(df, queryIds = Seq(0L, 100L), k = 3, nCells = 2)
+    val rows = topk.collect()
+    assert(rows.length === 6)
+    // query 0 (cluster A) must only see cluster-A neighbors; same for 100
+    assert(rows.filter(_.getAs[Long]("query_id") == 0L).forall(_.getAs[Long]("vec_id") < 100L))
+    assert(rows.filter(_.getAs[Long]("query_id") == 100L).forall(_.getAs[Long]("vec_id") >= 100L))
+    assert(rows.forall(_.getAs[Double]("cos_sim") > 0.9))
+  }
+}
