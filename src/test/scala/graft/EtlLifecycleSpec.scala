@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, SetOps, Windows}
+import graft.sources.Bronze
+
+/** End-to-end batch ETL (SURVEY §3.3): bronze partitioned parquet →
+  * incremental discovery → validate/cast/derive → dedup → curated partitioned
+  * write → analytics views — the reference's data_connector +
+  * Postgres-views path as one declarative pipeline.
+  */
+class EtlLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bronze -> curated -> analytics lifecycle with incremental second cycle") {
+    val root = Files.createTempDirectory("etl").toString
+    val bronzePath = s"$root/bronze"
+    val curatedPath = s"$root/curated"
+    val wmPath = s"$root/watermark"
+    val day0 = 1704067200000L
+
+    // cycle 1: bronze landing with a duplicate trade_id and an invalid row
+    val batch1 = Seq(
+      ("BTC", day0 + 1000, 100.0, 1.0, 1L),
+      ("BTC", day0 + 1000, 100.0, 1.0, 1L), // exact duplicate
+      ("BTC", day0 + 2000, -5.0, 1.0, 2L), // invalid price
+      ("ETH", day0 + 3000, 10.0, 2.0, 3L)
+    ).toDF("symbol", "ts_ms", "price", "qty", "trade_id")
+    Bronze.writePartitioned(batch1, col("ts_ms"), bronzePath)
+
+    def runCycle(): Long = {
+      val wm = Bronze.loadWatermark(spark, wmPath, "trades").getOrElse(0L)
+      val raw = Bronze.readIncremental(spark, bronzePath, "ts_ms", wm, overlapMs = 60000L)
+      val validated = raw
+        .filter($"price".isNotNull && $"price" > 0 && $"qty" > 0)
+        .withColumn("price_dec", expr("try_cast(price AS DECIMAL(20,8))"))
+        .withColumn("notional", $"price" * $"qty")
+      val dedupedInBatch = SetOps.dedupFirst(
+        validated, Seq($"symbol", $"trade_id"), $"ts_ms", $"trade_id")
+      // T7: the overlap re-read intentionally re-surfaces already-processed
+      // rows; K5/U2 "skip if seen" against the curated layer absorbs them
+      val deduped =
+        if (new java.io.File(curatedPath).exists()) {
+          val seen = spark.read.parquet(curatedPath + "/*").select("symbol", "trade_id")
+          SetOps.exceptSeen(dedupedInBatch, seen, Seq("symbol", "trade_id"))
+        } else dedupedInBatch
+      val curated = Windows.lagFeatures(deduped, $"symbol", $"ts_ms", $"price", $"trade_id")
+      // idempotent write per cycle partition + advance watermark
+      curated.write.mode("overwrite").parquet(s"$curatedPath/cycle_ts=$wm")
+      val newWm = deduped.agg(max($"ts_ms")).as[Long].collect()(0)
+      Bronze.saveWatermark(spark, wmPath, "trades", newWm)
+      spark.read.parquet(curatedPath + "/*").count()
+    }
+
+    assert(runCycle() === 2L) // dup collapsed, invalid dropped
+
+    // cycle 2: new bronze files arrive later (later partition)
+    val batch2 = Seq(
+      ("BTC", day0 + 90000000L, 110.0, 1.0, 4L),
+      ("ETH", day0 + 90001000L, 11.0, 1.0, 5L)
+    ).toDF("symbol", "ts_ms", "price", "qty", "trade_id")
+    batch2
+      .withColumn("yyyy", date_format(timestamp_millis($"ts_ms"), "yyyy"))
+      .withColumn("mm", date_format(timestamp_millis($"ts_ms"), "MM"))
+      .withColumn("dd", date_format(timestamp_millis($"ts_ms"), "dd"))
+      .withColumn("hh", date_format(timestamp_millis($"ts_ms"), "HH"))
+      .write.mode("append").partitionBy("yyyy", "mm", "dd", "hh").parquet(bronzePath)
+
+    assert(runCycle() === 4L) // only the 2 new rows processed and appended
+
+    // analytics views over the curated layer
+    val curated = spark.read.parquet(curatedPath + "/*")
+    val latest = Windows.latestPerKey(curated, $"symbol", $"ts_ms", $"trade_id")
+    assert(latest.count() === 2)
+    assert(
+      latest.filter($"symbol" === "BTC").select("price").as[Double].collect()(0) === 110.0)
+    val wms = Analytics.watermarks(curated, $"symbol", $"ts_ms")
+    assert(wms.filter($"key" === "ETH").select("n_records").as[Long].collect()(0) === 2L)
+  }
+}
