@@ -20,10 +20,12 @@ object Bench {
     // Catalyst prune projections, silently benchmarking just the scan).
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
-    // Warmup on the smallest SF: exercises planning, codegen and JIT for
-    // every query so the timed pass measures steady-state execution.
+    // Warmup on the TARGET dir: AQE re-plans per data size, so warming on a
+    // smaller SF compiles different physical plans and the timed pass would
+    // still pay janino/JIT for every query (~2 s/query observed). One full
+    // pass at the bench SF puts the timed pass in steady state.
     SparkEntry.queries.foreach { case (_, fn) =>
-      try run(fn, "/root/testdata/sf0.001")
+      try run(fn, sfDir)
       catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
