@@ -89,6 +89,28 @@ object MicrostructureQueries {
           col("d.is_buyer_maker").as("is_buyer_maker"),
           col("d.symbol").as("symbol"))
     },
+    // S2b — BBA template roundtrip through the codegen decode expression.
+    "s2b_bba_roundtrip" -> { (s, dir) =>
+      val t = Tables.trades(s, dir).filter(col("trade_id") < 2000)
+      val enc = t.select(
+        col("trade_id").as("orig_id"),
+        Sbe.encodeBba(
+          col("ts_ms") * 1000L,
+          round(col("price") * 100).cast("long") - 50L,
+          round(col("price") * 100).cast("long") + 50L,
+          round(col("qty") * 100).cast("long") + 1L,
+          round(col("qty") * 100).cast("long") + 2L,
+          lit(-2), upper(col("symbol"))).as("frame"))
+      enc
+        .select(col("orig_id"), Sbe.decodeBba(col("frame")).as("d"))
+        .select(
+          col("orig_id"),
+          col("d.ts_ms").as("ts_ms"),
+          round(col("d.bid_px"), 2).as("bid_px"),
+          round(col("d.ask_px"), 2).as("ask_px"),
+          round(col("d.ask_px") - col("d.bid_px"), 2).as("spread"),
+          col("d.symbol").as("symbol"))
+    },
     // K2/S8 — bronze object-key derivation and parse-back
     // (s3_writer.py:216-230, s3_reader.py:124-152).
     "k2_partition_keys" -> { (s, dir) =>
@@ -176,6 +198,15 @@ object MicrostructureQueries {
          |SELECT trade_id AS orig_id, ts_ms, trade_id,
          |  round(CAST(round(price * 100) AS BIGINT) * 0.01, 2) AS price,
          |  qty > 50 AS is_buyer_maker,
+         |  upper(symbol) AS symbol
+         |FROM t WHERE trade_id < 2000""".stripMargin,
+    "s2b_bba_roundtrip" ->
+      s"""WITH t AS ($T)
+         |SELECT trade_id AS orig_id, ts_ms,
+         |  round((CAST(round(price * 100) AS BIGINT) - 50) * 0.01, 2) AS bid_px,
+         |  round((CAST(round(price * 100) AS BIGINT) + 50) * 0.01, 2) AS ask_px,
+         |  round((CAST(round(price * 100) AS BIGINT) + 50) * 0.01
+         |        - (CAST(round(price * 100) AS BIGINT) - 50) * 0.01, 2) AS spread,
          |  upper(symbol) AS symbol
          |FROM t WHERE trade_id < 2000""".stripMargin,
     "k2_partition_keys" ->
