@@ -62,6 +62,22 @@ object Bronze {
       .filter(col(tsMsCol) > cutoff)
   }
 
+  /** Bucketed table write — pre-shuffles once at write time so every later
+    * equi-join/aggregation on the bucket key is exchange-free (the 100 TB
+    * answer to "this join shuffles the fact table every day"). Requires the
+    * table catalog (`saveAsTable`); bucket counts should match downstream
+    * parallelism (SCALE.md).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      buckets: Int,
+      sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).format("parquet").saveAsTable(table)
+  }
+
   /** T6: re-anchor — rebuild state offline, then swap atomically
     * (the reference writes `*:new:*` Redis keys and RENAMEs,
     * `ARCHITECTURE.md:191-231`). Here: write the rebuilt state to a fresh

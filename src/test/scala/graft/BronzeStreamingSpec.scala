@@ -49,6 +49,30 @@ class BronzeStreamingSpec extends SparkSpec {
     assert(Bronze.loadWatermark(spark, dir, "BTC").contains(12345L))
   }
 
+  test("Bronze: bucketed tables join without any exchange") {
+    spark.sql("DROP TABLE IF EXISTS bucketed_trades")
+    spark.sql("DROP TABLE IF EXISTS bucketed_notional")
+    val t = Tables.trades(spark, sf).select("trade_id", "symbol", "price", "qty")
+    Bronze.writeBucketed(t, "bucketed_trades", "trade_id", 8, Some("trade_id"))
+    Bronze.writeBucketed(
+      t.select(col("trade_id"), (col("price") * col("qty")).as("notional")),
+      "bucketed_notional", "trade_id", 8, Some("trade_id"))
+    // disable broadcast so the planner actually uses the bucketing (tiny
+    // test tables would otherwise broadcast, which bypasses co-location)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bucketed_trades")
+        .join(spark.table("bucketed_notional"), "trade_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(600)) // co-located
+      assert(plan.contains("Bucketed: true"), plan.take(600))
+      assert(joined.count() === t.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE bucketed_trades")
+    spark.sql("DROP TABLE bucketed_notional")
+  }
+
   test("Bronze: re-anchor swaps state versions atomically via the pointer") {
     val base = Files.createTempDirectory("anchor").toString
     assert(Bronze.readCurrent(spark, base).isEmpty)

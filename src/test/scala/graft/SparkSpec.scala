@@ -8,7 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder("local[4]", shufflePartitions = 4).getOrCreate()
+    val s = GraftSession
+      .builder("local[4]", shufflePartitions = 4)
+      .config(
+        "spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
