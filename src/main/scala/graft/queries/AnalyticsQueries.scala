@@ -36,6 +36,25 @@ object AnalyticsQueries {
       Analytics.watermarks(
         Tables.trades(s, dir), key = col("symbol"), tsMs = col("ts_ms"))
     },
+    // A9b — the service-health view in full (RDS_SCHEMA.md:573-605): latest
+    // heartbeat per service + staleness + health-score CASE. "now" is the
+    // data's max timestamp so the view is deterministic for the oracle.
+    "a9b_service_health" -> { (s, dir) =>
+      val t = Tables.trades(s, dir)
+      val latest = Windows.latestPerKey(
+        t.select(col("symbol").as("service_name"), col("ts_ms"), col("trade_id"), col("price")),
+        key = col("service_name"), tsMs = col("ts_ms"), tieBreak = col("trade_id"))
+      val now = t.agg(max(col("ts_ms")).as("now_ms"))
+      latest
+        .crossJoin(broadcast(now))
+        .withColumn("staleness_s", ((col("now_ms") - col("ts_ms")) / lit(1000.0)))
+        .withColumn(
+          "health",
+          when(col("staleness_s") <= 3600, "healthy")
+            .when(col("staleness_s") <= 86400, "degraded")
+            .otherwise("stale"))
+        .select("service_name", "ts_ms", "trade_id", "staleness_s", "health")
+    },
     // Sketch extension (SCALE.md): HLL distinct + approx percentile for the
     // aggregations whose exact forms don't scale per-group. No DuckDB oracle
     // (sketch algorithms differ across engines) — rows-only check; the
@@ -87,6 +106,19 @@ object AnalyticsQueries {
         |  max(epoch_ms(o_orderdate)) AS last_ts,
         |  count(DISTINCT o_custkey) AS n_entities
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "a9b_service_health" ->
+      s"""WITH t AS ($T),
+         |latest AS (
+         |  SELECT symbol AS service_name, ts_ms, trade_id,
+         |    row_number() OVER (PARTITION BY symbol ORDER BY ts_ms DESC, trade_id DESC) AS rn
+         |  FROM t),
+         |now_t AS (SELECT max(ts_ms) AS now_ms FROM t)
+         |SELECT service_name, ts_ms, trade_id,
+         |  (now_ms - ts_ms) / 1000.0 AS staleness_s,
+         |  CASE WHEN (now_ms - ts_ms) / 1000.0 <= 3600 THEN 'healthy'
+         |       WHEN (now_ms - ts_ms) / 1000.0 <= 86400 THEN 'degraded'
+         |       ELSE 'stale' END AS health
+         |FROM latest CROSS JOIN now_t WHERE rn = 1""".stripMargin,
     "a10_watermarks" ->
       s"""WITH t AS ($T)
          |SELECT symbol AS key, max(ts_ms) AS max_ts, min(ts_ms) AS min_ts,
