@@ -53,6 +53,30 @@ object HotPath {
   def dedupStream(stream: DataFrame, tsCol: String, keys: Seq[String], watermark: String = "1 hour"): DataFrame =
     stream.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
 
+  /** J3-streaming: stream-stream enrichment — each trade joined to quotes of
+    * the same symbol within a bounded time range (quote at-or-before the
+    * trade, at most `toleranceMs` old). Both sides watermarked so Spark can
+    * discard quote state older than the tolerance: state stays
+    * O(keys × tolerance × rate), not unbounded.
+    */
+  def enrichTradesWithQuotes(
+      trades: DataFrame, // ts (timestamp), symbol, price
+      quotes: DataFrame, // qts (timestamp), symbol, mid
+      toleranceMs: Long,
+      watermark: String = "30 seconds"): DataFrame = {
+    val t = trades.withWatermark("ts", watermark)
+    val q = quotes.withWatermark("qts", watermark)
+    t.join(
+      q,
+      t("symbol") === q("symbol") &&
+        q("qts") <= t("ts") &&
+        q("qts") >= t("ts") - expr(s"INTERVAL ${toleranceMs / 1000} SECONDS"),
+      "inner")
+      .select(
+        t("symbol"), t("ts"), t("price"), q("qts"), q("mid"),
+        (t("price") - q("mid")).as("price_minus_mid"))
+  }
+
   /** K4-analog: idempotent latest-row-per-key sink body for `foreachBatch`.
     * Each micro-batch reduces to one row per key before the write, so replays
     * (at-least-once) converge — same contract as the reference's Redis

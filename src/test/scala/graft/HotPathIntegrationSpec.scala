@@ -55,6 +55,27 @@ class HotPathIntegrationSpec extends SparkSpec {
     assert(latest.count() === 1L)
   }
 
+  test("stream-stream join: trades enrich against time-bounded quote state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tMem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val qMem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val joined = HotPath.enrichTradesWithQuotes(
+      tMem.toDF().toDF("ts", "symbol", "price"),
+      qMem.toDF().toDF("qts", "symbol", "mid"),
+      toleranceMs = 10000L)
+    val q = joined.writeStream.outputMode("append").format("memory").queryName("ss").start()
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    qMem.addData((t(1000), "BTC", 99.5), (t(4000), "BTC", 100.5), (t(50000), "BTC", 101.0))
+    tMem.addData((t(5000), "BTC", 100.0)) // joins quotes at 1s and 4s, not 50s
+    q.processAllAvailable()
+    val out = spark.table("ss").orderBy("qts").collect()
+    q.stop()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[Double]("mid")).toSeq === Seq(99.5, 100.5))
+    assert(math.abs(out(1).getAs[Double]("price_minus_mid") - (-0.5)) < 1e-9)
+  }
+
   test("Skew: salted two-phase aggregation equals direct aggregation") {
     val rnd = new scala.util.Random(13L)
     // 90% of rows on one hot key
