@@ -214,12 +214,27 @@ object Sbe {
       bids, asks, UTF8String.fromBytes(sym))
   }
 
-  case class SbeDepthDecode(child: Expression)
-      extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  case class SbeDepthDecode(child: Expression) extends UnaryExpression {
     override def dataType: DataType = depthSchema
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any =
       decodeDepthBytes(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext,
+        ev: codegen.ExprCode): codegen.ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val childGen = child.genCode(ctx)
+      val rowType = classOf[InternalRow].getName
+      ev.copy(code = code"""
+          ${childGen.code}
+          boolean ${ev.isNull} = true;
+          $rowType ${ev.value} = null;
+          if (!${childGen.isNull}) {
+            ${ev.value} = graft.functions.Sbe.decodeDepthBytes(${childGen.value});
+            ${ev.isNull} = (${ev.value} == null);
+          }
+        """)
+    }
     override protected def withNewChildInternal(newChild: Expression): SbeDepthDecode =
       copy(child = newChild)
   }

@@ -53,6 +53,23 @@ object TextFunctions {
     f(text)
   }
 
+  /** Distinct character n-grams (the char-level dedup granularity — catches
+    * near-dups that word tokenization misses, e.g. punctuation/spacing
+    * variants). Same row-level-kernel rationale as [[shingles]].
+    */
+  def charShingles(text: Column, n: Int = 5): Column = {
+    val f = udf { (t: String) =>
+      if (t == null || t.length < n) Seq.empty[String]
+      else {
+        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+        var i = 0
+        while (i <= t.length - n) { seen += t.substring(i, i + n); i += 1 }
+        seen.toVector
+      }
+    }
+    f(text)
+  }
+
   /** Shingle hashes (md5-prefix mod p) directly — skips materializing the
     * shingle strings as a column when only the hashes are needed.
     */

@@ -73,6 +73,26 @@ object TextQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"), TextFunctions.simhash32(col("text")).as("simhash"))
     },
+    // D-char-ngram — character-5-gram Jaccard between same-source doc pairs
+    // (the char-level dedup granularity; bounded blocking by source).
+    "t6_char_ngram_jaccard" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("source"), TextFunctions.charShingles(col("text")).as("cs"))
+      val a = d.select(col("source"), col("doc_id").as("doc_a"), col("cs").as("cs_a"))
+      val b = d.select(col("source"), col("doc_id").as("doc_b"), col("cs").as("cs_b"))
+      a.join(b, Seq("source"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("n_common", size(array_intersect(col("cs_a"), col("cs_b"))).cast("long"))
+        .withColumn(
+          "jaccard",
+          round(
+            col("n_common").cast("double") /
+              (size(col("cs_a")) + size(col("cs_b")) - col("n_common")),
+            6))
+        .filter(col("jaccard") >= 0.2)
+        .select("source", "doc_a", "doc_b", "n_common", "jaccard")
+    },
     // T-quality — token stats, type-token ratio, stopword ratio, composite
     // quality score, and the n-gram language-ID heuristic.
     "t5_text_quality" -> { (s, dir) =>
@@ -146,6 +166,24 @@ object TextQueries {
          |  FROM documents)
          |SELECT doc_id, $bits AS simhash FROM hs0""".stripMargin
     },
+    "t6_char_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(generate_series(1, length(text) - 4),
+        |                  i -> substr(text, i, 5))) AS cs
+        |  FROM documents WHERE doc_id < 100 AND length(text) >= 5),
+        |ex AS (SELECT doc_id, source, unnest(cs) AS g FROM d),
+        |sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.source, x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+        |  FROM ex x JOIN ex y ON x.source = y.source AND x.g = y.g AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT p.source, p.doc_a, p.doc_b, p.n_common,
+        |  round(p.n_common * 1.0 / (sa.n + sb.n - p.n_common), 6) AS jaccard
+        |FROM pairs p
+        |JOIN sz sa ON sa.doc_id = p.doc_a
+        |JOIN sz sb ON sb.doc_id = p.doc_b
+        |WHERE round(p.n_common * 1.0 / (sa.n + sb.n - p.n_common), 6) >= 0.2""".stripMargin,
     "t5_text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
