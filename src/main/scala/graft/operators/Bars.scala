@@ -44,7 +44,7 @@ object Bars {
         exactSum(qty).as("volume"),
         exactSum(price * qty, 10).as("notional"),
         count(lit(1)).as("trade_count"))
-      .withColumn("vwap", round(col("notional") / nullif(col("volume"), lit(0.0)), 6))
+      .withColumn("vwap", col("notional") / nullif(col("volume"), lit(0.0)))
       .withColumn("price_range", round(col("high_price") - col("low_price"), 8))
       .withColumn("price_change", round(col("close_price") - col("open_price"), 8))
   }
@@ -73,10 +73,10 @@ object Bars {
         max(qty).as("largest_trade"),
         round(avg(qty), 6).as("avg_trade_size"),
         round(stddev_samp(price), 4).as("volatility"),
-        round(exactSum(price * qty, 10) / exactSum(qty), 6).as("vwap"))
+        round(exactSum(price * qty, 10) / nullif(exactSum(qty), lit(0.0)), 6).as("vwap"))
       .withColumn(
         "daily_change_pct",
-        round((col("close_price") - col("open_price")) / col("open_price") * 100, 6))
+        (col("close_price") - col("open_price")) / nullif(col("open_price"), lit(0.0)) * 100)
       .withColumn("price_range", round(col("high_price") - col("low_price"), 8))
   }
 }

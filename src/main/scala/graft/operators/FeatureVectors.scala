@@ -39,7 +39,7 @@ object FeatureVectors {
       .agg(
         count(lit(1)).as("trade_count"),
         exactSum(qty).as("volume"),
-        round(exactSum(price * qty, 10) / nullif(exactSum(qty), lit(0.0)), 6).as("vwap"),
+        (exactSum(price * qty, 10) / nullif(exactSum(qty), lit(0.0))).as("vwap"),
         min(price).as("price_min"),
         max(price).as("price_max"),
         max_by(price, struct(tsMs, tieBreak)).as("price_last"))
@@ -47,10 +47,10 @@ object FeatureVectors {
     val hour = (TimeUnits.bucketIndex(col("feature_ts"), 3600000L) % 24).cast("double")
     ticks
       .withColumn("prev_last", lag(col("price_last"), 1).over(w))
-      .withColumn("price_change", round(col("price_last") - col("prev_last"), 8))
+      .withColumn("price_change", col("price_last") - col("prev_last"))
       .withColumn(
         "price_change_pct",
-        round((col("price_last") - col("prev_last")) / col("prev_last") * 100, 6))
+        (col("price_last") - col("prev_last")) / nullif(col("prev_last"), lit(0.0)) * 100)
       .withColumn("hour_sin", round(sin(hour * (2.0 * math.Pi) / 24.0), 6))
       .withColumn("hour_cos", round(cos(hour * (2.0 * math.Pi) / 24.0), 6))
       .withColumn(
@@ -88,7 +88,8 @@ object FeatureVectors {
         typedLit(featureNames).as("feature_names"),
         col("price_last").as("current_price"),
         col("future_price"),
-        round(log(col("future_price") / col("price_last")), 8).as("label_return"),
+        when(col("price_last") > 0 && col("future_price") > 0,
+          round(log(col("future_price") / col("price_last")), 8)).as("label_return"),
         col("future_price").isNotNull.as("is_valid"))
   }
 }

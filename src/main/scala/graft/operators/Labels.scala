@@ -42,7 +42,8 @@ object Labels {
         (col("bucket") * gridMs).as("feature_ts"),
         col("px").as("current_price"),
         col("future_price"),
-        round(log(col("future_price") / col("px")), 8).as("log_return"),
+        when(col("px") > 0 && col("future_price") > 0,
+          round(log(col("future_price") / col("px")), 8)).as("log_return"),
         when(col("future_price") > col("px"), 1)
           .when(col("future_price") < col("px"), -1)
           .when(col("future_price").isNotNull, 0)

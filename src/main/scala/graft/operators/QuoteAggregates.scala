@@ -46,11 +46,9 @@ object QuoteAggregates {
         max_by(mid, ord).as("last_mid"))
       .withColumn(
         "size_imbalance",
-        round(
-          (col("total_bid_size") - col("total_ask_size")) /
-            nullif(col("total_bid_size") + col("total_ask_size"), lit(0.0)),
-          6))
-      .withColumn("mid_change", round(col("last_mid") - col("first_mid"), 8))
+        (col("total_bid_size") - col("total_ask_size")) /
+          nullif(col("total_bid_size") + col("total_ask_size"), lit(0.0)))
+      .withColumn("mid_change", col("last_mid") - col("first_mid"))
   }
 
   /** A3: features of the LAST book snapshot per group. `bids`/`asks` are
@@ -79,22 +77,20 @@ object QuoteAggregates {
     latest
       .withColumn("best_bid", element_at(col("bids"), 1).getField("price"))
       .withColumn("best_ask", element_at(col("asks"), 1).getField("price"))
-      .withColumn("spread", round(col("best_ask") - col("best_bid"), 8))
-      .withColumn("mid", round((col("best_ask") + col("best_bid")) / 2.0, 8))
-      .withColumn("bid_depth", round(qtySum(col("bids")), 6))
-      .withColumn("ask_depth", round(qtySum(col("asks")), 6))
+      .withColumn("spread", col("best_ask") - col("best_bid"))
+      .withColumn("mid", (col("best_ask") + col("best_bid")) / 2.0)
+      .withColumn("bid_depth", qtySum(col("bids")))
+      .withColumn("ask_depth", qtySum(col("asks")))
       .withColumn(
         "depth_imbalance",
-        round(
-          (col("bid_depth") - col("ask_depth")) /
-            nullif(col("bid_depth") + col("ask_depth"), lit(0.0)),
-          6))
+        (col("bid_depth") - col("ask_depth")) /
+          nullif(col("bid_depth") + col("ask_depth"), lit(0.0)))
       .withColumn(
         "bid_vwap_top",
-        round(notionalSum(col("bids")) / nullif(qtySum(col("bids")), lit(0.0)), 6))
+        notionalSum(col("bids")) / nullif(qtySum(col("bids")), lit(0.0)))
       .withColumn(
         "ask_vwap_top",
-        round(notionalSum(col("asks")) / nullif(qtySum(col("asks")), lit(0.0)), 6))
+        notionalSum(col("asks")) / nullif(qtySum(col("asks")), lit(0.0)))
       .withColumn("bid_levels", size(col("bids")).cast("long"))
       .withColumn("ask_levels", size(col("asks")).cast("long"))
       .drop("bids", "asks")

@@ -42,10 +42,8 @@ object Rolling {
       .withColumn("vol_w", sum(qty.cast("decimal(27,8)")).over(wRange).cast("double"))
       .withColumn(
         "vwap_w",
-        round(
-          sum((price * qty).cast("decimal(27,10)")).over(wRange).cast("double") /
-            nullif(col("vol_w"), lit(0.0)),
-          6))
+        sum((price * qty).cast("decimal(27,10)")).over(wRange).cast("double") /
+          nullif(col("vol_w"), lit(0.0)))
       .withColumn("price_std_w", round(stddev_samp(price).over(wRange), 4))
       .withColumn(
         "price_range_w",
@@ -79,7 +77,7 @@ object Rolling {
       .drop("__ia_n", "__ia_s1", "__ia_s2")
       .withColumn(
         "trade_intensity_w",
-        round(col("n_w").cast("double") / greatest(spanSec, lit(0.001)), 6))
+        col("n_w").cast("double") / greatest(spanSec, lit(0.001)))
   }
 
   /** W5: forward path stats over `(t, t + horizonMs]` — the label-side
@@ -122,8 +120,7 @@ object Rolling {
         count(lit(1)).over(wRange)
     rows
       .withColumn("ma_w", maExact)
-      .withColumn("momentum", round(col("ma_w") - lag(col("ma_w"), 1).over(wSeq), 8))
-      .withColumn("acceleration", round(col("momentum") - lag(col("momentum"), 1).over(wSeq), 8))
-      .withColumn("ma_w", round(col("ma_w"), 8))
+      .withColumn("momentum", col("ma_w") - lag(col("ma_w"), 1).over(wSeq))
+      .withColumn("acceleration", col("momentum") - lag(col("momentum"), 1).over(wSeq))
   }
 }

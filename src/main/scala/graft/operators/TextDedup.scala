@@ -95,10 +95,8 @@ object TextDedup {
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn(
         "jaccard",
-        round(
-          col("n_common").cast("double") /
-            (size(col("sh_a")) + size(col("sh_b")) - col("n_common")),
-          6))
+        col("n_common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }

@@ -47,7 +47,11 @@ object TradeAggregates {
         min(price).as("min_price"),
         max(price).as("max_price"),
         round(avg(price), 4).as("avg_price"),
-        round(exactSum(price * qty, 10) / exactSum(qty), 4).as("vwap"),
+        // Whole-relation decimal sums overflow double's 53-bit mantissa when
+        // scaled, so the decimal->double CAST itself rounds (engines differ at
+        // 1 ulp) — round the quotient; its long expansion makes the .5-boundary
+        // hazard negligible (unlike small-group quotients, which stay unrounded).
+        round(exactSum(price * qty, 10) / nullif(exactSum(qty), lit(0.0)), 6).as("vwap"),
         round(stddev_samp(price), 4).as("price_std"),
         exactSum(when(!isSell, qty).otherwise(lit(0.0))).as("buy_volume"),
         exactSum(when(isSell, qty).otherwise(lit(0.0))).as("sell_volume"),
@@ -56,10 +60,10 @@ object TradeAggregates {
       )
       .withColumn(
         "volume_imbalance",
-        round((col("buy_volume") - col("sell_volume")) / col("total_volume"), 6))
+        (col("buy_volume") - col("sell_volume")) / nullif(col("total_volume"), lit(0.0)))
       .withColumn("price_change", round(col("last_price") - col("first_price"), 8))
       .withColumn(
         "price_change_pct",
-        round((col("last_price") - col("first_price")) / col("first_price") * 100, 6))
+        (col("last_price") - col("first_price")) / nullif(col("first_price"), lit(0.0)) * 100)
   }
 }

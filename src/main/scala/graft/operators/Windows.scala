@@ -31,7 +31,7 @@ object Windows {
       .withColumn("price_change", round(price - col("prev_price"), 8))
       .withColumn(
         "price_change_pct",
-        round((price - col("prev_price")) / col("prev_price") * 100, 6))
+        (price - col("prev_price")) / nullif(col("prev_price"), lit(0.0)) * 100)
   }
 
   /** W2/A9: latest row per key (`DISTINCT ON (key) ... ORDER BY ts DESC`).

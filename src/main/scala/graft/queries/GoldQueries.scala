@@ -24,16 +24,16 @@ object GoldQueries {
       |  SELECT symbol, (ts_ms // 120000) * 120000 AS feature_ts,
       |    count(*) AS trade_count,
       |    CAST(sum(CAST(qty AS DECIMAL(27,8))) AS DOUBLE) AS volume,
-      |    round(CAST(sum(CAST(price * qty AS DECIMAL(27,10))) AS DOUBLE)
-      |          / nullif(CAST(sum(CAST(qty AS DECIMAL(27,8))) AS DOUBLE), 0.0), 6) AS vwap,
+      |    CAST(sum(CAST(price * qty AS DECIMAL(27,10))) AS DOUBLE)
+      |      / nullif(CAST(sum(CAST(qty AS DECIMAL(27,8))) AS DOUBLE), 0.0) AS vwap,
       |    min(price) AS price_min,
       |    max(price) AS price_max,
       |    last(price ORDER BY ts_ms, trade_id) AS price_last
       |  FROM t GROUP BY 1, 2),
       |fv AS (
       |  SELECT symbol, feature_ts, trade_count, volume, vwap, price_min, price_max, price_last,
-      |    round(price_last - lag(price_last, 1) OVER w, 8) AS price_change,
-      |    round((price_last - lag(price_last, 1) OVER w) / (lag(price_last, 1) OVER w) * 100, 6) AS price_change_pct,
+      |    price_last - lag(price_last, 1) OVER w AS price_change,
+      |    (price_last - lag(price_last, 1) OVER w) / nullif(lag(price_last, 1) OVER w, 0.0) * 100 AS price_change_pct,
       |    round(sin(((feature_ts // 3600000) % 24) * (2.0 * pi()) / 24.0), 6) AS hour_sin,
       |    round(cos(((feature_ts // 3600000) % 24) * (2.0 * pi()) / 24.0), 6) AS hour_cos,
       |    ((feature_ts // 3600000) % 24) BETWEEN 13 AND 21 AS is_us_hours
@@ -78,7 +78,7 @@ object GoldQueries {
          |  list_sum(p.features) AS feat_sum,
          |  p.price_last AS current_price,
          |  f.price_last AS future_price,
-         |  round(ln(f.price_last / p.price_last), 8) AS label_return,
+         |  CASE WHEN p.price_last > 0 AND f.price_last > 0 THEN round(ln(f.price_last / p.price_last), 8) END AS label_return,
          |  f.price_last IS NOT NULL AS is_valid
          |FROM packed p
          |LEFT JOIN packed f

@@ -134,15 +134,15 @@ object MarketQueries {
         |  max(l_extendedprice) AS max_price,
         |  round(avg(l_extendedprice), 4) AS avg_price,
         |  round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(27,10))) AS DOUBLE)
-        |        / CAST(sum(CAST(l_quantity AS DECIMAL(27,8))) AS DOUBLE), 4) AS vwap,
+        |    / nullif(CAST(sum(CAST(l_quantity AS DECIMAL(27,8))) AS DOUBLE), 0.0), 6) AS vwap,
         |  round(stddev_samp(l_extendedprice), 4) AS price_std,
         |  CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_quantity END AS DECIMAL(27,8))) AS DOUBLE) AS buy_volume,
         |  CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END AS DECIMAL(27,8))) AS DOUBLE) AS sell_volume,
         |  first(l_extendedprice ORDER BY l_shipdate, l_orderkey, l_linenumber) AS first_price,
         |  last(l_extendedprice ORDER BY l_shipdate, l_orderkey, l_linenumber) AS last_price,
-        |  round((buy_volume - sell_volume) / total_volume, 6) AS volume_imbalance,
+        |  (buy_volume - sell_volume) / nullif(total_volume, 0.0) AS volume_imbalance,
         |  round(last_price - first_price, 8) AS price_change,
-        |  round((last_price - first_price) / first_price * 100, 6) AS price_change_pct
+        |  (last_price - first_price) / nullif(first_price, 0.0) * 100 AS price_change_pct
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "a4_bars_1m" ->
@@ -155,7 +155,7 @@ object MarketQueries {
          |  CAST(sum(CAST(qty AS DECIMAL(27,8))) AS DOUBLE) AS volume,
          |  CAST(sum(CAST(price * qty AS DECIMAL(27,10))) AS DOUBLE) AS notional,
          |  count(*) AS trade_count,
-         |  round(notional / nullif(volume, 0.0), 6) AS vwap,
+         |  notional / nullif(volume, 0.0) AS vwap,
          |  round(high_price - low_price, 8) AS price_range,
          |  round(close_price - open_price, 8) AS price_change
          |FROM t GROUP BY 1, 2""".stripMargin,
@@ -167,8 +167,8 @@ object MarketQueries {
          |SELECT symbol, ts_ms, trade_id, price,
          |  count(*) OVER wr AS n_w,
          |  CAST(sum(CAST(qty AS DECIMAL(27,8))) OVER wr AS DOUBLE) AS vol_w,
-         |  round(CAST(sum(CAST(price * qty AS DECIMAL(27,10))) OVER wr AS DOUBLE)
-         |        / nullif(CAST(sum(CAST(qty AS DECIMAL(27,8))) OVER wr AS DOUBLE), 0.0), 6) AS vwap_w,
+         |  CAST(sum(CAST(price * qty AS DECIMAL(27,10))) OVER wr AS DOUBLE)
+         |    / nullif(CAST(sum(CAST(qty AS DECIMAL(27,8))) OVER wr AS DOUBLE), 0.0) AS vwap_w,
          |  round(stddev_samp(price) OVER wr, 4) AS price_std_w,
          |  round(max(price) OVER wr - min(price) OVER wr, 8) AS price_range_w,
          |  interarrival_ms,
@@ -178,7 +178,7 @@ object MarketQueries {
          |     - CAST(sum(interarrival_ms) OVER wr AS DOUBLE) * CAST(sum(interarrival_ms) OVER wr AS DOUBLE) / (count(interarrival_ms) OVER wr))
          |    / (count(interarrival_ms) OVER wr - 1) / 1.0e6
          |  END AS interarrival_var_s_w,
-         |  round((count(*) OVER wr) / greatest((ts_ms - min(ts_ms) OVER wr) / 1000.0, 0.001), 6) AS trade_intensity_w
+         |  (count(*) OVER wr) / greatest((ts_ms - min(ts_ms) OVER wr) / 1000.0, 0.001) AS trade_intensity_w
          |FROM ia
          |WINDOW wr AS (PARTITION BY symbol ORDER BY ts_ms RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW),
          |       ws AS (PARTITION BY symbol ORDER BY ts_ms, trade_id)""".stripMargin,
@@ -195,8 +195,8 @@ object MarketQueries {
          |  round(avg(qty), 6) AS avg_trade_size,
          |  round(stddev_samp(price), 4) AS volatility,
          |  round(CAST(sum(CAST(price * qty AS DECIMAL(27,10))) AS DOUBLE)
-         |        / CAST(sum(CAST(qty AS DECIMAL(27,8))) AS DOUBLE), 6) AS vwap,
-         |  round((close_price - open_price) / open_price * 100, 6) AS daily_change_pct,
+         |    / nullif(CAST(sum(CAST(qty AS DECIMAL(27,8))) AS DOUBLE), 0.0), 6) AS vwap,
+         |  (close_price - open_price) / nullif(open_price, 0.0) * 100 AS daily_change_pct,
          |  round(high_price - low_price, 8) AS price_range
          |FROM t GROUP BY 1, 2""".stripMargin,
     "w1_lag_features" ->
@@ -204,7 +204,7 @@ object MarketQueries {
          |SELECT user_id, trade_id, ts_ms, price,
          |  lag(price, 1) OVER w AS prev_price,
          |  round(price - prev_price, 8) AS price_change,
-         |  round((price - prev_price) / prev_price * 100, 6) AS price_change_pct
+         |  (price - prev_price) / nullif(prev_price, 0.0) * 100 AS price_change_pct
          |FROM t
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, trade_id)""".stripMargin,
     "w4_sequence_gaps" ->
@@ -234,11 +234,11 @@ object MarketQueries {
          |  WINDOW wr AS (PARTITION BY symbol ORDER BY ts_ms RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)),
          |d AS (
          |  SELECT symbol, ts_ms, trade_id, ma_raw,
-         |    round(ma_raw - lag(ma_raw, 1) OVER ws, 8) AS momentum
+         |    ma_raw - lag(ma_raw, 1) OVER ws AS momentum
          |  FROM m
          |  WINDOW ws AS (PARTITION BY symbol ORDER BY ts_ms, trade_id))
-         |SELECT symbol, ts_ms, trade_id, round(ma_raw, 8) AS ma_w, momentum,
-         |  round(momentum - lag(momentum, 1) OVER ws2, 8) AS acceleration
+         |SELECT symbol, ts_ms, trade_id, ma_raw AS ma_w, momentum,
+         |  momentum - lag(momentum, 1) OVER ws2 AS acceleration
          |FROM d
          |WINDOW ws2 AS (PARTITION BY symbol ORDER BY ts_ms, trade_id)""".stripMargin,
     "a9_latest_per_key" ->

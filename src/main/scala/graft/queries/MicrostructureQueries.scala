@@ -150,8 +150,8 @@ object MicrostructureQueries {
          |  CAST(sum(CAST(ask_sz AS DECIMAL(27,8))) AS DOUBLE) AS total_ask_size,
          |  first((ask_px + bid_px) / 2.0 ORDER BY ts_ms, quote_id) AS first_mid,
          |  last((ask_px + bid_px) / 2.0 ORDER BY ts_ms, quote_id) AS last_mid,
-         |  round((total_bid_size - total_ask_size) / nullif(total_bid_size + total_ask_size, 0.0), 6) AS size_imbalance,
-         |  round(last_mid - first_mid, 8) AS mid_change
+         |  (total_bid_size - total_ask_size) / nullif(total_bid_size + total_ask_size, 0.0) AS size_imbalance,
+         |  last_mid - first_mid AS mid_change
          |FROM q GROUP BY 1, 2""".stripMargin,
     "a3_depth_snapshot" ->
       s"""WITH t AS ($T),
@@ -180,16 +180,16 @@ object MicrostructureQueries {
          |SELECT symbol, day * 86400000 AS snapshot_ts,
          |  bids[1].price AS best_bid,
          |  asks[1].price AS best_ask,
-         |  round(asks[1].price - bids[1].price, 8) AS spread,
-         |  round((asks[1].price + bids[1].price) / 2.0, 8) AS mid,
-         |  round(list_sum(list_transform(bids[1:5], l -> l.qty)), 6) AS bid_depth,
-         |  round(list_sum(list_transform(asks[1:5], l -> l.qty)), 6) AS ask_depth,
-         |  round((list_sum(list_transform(bids[1:5], l -> l.qty)) - list_sum(list_transform(asks[1:5], l -> l.qty)))
-         |        / nullif(list_sum(list_transform(bids[1:5], l -> l.qty)) + list_sum(list_transform(asks[1:5], l -> l.qty)), 0.0), 6) AS depth_imbalance,
-         |  round(list_sum(list_transform(bids[1:5], l -> l.price * l.qty))
-         |        / nullif(list_sum(list_transform(bids[1:5], l -> l.qty)), 0.0), 6) AS bid_vwap_top,
-         |  round(list_sum(list_transform(asks[1:5], l -> l.price * l.qty))
-         |        / nullif(list_sum(list_transform(asks[1:5], l -> l.qty)), 0.0), 6) AS ask_vwap_top,
+         |  asks[1].price - bids[1].price AS spread,
+         |  (asks[1].price + bids[1].price) / 2.0 AS mid,
+         |  list_sum(list_transform(bids[1:5], l -> l.qty)) AS bid_depth,
+         |  list_sum(list_transform(asks[1:5], l -> l.qty)) AS ask_depth,
+         |  (list_sum(list_transform(bids[1:5], l -> l.qty)) - list_sum(list_transform(asks[1:5], l -> l.qty)))
+         |    / nullif(list_sum(list_transform(bids[1:5], l -> l.qty)) + list_sum(list_transform(asks[1:5], l -> l.qty)), 0.0) AS depth_imbalance,
+         |  list_sum(list_transform(bids[1:5], l -> l.price * l.qty))
+         |    / nullif(list_sum(list_transform(bids[1:5], l -> l.qty)), 0.0) AS bid_vwap_top,
+         |  list_sum(list_transform(asks[1:5], l -> l.price * l.qty))
+         |    / nullif(list_sum(list_transform(asks[1:5], l -> l.qty)), 0.0) AS ask_vwap_top,
          |  len(bids) AS bid_levels,
          |  len(asks) AS ask_levels
          |FROM latest WHERE rn = 1""".stripMargin,

@@ -83,8 +83,7 @@ object ScalarQueries {
           element_at(col("k"), 7).cast("long").as("close_time"),
           element_at(col("k"), 8).as("quote_volume"),
           element_at(col("k"), 9).cast("int").as("trade_count"),
-          round(element_at(col("k"), 8) / nullif(element_at(col("k"), 6), lit(0.0)), 6)
-            .as("vwap"),
+          (element_at(col("k"), 8) / nullif(element_at(col("k"), 6), lit(0.0))).as("vwap"),
           regexp_replace(
             regexp_replace(format_string("%.8f", element_at(col("k"), 5)), "0+$", ""),
             "\\.$", "").as("close_str"))
@@ -165,7 +164,7 @@ object ScalarQueries {
          |  CAST(k[7] AS BIGINT) AS close_time,
          |  k[8] AS quote_volume,
          |  CAST(k[9] AS INT) AS trade_count,
-         |  round(k[8] / nullif(k[6], 0.0), 6) AS vwap,
+         |  k[8] / nullif(k[6], 0.0) AS vwap,
          |  regexp_replace(regexp_replace(printf('%.8f', k[5]), '0+$$', ''), '\\.$$', '') AS close_str
          |FROM k""".stripMargin,
     "f_hash_scalars" ->

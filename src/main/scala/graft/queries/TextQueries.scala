@@ -86,10 +86,8 @@ object TextQueries {
         .withColumn("n_common", size(array_intersect(col("cs_a"), col("cs_b"))).cast("long"))
         .withColumn(
           "jaccard",
-          round(
-            col("n_common").cast("double") /
-              (size(col("cs_a")) + size(col("cs_b")) - col("n_common")),
-            6))
+          col("n_common").cast("double") /
+            (size(col("cs_a")) + size(col("cs_b")) - col("n_common")))
         .filter(col("jaccard") >= 0.2)
         .select("source", "doc_a", "doc_b", "n_common", "jaccard")
     },
@@ -105,14 +103,12 @@ object TextQueries {
         length(col("text")).cast("long").as("n_chars"),
         nTok.cast("long").as("n_tokens"),
         nUniq.cast("long").as("n_unique"),
-        round(nUniq.cast("double") / nTok, 6).as("ttr"),
-        round((length(col("text")) - (nTok - 1)).cast("double") / nTok, 6).as("avg_token_len"),
-        round(stop.cast("double") / nTok, 6).as("stopword_ratio"),
-        round(
-          least(nTok.cast("double") / 200.0, lit(1.0)) * 0.5 +
-            (nUniq.cast("double") / nTok) * 0.3 +
-            (lit(1.0) - stop.cast("double") / nTok) * 0.2,
-          6).as("quality_score"),
+        (nUniq.cast("double") / nTok).as("ttr"),
+        ((length(col("text")) - (nTok - 1)).cast("double") / nTok).as("avg_token_len"),
+        (stop.cast("double") / nTok).as("stopword_ratio"),
+        (least(nTok.cast("double") / 200.0, lit(1.0)) * 0.5 +
+          (nUniq.cast("double") / nTok) * 0.3 +
+          (lit(1.0) - stop.cast("double") / nTok) * 0.2).as("quality_score"),
         when(stop.cast("double") / nTok >= 0.03, "en").otherwise("unknown").as("lang_guess"))
     }
   )
@@ -149,11 +145,11 @@ object TextQueries {
          |  JOIN ex y ON y.doc_id = c.doc_b AND y.tok = x.tok
          |  GROUP BY 1, 2)
          |SELECT m.doc_a, m.doc_b, m.n_common,
-         |  round(m.n_common * 1.0 / (sa.n + sb.n - m.n_common), 6) AS jaccard
+         |  m.n_common * 1.0 / (sa.n + sb.n - m.n_common) AS jaccard
          |FROM common m
          |JOIN sz sa ON sa.doc_id = m.doc_a
          |JOIN sz sb ON sb.doc_id = m.doc_b
-         |WHERE round(m.n_common * 1.0 / (sa.n + sb.n - m.n_common), 6) >= 0.3""".stripMargin,
+         |WHERE m.n_common * 1.0 / (sa.n + sb.n - m.n_common) >= 0.3""".stripMargin,
     "t4_simhash" -> {
       val h = "(CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))"
       val bits = (0 until 32)
@@ -179,11 +175,11 @@ object TextQueries {
         |  FROM ex x JOIN ex y ON x.source = y.source AND x.g = y.g AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2, 3)
         |SELECT p.source, p.doc_a, p.doc_b, p.n_common,
-        |  round(p.n_common * 1.0 / (sa.n + sb.n - p.n_common), 6) AS jaccard
+        |  p.n_common * 1.0 / (sa.n + sb.n - p.n_common) AS jaccard
         |FROM pairs p
         |JOIN sz sa ON sa.doc_id = p.doc_a
         |JOIN sz sb ON sb.doc_id = p.doc_b
-        |WHERE round(p.n_common * 1.0 / (sa.n + sb.n - p.n_common), 6) >= 0.2""".stripMargin,
+        |WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.2""".stripMargin,
     "t5_text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
@@ -195,11 +191,11 @@ object TextQueries {
         |    len(list_filter(tk, x -> x = 'the' OR x = 'a')) AS n_stop
         |  FROM t)
         |SELECT doc_id, n_chars, n_tokens, n_unique,
-        |  round(n_unique * 1.0 / n_tokens, 6) AS ttr,
-        |  round((n_chars - (n_tokens - 1)) * 1.0 / n_tokens, 6) AS avg_token_len,
-        |  round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
-        |  round(least(n_tokens / 200.0, 1.0) * 0.5 + (n_unique * 1.0 / n_tokens) * 0.3
-        |        + (1.0 - n_stop * 1.0 / n_tokens) * 0.2, 6) AS quality_score,
+        |  n_unique * 1.0 / n_tokens AS ttr,
+        |  (n_chars - (n_tokens - 1)) * 1.0 / n_tokens AS avg_token_len,
+        |  n_stop * 1.0 / n_tokens AS stopword_ratio,
+        |  least(n_tokens / 200.0, 1.0) * 0.5 + (n_unique * 1.0 / n_tokens) * 0.3
+        |    + (1.0 - n_stop * 1.0 / n_tokens) * 0.2 AS quality_score,
         |  CASE WHEN n_stop * 1.0 / n_tokens >= 0.03 THEN 'en' ELSE 'unknown' END AS lang_guess
         |FROM m""".stripMargin
   )
