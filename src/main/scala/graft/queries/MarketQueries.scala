@@ -33,6 +33,25 @@ object MarketQueries {
         symbol = col("symbol"), tsMs = col("ts_ms"), price = col("price"),
         qty = col("qty"), tieBreak = col("trade_id"), barMs = 60000L)
     },
+    // A4b — silver-bar quality fields (FIXTURES.md §5 / S3_SCHEMA.md:316-392):
+    // completeness_score vs nominal cadence and gap_seconds (largest silence
+    // ending inside the bar).
+    "a4b_bars_quality" -> { (s, dir) =>
+      val t = Tables.trades(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol")).orderBy(col("ts_ms"), col("trade_id"))
+      t.withColumn("ia_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+        .groupBy(
+          col("symbol"),
+          TimeUnits.bucketStartMs(col("ts_ms"), 3600000L).as("open_time_ms"))
+        .agg(
+          count(lit(1)).as("trade_count"),
+          max(col("ia_ms")).as("max_gap_ms"))
+        .withColumn("gap_seconds", col("max_gap_ms") / 1000.0)
+        .withColumn(
+          "completeness_score",
+          least(lit(1.0), col("trade_count").cast("double") / 5.0))
+    },
     // A5 — trailing range-frame trade stats (DATA_PIPELINE.md:109-157); the
     // events table is sparse, so the "5 s" window is scaled to 5 min.
     "a5_rolling_stats" -> { (s, dir) =>
@@ -159,6 +178,18 @@ object MarketQueries {
          |  round(high_price - low_price, 8) AS price_range,
          |  round(close_price - open_price, 8) AS price_change
          |FROM t GROUP BY 1, 2""".stripMargin,
+    "a4b_bars_quality" ->
+      s"""WITH t AS ($T),
+         |ia AS (
+         |  SELECT symbol, ts_ms,
+         |    ts_ms - lag(ts_ms, 1) OVER (PARTITION BY symbol ORDER BY ts_ms, trade_id) AS ia_ms
+         |  FROM t)
+         |SELECT symbol, (ts_ms // 3600000) * 3600000 AS open_time_ms,
+         |  count(*) AS trade_count,
+         |  max(ia_ms) AS max_gap_ms,
+         |  max(ia_ms) / 1000.0 AS gap_seconds,
+         |  least(1.0, count(*) / 5.0) AS completeness_score
+         |FROM ia GROUP BY 1, 2""".stripMargin,
     "a5_rolling_stats" ->
       s"""WITH t AS ($T),
          |ia AS (
