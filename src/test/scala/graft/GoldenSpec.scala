@@ -106,6 +106,30 @@ class GoldenSpec extends SparkSpec {
     assert(near.count() === 0) // bar is ~10^7 ms away: no outcome
   }
 
+  test("SBE: symbol longer than 127 bytes survives the unsigned length byte") {
+    import graft.functions.Sbe
+    val longSym = "X" * 200
+    val df = Seq((1000000L, 1L, 100L, -2, false, longSym))
+      .toDF("us", "id", "m", "e", "mk", "s")
+    val d = df.select(Sbe.encodeTrade($"us", $"id", $"m", $"e", $"mk", $"s").as("f"))
+      .select(Sbe.decodeTrade($"f").as("d")).select("d.symbol").as[String].collect()(0)
+    assert(d === longSym) // a signed-byte read would truncate/corrupt at 127
+  }
+
+  test("operators tolerate empty inputs (0 rows out, no crash)") {
+    val empty = spark.emptyDataset[(String, Long, Double, Double, Boolean, Long)]
+      .toDF("symbol", "ts_ms", "price", "qty", "is_buyer_maker", "trade_id")
+    assert(Bars.ohlcv(empty, $"symbol", $"ts_ms", $"price", $"qty", $"trade_id", 60000L)
+      .count() === 0)
+    assert(TradeAggregates.tradeBatchStats(empty, Seq($"symbol"), $"price", $"qty",
+      $"is_buyer_maker", $"ts_ms", $"trade_id").count() === 0)
+    assert(SetOps.dedupFirst(empty, Seq($"symbol"), $"ts_ms", $"trade_id").count() === 0)
+    val emptyDocs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    assert(TextDedup.nearDuplicates(emptyDocs, $"doc_id", $"text").count() === 0)
+    assert(AsOf.nearest(empty, empty, "symbol", "ts_ms", "ts_ms", 1000L, "trade_id",
+      Seq("price")).count() === 0)
+  }
+
   test("S7: JSONL(.gz) reader with explicit schema skips malformed lines (PERMISSIVE)") {
     import java.nio.file.{Files, Paths}
     import java.util.zip.GZIPOutputStream
