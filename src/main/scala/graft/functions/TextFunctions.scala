@@ -4,6 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text primitives for the large-scale training-data pipeline operators
+  * (scale EXTENSION per BASELINE.json's north star — no reference
+  * counterpart)
   * (dedup, language/quality heuristics). Everything here is a per-row
   * expression — no shuffle, fully codegen-friendly, and deterministic across
   * engines (hashes derive from md5 hex, not engine-specific hash functions,

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal columns for training-data pipelines: media payloads travel as
+/** Multimodal columns for training-data pipelines (scale EXTENSION per
+  * BASELINE.json's north star — no reference counterpart): media payloads travel as
   * opaque `binary` columns with typed metadata structs; decode / feature
   * extraction runs batched per partition.
   *

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Skew mitigation — SURVEY §7.2.10: a single hot key (one symbol carrying
+/** Skew mitigation (scale EXTENSION, SURVEY §7.2.10 — no reference
+  * counterpart; the reference runs one symbol on one node): a single hot key (one symbol carrying
   * most of the firehose) serializes a plain groupBy into one reducer. Salted
   * two-phase aggregation splits each key into `saltBuckets` sub-keys for the
   * partial phase, then merges partials per real key. AQE's skew-join

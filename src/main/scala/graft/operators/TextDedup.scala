@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 
-/** Document deduplication for training-data pipelines: exact (content hash),
+/** Document deduplication for training-data pipelines (scale EXTENSION per
+  * BASELINE.json's north star; the reference's own dedup is the exact
+  * seen-set at services/aggregator/src/deduplication.py:55-104 — see
+  * SetOps/HotPath for that surface): exact (content hash),
   * MinHash+LSH near-dup, and n-gram Jaccard verification.
   *
   * Scale design: signatures and shingle sets are per-row expressions (no

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.md5PrefixHash
 
-/** Similarity search over embedding columns (`Array[Float]`).
+/** Similarity search over embedding columns (`Array[Float]`) — scale
+  * EXTENSION per BASELINE.json's north star; no reference counterpart.
   *
   * Baseline: brute-force cosine top-k — broadcast the (small) query set
   * against the corpus; one pass, no shuffle of the corpus, rank per query.
