@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Num.nz
 import graft.functions.TimeUnits
 import graft.operators.TradeAggregates.exactSum
 
@@ -51,8 +52,8 @@ object FeatureVectors {
       .withColumn(
         "price_change_pct",
         (col("price_last") - col("prev_last")) / nullif(col("prev_last"), lit(0.0)) * 100)
-      .withColumn("hour_sin", round(sin(hour * (2.0 * math.Pi) / 24.0), 6))
-      .withColumn("hour_cos", round(cos(hour * (2.0 * math.Pi) / 24.0), 6))
+      .withColumn("hour_sin", nz(round(sin(hour * (2.0 * math.Pi) / 24.0), 6)))
+      .withColumn("hour_cos", nz(round(cos(hour * (2.0 * math.Pi) / 24.0), 6)))
       .withColumn(
         "is_us_hours",
         (TimeUnits.bucketIndex(col("feature_ts"), 3600000L) % 24).between(13, 21))
@@ -89,7 +90,7 @@ object FeatureVectors {
         col("price_last").as("current_price"),
         col("future_price"),
         when(col("price_last") > 0 && col("future_price") > 0,
-          round(log(col("future_price") / col("price_last")), 8)).as("label_return"),
+          nz(round(log(col("future_price") / col("price_last")), 8))).as("label_return"),
         col("future_price").isNotNull.as("is_valid"))
   }
 }

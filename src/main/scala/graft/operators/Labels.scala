@@ -43,7 +43,7 @@ object Labels {
         col("px").as("current_price"),
         col("future_price"),
         when(col("px") > 0 && col("future_price") > 0,
-          round(log(col("future_price") / col("px")), 8)).as("log_return"),
+          graft.functions.Num.nz(round(log(col("future_price") / col("px")), 8))).as("log_return"),
         when(col("future_price") > col("px"), 1)
           .when(col("future_price") < col("px"), -1)
           .when(col("future_price").isNotNull, 0)

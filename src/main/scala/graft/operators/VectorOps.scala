@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Num.nz
 import graft.functions.TextFunctions.md5PrefixHash
 
 /** Similarity search over embedding columns (`Array[Float]`) — scale
@@ -48,7 +49,7 @@ object VectorOps {
       .withColumn("cn", l2Norm(col("cv")))
     val joined = c
       .crossJoin(broadcast(q))
-      .withColumn("cos_sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("cos_sim", nz(round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     joined
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -68,7 +69,7 @@ object VectorOps {
       .withColumn("nb", l2Norm(col("vb")))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("cos_sim", nz(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)))
       .filter(col("cos_sim") >= threshold)
       .select("block", "id_a", "id_b", "cos_sim")
   }
@@ -158,7 +159,7 @@ object VectorOps {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     corpus
       .join(broadcast(queries), Seq("cid"))
-      .withColumn("cos_sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("cos_sim", nz(round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos_sim", "rank")

@@ -34,8 +34,8 @@ object GoldQueries {
       |  SELECT symbol, feature_ts, trade_count, volume, vwap, price_min, price_max, price_last,
       |    price_last - lag(price_last, 1) OVER w AS price_change,
       |    (price_last - lag(price_last, 1) OVER w) / nullif(lag(price_last, 1) OVER w, 0.0) * 100 AS price_change_pct,
-      |    round(sin(((feature_ts // 3600000) % 24) * (2.0 * pi()) / 24.0), 6) AS hour_sin,
-      |    round(cos(((feature_ts // 3600000) % 24) * (2.0 * pi()) / 24.0), 6) AS hour_cos,
+      |    round(sin(((feature_ts // 3600000) % 24) * (2.0 * pi()) / 24.0), 6) + 0.0 AS hour_sin,
+      |    round(cos(((feature_ts // 3600000) % 24) * (2.0 * pi()) / 24.0), 6) + 0.0 AS hour_cos,
       |    ((feature_ts // 3600000) % 24) BETWEEN 13 AND 21 AS is_us_hours
       |  FROM ticks
       |  WINDOW w AS (PARTITION BY symbol ORDER BY feature_ts))""".stripMargin
@@ -78,7 +78,7 @@ object GoldQueries {
          |  list_sum(p.features) AS feat_sum,
          |  p.price_last AS current_price,
          |  f.price_last AS future_price,
-         |  CASE WHEN p.price_last > 0 AND f.price_last > 0 THEN round(ln(f.price_last / p.price_last), 8) END AS label_return,
+         |  CASE WHEN p.price_last > 0 AND f.price_last > 0 THEN round(ln(f.price_last / p.price_last), 8) + 0.0 END AS label_return,
          |  f.price_last IS NOT NULL AS is_valid
          |FROM packed p
          |LEFT JOIN packed f

@@ -188,7 +188,7 @@ object JoinQueries {
          |  FROM t GROUP BY 1, 2)
          |SELECT f.symbol, f.bucket * 120000 AS feature_ts,
          |  f.px AS current_price, g.px AS future_price,
-         |  CASE WHEN f.px > 0 AND g.px > 0 THEN round(ln(g.px / f.px), 8) END AS log_return,
+         |  CASE WHEN f.px > 0 AND g.px > 0 THEN round(ln(g.px / f.px), 8) + 0.0 END AS log_return,
          |  CASE WHEN g.px > f.px THEN 1 WHEN g.px < f.px THEN -1
          |       WHEN g.px IS NOT NULL THEN 0 END AS direction,
          |  g.px IS NOT NULL AS is_valid

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Num.nz
 import graft.functions.TimeUnits
 
 /** Scalar-function surface (SURVEY §2.8): math, date/time, string, array /
@@ -22,13 +23,13 @@ object ScalarQueries {
         .filter(col("trade_id") < 1000)
         .select(
           col("trade_id"),
-          round(log(col("price")), 6).as("ln_price"),
+          nz(round(log(col("price")), 6)).as("ln_price"),
           round(sqrt(col("price")), 6).as("sqrt_price"),
           round(pow(col("price"), 2.0), 4).as("price_sq"),
           abs(col("price") - 100.0).as("abs_dev"),
           when(col("price") > 100.0, 1).when(col("price") < 100.0, -1).otherwise(0).as("sign_dev"),
-          round(sin(hour * (2.0 * math.Pi) / 24.0), 6).as("hour_sin"),
-          round(cos(hour * (2.0 * math.Pi) / 24.0), 6).as("hour_cos"))
+          nz(round(sin(hour * (2.0 * math.Pi) / 24.0), 6)).as("hour_sin"),
+          nz(round(cos(hour * (2.0 * math.Pi) / 24.0), 6)).as("hour_cos"))
     },
     // Date/time family: hour/day extraction, partition-key derivation
     // (s3_writer.py:219-226), session flag (S3_SCHEMA.md:587-589).
@@ -103,9 +104,9 @@ object ScalarQueries {
       Tables.embeddings(s, dir).select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
-        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_elem"),
-        round(
-          aggregate(slice(asDouble, 1, 5), lit(0.0), (acc, x) => acc + x), 6)
+        nz(round(element_at(col("embedding"), 1).cast("double"), 6)).as("first_elem"),
+        nz(round(
+          aggregate(slice(asDouble, 1, 5), lit(0.0), (acc, x) => acc + x), 6))
           .as("sum_first5"),
         round(
           sqrt(aggregate(asDouble, lit(0.0), (acc, x) => acc + x * x)), 6)
@@ -117,13 +118,13 @@ object ScalarQueries {
     "f_math_scalars" ->
       s"""WITH t AS ($T)
          |SELECT trade_id,
-         |  round(ln(price), 6) AS ln_price,
+         |  round(ln(price), 6) + 0.0 AS ln_price,
          |  round(sqrt(price), 6) AS sqrt_price,
          |  round(pow(price, 2.0), 4) AS price_sq,
          |  abs(price - 100.0) AS abs_dev,
          |  CASE WHEN price > 100.0 THEN 1 WHEN price < 100.0 THEN -1 ELSE 0 END AS sign_dev,
-         |  round(sin(((ts_ms // 3600000) % 24) * (2.0 * pi()) / 24.0), 6) AS hour_sin,
-         |  round(cos(((ts_ms // 3600000) % 24) * (2.0 * pi()) / 24.0), 6) AS hour_cos
+         |  round(sin(((ts_ms // 3600000) % 24) * (2.0 * pi()) / 24.0), 6) + 0.0 AS hour_sin,
+         |  round(cos(((ts_ms // 3600000) % 24) * (2.0 * pi()) / 24.0), 6) + 0.0 AS hour_cos
          |FROM t WHERE trade_id < 1000""".stripMargin,
     "f_datetime_scalars" ->
       s"""WITH t AS ($T)
@@ -175,8 +176,8 @@ object ScalarQueries {
     "f_array_scalars" ->
       """SELECT vec_id,
         |  len(embedding) AS dim,
-        |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
-        |  round(list_sum(list_transform(embedding[1:5], x -> CAST(x AS DOUBLE))), 6) AS sum_first5,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS first_elem,
+        |  round(list_sum(list_transform(embedding[1:5], x -> CAST(x AS DOUBLE))), 6) + 0.0 AS sum_first5,
         |  round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
         |FROM embeddings""".stripMargin
   )

@@ -61,7 +61,7 @@ object VectorQueries {
          |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
          |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
          |sims AS (
-         |  SELECT q.query_id, c.vec_id, round($cos, 6) AS cos_sim
+         |  SELECT q.query_id, c.vec_id, round($cos, 6) + 0.0 AS cos_sim
          |  FROM c CROSS JOIN q),
          |r AS (
          |  SELECT query_id, vec_id, cos_sim,
@@ -74,7 +74,7 @@ object VectorQueries {
       s"""WITH e AS (SELECT vec_id, label,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
          |SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
-         |  round($cos, 6) AS cos_sim
+         |  round($cos, 6) + 0.0 AS cos_sim
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE round($cos, 6) >= 0.35""".stripMargin
     }

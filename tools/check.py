@@ -64,8 +64,14 @@ for name in sorted(oracle):
         a, b = s[c].to_numpy(), d[c].to_numpy()
         if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(d[c].dtype, np.floating):
             a = a.astype(float); b = b.astype(float)
-            exact = np.array_equal(a, b, equal_nan=True)
-            if not exact:
+            # byte-level equality (the driver hashes bytes): catches -0.0 vs
+            # +0.0, which numeric compares treat as equal
+            exact = np.array_equal(a, b, equal_nan=True) and np.array_equal(
+                np.signbit(a), np.signbit(b))
+            if not exact and np.array_equal(a, b, equal_nan=True):
+                i = int(np.argmax(np.signbit(a) != np.signbit(b)))
+                bad.append(f"{c}(signed-zero mismatch e.g. [{i}] {a[i]!r} vs {b[i]!r})")
+            elif not exact:
                 close = np.allclose(a, b, rtol=1e-8, atol=1e-10, equal_nan=True)
                 i = int(np.argmax(~(np.isclose(a, b, rtol=0, atol=0) | (np.isnan(a) & np.isnan(b)))))
                 bad.append(f"{c}(float exact=F close={close} e.g. [{i}] {a[i]!r} vs {b[i]!r})")
