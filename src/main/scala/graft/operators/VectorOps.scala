@@ -80,19 +80,22 @@ object VectorOps {
     * near-dup candidates; at 100 TB candidate generation is an equi-join on
     * (bucket), replacing the per-block quadratic scan.
     */
+  /** The ±1 hyperplane component for (bit, dim): deterministic pseudo-random
+    * from md5, shared by the Spark plan and the generated oracle SQL so both
+    * engines bucket identically.
+    */
+  def srpSign(bit: Int, d: Int): Double =
+    if (java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s"srp_${bit}_$d".getBytes("UTF-8"))(0) % 2 == 0) 1.0
+    else -1.0
+
   def srpBucket(embedding: Column, dim: Int, nBits: Int = 12): Column = {
     val v = asDouble(embedding)
     (0 until nBits)
       .map { bit =>
         val proj = (0 until dim)
-          .map { d =>
-            val sign =
-              if (java.security.MessageDigest
-                  .getInstance("MD5")
-                  .digest(s"srp_${bit}_$d".getBytes("UTF-8"))(0) % 2 == 0) 1.0
-              else -1.0
-            element_at(v, d + 1) * sign
-          }
+          .map(d => element_at(v, d + 1) * srpSign(bit, d))
           .reduce(_ + _)
         when(proj > 0, lit(1L << bit)).otherwise(lit(0L))
       }
@@ -105,25 +108,54 @@ object VectorOps {
     * only their own cell (`nProbe=1` semantics), turning top-k search into a
     * per-cell scan — the classic recall/throughput dial for ANN at corpus
     * scale. Pure DataFrame ops: centroid update is a groupBy + per-dimension
-    * mean via `posexplode`, assignment a broadcast cross-join over k rows.
+    * id-ordered fold via `posexplode`, assignment a broadcast cross-join over
+    * k rows.
+    *
+    * Determinism: the per-dimension mean is a sequential fold in id order
+    * (sorted `collect_list` + `aggregate`), NOT `avg()` — double `avg`
+    * merges partial sums in shuffle-arrival order, which is run- and
+    * engine-dependent, and a low-bit difference in a centroid can flip a
+    * nearest-cell assignment. The ordered fold is bit-reproducible anywhere,
+    * which is what lets the DuckDB oracle unroll the same iterations. (The
+    * per-(cell, dim) value list is the member count of one cell — if cells
+    * get huge and bit-reproducibility is not required, `avg()` is the
+    * cheaper scale variant.)
+    *
+    * Each iteration's centroids are persisted and materialized (k tiny rows)
+    * so iteration i+1's plan starts from the cached table instead of
+    * re-executing the whole assignment lineage back to the scan.
     */
   def ivfAssign(
       vecs: DataFrame, // id, embedding
       k: Int,
       iterations: Int = 3): (DataFrame, DataFrame) = {
     val v = vecs.select(col("id"), asDouble(col("embedding")).as("v"))
+    // Seed = the k smallest ids numbered 0..k-1 in id order: one k-element
+    // array aggregate + posexplode, no global window over the corpus.
     var centroids = v.orderBy("id").limit(k)
-      .select(col("id").cast("int").as("cid"), col("v").as("c"))
-      .withColumn("cid", row_number().over(Window.orderBy(col("cid"))) - 1)
+      .agg(array_sort(collect_list(struct(col("id"), col("v")))).as("seed"))
+      .select(posexplode(col("seed")).as(Seq("pos", "s")))
+      .select(col("pos").cast("int").as("cid"), col("s.v").as("c"))
     for (_ <- 0 until iterations) {
       val assigned = assignToNearest(v, centroids)
-      centroids = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      val next = assigned
+        .select(col("cid"), col("id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
-        .agg(avg(col("x")).as("m"))
+        .agg(
+          aggregate(
+            transform(
+              array_sort(collect_list(struct(col("id"), col("x")))),
+              e => e.getField("x")),
+            lit(0.0), (a, x) => a + x).as("sx"),
+          count(lit(1)).as("n"))
+        .withColumn("m", col("sx") / col("n"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cid"), transform(col("dm"), e => e.getField("m")).as("c"))
+        .persist()
+      next.count() // materialize, then drop the previous iteration's cache
+      centroids.unpersist(blocking = false)
+      centroids = next
     }
     (assignToNearest(v, centroids), centroids)
   }

@@ -56,16 +56,28 @@ object AnalyticsQueries {
         .select("service_name", "ts_ms", "trade_id", "staleness_s", "health")
     },
     // Sketch extension (SCALE.md): HLL distinct + approx percentile for the
-    // aggregations whose exact forms don't scale per-group. No DuckDB oracle
-    // (sketch algorithms differ across engines) — rows-only check; the
-    // ScalaTest asserts error bounds against the exact values.
+    // aggregations whose exact forms don't scale per-group. Sketch values
+    // themselves differ across engines, so the oracle-checkable output is the
+    // deterministic decomposition: the exact columns plus error-bound
+    // booleans computed Spark-side (the oracle emits literal TRUE — the gate
+    // hash-fails iff a bound is violated). The ScalaTest additionally asserts
+    // the bounds against tighter tolerances.
     "x_a12_approx_stats" -> { (s, dir) =>
       Tables.trades(s, dir)
         .groupBy(col("symbol"))
         .agg(
           approx_count_distinct(col("user_id")).as("approx_users"),
           approx_percentile(col("price"), lit(0.95), lit(1000)).as("approx_p95"),
-          countDistinct(col("user_id")).as("exact_users"))
+          countDistinct(col("user_id")).as("exact_users"),
+          expr("percentile(price, 0.95)").as("exact_p95_raw"))
+        .select(
+          col("symbol"),
+          col("exact_users"),
+          round(col("exact_p95_raw"), 4).as("exact_p95"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * 0.15).as("users_bound_ok"),
+          (abs(col("approx_p95") - col("exact_p95_raw"))
+            <= abs(col("exact_p95_raw")) * 0.05).as("p95_bound_ok"))
     },
     // P1-P5 + P9 + P10 — projection/rename, required-field + positive +
     // ts-sanity filters, decimal-safe cast, derived scalars, CASE bucket
@@ -119,6 +131,14 @@ object AnalyticsQueries {
          |       WHEN (now_ms - ts_ms) / 1000.0 <= 86400 THEN 'degraded'
          |       ELSE 'stale' END AS health
          |FROM latest CROSS JOIN now_t WHERE rn = 1""".stripMargin,
+    "x_a12_approx_stats" ->
+      s"""WITH t AS ($T)
+         |SELECT symbol,
+         |  count(DISTINCT user_id) AS exact_users,
+         |  round(percentile_cont(0.95) WITHIN GROUP (ORDER BY price), 4) AS exact_p95,
+         |  TRUE AS users_bound_ok,
+         |  TRUE AS p95_bound_ok
+         |FROM t GROUP BY symbol""".stripMargin,
     "a10_watermarks" ->
       s"""WITH t AS ($T)
          |SELECT symbol AS key, max(ts_ms) AS max_ts, min(ts_ms) AS min_ts,

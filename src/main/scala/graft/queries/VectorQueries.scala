@@ -27,18 +27,18 @@ object VectorQueries {
         k = 3)
     },
     // V3 — scale-path ANN: sign-random-projection LSH buckets instead of
-    // label blocking. No SQL oracle (the deterministic hyperplanes are not
-    // practically expressible in DuckDB); driver records rows-only, and the
-    // golden test asserts the pairs are a subset of brute-force truth.
+    // label blocking. The hyperplane signs are md5-derived constants shared
+    // with the oracle builder, so the DuckDB SQL embeds the identical ±1
+    // pattern and reproduces the bucketing bit-for-bit.
     "x_v3_ann_lsh_neardup" -> { (s, dir) =>
       VectorOps.nearDupLsh(
         Tables.embeddings(s, dir)
           .select(col("vec_id").as("id"), col("embedding")),
         dim = 64, threshold = 0.35, nBits = 8)
     },
-    // V4 — IVF-cell-probed ANN (scale path #2). Rows-only: k-means centroid
-    // means are partition-order-sensitive doubles, so no cross-engine oracle;
-    // the spec asserts cluster-structure properties instead.
+    // V4 — IVF-cell-probed ANN (scale path #2). The Lloyd iteration is fully
+    // deterministic (first-k seed, fixed iteration count, id-ordered mean
+    // folds), so the oracle unrolls the same 3 iterations in DuckDB CTEs.
     "x_v4_ann_ivf" -> { (s, dir) =>
       VectorOps.annTopKIvf(
         Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding")),
@@ -53,7 +53,79 @@ object VectorQueries {
     }
   )
 
+  /** DuckDB SQL for the SRP bucket id — the same md5-derived ±1 hyperplane
+    * components as [[VectorOps.srpBucket]], inlined as literals (left-to-right
+    * addition matches Spark's fold order, so the projection doubles are
+    * bit-identical).
+    */
+  private def srpBucketSql(v: String, dim: Int, nBits: Int): String =
+    (0 until nBits)
+      .map { bit =>
+        val proj = (0 until dim)
+          .map(d => s"$v[${d + 1}] * ${VectorOps.srpSign(bit, d)}")
+          .mkString(" + ")
+        s"(CASE WHEN ($proj) > 0 THEN ${1L << bit} ELSE 0 END)"
+      }
+      .mkString(" + ")
+
+  /** DuckDB unroll of [[VectorOps.ivfAssign]] + [[VectorOps.annTopKIvf]]:
+    * same first-k seed, the same `iterations` assign→update rounds with
+    * id-ordered sequential mean folds (`list_sum(list(x ORDER BY id))` is a
+    * left fold, verified bit-identical to Spark's `aggregate`), then the
+    * cell-probed top-k.
+    */
+  private def ivfOracleSql(k: Int, dim: Int, iterations: Int, nQueries: Int, topK: Int): String = {
+    def d2(v: String, c: String) =
+      s"list_sum(list_transform(generate_series(1, $dim), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
+    def assign(name: String, cPrev: String) =
+      s"""$name AS (
+         |  SELECT id, v, cid FROM (
+         |    SELECT id, v, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM (
+         |      SELECT e.id, e.v, c.cid, ${d2("e.v", "c.c")} AS d2
+         |      FROM e CROSS JOIN $cPrev c) dd) rr
+         |  WHERE rn = 1)""".stripMargin
+    def update(name: String, aPrev: String) =
+      s"""$name AS (
+         |  SELECT cid, list(m ORDER BY dim) AS c FROM (
+         |    SELECT cid, dim, list_sum(list(x ORDER BY id)) / count(*) AS m FROM (
+         |      SELECT a.cid, a.id, g.i AS dim, a.v[g.i] AS x
+         |      FROM $aPrev a CROSS JOIN generate_series(1, $dim) g(i)) xx
+         |    GROUP BY cid, dim) mm
+         |  GROUP BY cid)""".stripMargin
+    val rounds = (1 to iterations)
+      .flatMap(i => Seq(assign(s"a$i", s"c${i - 1}"), update(s"c$i", s"a$i")))
+      .mkString(",\n")
+    val cos = duckCos("q.qv", "cor.cv")
+    s"""WITH e AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, v AS c
+       |  FROM (SELECT id, v FROM e ORDER BY id LIMIT $k) s0),
+       |$rounds,
+       |${assign("af", s"c$iterations")},
+       |q AS (SELECT id AS query_id, v AS qv, cid FROM af WHERE id < $nQueries),
+       |cor AS (SELECT id AS vec_id, v AS cv, cid FROM af WHERE id >= $nQueries),
+       |sims AS (
+       |  SELECT q.query_id, cor.vec_id, round($cos, 6) + 0.0 AS cos_sim
+       |  FROM cor JOIN q USING (cid)),
+       |r AS (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM sims)
+       |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= $topK""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x_v3_ann_lsh_neardup" -> {
+      val cos = duckCos("a.v", "b.v")
+      s"""WITH e AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |bk AS (SELECT id, v, CAST(${srpBucketSql("v", 64, 8)} AS BIGINT) AS block FROM e)
+         |SELECT a.block, a.id AS id_a, b.id AS id_b, round($cos, 6) + 0.0 AS cos_sim
+         |FROM bk a JOIN bk b ON a.block = b.block AND a.id < b.id
+         |WHERE round($cos, 6) >= 0.35""".stripMargin
+    },
+    "x_v4_ann_ivf" -> ivfOracleSql(k = 8, dim = 64, iterations = 3, nQueries = 10, topK = 3),
     "v1_ann_topk" -> {
       val cos = duckCos("q.v", "c.v")
       s"""WITH e AS (SELECT vec_id, label,
