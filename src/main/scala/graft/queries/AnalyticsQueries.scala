@@ -79,6 +79,39 @@ object AnalyticsQueries {
           (abs(col("approx_p95") - col("exact_p95_raw"))
             <= abs(col("exact_p95_raw")) * 0.05).as("p95_bound_ok"))
     },
+    // C1 — DECIMAL(20,8) curated layer end-to-end: the reference's batch ETL
+    // materializes Decimal, not double (transformer.py:217-239,
+    // db_writer.py:79-109). DecimalType survives cast → arithmetic → output
+    // with no double cast-back; the product is re-scaled to (20,8) like the
+    // reference's quantize-on-write.
+    "c1_decimal_curated" -> { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 8)
+      Tables.trades(s, dir)
+        .filter(col("trade_id") < 2000)
+        .select(
+          // named so the unique int sorts first in the driver's
+          // alphabetical column order: decimal columns surface as exact
+          // strings on the parquet side but floats on the DuckDB side, so
+          // they must never be the row-alignment sort key
+          col("trade_id").as("id"),
+          col("symbol"),
+          col("price").cast(dec).as("price_dec"),
+          col("qty").cast(dec).as("qty_dec"))
+        .withColumn("notional_dec", (col("price_dec") * col("qty_dec")).cast(dec))
+    },
+    // C2 — exact decimal rollup: sums stay in decimal (order-independent,
+    // unlike double sums) and are re-scaled to (20,8) on output.
+    "c2_decimal_rollup" -> { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 8)
+      Tables.trades(s, dir)
+        .filter(col("trade_id") < 2000)
+        .groupBy(col("symbol"))
+        .agg(
+          sum(col("price").cast(dec)).cast(dec).as("price_sum_dec"),
+          sum((col("price").cast(dec) * col("qty").cast(dec)).cast(dec))
+            .cast(dec).as("notional_sum_dec"),
+          count(lit(1)).as("n"))
+    },
     // P1-P5 + P9 + P10 — projection/rename, required-field + positive +
     // ts-sanity filters, decimal-safe cast, derived scalars, CASE bucket
     // (transformer.py:27-260, feature_builder.py:114).
@@ -144,6 +177,20 @@ object AnalyticsQueries {
          |SELECT symbol AS key, max(ts_ms) AS max_ts, min(ts_ms) AS min_ts,
          |       count(*) AS n_records
          |FROM t GROUP BY symbol""".stripMargin,
+    "c1_decimal_curated" ->
+      s"""WITH t AS ($T)
+         |SELECT trade_id AS id, symbol,
+         |  CAST(price AS DECIMAL(20,8)) AS price_dec,
+         |  CAST(qty AS DECIMAL(20,8)) AS qty_dec,
+         |  CAST(CAST(price AS DECIMAL(20,8)) * CAST(qty AS DECIMAL(20,8)) AS DECIMAL(20,8)) AS notional_dec
+         |FROM t WHERE trade_id < 2000""".stripMargin,
+    "c2_decimal_rollup" ->
+      s"""WITH t AS ($T)
+         |SELECT symbol,
+         |  CAST(sum(CAST(price AS DECIMAL(20,8))) AS DECIMAL(20,8)) AS price_sum_dec,
+         |  CAST(sum(CAST(CAST(price AS DECIMAL(20,8)) * CAST(qty AS DECIMAL(20,8)) AS DECIMAL(20,8))) AS DECIMAL(20,8)) AS notional_sum_dec,
+         |  count(*) AS n
+         |FROM t WHERE trade_id < 2000 GROUP BY symbol""".stripMargin,
     "p1_projection_validation" ->
       """SELECT event_id AS trade_id,
         |  epoch_ms(ts) AS ts_ms,

@@ -111,6 +111,43 @@ object MicrostructureQueries {
           round(col("d.ask_px") - col("d.bid_px"), 2).as("spread"),
           col("d.symbol").as("symbol"))
     },
+    // S2c — depth template (10003) roundtrip: the repeating-group walk
+    // (sbe_decoder.cpp:456-542) through the codegen decode expression. Levels
+    // are flattened to scalars (best bid/ask, per-side qty fold) so the
+    // oracle can reproduce the arithmetic without array hashing.
+    "s2c_depth_roundtrip" -> { (s, dir) =>
+      val t = Tables.trades(s, dir).filter(col("trade_id") < 2000)
+      val m = round(col("price") * 100).cast("long")
+      val enc = t.select(
+        col("trade_id").as("orig_id"),
+        Sbe.encodeDepth(
+          col("ts_ms") * 1000L,
+          col("trade_id") * 10L,
+          col("trade_id") * 10L + 5L,
+          array(m - 1L, m - 2L, m - 3L),
+          array(m + 1L, m + 2L),
+          lit(-2), upper(col("symbol"))).as("frame"))
+      enc
+        .select(col("orig_id"), Sbe.decodeDepth(col("frame")).as("d"))
+        .select(
+          col("orig_id"),
+          col("d.ts_ms").as("ts_ms"),
+          col("d.first_update_id").as("first_update_id"),
+          col("d.final_update_id").as("final_update_id"),
+          size(col("d.bids")).cast("long").as("n_bids"),
+          size(col("d.asks")).cast("long").as("n_asks"),
+          round(element_at(col("d.bids"), 1).getField("price"), 2).as("best_bid"),
+          round(element_at(col("d.asks"), 1).getField("price"), 2).as("best_ask"),
+          round(
+            aggregate(
+              transform(col("d.bids"), l => l.getField("qty")), lit(0.0), (a, x) => a + x),
+            2).as("bid_qty_sum"),
+          round(
+            aggregate(
+              transform(col("d.asks"), l => l.getField("qty")), lit(0.0), (a, x) => a + x),
+            2).as("ask_qty_sum"),
+          col("d.symbol").as("symbol"))
+    },
     // K2/S8 — bronze object-key derivation and parse-back
     // (s3_writer.py:216-230, s3_reader.py:124-152).
     "k2_partition_keys" -> { (s, dir) =>
@@ -209,6 +246,27 @@ object MicrostructureQueries {
          |        - (CAST(round(price * 100) AS BIGINT) - 50) * 0.01, 2) AS spread,
          |  upper(symbol) AS symbol
          |FROM t WHERE trade_id < 2000""".stripMargin,
+    // qty mantissa is price-mantissa+1 per level (see Sbe.encodeDepth), so
+    // bid qtys are m, m-1, m-2 and ask qtys m+2, m+3; the fold order of the
+    // qty sums matches Spark's sequential aggregate.
+    "s2c_depth_roundtrip" ->
+      s"""WITH t AS ($T),
+         |m AS (
+         |  SELECT trade_id, ts_ms, CAST(round(price * 100) AS BIGINT) AS mm,
+         |         upper(symbol) AS sym
+         |  FROM t WHERE trade_id < 2000)
+         |SELECT trade_id AS orig_id,
+         |  ts_ms,
+         |  trade_id * 10 AS first_update_id,
+         |  trade_id * 10 + 5 AS final_update_id,
+         |  CAST(3 AS BIGINT) AS n_bids,
+         |  CAST(2 AS BIGINT) AS n_asks,
+         |  round((mm - 1) * 0.01, 2) AS best_bid,
+         |  round((mm + 1) * 0.01, 2) AS best_ask,
+         |  round(mm * 0.01 + (mm - 1) * 0.01 + (mm - 2) * 0.01, 2) AS bid_qty_sum,
+         |  round((mm + 2) * 0.01 + (mm + 3) * 0.01, 2) AS ask_qty_sum,
+         |  sym AS symbol
+         |FROM m""".stripMargin,
     "k2_partition_keys" ->
       s"""WITH t AS ($T)
          |SELECT trade_id,
