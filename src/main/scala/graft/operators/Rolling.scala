@@ -80,6 +80,107 @@ object Rolling {
         col("n_w").cast("double") / greatest(spanSec, lit(0.001)))
   }
 
+  /** A5 at firehose scale: [[trailingStats]] partitions by `symbol`, so its
+    * parallelism collapses to the key cardinality — the reference streams ONE
+    * symbol, the classic single-hot-partition window. This variant
+    * pre-buckets by (symbol, time-chunk) and stitches the chunk boundaries,
+    * producing BIT-IDENTICAL output to [[trailingStats]] (same oracle) with
+    * parallelism = symbols × chunks:
+    *
+    *   1. interarrival: chunk-local `lag`, then the first row of each chunk
+    *      is stitched from a per-chunk boundary summary (one row per
+    *      non-empty chunk — the only per-symbol window runs on THAT tiny
+    *      table, not the stream).
+    *   2. trailing range frames: every row whose trailing `windowMs` window
+    *      can be seen from the next chunk (the boundary band) is replicated
+    *      into it as a non-owned context row; frames then compute
+    *      chunk-locally and context rows are dropped.
+    *
+    * Requires `chunkMs >= windowMs` so context only ever comes from the
+    * immediately-previous chunk. Duplication factor = windowMs / chunkMs.
+    */
+  def trailingStatsBucketed(
+      trades: DataFrame,
+      symbol: Column,
+      tsMs: Column,
+      price: Column,
+      qty: Column,
+      tieBreak: Column,
+      windowMs: Long = 5000L,
+      chunkMs: Long = 60000L): DataFrame = {
+    require(chunkMs >= windowMs, s"chunkMs ($chunkMs) must be >= windowMs ($windowMs)")
+    val base = trades
+      .withColumn("__sym", symbol)
+      .withColumn("__ts", tsMs)
+      .withColumn("__tie", tieBreak)
+      .withColumn("__chunk", graft.functions.TimeUnits.bucketIndex(tsMs, chunkMs))
+
+    // 1 — exact interarrival: chunk-local lag + boundary stitch. The only
+    // per-symbol window runs over the per-chunk summary (one row per
+    // non-empty chunk), not the stream.
+    val wSeqChunk = Window
+      .partitionBy(col("__sym"), col("__chunk"))
+      .orderBy(col("__ts"), col("__tie"))
+    val local = base.withColumn("__ia_local", col("__ts") - lag(col("__ts"), 1).over(wSeqChunk))
+    val wChunks = Window.partitionBy(col("__sym")).orderBy(col("__chunk"))
+    val prevBounds = base
+      .groupBy(col("__sym"), col("__chunk"))
+      .agg(max(col("__ts")).as("__chunk_last_ts"))
+      .withColumn("__prev_last_ts", lag(col("__chunk_last_ts"), 1).over(wChunks))
+      .select(col("__sym"), col("__chunk"), col("__prev_last_ts"))
+    val withIa = local
+      .join(prevBounds, Seq("__sym", "__chunk"))
+      .withColumn(
+        "interarrival_ms",
+        coalesce(col("__ia_local"), col("__ts") - col("__prev_last_ts")))
+      .drop("__ia_local", "__prev_last_ts")
+
+    // 2 — trailing frames over (symbol, chunk) with boundary-band context:
+    // a row in chunk c sees back to ts - windowMs >= c*chunkMs - windowMs,
+    // all of which lives in chunk c-1's trailing band.
+    val owned = withIa.withColumn("__owner", lit(true))
+    val context = withIa
+      .filter(col("__ts") >= (col("__chunk") + 1) * chunkMs - windowMs)
+      .withColumn("__chunk", col("__chunk") + 1)
+      .withColumn("__owner", lit(false))
+    val all = owned.unionByName(context)
+    val wRange = Window
+      .partitionBy(col("__sym"), col("__chunk"))
+      .orderBy(col("__ts"))
+      .rangeBetween(-windowMs, 0)
+    val spanSec = (col("__ts") - min(col("__ts")).over(wRange)).cast("double") / 1000.0
+    all
+      .withColumn("n_w", count(lit(1)).over(wRange))
+      .withColumn("vol_w", sum(qty.cast("decimal(27,8)")).over(wRange).cast("double"))
+      .withColumn(
+        "vwap_w",
+        sum((price * qty).cast("decimal(27,10)")).over(wRange).cast("double") /
+          nullif(col("vol_w"), lit(0.0)))
+      .withColumn("price_std_w", round(stddev_samp(price).over(wRange), 4))
+      .withColumn(
+        "price_range_w",
+        round(max(price).over(wRange) - min(price).over(wRange), 8))
+      .withColumn("__ia_n", count(col("interarrival_ms")).over(wRange))
+      .withColumn("__ia_s1", sum(col("interarrival_ms")).over(wRange).cast("double"))
+      .withColumn(
+        "__ia_s2",
+        sum(col("interarrival_ms") * col("interarrival_ms")).over(wRange).cast("double"))
+      .withColumn(
+        "interarrival_mean_s_w",
+        col("__ia_s1") / col("__ia_n") / 1000.0)
+      .withColumn(
+        "interarrival_var_s_w",
+        when(
+          col("__ia_n") >= 2,
+          (col("__ia_s2") - col("__ia_s1") * col("__ia_s1") / col("__ia_n")) /
+            (col("__ia_n") - 1) / 1.0e6))
+      .withColumn(
+        "trade_intensity_w",
+        col("n_w").cast("double") / greatest(spanSec, lit(0.001)))
+      .filter(col("__owner"))
+      .drop("__ia_n", "__ia_s1", "__ia_s2", "__owner", "__chunk", "__tie", "__sym", "__ts")
+  }
+
   /** W5: forward path stats over `(t, t + horizonMs]` — the label-side
     * max/min/range/volume/count of the 10 s window after each feature tick.
     */

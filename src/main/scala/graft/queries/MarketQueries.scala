@@ -65,6 +65,22 @@ object MarketQueries {
           "price_std_w", "price_range_w", "interarrival_ms",
           "interarrival_mean_s_w", "interarrival_var_s_w", "trade_intensity_w")
     },
+    // A5b — the same trailing stats with (symbol, time-chunk) bucketing and
+    // boundary stitching (SCALE.md): bit-identical output (same oracle as
+    // a5), parallelism = symbols × chunks instead of collapsing to the
+    // symbol cardinality. 5-min window / 1-h chunks on the sparse table.
+    "a5b_rolling_stats_bucketed" -> { (s, dir) =>
+      Rolling
+        .trailingStatsBucketed(
+          Tables.trades(s, dir),
+          symbol = col("symbol"), tsMs = col("ts_ms"), price = col("price"),
+          qty = col("qty"), tieBreak = col("trade_id"), windowMs = 300000L,
+          chunkMs = 3600000L)
+        .select(
+          "symbol", "ts_ms", "trade_id", "price", "n_w", "vol_w", "vwap_w",
+          "price_std_w", "price_range_w", "interarrival_ms",
+          "interarrival_mean_s_w", "interarrival_var_s_w", "trade_intensity_w")
+    },
     // A6 — daily trading summary (RDS_SCHEMA.md:446-497).
     "a6_daily_summary" -> { (s, dir) =>
       Bars.dailySummary(
@@ -144,6 +160,33 @@ object MarketQueries {
     }
   )
 
+  /** Shared by a5 and a5b — the bucketed variant must reproduce the
+    * per-symbol window semantics exactly.
+    */
+  private val a5OracleSql: String =
+    s"""WITH t AS ($T),
+       |ia AS (
+       |  SELECT *, ts_ms - lag(ts_ms, 1) OVER (PARTITION BY symbol ORDER BY ts_ms, trade_id) AS interarrival_ms
+       |  FROM t)
+       |SELECT symbol, ts_ms, trade_id, price,
+       |  count(*) OVER wr AS n_w,
+       |  CAST(sum(CAST(qty AS DECIMAL(27,8))) OVER wr AS DOUBLE) AS vol_w,
+       |  CAST(sum(CAST(price * qty AS DECIMAL(27,10))) OVER wr AS DOUBLE)
+       |    / nullif(CAST(sum(CAST(qty AS DECIMAL(27,8))) OVER wr AS DOUBLE), 0.0) AS vwap_w,
+       |  round(stddev_samp(price) OVER wr, 4) AS price_std_w,
+       |  round(max(price) OVER wr - min(price) OVER wr, 8) AS price_range_w,
+       |  interarrival_ms,
+       |  CAST(sum(interarrival_ms) OVER wr AS DOUBLE) / (count(interarrival_ms) OVER wr) / 1000.0 AS interarrival_mean_s_w,
+       |  CASE WHEN count(interarrival_ms) OVER wr >= 2 THEN
+       |    (CAST(sum(interarrival_ms * interarrival_ms) OVER wr AS DOUBLE)
+       |     - CAST(sum(interarrival_ms) OVER wr AS DOUBLE) * CAST(sum(interarrival_ms) OVER wr AS DOUBLE) / (count(interarrival_ms) OVER wr))
+       |    / (count(interarrival_ms) OVER wr - 1) / 1.0e6
+       |  END AS interarrival_var_s_w,
+       |  (count(*) OVER wr) / greatest((ts_ms - min(ts_ms) OVER wr) / 1000.0, 0.001) AS trade_intensity_w
+       |FROM ia
+       |WINDOW wr AS (PARTITION BY symbol ORDER BY ts_ms RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW),
+       |       ws AS (PARTITION BY symbol ORDER BY ts_ms, trade_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "a1_trade_batch_stats" ->
       """SELECT l_returnflag, l_linestatus,
@@ -190,29 +233,9 @@ object MarketQueries {
          |  max(ia_ms) / 1000.0 AS gap_seconds,
          |  least(1.0, count(*) / 5.0) AS completeness_score
          |FROM ia GROUP BY 1, 2""".stripMargin,
-    "a5_rolling_stats" ->
-      s"""WITH t AS ($T),
-         |ia AS (
-         |  SELECT *, ts_ms - lag(ts_ms, 1) OVER (PARTITION BY symbol ORDER BY ts_ms, trade_id) AS interarrival_ms
-         |  FROM t)
-         |SELECT symbol, ts_ms, trade_id, price,
-         |  count(*) OVER wr AS n_w,
-         |  CAST(sum(CAST(qty AS DECIMAL(27,8))) OVER wr AS DOUBLE) AS vol_w,
-         |  CAST(sum(CAST(price * qty AS DECIMAL(27,10))) OVER wr AS DOUBLE)
-         |    / nullif(CAST(sum(CAST(qty AS DECIMAL(27,8))) OVER wr AS DOUBLE), 0.0) AS vwap_w,
-         |  round(stddev_samp(price) OVER wr, 4) AS price_std_w,
-         |  round(max(price) OVER wr - min(price) OVER wr, 8) AS price_range_w,
-         |  interarrival_ms,
-         |  CAST(sum(interarrival_ms) OVER wr AS DOUBLE) / (count(interarrival_ms) OVER wr) / 1000.0 AS interarrival_mean_s_w,
-         |  CASE WHEN count(interarrival_ms) OVER wr >= 2 THEN
-         |    (CAST(sum(interarrival_ms * interarrival_ms) OVER wr AS DOUBLE)
-         |     - CAST(sum(interarrival_ms) OVER wr AS DOUBLE) * CAST(sum(interarrival_ms) OVER wr AS DOUBLE) / (count(interarrival_ms) OVER wr))
-         |    / (count(interarrival_ms) OVER wr - 1) / 1.0e6
-         |  END AS interarrival_var_s_w,
-         |  (count(*) OVER wr) / greatest((ts_ms - min(ts_ms) OVER wr) / 1000.0, 0.001) AS trade_intensity_w
-         |FROM ia
-         |WINDOW wr AS (PARTITION BY symbol ORDER BY ts_ms RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW),
-         |       ws AS (PARTITION BY symbol ORDER BY ts_ms, trade_id)""".stripMargin,
+    "a5_rolling_stats" -> a5OracleSql,
+    // bucketed variant is output-identical by construction — same oracle
+    "a5b_rolling_stats_bucketed" -> a5OracleSql,
     "a6_daily_summary" ->
       s"""WITH t AS ($T)
          |SELECT symbol, strftime(make_timestamp(ts_ms * 1000), '%Y-%m-%d') AS trading_date,

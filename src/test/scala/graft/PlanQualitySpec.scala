@@ -39,6 +39,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!read.contains("l_shipdate") && !read.contains("l_comment"))
   }
 
+  test("a5b bucketed rolling window partitions by (symbol, chunk), not symbol alone") {
+    val p = plan("a5b_rolling_stats_bucketed")
+    // the heavy per-row windows must carry the chunk key in their partition
+    // spec so parallelism = symbols × chunks, not the symbol cardinality
+    assert(p.contains("__chunk"), p.take(800))
+    assert("hashpartitioning\\([^)]*__chunk".r.findFirstIn(p).nonEmpty, p.take(800))
+    // and the chunked key space is genuinely wider than the symbol space
+    val t = Tables.trades(spark, sf)
+    val nSym = t.select("symbol").distinct.count()
+    val nParts = t
+      .select(
+        org.apache.spark.sql.functions.col("symbol"),
+        graft.functions.TimeUnits.bucketIndex(
+          org.apache.spark.sql.functions.col("ts_ms"), 3600000L))
+      .distinct.count()
+    assert(nParts > nSym, s"chunking added no parallelism: $nParts vs $nSym")
+  }
+
+  test("a5b bucketed rolling window output equals the per-symbol a5 window") {
+    val a5 = SparkEntry.queries("a5_rolling_stats")(spark, sf)
+    val a5b = SparkEntry.queries("a5b_rolling_stats_bucketed")(spark, sf)
+    assert(a5b.count() === a5.count())
+    assert(a5b.exceptAll(a5).isEmpty && a5.exceptAll(a5b).isEmpty)
+  }
+
   test("a4 bars aggregate partially before its single shuffle") {
     val p = plan("a4_bars_1m")
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(500))
