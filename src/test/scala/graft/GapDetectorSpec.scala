@@ -36,6 +36,46 @@ class GapDetectorSpec extends SparkSpec {
     assert(reg.prev_seq === 10 && reg.seq === 4)
   }
 
+  test("streaming gap detector: idle keys are evicted once the watermark passes their timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SeqEvent]
+    val q = GapDetector
+      .detect(mem.toDS(), tolerance = 1L, watermarkDelay = "1 second", idleTimeoutMs = 10000L)
+      .writeStream.outputMode("append").format("memory").queryName("gaps_evict").start()
+
+    mem.addData(SeqEvent("BTC", 100, 1000))
+    q.processAllAvailable()
+    // advance the watermark far beyond BTC's idle timeout (1000 + 10000)
+    mem.addData(SeqEvent("ETH", 1, 10000000))
+    q.processAllAvailable()
+    // one more batch so the timed-out BTC state is actually evicted
+    mem.addData(SeqEvent("ETH", 2, 10001000))
+    q.processAllAvailable()
+
+    // BTC seq regressed vs its old state (1 < 100) — but the state was
+    // evicted, so this is treated as a first-seen key: NO regression event
+    mem.addData(SeqEvent("BTC", 1, 10002000))
+    q.processAllAvailable()
+    val out = spark.table("gaps_evict").as[GapEvent].collect()
+    q.stop()
+    assert(out.isEmpty, out.mkString(", "))
+  }
+
+  test("streaming gap detector: live keys keep state while others are evicted") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SeqEvent]
+    val q = GapDetector
+      .detect(mem.toDS(), tolerance = 1L, watermarkDelay = "1 second", idleTimeoutMs = 1000000000L)
+      .writeStream.outputMode("append").format("memory").queryName("gaps_live").start()
+    mem.addData(SeqEvent("BTC", 100, 1000))
+    q.processAllAvailable()
+    mem.addData(SeqEvent("BTC", 1, 2000)) // regression against live state
+    q.processAllAvailable()
+    val out = spark.table("gaps_live").as[GapEvent].collect()
+    q.stop()
+    assert(out.length === 1 && out(0).kind === "regression")
+  }
+
   test("IVF ANN: cell-probed top-k returns same-cell neighbors, subset check vs brute force") {
     import org.apache.spark.sql.functions._
     import graft.operators.VectorOps
