@@ -105,7 +105,9 @@ object AnalyticsQueries {
       val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 8)
       Tables.trades(s, dir)
         .filter(col("trade_id") < 2000)
-        .groupBy(col("symbol"))
+        // "key": the unique group column must sort alphabetically first so
+        // rows align on it (same string-vs-float decimal caveat as c1)
+        .groupBy(col("symbol").as("key"))
         .agg(
           sum(col("price").cast(dec)).cast(dec).as("price_sum_dec"),
           sum((col("price").cast(dec) * col("qty").cast(dec)).cast(dec))
@@ -186,7 +188,7 @@ object AnalyticsQueries {
          |FROM t WHERE trade_id < 2000""".stripMargin,
     "c2_decimal_rollup" ->
       s"""WITH t AS ($T)
-         |SELECT symbol,
+         |SELECT symbol AS key,
          |  CAST(sum(CAST(price AS DECIMAL(20,8))) AS DECIMAL(20,8)) AS price_sum_dec,
          |  CAST(sum(CAST(CAST(price AS DECIMAL(20,8)) * CAST(qty AS DECIMAL(20,8)) AS DECIMAL(20,8))) AS DECIMAL(20,8)) AS notional_sum_dec,
          |  count(*) AS n

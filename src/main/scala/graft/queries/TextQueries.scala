@@ -91,6 +91,22 @@ object TextQueries {
         .filter(col("jaccard") >= 0.2)
         .select("source", "doc_a", "doc_b", "n_common", "jaccard")
     },
+    // T-fingerprint — polynomial rolling hash (Rabin-Karp style) over the
+    // character stream as a 64-bit-safe document fingerprint, plus the
+    // BPE-ish regex tokenizer (letter runs | digit runs | single punct) and
+    // punctuation ratio. Fold runs inside codegen; zero shuffle.
+    "t7_fingerprint_tokens" -> { (s, dir) =>
+      val bpe = regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+      val punct = regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        expr(
+          "aggregate(transform(sequence(1, length(text)), i -> cast(ascii(substr(text, i, 1)) as bigint)), " +
+            "0L, (h, c) -> (h * 131 + c) % 1000000007)").as("fingerprint"),
+        size(bpe).cast("long").as("n_tokens_bpe"),
+        size(array_distinct(bpe)).cast("long").as("n_unique_bpe"),
+        (size(punct).cast("double") / length(col("text"))).as("punct_ratio"))
+    },
     // T-quality — token stats, type-token ratio, stopword ratio, composite
     // quality score, and the n-gram language-ID heuristic.
     "t5_text_quality" -> { (s, dir) =>
@@ -180,6 +196,15 @@ object TextQueries {
         |JOIN sz sa ON sa.doc_id = p.doc_a
         |JOIN sz sb ON sb.doc_id = p.doc_b
         |WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.2""".stripMargin,
+    "t7_fingerprint_tokens" ->
+      """SELECT doc_id,
+        |  list_reduce(list_transform(generate_series(1, length(text)),
+        |                             i -> CAST(ord(substr(text, i, 1)) AS BIGINT)),
+        |              (h, c) -> (h * 131 + c) % 1000000007) AS fingerprint,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
+        |  len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS n_unique_bpe,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / length(text) AS punct_ratio
+        |FROM documents""".stripMargin,
     "t5_text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
