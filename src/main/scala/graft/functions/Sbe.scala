@@ -26,9 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * µs timestamps are floored to ms (`sbe_decoder.cpp:134-136`).
   *
   * Decode is a Catalyst `Expression` (no UDF row-encoding overhead; null on
-  * foreign templateId like the reference's dispatch). CodegenFallback for
-  * now — the eval path is a single ByteBuffer walk; doGenCode is the
-  * documented upgrade if decode ever dominates a profile.
+  * foreign templateId like the reference's dispatch) with a real `doGenCode`
+  * path: a static call into the shared ByteBuffer kernel, so decode stays
+  * inside whole-stage codegen with no interpreted eval dispatch per row.
   */
 object Sbe {
 

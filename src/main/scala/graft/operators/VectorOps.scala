@@ -94,9 +94,12 @@ object VectorOps {
     val v = asDouble(embedding)
     (0 until nBits)
       .map { bit =>
-        val proj = (0 until dim)
-          .map(d => element_at(v, d + 1) * srpSign(bit, d))
-          .reduce(_ + _)
+        // literal sign vector + zip_with fold: same multiply-then-left-fold
+        // double arithmetic as an explicit term-by-term sum (which is what
+        // the generated oracle SQL spells out), but an O(1)-size expression
+        // tree instead of O(dim) — planning and codegen stay small
+        val signs = typedLit((0 until dim).map(d => srpSign(bit, d)))
+        val proj = aggregate(zip_with(v, signs, (x, s) => x * s), lit(0.0), (a, t) => a + t)
         when(proj > 0, lit(1L << bit)).otherwise(lit(0L))
       }
       .reduce(_ + _)
