@@ -108,6 +108,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  for (seed <- Seq(5L, 23L)) {
+    test(s"A5b bucketed trailing stats equal the per-symbol window on adversarial data, seed $seed") {
+      val rnd = new scala.util.Random(seed)
+      val windowMs = 1000L
+      val chunkMs = 2000L
+      // adversarial timestamps: exact chunk boundaries, boundary-band edges
+      // (chunk*chunkMs - windowMs), duplicate ts, and multi-chunk silences
+      val ts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var t = 0L
+      (0 until 400).foreach { _ =>
+        t += (rnd.nextInt(5) match {
+          case 0 => 0L // duplicate timestamp
+          case 1 => chunkMs - (t % chunkMs) // land exactly on a boundary
+          case 2 => (chunkMs * 3) + rnd.nextInt(1000) // skip >1 empty chunk
+          case _ => rnd.nextInt(700).toLong + 1L
+        })
+        ts += t
+      }
+      val rows = ts.zipWithIndex.map { case (tms, i) =>
+        (if (i % 7 == 0) "ETH" else "BTC", tms, 10.0 + rnd.nextDouble() * 90.0,
+          0.1 + rnd.nextDouble() * 9.9, i.toLong)
+      }.toSeq
+      val df = rows.toDF("symbol", "ts_ms", "price", "qty", "trade_id")
+      val plain = Rolling.trailingStats(
+        df, $"symbol", $"ts_ms", $"price", $"qty", $"trade_id", windowMs)
+      val bucketed = Rolling.trailingStatsBucketed(
+        df, $"symbol", $"ts_ms", $"price", $"qty", $"trade_id", windowMs, chunkMs)
+      val cols = plain.columns.toSeq
+      val a = plain.select(cols.map(col): _*)
+      val b = bucketed.select(cols.map(col): _*)
+      assert(b.count() === a.count())
+      assert(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty)
+    }
+  }
+
   test("approx sketches stay within error bounds of exact aggregates") {
     val t = Tables.trades(spark, sf)
     // the query output carries the bound checks as booleans (so the DuckDB
