@@ -117,13 +117,14 @@ object Rolling {
 
     // 1 — exact interarrival: chunk-local lag + boundary stitch. The only
     // per-symbol window runs over the per-chunk summary (one row per
-    // non-empty chunk), not the stream.
+    // non-empty chunk), not the stream; it is derived from the already
+    // (symbol, chunk)-partitioned side so its aggregate reuses that exchange.
     val wSeqChunk = Window
       .partitionBy(col("__sym"), col("__chunk"))
       .orderBy(col("__ts"), col("__tie"))
     val local = base.withColumn("__ia_local", col("__ts") - lag(col("__ts"), 1).over(wSeqChunk))
     val wChunks = Window.partitionBy(col("__sym")).orderBy(col("__chunk"))
-    val prevBounds = base
+    val prevBounds = local
       .groupBy(col("__sym"), col("__chunk"))
       .agg(max(col("__ts")).as("__chunk_last_ts"))
       .withColumn("__prev_last_ts", lag(col("__chunk_last_ts"), 1).over(wChunks))
@@ -137,13 +138,20 @@ object Rolling {
 
     // 2 — trailing frames over (symbol, chunk) with boundary-band context:
     // a row in chunk c sees back to ts - windowMs >= c*chunkMs - windowMs,
-    // all of which lives in chunk c-1's trailing band.
-    val owned = withIa.withColumn("__owner", lit(true))
-    val context = withIa
-      .filter(col("__ts") >= (col("__chunk") + 1) * chunkMs - windowMs)
-      .withColumn("__chunk", col("__chunk") + 1)
-      .withColumn("__owner", lit(false))
-    val all = owned.unionByName(context)
+    // all of which lives in chunk c-1's trailing band. Context rows are
+    // produced by a single explode (one pass over phase 1), not a
+    // self-union (which would execute the phase-1 lineage twice).
+    val all = withIa
+      .withColumn(
+        "__dests",
+        when(
+          col("__ts") >= (col("__chunk") + 1) * chunkMs - windowMs,
+          array(col("__chunk"), col("__chunk") + 1))
+          .otherwise(array(col("__chunk"))))
+      .withColumn("__home", col("__chunk"))
+      .withColumn("__chunk", explode(col("__dests")))
+      .withColumn("__owner", col("__chunk") === col("__home"))
+      .drop("__dests", "__home")
     val wRange = Window
       .partitionBy(col("__sym"), col("__chunk"))
       .orderBy(col("__ts"))

@@ -163,7 +163,10 @@ object VectorOps {
     (assignToNearest(v, centroids), centroids)
   }
 
-  private def assignToNearest(v: DataFrame, centroids: DataFrame): DataFrame = {
+  /** Each row of `v` paired with its `n` nearest centroids (rank 1..n by
+    * (distance, cid)).
+    */
+  private def rankedCells(v: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
     val d2 = aggregate(
       zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, z) => acc + z)
@@ -171,20 +174,28 @@ object VectorOps {
     v.crossJoin(broadcast(centroids))
       .withColumn("__d2", d2)
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .filter(col("__rn") <= n)
       .select(col("id"), col("v"), col("cid"))
   }
 
-  /** IVF top-k: each query searches only its own cell. */
+  private def assignToNearest(v: DataFrame, centroids: DataFrame): DataFrame =
+    rankedCells(v, centroids, 1)
+
+  /** IVF top-k: each query searches its `nProbe` nearest cells (corpus rows
+    * live in exactly one cell, so probing more cells raises recall with cost
+    * ∝ nProbe/nCells of the corpus — the classic IVF recall/throughput dial).
+    */
   def annTopKIvf(
       vecs: DataFrame, // id, embedding
       queryIds: Seq[Long],
       k: Int,
       nCells: Int,
-      iterations: Int = 3): DataFrame = {
-    val (assigned, _) = ivfAssign(vecs, nCells, iterations)
-    val queries = assigned
-      .filter(col("id").isin(queryIds: _*))
+      iterations: Int = 3,
+      nProbe: Int = 1): DataFrame = {
+    val (assigned, centroids) = ivfAssign(vecs, nCells, iterations)
+    val queries = rankedCells(
+      assigned.filter(col("id").isin(queryIds: _*)).select(col("id"), col("v")),
+      centroids, nProbe)
       .select(col("id").as("query_id"), col("v").as("qv"), col("cid"))
       .withColumn("qn", l2Norm(col("qv")))
     val corpus = assigned

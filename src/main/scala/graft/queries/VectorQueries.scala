@@ -44,6 +44,14 @@ object VectorQueries {
         Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding")),
         queryIds = (0L until 10L).toSeq, k = 3, nCells = 8)
     },
+    // V5 — IVF with multi-probe (nProbe=2): queries search their 2 nearest
+    // cells, the recall dial of the IVF family. Same unrolled-Lloyd oracle
+    // with a ranked probe CTE.
+    "x_v5_ann_ivf_probe2" -> { (s, dir) =>
+      VectorOps.annTopKIvf(
+        Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding")),
+        queryIds = (0L until 10L).toSeq, k = 3, nCells = 8, nProbe = 2)
+    },
     // V2 — embedding-cosine near-dup pairs blocked by label.
     "v2_cosine_neardup" -> { (s, dir) =>
       VectorOps.nearDupPairs(
@@ -74,7 +82,8 @@ object VectorQueries {
     * left fold, verified bit-identical to Spark's `aggregate`), then the
     * cell-probed top-k.
     */
-  private def ivfOracleSql(k: Int, dim: Int, iterations: Int, nQueries: Int, topK: Int): String = {
+  private def ivfOracleSql(
+      k: Int, dim: Int, iterations: Int, nQueries: Int, topK: Int, nProbe: Int = 1): String = {
     def d2(v: String, c: String) =
       s"list_sum(list_transform(generate_series(1, $dim), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
     def assign(name: String, cPrev: String) =
@@ -103,7 +112,13 @@ object VectorQueries {
        |  FROM (SELECT id, v FROM e ORDER BY id LIMIT $k) s0),
        |$rounds,
        |${assign("af", s"c$iterations")},
-       |q AS (SELECT id AS query_id, v AS qv, cid FROM af WHERE id < $nQueries),
+       |qp AS (
+       |  SELECT id, v, cid FROM (
+       |    SELECT id, v, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM (
+       |      SELECT e.id, e.v, c.cid, ${d2("e.v", "c.c")} AS d2
+       |      FROM e CROSS JOIN c$iterations c WHERE e.id < $nQueries) dd) rr
+       |  WHERE rn <= $nProbe),
+       |q AS (SELECT id AS query_id, v AS qv, cid FROM qp),
        |cor AS (SELECT id AS vec_id, v AS cv, cid FROM af WHERE id >= $nQueries),
        |sims AS (
        |  SELECT q.query_id, cor.vec_id, round($cos, 6) + 0.0 AS cos_sim
@@ -126,6 +141,8 @@ object VectorQueries {
          |WHERE round($cos, 6) >= 0.35""".stripMargin
     },
     "x_v4_ann_ivf" -> ivfOracleSql(k = 8, dim = 64, iterations = 3, nQueries = 10, topK = 3),
+    "x_v5_ann_ivf_probe2" ->
+      ivfOracleSql(k = 8, dim = 64, iterations = 3, nQueries = 10, topK = 3, nProbe = 2),
     "v1_ann_topk" -> {
       val cos = duckCos("q.v", "c.v")
       s"""WITH e AS (SELECT vec_id, label,

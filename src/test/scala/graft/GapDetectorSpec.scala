@@ -92,4 +92,22 @@ class GapDetectorSpec extends SparkSpec {
     assert(rows.filter(_.getAs[Long]("query_id") == 100L).forall(_.getAs[Long]("vec_id") >= 100L))
     assert(rows.forall(_.getAs[Double]("cos_sim") > 0.9))
   }
+
+  test("IVF multi-probe recall dominates single-probe per query") {
+    import graft.operators.VectorOps
+    val rnd = new scala.util.Random(33L)
+    val df = (0 until 80)
+      .map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("id", "embedding")
+    def topSims(nProbe: Int): Map[Long, Double] =
+      VectorOps.annTopKIvf(df, queryIds = Seq(0L, 1L, 2L), k = 3, nCells = 6, nProbe = nProbe)
+        .collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Double]("cos_sim")).sum).toMap
+    val p1 = topSims(1)
+    val p2 = topSims(2)
+    // probing more cells only widens the candidate set, so per-query top-k
+    // similarity mass cannot decrease
+    p1.foreach { case (q, s1) => assert(p2.getOrElse(q, -1e9) >= s1 - 1e-9, s"query $q") }
+  }
 }
