@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{codegen, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels + codegen Catalyst `Expression`s for the text-dedup
+  * primitives — the documented upgrade from the scalar UDFs they replace
+  * (same algorithms byte-for-byte; every consumer is covered by a DuckDB
+  * oracle, so the swap is verified bit-exact by the gate).
+  *
+  * Why Expressions beat the UDFs at scale: the `doGenCode` path is a static
+  * call inside whole-stage codegen — no ScalaUDF encoder boundary, no
+  * per-row catalyst↔scala conversion of the input string, and the codegen
+  * span around the call stays unbroken (the UDF forced a codegen fence).
+  */
+object TextKernels {
+
+  /** First 4 md5 digest bytes as an unsigned big-endian int — bit-identical
+    * to `conv(substring(md5(x), 1, 8), 16, 10)`.
+    */
+  private def md5Prefix(s: String, md: java.security.MessageDigest): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  private def wordShingleSeq(text: String, n: Int): IndexedSeq[String] = {
+    val tk = text.split(' ')
+    if (tk.length < n) Vector.empty
+    else {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      var i = 0
+      while (i <= tk.length - n) {
+        seen += tk.slice(i, i + n).mkString(" ")
+        i += 1
+      }
+      seen.toVector
+    }
+  }
+
+  def wordShingles(t: UTF8String, n: Int): GenericArrayData =
+    new GenericArrayData(
+      wordShingleSeq(t.toString, n).iterator.map(s => UTF8String.fromString(s): Any).toArray)
+
+  def charShingles(t: UTF8String, n: Int): GenericArrayData = {
+    val s = t.toString
+    if (s.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    var i = 0
+    while (i <= s.length - n) { seen += s.substring(i, i + n); i += 1 }
+    new GenericArrayData(seen.iterator.map(x => UTF8String.fromString(x): Any).toArray)
+  }
+
+  def shingleHashes(t: UTF8String, n: Int, p: Long): GenericArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    new GenericArrayData(
+      wordShingleSeq(t.toString, n).iterator
+        .map(s => java.lang.Long.valueOf(md5Prefix(s, md) % p): Any)
+        .toArray)
+  }
+
+  def simhash32(t: UTF8String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](32)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    t.toString.split(' ').foreach { tok =>
+      if (seen.add(tok)) {
+        val h = md5Prefix(tok, md)
+        var j = 0
+        while (j < 32) {
+          if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+    }
+    (0 until 32).map(j => if (votes(j) > 0) 1L << j else 0L).sum
+  }
+
+  case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      wordShingles(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.wordShingles($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+      copy(child = newChild)
+  }
+
+  case class CharShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      charShingles(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.charShingles($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): CharShinglesExpr =
+      copy(child = newChild)
+  }
+
+  case class ShingleHashesExpr(child: Expression, n: Int, p: Long) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      shingleHashes(input.asInstanceOf[UTF8String], n, p)
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingleHashes($c, $n, ${p}L)")
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+      copy(child = newChild)
+  }
+
+  case class Simhash32Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(simhash32(input.asInstanceOf[UTF8String]))
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash32($c)")
+    override protected def withNewChildInternal(newChild: Expression): Simhash32Expr =
+      copy(child = newChild)
+  }
+}
