@@ -23,49 +23,66 @@ object JoinQueries {
        |         last(price ORDER BY ts_ms, trade_id) AS close_price
        |  FROM t GROUP BY 1, 2)""".stripMargin
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // J1 + P11 — prediction-outcome as-of join (RDS_SCHEMA.md:703-756):
-    // actual price = close of the bar containing target_ts, else the bar
-    // whose close_time is nearest within ±30 min (scaled from ±30 s), else
-    // null. COALESCE fallback chain exercised via outcome_source.
-    "j1_asof_outcomes" -> { (s, dir) =>
-      val b = bars(s, dir)
-        .select(
-          col("symbol"), col("open_time_ms"),
-          (col("open_time_ms") + 60000L).as("close_time_ms"), col("close_price"))
-      val preds = Tables.trades(s, dir)
-        .filter(col("symbol") === "purchase")
-        .select(
-          col("trade_id").as("prediction_id"), col("symbol"),
-          col("ts_ms").as("prediction_ts"),
-          (col("ts_ms") + 600000L).as("target_ts"),
-          col("price").as("current_price"))
-      val exact = b.select(
-        col("symbol").as("esym"), col("open_time_ms").as("ebar"),
-        col("close_price").as("exact_price"))
-      val near = AsOf
-        .nearest(
-          preds, b.select(col("symbol"), col("close_time_ms"), col("close_price")),
+  /** J1 + P11 — prediction-outcome as-of join (RDS_SCHEMA.md:703-756):
+    * actual price = close of the bar containing target_ts, else the bar
+    * whose close_time is nearest within ±30 min (scaled from ±30 s), else
+    * null. COALESCE fallback chain exercised via outcome_source. The
+    * nearest lookup runs through either the operator directly or the
+    * declarative Catalyst node ([[graft.plans.AsOfDsl]]) — both shapes
+    * share the same oracle.
+    */
+  private def asofOutcomes(s: SparkSession, dir: String, viaCatalystNode: Boolean): DataFrame = {
+    val b = bars(s, dir)
+      .select(
+        col("symbol"), col("open_time_ms"),
+        (col("open_time_ms") + 60000L).as("close_time_ms"), col("close_price"))
+    val preds = Tables.trades(s, dir)
+      .filter(col("symbol") === "purchase")
+      .select(
+        col("trade_id").as("prediction_id"), col("symbol"),
+        col("ts_ms").as("prediction_ts"),
+        (col("ts_ms") + 600000L).as("target_ts"),
+        col("price").as("current_price"))
+    val exact = b.select(
+      col("symbol").as("esym"), col("open_time_ms").as("ebar"),
+      col("close_price").as("exact_price"))
+    val bSel = b.select(col("symbol"), col("close_time_ms"), col("close_price"))
+    val nearRaw =
+      if (viaCatalystNode)
+        graft.plans.AsOfDsl.asofNearest(
+          preds, bSel,
           key = "symbol", leftTs = "target_ts", rightTs = "close_time_ms",
           toleranceMs = 1800000L, leftId = "prediction_id",
           rightValueCols = Seq("close_price"))
-        .select(col("prediction_id").as("pid"), col("close_price").as("near_price"))
-      preds
-        .join(
-          exact,
-          preds("symbol") === col("esym") &&
-            graft.functions.TimeUnits.bucketStartMs(preds("target_ts"), 60000L) === col("ebar"),
-          "left")
-        .join(near, preds("prediction_id") === col("pid"), "left")
-        .select(
-          col("prediction_id"), col("symbol"), col("target_ts"), col("current_price"),
-          coalesce(col("exact_price"), col("near_price")).as("actual_price"),
-          when(col("exact_price").isNotNull, "exact")
-            .when(col("near_price").isNotNull, "nearest")
-            .otherwise("none").as("outcome_source"),
-          round(coalesce(col("exact_price"), col("near_price")) - col("current_price"), 8)
-            .as("prediction_error"))
-    },
+      else
+        AsOf.nearest(
+          preds, bSel,
+          key = "symbol", leftTs = "target_ts", rightTs = "close_time_ms",
+          toleranceMs = 1800000L, leftId = "prediction_id",
+          rightValueCols = Seq("close_price"))
+    val near = nearRaw.select(col("prediction_id").as("pid"), col("close_price").as("near_price"))
+    preds
+      .join(
+        exact,
+        preds("symbol") === col("esym") &&
+          graft.functions.TimeUnits.bucketStartMs(preds("target_ts"), 60000L) === col("ebar"),
+        "left")
+      .join(near, preds("prediction_id") === col("pid"), "left")
+      .select(
+        col("prediction_id"), col("symbol"), col("target_ts"), col("current_price"),
+        coalesce(col("exact_price"), col("near_price")).as("actual_price"),
+        when(col("exact_price").isNotNull, "exact")
+          .when(col("near_price").isNotNull, "nearest")
+          .otherwise("none").as("outcome_source"),
+        round(coalesce(col("exact_price"), col("near_price")) - col("current_price"), 8)
+          .as("prediction_error"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j1_asof_outcomes" -> { (s, dir) => asofOutcomes(s, dir, viaCatalystNode = false) },
+    // J1 through the declarative AsOfJoinNode + resolution rule — verifies
+    // the Catalyst integration end-to-end against the same oracle.
+    "j1b_asof_catalyst_node" -> { (s, dir) => asofOutcomes(s, dir, viaCatalystNode = true) },
     // J2 — 10-ahead label self-join on the feature grid (S3_SCHEMA.md:629-663);
     // 2 s grid scaled to 2 min, 10 s horizon to 10 min (5 buckets).
     "j2_horizon_labels" -> { (s, dir) =>
@@ -149,9 +166,8 @@ object JoinQueries {
     }
   )
 
-  val oracle: Map[String, String] = Map(
-    "j1_asof_outcomes" ->
-      s"""WITH t AS ($T),
+  private val j1OracleSql: String =
+    s"""WITH t AS ($T),
          |$barsCte,
          |preds AS (
          |  SELECT trade_id AS prediction_id, symbol, ts_ms AS prediction_ts,
@@ -179,7 +195,12 @@ object JoinQueries {
          |  round(coalesce(e.exact_price, n.near_price) - p.current_price, 8) AS prediction_error
          |FROM preds p
          |LEFT JOIN exact e USING (prediction_id)
-         |LEFT JOIN near n USING (prediction_id)""".stripMargin,
+         |LEFT JOIN near n USING (prediction_id)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "j1_asof_outcomes" -> j1OracleSql,
+    // the Catalyst-node form is semantics-identical by construction
+    "j1b_asof_catalyst_node" -> j1OracleSql,
     "j2_horizon_labels" ->
       s"""WITH t AS ($T),
          |grid AS (
