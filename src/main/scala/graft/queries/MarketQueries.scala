@@ -26,6 +26,20 @@ object MarketQueries {
         tsMs = TimeUnits.asMillis(col("l_shipdate")),
         tieBreak = struct(col("l_orderkey"), col("l_linenumber")))
     },
+    // A1b — the same trade-batch aggregate through the packed-long ordering
+    // fast path (SCALE.md "known limits"): open/close picks hash-aggregate
+    // instead of sort-aggregating. trade_id < 2^21 on this table, asserted
+    // by the shared oracle being hash-exact.
+    "a1b_trade_stats_packed" -> { (s, dir) =>
+      TradeAggregates.tradeBatchStatsPacked(
+        Tables.trades(s, dir),
+        keys = Seq(col("symbol")),
+        price = col("price"),
+        qty = col("qty"),
+        isSell = col("qty") > 50,
+        tsMs = col("ts_ms"),
+        tieBreak = col("trade_id"))
+    },
     // A4 — 1-minute OHLCV+VWAP bars (S3_SCHEMA.md:316-392), the minimum slice.
     "a4_bars_1m" -> { (s, dir) =>
       Bars.ohlcv(
@@ -207,6 +221,25 @@ object MarketQueries {
         |  (last_price - first_price) / nullif(first_price, 0.0) * 100 AS price_change_pct
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "a1b_trade_stats_packed" ->
+      s"""WITH t AS ($T)
+         |SELECT symbol,
+         |  count(*) AS trade_count,
+         |  CAST(sum(CAST(qty AS DECIMAL(27,8))) AS DOUBLE) AS total_volume,
+         |  min(price) AS min_price,
+         |  max(price) AS max_price,
+         |  round(avg(price), 4) AS avg_price,
+         |  round(CAST(sum(CAST(price * qty AS DECIMAL(27,10))) AS DOUBLE)
+         |    / nullif(CAST(sum(CAST(qty AS DECIMAL(27,8))) AS DOUBLE), 0.0), 6) AS vwap,
+         |  round(stddev_samp(price), 4) AS price_std,
+         |  CAST(sum(CAST(CASE WHEN qty > 50 THEN 0.0 ELSE qty END AS DECIMAL(27,8))) AS DOUBLE) AS buy_volume,
+         |  CAST(sum(CAST(CASE WHEN qty > 50 THEN qty ELSE 0.0 END AS DECIMAL(27,8))) AS DOUBLE) AS sell_volume,
+         |  first(price ORDER BY ts_ms, trade_id) AS first_price,
+         |  last(price ORDER BY ts_ms, trade_id) AS last_price,
+         |  (buy_volume - sell_volume) / nullif(total_volume, 0.0) AS volume_imbalance,
+         |  round(last_price - first_price, 8) AS price_change,
+         |  (last_price - first_price) / nullif(first_price, 0.0) * 100 AS price_change_pct
+         |FROM t GROUP BY symbol""".stripMargin,
     "a4_bars_1m" ->
       s"""WITH t AS ($T)
          |SELECT symbol, (ts_ms // 60000) * 60000 AS open_time_ms,

@@ -64,6 +64,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(a5b.exceptAll(a5).isEmpty && a5.exceptAll(a5b).isEmpty)
   }
 
+  test("a1b packed-ordering open/close picks hash-aggregate, not sort-aggregate") {
+    val p = plan("a1b_trade_stats_packed")
+    assert(p.contains("partial_min_by"), p.take(500))
+    assert(!p.contains("SortAggregate"), "packed ordering should restore HashAggregate")
+    assert(p.contains("HashAggregate"))
+  }
+
   test("a4 bars aggregate partially before its single shuffle") {
     val p = plan("a4_bars_1m")
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(500))
