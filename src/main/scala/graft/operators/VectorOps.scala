@@ -222,4 +222,40 @@ object VectorOps {
     nearDupPairs(
       vecs.select(col("id"), col("embedding"), srpBucket(col("embedding"), dim, nBits).as("block")),
       threshold)
+
+  /** Multi-probe SRP near-dup — the recall dial of the SRP family: pairs
+    * whose buckets differ in at most ONE bit become candidates. The left
+    * side keeps its home bucket; the right side is replicated into its home
+    * bucket plus every 1-bit flip (nBits+1 rows), so a qualifying pair
+    * matches exactly once (xor of the two home buckets is 0 or a single
+    * power of two) — an equi-join, no distinct needed. Cost: (nBits+1)×
+    * replication of one side; still linear in the corpus.
+    */
+  def nearDupLshMultiProbe(
+      vecs: DataFrame, // id, embedding
+      dim: Int,
+      threshold: Double,
+      nBits: Int = 12): DataFrame = {
+    val withB = vecs
+      .select(
+        col("id"), asDouble(col("embedding")).as("v"),
+        srpBucket(col("embedding"), dim, nBits).as("b0"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val home = withB.select(
+      col("b0").as("block"), col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("b0").as("ba"))
+    val flips = array((lit(0L) +: (0 until nBits).map(j => lit(1L << j))): _*)
+    val probes = withB
+      .select(
+        col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
+        col("b0").as("bb"), explode(flips).as("flip"))
+      .withColumn("block", col("bb").bitwiseXOR(col("flip")))
+    home
+      .join(probes, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("ba").bitwiseXOR(col("bb"))).cast("int"))
+      .withColumn("cos_sim", nz(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "hamming", "cos_sim")
+  }
 }

@@ -52,6 +52,14 @@ object VectorQueries {
         Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding")),
         queryIds = (0L until 10L).toSeq, k = 3, nCells = 8, nProbe = 2)
     },
+    // V6 — multi-probe SRP near-dup: candidates within hamming<=1 of each
+    // other's bucket (the SRP recall dial, complementing x_v5's IVF nProbe).
+    "x_v6_ann_lsh_multiprobe" -> { (s, dir) =>
+      VectorOps.nearDupLshMultiProbe(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id").as("id"), col("embedding")),
+        dim = 64, threshold = 0.35, nBits = 8)
+    },
     // V2 — embedding-cosine near-dup pairs blocked by label.
     "v2_cosine_neardup" -> { (s, dir) =>
       VectorOps.nearDupPairs(
@@ -138,6 +146,21 @@ object VectorQueries {
          |bk AS (SELECT id, v, CAST(${srpBucketSql("v", 64, 8)} AS BIGINT) AS block FROM e)
          |SELECT a.block, a.id AS id_a, b.id AS id_b, round($cos, 6) + 0.0 AS cos_sim
          |FROM bk a JOIN bk b ON a.block = b.block AND a.id < b.id
+         |WHERE round($cos, 6) >= 0.35""".stripMargin
+    },
+    "x_v6_ann_lsh_multiprobe" -> {
+      val cos = duckCos("a.v", "b.v")
+      s"""WITH e AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |bk AS (SELECT id, v, CAST(${srpBucketSql("v", 64, 8)} AS BIGINT) AS b0 FROM e),
+         |flips AS (
+         |  SELECT CAST(0 AS BIGINT) AS f
+         |  UNION ALL SELECT CAST(1 AS BIGINT) << j FROM generate_series(0, 7) g(j)),
+         |pr AS (SELECT id, v, b0, xor(b0, f) AS block FROM bk CROSS JOIN flips)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(bit_count(xor(a.b0, b.b0)) AS INT) AS hamming,
+         |  round($cos, 6) + 0.0 AS cos_sim
+         |FROM bk a JOIN pr b ON a.b0 = b.block AND a.id < b.id
          |WHERE round($cos, 6) >= 0.35""".stripMargin
     },
     "x_v4_ann_ivf" -> ivfOracleSql(k = 8, dim = 64, iterations = 3, nQueries = 10, topK = 3),

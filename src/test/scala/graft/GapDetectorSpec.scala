@@ -93,6 +93,19 @@ class GapDetectorSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("cos_sim") > 0.9))
   }
 
+  test("SRP multi-probe near-dup: hamming-0 candidates equal the exact-bucket pairs") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.VectorOps
+    val e = Tables.embeddings(spark, sf).select(col("vec_id").as("id"), col("embedding"))
+    val exact = VectorOps.nearDupLsh(e, dim = 64, threshold = 0.35, nBits = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = VectorOps.nearDupLshMultiProbe(e, dim = 64, threshold = 0.35, nBits = 8)
+    val h0 = multi.filter(col("hamming") === 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(h0 === exact)
+    assert(multi.count() >= exact.size) // probing only widens the candidate set
+  }
+
   test("IVF multi-probe recall dominates single-probe per query") {
     import graft.operators.VectorOps
     val rnd = new scala.util.Random(33L)
