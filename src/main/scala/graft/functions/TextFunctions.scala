@@ -80,6 +80,12 @@ object TextFunctions {
       ColumnBridge.column(TextKernels.Simhash32Expr(ColumnBridge.expression(text))),
       lit(0L))
 
+  /** Polynomial rolling-hash document fingerprint over the codepoint stream
+    * (codegen kernel, [[TextKernels.RollingHashExpr]]).
+    */
+  def rollingHash(text: Column, base: Long = 131L, mod: Long = 1000000007L): Column =
+    ColumnBridge.column(TextKernels.RollingHashExpr(ColumnBridge.expression(text), base, mod))
+
   /** Stopword-membership count used by the quality/language heuristics. */
   def stopwordCount(tk: Column, stopwords: Seq[String]): Column =
     size(filter(tk, t => stopwords.map(w => t === w).reduce(_ || _)))

@@ -78,6 +78,36 @@ object TextKernels {
     (0 until 32).map(j => if (votes(j) > 0) 1L << j else 0L).sum
   }
 
+  /** Polynomial rolling hash over the codepoint stream:
+    * `h = (h*base + cp) % mod` left-to-right — matches
+    * `aggregate(transform(sequence(1, length(t)), i -> ascii(substr(t,i,1))), ...)`
+    * (ascii() yields the codepoint of a 1-char substring) without
+    * materializing the per-character array or folding it interpreted.
+    */
+  def rollingHash(t: UTF8String, base: Long, mod: Long): Long = {
+    var h = 0L
+    val s = t.toString
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * base + cp) % mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  case class RollingHashExpr(child: Expression, base: Long, mod: Long) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(rollingHash(input.asInstanceOf[UTF8String], base, mod))
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+      defineCodeGen(
+        ctx, ev, c => s"graft.functions.TextKernels.rollingHash($c, ${base}L, ${mod}L)")
+    override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
+      copy(child = newChild)
+  }
+
   case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(input: Any): Any =

@@ -100,9 +100,8 @@ object TextQueries {
       val punct = regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))
       Tables.documents(s, dir).select(
         col("doc_id"),
-        expr(
-          "aggregate(transform(sequence(1, length(text)), i -> cast(ascii(substr(text, i, 1)) as bigint)), " +
-            "0L, (h, c) -> (h * 131 + c) % 1000000007)").as("fingerprint"),
+        TextFunctions.rollingHash(col("text"), base = 131L, mod = 1000000007L)
+          .as("fingerprint"),
         size(bpe).cast("long").as("n_tokens_bpe"),
         size(array_distinct(bpe)).cast("long").as("n_unique_bpe"),
         (size(punct).cast("double") / length(col("text"))).as("punct_ratio"))
