@@ -51,8 +51,10 @@ case class ResolveAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
   * declarative node (and is where future graft strategies/rules register).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(session => ResolveAsOfJoin(session))
+    e.injectPlannerStrategy(_ => AsOfMergeJoinStrategy)
+  }
 }
 
 /** DataFrame-level DSL over the node. Works on any session: the rule is
@@ -60,6 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * resolve the node wherever it appears in a plan.
   */
 object AsOfDsl {
+  /** Name the right side's timestamp arrives under in every as-of output. */
+  val RightTs: String = "__right_ts"
+
   def asofNearest(
       left: DataFrame,
       right: DataFrame,

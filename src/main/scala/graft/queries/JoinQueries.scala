@@ -31,7 +31,7 @@ object JoinQueries {
     * declarative Catalyst node ([[graft.plans.AsOfDsl]]) — both shapes
     * share the same oracle.
     */
-  private def asofOutcomes(s: SparkSession, dir: String, viaCatalystNode: Boolean): DataFrame = {
+  private def asofOutcomes(s: SparkSession, dir: String, via: String): DataFrame = {
     val b = bars(s, dir)
       .select(
         col("symbol"), col("open_time_ms"),
@@ -47,19 +47,25 @@ object JoinQueries {
       col("symbol").as("esym"), col("open_time_ms").as("ebar"),
       col("close_price").as("exact_price"))
     val bSel = b.select(col("symbol"), col("close_time_ms"), col("close_price"))
-    val nearRaw =
-      if (viaCatalystNode)
+    val nearRaw = via match {
+      case "node" =>
         graft.plans.AsOfDsl.asofNearest(
           preds, bSel,
           key = "symbol", leftTs = "target_ts", rightTs = "close_time_ms",
           toleranceMs = 1800000L, leftId = "prediction_id",
           rightValueCols = Seq("close_price"))
-      else
+      case "exec" =>
+        graft.plans.AsOfMergeDsl.nearest(
+          preds, bSel,
+          key = "symbol", leftTs = "target_ts", rightTs = "close_time_ms",
+          toleranceMs = 1800000L, rightValueCols = Seq("close_price"))
+      case _ =>
         AsOf.nearest(
           preds, bSel,
           key = "symbol", leftTs = "target_ts", rightTs = "close_time_ms",
           toleranceMs = 1800000L, leftId = "prediction_id",
           rightValueCols = Seq("close_price"))
+    }
     val near = nearRaw.select(col("prediction_id").as("pid"), col("close_price").as("near_price"))
     preds
       .join(
@@ -79,10 +85,14 @@ object JoinQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "j1_asof_outcomes" -> { (s, dir) => asofOutcomes(s, dir, viaCatalystNode = false) },
+    "j1_asof_outcomes" -> { (s, dir) => asofOutcomes(s, dir, via = "operator") },
     // J1 through the declarative AsOfJoinNode + resolution rule — verifies
     // the Catalyst integration end-to-end against the same oracle.
-    "j1b_asof_catalyst_node" -> { (s, dir) => asofOutcomes(s, dir, viaCatalystNode = true) },
+    "j1b_asof_catalyst_node" -> { (s, dir) => asofOutcomes(s, dir, via = "node") },
+    // J1 through the physical sort-merge exec (AsOfMergeJoinExec): one
+    // shuffle per side, single merge pass, no bucket replication or
+    // row_number dedup — same oracle as j1/j1b.
+    "j1c_asof_merge_exec" -> { (s, dir) => asofOutcomes(s, dir, via = "exec") },
     // J2 — 10-ahead label self-join on the feature grid (S3_SCHEMA.md:629-663);
     // 2 s grid scaled to 2 min, 10 s horizon to 10 min (5 buckets).
     "j2_horizon_labels" -> { (s, dir) =>
@@ -129,6 +139,23 @@ object JoinQueries {
         .backward(tr, quotes, key = "symbol", leftTs = "ts_ms", rightTs = "ts_ms",
           toleranceMs = 3600000L, leftId = "trade_id",
           rightValueCols = Seq("mid", "qid"), rightTieBreak = "qid")
+        .select(
+          col("symbol"), col("trade_id"), col("ts_ms"), col("price"),
+          col("__right_ts").as("quote_ts"), col("mid"),
+          round(col("price") - col("mid"), 8).as("price_minus_mid"))
+    },
+    // J3 through the physical merge exec (backward direction, qid tie-break)
+    // — same oracle as j3.
+    "j3b_asof_merge_backward" -> { (s, dir) =>
+      val t = Tables.trades(s, dir)
+      val quotes = t.filter(pmod(col("trade_id"), lit(2)) === 0)
+        .select(col("symbol"), col("ts_ms"), col("trade_id").as("qid"), col("price").as("mid"))
+      val tr = t.filter(pmod(col("trade_id"), lit(2)) === 1)
+        .select("symbol", "ts_ms", "trade_id", "price")
+      graft.plans.AsOfMergeDsl
+        .backward(tr, quotes, key = "symbol", leftTs = "ts_ms", rightTs = "ts_ms",
+          toleranceMs = 3600000L, rightValueCols = Seq("mid", "qid"),
+          rightTieBreak = "qid")
         .select(
           col("symbol"), col("trade_id"), col("ts_ms"), col("price"),
           col("__right_ts").as("quote_ts"), col("mid"),
@@ -199,8 +226,10 @@ object JoinQueries {
 
   val oracle: Map[String, String] = Map(
     "j1_asof_outcomes" -> j1OracleSql,
-    // the Catalyst-node form is semantics-identical by construction
+    // the Catalyst-node and physical-exec forms are semantics-identical by
+    // construction — all three shapes share one oracle
     "j1b_asof_catalyst_node" -> j1OracleSql,
+    "j1c_asof_merge_exec" -> j1OracleSql,
     "j2_horizon_labels" ->
       s"""WITH t AS ($T),
          |grid AS (
