@@ -29,13 +29,21 @@ object TradeAggregates {
     * `max_by` over a struct ordering plans as SortAggregate (the struct
     * buffer is not hash-aggregable); the packed long restores HashAggregate,
     * eliminating the per-partition sort before the partial aggregate
-    * (SCALE.md "known limits"). Order-isomorphic to `struct(ts, tie)` when
-    * `0 <= tie < 2^tieBits` and `ts < 2^(62-tieBits)` — the caller asserts
-    * that of its ids (e.g. 21 bits fits ids < 2,097,152 alongside epoch-ms
-    * timestamps through year ~4100).
+    * (SCALE.md "known limits").
+    *
+    * CALLER CONTRACT (unchecked at runtime — a violation silently corrupts
+    * the ordering and every min_by/max_by built on it):
+    * `0 <= tie < 2^tieBits` and `0 <= ts < 2^(63-tieBits)`. At the default
+    * tieBits=21 the ts bound is 2^42 ms ≈ year 2109; epoch-ms data through
+    * 2039 also fits the stricter 2^41 bound, leaving a spare headroom bit.
+    * Data with larger ids (or far-future timestamps) must lower/raise
+    * tieBits accordingly — or use [[tradeBatchStats]], whose struct ordering
+    * has no packing bound.
     */
-  def packedOrder(tsMs: Column, tieBreak: Column, tieBits: Int = 21): Column =
+  def packedOrder(tsMs: Column, tieBreak: Column, tieBits: Int = 21): Column = {
+    require(tieBits > 0 && tieBits < 63, s"tieBits must be in (0, 63), got $tieBits")
     shiftleft(tsMs, tieBits) + tieBreak
+  }
 
   /** A1: one row per `keys` group with the reference's trade-batch features.
     *

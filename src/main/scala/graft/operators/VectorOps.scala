@@ -160,7 +160,16 @@ object VectorOps {
       centroids.unpersist(blocking = false)
       centroids = next
     }
-    (assignToNearest(v, centroids), centroids)
+    // Collapse the final centroids (k tiny rows) to a LocalRelation: the
+    // cache can be released HERE instead of leaking one table per query
+    // invocation, every downstream broadcast ships a literal instead of a
+    // plan, and nothing can ever re-execute the k-means lineage.
+    val rows = centroids.collect()
+    val schema = centroids.schema
+    centroids.unpersist(blocking = false)
+    val local = vecs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    (assignToNearest(v, local), local)
   }
 
   /** Each row of `v` paired with its `n` nearest centroids (rank 1..n by

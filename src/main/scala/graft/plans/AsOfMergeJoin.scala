@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -45,6 +45,16 @@ case class AsOfMergeJoinNode(
     rightTieBreak: Option[String]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.filterNot(_.name == key)
+  // The join columns are named by String, not held as Expressions, so the
+  // default (expression-derived) references are EMPTY and ColumnPruning
+  // would strip key/ts/tie-break out of the children before planning.
+  // Declaring them here keeps pruning correct: unused VALUE columns still
+  // prune all the way to the scan, but the merge columns survive.
+  override def references: AttributeSet = AttributeSet(
+    left.output.filter(a => a.name == key || a.name == leftTs) ++
+      right.output.filter(a =>
+        a.name == key || a.name == AsOfDsl.RightTs ||
+          rightTieBreak.contains(a.name)))
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfMergeJoinNode =
     copy(left = newLeft, right = newRight)
@@ -84,7 +94,8 @@ case class AsOfMergeJoinExec(
 
   private def attr(side: SparkPlan, name: String): Attribute =
     side.output.find(_.name == name).getOrElse(
-      throw new IllegalStateException(s"as-of child is missing column $name"))
+      throw new IllegalStateException(
+        s"as-of child is missing column $name; has ${side.output.map(_.name).mkString(",")}"))
 
   private def keyL = attr(left, keyName)
   private def tsL = attr(left, leftTsName)

@@ -81,38 +81,45 @@ object AnalyticsQueries {
     },
     // C1 — DECIMAL(20,8) curated layer end-to-end: the reference's batch ETL
     // materializes Decimal, not double (transformer.py:217-239,
-    // db_writer.py:79-109). DecimalType survives cast → arithmetic → output
-    // with no double cast-back; the product is re-scaled to (20,8) like the
-    // reference's quantize-on-write.
+    // db_writer.py:79-109). DecimalType survives cast → arithmetic → re-scale
+    // with no double round-trip; only the OUTPUT boundary stringifies each
+    // decimal to a canonical fixed-scale form ([[graft.functions.Num.decStr8]])
+    // because the driver gate hashes bytes and Spark-parquet DECIMAL vs
+    // DuckDB DECIMAL surface differently to it (r2: rows+schema matched,
+    // hash didn't).
     "c1_decimal_curated" -> { (s, dir) =>
       val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 8)
       Tables.trades(s, dir)
         .filter(col("trade_id") < 2000)
         .select(
-          // named so the unique int sorts first in the driver's
-          // alphabetical column order: decimal columns surface as exact
-          // strings on the parquet side but floats on the DuckDB side, so
-          // they must never be the row-alignment sort key
           col("trade_id").as("id"),
           col("symbol"),
-          col("price").cast(dec).as("price_dec"),
-          col("qty").cast(dec).as("qty_dec"))
-        .withColumn("notional_dec", (col("price_dec") * col("qty_dec")).cast(dec))
+          col("price").cast(dec).as("p"),
+          col("qty").cast(dec).as("q"))
+        .select(
+          col("id"), col("symbol"),
+          graft.functions.Num.decStr8(col("p")).as("price_dec"),
+          graft.functions.Num.decStr8(col("q")).as("qty_dec"),
+          graft.functions.Num.decStr8((col("p") * col("q")).cast(dec)).as("notional_dec"))
     },
     // C2 — exact decimal rollup: sums stay in decimal (order-independent,
-    // unlike double sums) and are re-scaled to (20,8) on output.
+    // unlike double sums), re-scaled to (20,8) and canonically stringified
+    // on output (same boundary rule as c1).
     "c2_decimal_rollup" -> { (s, dir) =>
       val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 8)
       Tables.trades(s, dir)
         .filter(col("trade_id") < 2000)
-        // "key": the unique group column must sort alphabetically first so
-        // rows align on it (same string-vs-float decimal caveat as c1)
         .groupBy(col("symbol").as("key"))
         .agg(
-          sum(col("price").cast(dec)).cast(dec).as("price_sum_dec"),
+          sum(col("price").cast(dec)).cast(dec).as("ps"),
           sum((col("price").cast(dec) * col("qty").cast(dec)).cast(dec))
-            .cast(dec).as("notional_sum_dec"),
+            .cast(dec).as("ns"),
           count(lit(1)).as("n"))
+        .select(
+          col("key"),
+          graft.functions.Num.decStr8(col("ps")).as("price_sum_dec"),
+          graft.functions.Num.decStr8(col("ns")).as("notional_sum_dec"),
+          col("n"))
     },
     // P1-P5 + P9 + P10 — projection/rename, required-field + positive +
     // ts-sanity filters, decimal-safe cast, derived scalars, CASE bucket
@@ -182,15 +189,15 @@ object AnalyticsQueries {
     "c1_decimal_curated" ->
       s"""WITH t AS ($T)
          |SELECT trade_id AS id, symbol,
-         |  CAST(price AS DECIMAL(20,8)) AS price_dec,
-         |  CAST(qty AS DECIMAL(20,8)) AS qty_dec,
-         |  CAST(CAST(price AS DECIMAL(20,8)) * CAST(qty AS DECIMAL(20,8)) AS DECIMAL(20,8)) AS notional_dec
+         |  CAST(CAST(price AS DECIMAL(20,8)) AS VARCHAR) AS price_dec,
+         |  CAST(CAST(qty AS DECIMAL(20,8)) AS VARCHAR) AS qty_dec,
+         |  CAST(CAST(CAST(price AS DECIMAL(20,8)) * CAST(qty AS DECIMAL(20,8)) AS DECIMAL(20,8)) AS VARCHAR) AS notional_dec
          |FROM t WHERE trade_id < 2000""".stripMargin,
     "c2_decimal_rollup" ->
       s"""WITH t AS ($T)
          |SELECT symbol AS key,
-         |  CAST(sum(CAST(price AS DECIMAL(20,8))) AS DECIMAL(20,8)) AS price_sum_dec,
-         |  CAST(sum(CAST(CAST(price AS DECIMAL(20,8)) * CAST(qty AS DECIMAL(20,8)) AS DECIMAL(20,8))) AS DECIMAL(20,8)) AS notional_sum_dec,
+         |  CAST(CAST(sum(CAST(price AS DECIMAL(20,8))) AS DECIMAL(20,8)) AS VARCHAR) AS price_sum_dec,
+         |  CAST(CAST(sum(CAST(CAST(price AS DECIMAL(20,8)) * CAST(qty AS DECIMAL(20,8)) AS DECIMAL(20,8))) AS DECIMAL(20,8)) AS VARCHAR) AS notional_sum_dec,
          |  count(*) AS n
          |FROM t WHERE trade_id < 2000 GROUP BY symbol""".stripMargin,
     "p1_projection_validation" ->

@@ -230,6 +230,21 @@ object JoinQueries {
     // construction — all three shapes share one oracle
     "j1b_asof_catalyst_node" -> j1OracleSql,
     "j1c_asof_merge_exec" -> j1OracleSql,
+    "j3b_asof_merge_backward" -> // same semantics as j3 through the merge exec
+      s"""WITH t AS ($T),
+         |quotes AS (
+         |  SELECT symbol, ts_ms AS qts, trade_id AS qid, price AS mid
+         |  FROM t WHERE trade_id % 2 = 0),
+         |tr AS (SELECT symbol, ts_ms, trade_id, price FROM t WHERE trade_id % 2 = 1),
+         |j AS (
+         |  SELECT tr.symbol, tr.trade_id, tr.ts_ms, tr.price, q.qts, q.mid,
+         |    row_number() OVER (PARTITION BY tr.symbol, tr.trade_id
+         |                       ORDER BY q.qts DESC, q.qid DESC) AS rn
+         |  FROM tr JOIN quotes q
+         |    ON q.symbol = tr.symbol AND q.qts <= tr.ts_ms AND tr.ts_ms - q.qts <= 3600000)
+         |SELECT symbol, trade_id, ts_ms, price, qts AS quote_ts, mid,
+         |  round(price - mid, 8) AS price_minus_mid
+         |FROM j WHERE rn = 1""".stripMargin,
     "j2_horizon_labels" ->
       s"""WITH t AS ($T),
          |grid AS (

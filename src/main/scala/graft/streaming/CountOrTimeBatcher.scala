@@ -23,7 +23,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object CountOrTimeBatcher {
 
   final case class Item(key: String, ts_ms: Long, payload: String)
-  final case class Buffer(items: List[Item], nextBatchId: Long)
+
+  /** `deadlineMs` is the processing-time instant by which the buffered
+    * remainder must time-flush. It is set when the buffer (re)starts — first
+    * item after empty, or the remainder left behind by a count-flush — and
+    * PRESERVED across micro-batches that merely append to a non-empty
+    * buffer. The reference (`stream_aggregator.py` `_aggregation_loop`)
+    * bounds staleness from the last flush, not the last arrival; re-arming
+    * from each arrival would let a steady sub-threshold trickle defer the
+    * oldest item by up to (maxCount-1) inter-arrival gaps.
+    */
+  final case class Buffer(items: List[Item], nextBatchId: Long, deadlineMs: Long)
+
   final case class Batch(
       key: String,
       batch_id: Long,
@@ -38,6 +49,39 @@ object CountOrTimeBatcher {
       key, id, items.length,
       items.iterator.map(_.ts_ms).min, items.iterator.map(_.ts_ms).max,
       items.map(_.payload), reason)
+
+  /** Pure per-key transition: fold `newItems` into `buf0` at processing time
+    * `nowMs`, emitting full count-batches and the surviving buffer (None =
+    * state should be removed). Factored out of the stateful closure so the
+    * deadline algebra is unit-testable without a streaming query.
+    */
+  private[graft] def onInput(
+      key: String,
+      buf0: Buffer,
+      newItems: Seq[Item],
+      nowMs: Long,
+      maxCount: Int,
+      maxDelayMs: Long): (Seq[Batch], Option[Buffer]) = {
+    var pending = buf0.items ++ newItems.sortBy(e => (e.ts_ms, e.payload))
+    var nextId = buf0.nextBatchId
+    val out = scala.collection.mutable.ArrayBuffer.empty[Batch]
+    while (pending.lengthCompare(maxCount) >= 0) {
+      val (full, rest) = pending.splitAt(maxCount)
+      out += mk(key, nextId, full, "count")
+      nextId += 1
+      pending = rest
+    }
+    if (pending.isEmpty) (out.toSeq, None)
+    else {
+      // Keep the existing deadline only if the buffer was non-empty and no
+      // flush happened this batch; a count-flush resets the staleness clock
+      // (the remainder was just "flushed past"), same as the reference.
+      val deadline =
+        if (buf0.items.nonEmpty && out.isEmpty) buf0.deadlineMs
+        else nowMs + maxDelayMs
+      (out.toSeq, Some(Buffer(pending, nextId, deadline)))
+    }
+  }
 
   def batches(
       items: Dataset[Item],
@@ -55,21 +99,18 @@ object CountOrTimeBatcher {
               Iterator.single(mk(key, buf.nextBatchId, buf.items, "time"))
             else Iterator.empty
           } else {
-            val buf0 = state.getOption.getOrElse(Buffer(Nil, 0L))
-            var pending = buf0.items ++ it.toSeq.sortBy(e => (e.ts_ms, e.payload))
-            var nextId = buf0.nextBatchId
-            val out = scala.collection.mutable.ArrayBuffer.empty[Batch]
-            while (pending.lengthCompare(maxCount) >= 0) {
-              val (full, rest) = pending.splitAt(maxCount)
-              out += mk(key, nextId, full, "count")
-              nextId += 1
-              pending = rest
-            }
-            if (pending.nonEmpty) {
-              state.update(Buffer(pending, nextId))
-              state.setTimeoutDuration(maxDelayMs)
-            } else {
-              state.remove()
+            val now = state.getCurrentProcessingTimeMs()
+            val buf0 = state.getOption.getOrElse(Buffer(Nil, 0L, 0L))
+            val (out, next) = onInput(key, buf0, it.toSeq, now, maxCount, maxDelayMs)
+            next match {
+              case Some(b) =>
+                state.update(b)
+                // Spark clears a group's timeout on every invocation, so
+                // re-arm with the REMAINING time to the stored deadline —
+                // not a fresh maxDelayMs from this arrival.
+                state.setTimeoutDuration(math.max(1L, b.deadlineMs - now))
+              case None =>
+                state.remove()
             }
             out.iterator
           }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.CountOrTimeBatcher
-import graft.streaming.CountOrTimeBatcher.{Batch, Item}
+import graft.streaming.CountOrTimeBatcher.{Batch, Buffer, Item}
 
 /** NOTE: with ProcessingTimeTimeout the micro-batch engine always schedules
   * another batch (so timeouts can fire), which means `processAllAvailable`
@@ -46,6 +46,31 @@ class CountOrTimeBatcherSpec extends SparkSpec {
     assert(b2.length === 3)
     val third = b2.find(_.batch_id == 2L).get
     assert(third.payloads === Seq("p7", "p8", "p9") && third.flush_reason == "count")
+  }
+
+  test("deadline anchors to the first buffered item, not the latest arrival") {
+    val empty = Buffer(Nil, 0L, 0L)
+    // first item at t=1000 -> deadline 1000 + 5000
+    val (out1, Some(b1)) = CountOrTimeBatcher.onInput(
+      "K", empty, Seq(Item("K", 10L, "a")), nowMs = 1000L, maxCount = 3, maxDelayMs = 5000L): @unchecked
+    assert(out1.isEmpty && b1.deadlineMs === 6000L)
+    // steady sub-threshold trickle at t=2000, t=3000: deadline must NOT move
+    val (out2, Some(b2)) = CountOrTimeBatcher.onInput(
+      "K", b1, Seq(Item("K", 20L, "b")), nowMs = 2000L, maxCount = 3, maxDelayMs = 5000L): @unchecked
+    val (out3, Some(b3)) = CountOrTimeBatcher.onInput(
+      "K", b2, Seq(Item("K", 5L, "c0")), nowMs = 3000L, maxCount = 4, maxDelayMs = 5000L): @unchecked
+    assert(out2.isEmpty && out3.isEmpty)
+    assert(b2.deadlineMs === 6000L && b3.deadlineMs === 6000L)
+    // a count-flush resets the staleness clock for the remainder
+    val (out4, Some(b4)) = CountOrTimeBatcher.onInput(
+      "K", b3, Seq(Item("K", 30L, "d")), nowMs = 4000L, maxCount = 3, maxDelayMs = 5000L): @unchecked
+    assert(out4.length === 1 && out4.head.flush_reason === "count")
+    assert(b4.items.length === 1 && b4.deadlineMs === 9000L)
+    // an exact multiple empties the buffer entirely -> state removed
+    val (out5, none) = CountOrTimeBatcher.onInput(
+      "K", b4, Seq(Item("K", 40L, "e"), Item("K", 50L, "f")),
+      nowMs = 4500L, maxCount = 3, maxDelayMs = 5000L)
+    assert(out5.length === 1 && none.isEmpty)
   }
 
   test("count-or-time batcher: a straggler remainder flushes on the time path") {
