@@ -69,6 +69,39 @@ object MicrostructureQueries {
         .withColumn("snap_id", col("day"))
       QuoteAggregates.depthSnapshotStats(books, Seq(col("symbol")), topN = 5)
     },
+    // S1 — the real connector: frames captured to rolling `.sbef` files are
+    // read back through the `sbe-frames` DataSource V2 source (batch side of
+    // the same MicroBatchStream the streaming spec drives) and decoded by
+    // the codegen expression — the full ingest path, not an analog. The
+    // capture fixture (encode + write) is ingest-side, outside the measured
+    // query plan, and deterministic per sf dir.
+    "s1_sbe_frame_source" -> { (s, dir) =>
+      val frames = Tables.trades(s, dir).filter(col("trade_id") < 2000)
+        .select(
+          col("trade_id"),
+          Sbe.encodeTrade(
+            col("ts_ms") * 1000L, col("trade_id"),
+            round(col("price") * 100).cast("long"), lit(-2),
+            col("qty") > 50, upper(col("symbol"))).as("frame"))
+        .orderBy("trade_id").collect()
+      val feed = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_s1_feed_${math.abs(dir.hashCode)}")
+      feed.mkdirs()
+      Option(feed.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      frames.grouped(512).zipWithIndex.foreach { case (chunk, i) =>
+        graft.sources.SbeFrameSource.writeFrameFile(
+          new java.io.File(feed, f"capture_$i%05d${graft.sources.SbeFrameSource.FileSuffix}"),
+          chunk.map(_.getAs[Array[Byte]]("frame")).toSeq)
+      }
+      s.read.format("sbe-frames").load(feed.toString)
+        .select(Sbe.decodeTrade(col("frame")).as("d"))
+        .select(
+          col("d.trade_id").as("trade_id"),
+          col("d.ts_ms").as("ts_ms"),
+          round(col("d.price"), 2).as("price"),
+          col("d.is_buyer_maker").as("is_buyer_maker"),
+          col("d.symbol").as("symbol"))
+    },
     // S2 — SBE mantissa·10^exp binary decode roundtrip through the custom
     // Catalyst expression (sbe_decoder.cpp:107-111, 134-136).
     "s2_sbe_roundtrip" -> { (s, dir) =>
@@ -230,6 +263,13 @@ object MicrostructureQueries {
          |  len(bids) AS bid_levels,
          |  len(asks) AS ask_levels
          |FROM latest WHERE rn = 1""".stripMargin,
+    "s1_sbe_frame_source" ->
+      s"""WITH t AS ($T)
+         |SELECT trade_id, ts_ms,
+         |  round(CAST(round(price * 100) AS BIGINT) * 0.01, 2) AS price,
+         |  qty > 50 AS is_buyer_maker,
+         |  upper(symbol) AS symbol
+         |FROM t WHERE trade_id < 2000""".stripMargin,
     "s2_sbe_roundtrip" ->
       s"""WITH t AS ($T)
          |SELECT trade_id AS orig_id, ts_ms, trade_id,

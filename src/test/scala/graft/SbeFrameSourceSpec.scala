@@ -1,0 +1,80 @@
+package graft
+
+import java.io.File
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sbe
+import graft.sources.SbeFrameSource
+
+/** End-to-end coverage for the `sbe-frames` DataSource V2 source: batch
+  * read, micro-batch tailing of a growing capture directory, per-file
+  * sequence numbering, and decode through the codegen expression.
+  */
+class SbeFrameSourceSpec extends SparkSpec {
+
+  // test-side frame builder mirroring Sbe.encodeTrade's wire layout
+  private def tradeFrame(tsUs: Long, id: Long, mant: Long, exp: Int, sym: String): Array[Byte] = {
+    val s = sym.getBytes("UTF-8")
+    val bb = ByteBuffer.allocate(8 + 27 + s.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(27.toShort).putShort(10000.toShort).putShort(1.toShort).putShort(0.toShort)
+    bb.putLong(tsUs).putLong(id).putLong(mant).put(exp.toByte).put(0.toByte)
+    bb.put(s.length.toByte).put(s)
+    bb.array()
+  }
+
+  private def mkFeed(): File = {
+    val d = Files.createTempDirectory("sbef_feed").toFile
+    SbeFrameSource.writeFrameFile(
+      new File(d, "cap_00000.sbef"),
+      Seq(tradeFrame(1000000L, 1L, 12345L, -2, "BTC"), tradeFrame(2000000L, 2L, 999L, -1, "ETH")))
+    SbeFrameSource.writeFrameFile(
+      new File(d, "cap_00001.sbef"),
+      Seq(tradeFrame(3000000L, 3L, 777L, -2, "BTC")))
+    d
+  }
+
+  test("batch read: all frames, per-file frame_seq, decode through codegen expr") {
+    val feed = mkFeed()
+    val df = spark.read.format("sbe-frames").load(feed.toString)
+    assert(df.count() === 3)
+    val seqs = df.select("source_file", "frame_seq").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(seqs === Seq(("cap_00000.sbef", 0L), ("cap_00000.sbef", 1L), ("cap_00001.sbef", 0L)))
+    val dec = df
+      .select(Sbe.decodeTrade(col("frame")).as("d"))
+      .select(col("d.trade_id"), col("d.ts_ms"), round(col("d.price"), 2).as("price"), col("d.symbol"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(dec === Seq(
+      (1L, 1000L, 123.45, "BTC"), (2L, 2000L, 99.9, "ETH"), (3L, 3000L, 7.77, "BTC")))
+  }
+
+  test("micro-batch stream tails new capture files with checkpointable offsets") {
+    val feed = mkFeed()
+    val q = spark.readStream.format("sbe-frames").load(feed.toString)
+      .select(Sbe.decodeTrade(col("frame")).as("d"))
+      .select("d.trade_id")
+      .writeStream.outputMode("append").format("memory").queryName("sbef_tail")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sbef_tail").count() === 3)
+      // a new capture file appears (the reference's reconnect chunk) —
+      // the next batch picks up exactly the delta
+      SbeFrameSource.writeFrameFile(
+        new File(feed, "cap_00002.sbef"),
+        Seq(tradeFrame(4000000L, 4L, 1L, 0, "SOL"), tradeFrame(5000000L, 5L, 2L, 0, "SOL")))
+      q.processAllAvailable()
+      val ids = spark.table("sbef_tail").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L, 4L, 5L))
+    } finally q.stop()
+  }
+
+  test("empty directory yields an empty batch, not an error") {
+    val d = Files.createTempDirectory("sbef_empty").toFile
+    assert(spark.read.format("sbe-frames").load(d.toString).count() === 0)
+  }
+}
