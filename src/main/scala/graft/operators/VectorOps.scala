@@ -132,7 +132,12 @@ object VectorOps {
       vecs: DataFrame, // id, embedding
       k: Int,
       iterations: Int = 3): (DataFrame, DataFrame) = {
-    val v = vecs.select(col("id"), asDouble(col("embedding")).as("v"))
+    // Each Lloyd iteration scans the parsed corpus twice (assignment +
+    // centroid update), so cache it for the LOOP ONLY: seed + 2×iterations
+    // passes hit the cache; it is released before returning, so callers'
+    // lazy plans fall back to the parquet scan (one pass each) and no cache
+    // handle outlives the call.
+    val v = vecs.select(col("id"), asDouble(col("embedding")).as("v")).persist()
     // Seed = the k smallest ids numbered 0..k-1 in id order: one k-element
     // array aggregate + posexplode, no global window over the corpus.
     var centroids = v.orderBy("id").limit(k)
@@ -167,6 +172,7 @@ object VectorOps {
     val rows = centroids.collect()
     val schema = centroids.schema
     centroids.unpersist(blocking = false)
+    v.unpersist(blocking = false)
     val local = vecs.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), schema)
     (assignToNearest(v, local), local)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -81,13 +81,15 @@ class SbeFrameTable(path: String) extends Table with SupportsRead {
   override def schema(): StructType = SbeFrameSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
     new ScanBuilder {
-      override def build(): Scan = new SbeFrameScan(path)
+      override def build(): Scan = new SbeFrameScan(path, maxFiles)
     }
+  }
 }
 
-class SbeFrameScan(path: String) extends Scan {
+class SbeFrameScan(path: String, maxFilesPerTrigger: Option[Int]) extends Scan {
   override def readSchema(): StructType = SbeFrameSource.Schema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
@@ -96,7 +98,7 @@ class SbeFrameScan(path: String) extends Scan {
     override def createReaderFactory(): PartitionReaderFactory = SbeFrameReaderFactory
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SbeFrameMicroBatchStream(path)
+    new SbeFrameMicroBatchStream(path, maxFilesPerTrigger)
 }
 
 /** Offset = number of frame files consumed (lexicographic order). */
@@ -104,10 +106,26 @@ case class SbeFrameOffset(fileCount: Int) extends Offset {
   override def json(): String = s"""{"fileCount":$fileCount}"""
 }
 
-class SbeFrameMicroBatchStream(path: String) extends MicroBatchStream {
+/** Admission control (`maxFilesPerTrigger`) bounds each micro-batch like
+  * the reference's fixed-size poll loop (`kinesis_consumer.py:113-143`
+  * polls bounded record batches per shard iteration) — a catch-up after
+  * downtime becomes N bounded batches instead of one giant one.
+  */
+class SbeFrameMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = SbeFrameOffset(0)
   override def latestOffset(): Offset =
     SbeFrameOffset(SbeFrameSource.listFrameFiles(path).length)
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val avail = SbeFrameSource.listFrameFiles(path).length
+    val from = start.asInstanceOf[SbeFrameOffset].fileCount
+    limit match {
+      case m: ReadMaxFiles => SbeFrameOffset(math.min(avail, from + m.maxFiles()))
+      case _ => SbeFrameOffset(avail)
+    }
+  }
   override def deserializeOffset(json: String): Offset = {
     // sole field of the trivial JSON above; no JSON lib needed
     val n = json.replaceAll("[^0-9]", "")

@@ -73,6 +73,22 @@ class SbeFrameSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger bounds each micro-batch (catch-up = N bounded batches)") {
+    val feed = mkFeed() // 2 files, 3 frames
+    val q = spark.readStream.format("sbe-frames")
+      .option("maxFilesPerTrigger", "1")
+      .load(feed.toString)
+      .writeStream.outputMode("append").format("memory").queryName("sbef_limited")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sbef_limited").count() === 3)
+      // 2 files at 1 file/trigger -> at least 2 non-empty micro-batches
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 2, s"expected >=2 bounded batches, saw $nonEmpty")
+    } finally q.stop()
+  }
+
   test("empty directory yields an empty batch, not an error") {
     val d = Files.createTempDirectory("sbef_empty").toFile
     assert(spark.read.format("sbe-frames").load(d.toString).count() === 0)

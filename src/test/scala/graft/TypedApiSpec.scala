@@ -46,4 +46,25 @@ class TypedApiSpec extends SparkSpec {
     assert(out.getAs[Long]("tid") === 7L)
     assert(math.abs(out.getAs[Double]("px") - 123.45) < 1e-9)
   }
+
+  test("SQL surface: registered text kernels match the Column API") {
+    GraftFunctions.register(spark)
+    Seq("the quick brown fox jumps").toDF("text").createOrReplaceTempView("docs")
+    val viaSql = spark.sql(
+      """SELECT graft_rolling_hash(text, 131, 1000000007) AS rh,
+        |       graft_simhash32(text) AS sh,
+        |       size(graft_word_shingles(text, 3)) AS nw,
+        |       size(graft_char_shingles(text, 5)) AS nc,
+        |       size(graft_shingle_hashes(text, 3, 1000000007)) AS nh
+        |FROM docs""".stripMargin).collect()(0)
+    val viaCol = spark.table("docs")
+      .select(
+        functions.TextFunctions.rollingHash($"text").as("rh"),
+        functions.TextFunctions.simhash32($"text").as("sh"),
+        org.apache.spark.sql.functions.size(functions.TextFunctions.shingles($"text", 3)).as("nw"),
+        org.apache.spark.sql.functions.size(functions.TextFunctions.charShingles($"text", 5)).as("nc"),
+        org.apache.spark.sql.functions.size(functions.TextFunctions.shingleHashes($"text", 3)).as("nh"))
+      .collect()(0)
+    assert(viaSql === viaCol)
+  }
 }
