@@ -121,4 +121,56 @@ object TextDedup {
     val cands = lshCandidates(sigs, k, rowsPerBand)
     verifyJaccard(cands, sigs.select(col("doc_id"), col("sh")), threshold)
   }
+
+  /** C4-style boilerplate span removal: chunk each document's token stream
+    * into fixed-width spans, drop every span whose occurrence count across
+    * the WHOLE corpus reaches `maxOccurrences` (the C4 "line appears ≥3
+    * times → boilerplate" rule, at span granularity since the synthetic
+    * docs are single-line), and reassemble the surviving spans in order.
+    *
+    * Scale shape: span extraction is per-row (sequence + slice, no UDF);
+    * the frequency table groupBy partial-aggregates map-side so the shuffle
+    * carries O(distinct spans); the frequency join is an equi-join AQE can
+    * broadcast when the over-threshold span list is small (it is — that is
+    * what makes boilerplate boilerplate); reassembly is one groupBy(doc)
+    * whose input was already pruned. No step is quadratic.
+    */
+  def boilerplateSpanRemoval(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      spanWords: Int = 12,
+      maxOccurrences: Long = 3L): DataFrame = {
+    val tok = docs.select(id.as("doc_id"), split(text, " ").as("w"))
+    val spans = tok
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), (ceil(size(col("w")) / lit(spanWords.toDouble))).cast("int") - 1),
+            i => concat_ws(" ", slice(col("w"), i * spanWords + 1, lit(spanWords)))))
+          .as(Seq("pos", "span")))
+    val freq = spans.groupBy(col("span")).agg(count(lit(1)).as("n_occ"))
+    val kept = spans
+      .join(freq, Seq("span"))
+      .filter(col("n_occ") < maxOccurrences)
+    kept
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("span")))),
+            s => s.getField("span"))).as("clean_text"))
+      .join(
+        spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans")),
+        Seq("doc_id"),
+        "right") // docs whose every span was boilerplate still appear
+      .select(
+        col("doc_id"),
+        col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

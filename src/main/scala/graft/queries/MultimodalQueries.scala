@@ -21,6 +21,22 @@ object MultimodalQueries {
         .select(
           col("id"), col("m.width").as("width"), col("m.height").as("height"),
           col("m.format").as("format"), col("m.n_bytes").as("n_bytes"))
+    },
+    // M2 — frame sampling: each payload split into n equal byte slices (the
+    // video every-k-th-frame shape); per-frame length + content hash are the
+    // oracle-checkable surface. The payload itself is never shuffled — the
+    // explode carries only the slices.
+    "m2_frame_sample" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").cast("binary").as("content"))
+        .select(
+          col("id"),
+          posexplode(Multimodal.frameSample(col("content"), 4)).as(Seq("frame_idx", "frame")))
+        .select(
+          col("id"),
+          col("frame_idx"),
+          length(col("frame")).cast("long").as("frame_len"),
+          md5(col("frame")).as("frame_md5"))
     }
   )
 
@@ -35,6 +51,16 @@ object MultimodalQueries {
         |  CAST(hv % 1080 + 1 AS INT) AS height,
         |  CASE hv % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
         |  CAST(length(text) AS BIGINT) AS n_bytes
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+    "m2_frame_sample" ->
+      """WITH d AS (SELECT doc_id AS id, text, length(text) AS len FROM documents),
+        |s0 AS (
+        |  SELECT id, text, len // 4 AS step,
+        |         unnest(generate_series(0, 3)) AS i
+        |  FROM d)
+        |SELECT id, CAST(i AS INT) AS frame_idx,
+        |  CAST(length(substr(text, CAST(i * step + 1 AS INT), CAST(greatest(step, 1) AS INT))) AS BIGINT) AS frame_len,
+        |  md5(substr(text, CAST(i * step + 1 AS INT), CAST(greatest(step, 1) AS INT))) AS frame_md5
+        |FROM s0""".stripMargin
   )
 }

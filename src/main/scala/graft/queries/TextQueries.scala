@@ -36,6 +36,10 @@ object TextQueries {
     }
     .mkString(",\n  ")
 
+  /** Exactly 12 words = one exact span at t8's span width. */
+  private val Boilerplate =
+    "subscribe now to get our best offers delivered straight to your inbox"
+
   private val R = 4 // rows per band (matches TextDedup default)
   private val duckBandsUnion: String = (0 until K / R)
     .map { k =>
@@ -105,6 +109,51 @@ object TextQueries {
         size(bpe).cast("long").as("n_tokens_bpe"),
         size(array_distinct(bpe)).cast("long").as("n_unique_bpe"),
         (size(punct).cast("double") / length(col("text"))).as("punct_ratio"))
+    },
+    // T-boilerplate — C4-style corpus-frequency span removal: every 3rd doc
+    // gets a fixed 12-word boilerplate prefix (aligned to the span width so
+    // it forms one exact span, like a repeated line); the operator must drop
+    // exactly those spans corpus-wide and keep everything else byte-intact.
+    "t8_boilerplate_spans" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(
+          pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(Boilerplate + " "), col("text"))).otherwise(col("text")).as("text"))
+      TextDedup.boilerplateSpanRemoval(
+        d, col("doc_id"), col("text"), spanWords = 12, maxOccurrences = 3)
+    },
+    // T-pipeline — the composed training-data gate: exact-dup flag (keep
+    // the smallest id per content hash; re-keyed copies of docs < 50 make
+    // real duplicates), quality threshold, and language gate fold into one
+    // keep decision — the end-to-end C4-style filter a corpus pass applies.
+    "t9_filter_pipeline" -> { (s, dir) =>
+      val d0 = Tables.documents(s, dir)
+      val d = d0.unionByName(
+        d0.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 1000000L))
+      val first = d
+        .groupBy(md5(col("text")).as("cmd5"))
+        .agg(min(col("doc_id")).as("first_id"))
+      val tk = TextFunctions.tokens(col("text"))
+      val nTok = size(tk)
+      val nUniq = size(array_distinct(tk))
+      val stop = TextFunctions.stopwordCount(tk, stopwords)
+      val quality = least(nTok.cast("double") / 200.0, lit(1.0)) * 0.5 +
+        (nUniq.cast("double") / nTok) * 0.3 +
+        (lit(1.0) - stop.cast("double") / nTok) * 0.2
+      d.select(
+          col("doc_id"),
+          md5(col("text")).as("cmd5"),
+          quality.as("q"),
+          (stop.cast("double") / nTok >= 0.03).as("lang_ok"))
+        .join(first, Seq("cmd5"))
+        .select(
+          col("doc_id"),
+          (col("doc_id") =!= col("first_id")).as("is_exact_dup"),
+          round(col("q"), 6).as("quality_score"),
+          (col("q") >= 0.5).as("quality_ok"),
+          col("lang_ok"),
+          (col("doc_id") === col("first_id") && col("q") >= 0.5 && col("lang_ok")).as("keep"))
     },
     // T-quality — token stats, type-token ratio, stopword ratio, composite
     // quality score, and the n-gram language-ID heuristic.
@@ -204,6 +253,57 @@ object TextQueries {
         |  len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS n_unique_bpe,
         |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / length(text) AS punct_ratio
         |FROM documents""".stripMargin,
+    "t8_boilerplate_spans" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN '$Boilerplate ' || text ELSE text END AS text
+         |  FROM documents),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+         |s0 AS (
+         |  SELECT doc_id, w,
+         |    unnest(generate_series(1, CAST(ceil(len(w) / 12.0) AS BIGINT))) AS i
+         |  FROM toks),
+         |spans AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    array_to_string(w[((i-1)*12+1):(i*12)], ' ') AS span
+         |  FROM s0),
+         |freq AS (SELECT span, count(*) AS n_occ FROM spans GROUP BY 1),
+         |kept AS (
+         |  SELECT s.doc_id, s.pos, s.span FROM spans s
+         |  JOIN freq f USING (span) WHERE f.n_occ < 3),
+         |k AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(span, ' ' ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY 1),
+         |n AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1)
+         |SELECT n.doc_id, n.n_spans,
+         |  coalesce(k.n_kept, 0) AS n_kept,
+         |  coalesce(k.clean_text, '') AS clean_text
+         |FROM n LEFT JOIN k USING (doc_id)""".stripMargin,
+    "t9_filter_pipeline" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+        |first AS (SELECT md5(text) AS cmd5, min(doc_id) AS first_id FROM u GROUP BY 1),
+        |m AS (
+        |  SELECT doc_id, md5(text) AS cmd5,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_distinct(string_split(text, ' '))) AS n_unique,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS n_stop
+        |  FROM u),
+        |q AS (
+        |  SELECT doc_id, cmd5,
+        |    least(n_tokens / 200.0, 1.0) * 0.5 + (n_unique * 1.0 / n_tokens) * 0.3
+        |      + (1.0 - n_stop * 1.0 / n_tokens) * 0.2 AS qv,
+        |    n_stop * 1.0 / n_tokens >= 0.03 AS lang_ok
+        |  FROM m)
+        |SELECT q.doc_id,
+        |  q.doc_id <> f.first_id AS is_exact_dup,
+        |  round(q.qv, 6) AS quality_score,
+        |  q.qv >= 0.5 AS quality_ok,
+        |  q.lang_ok,
+        |  (q.doc_id = f.first_id AND q.qv >= 0.5 AND q.lang_ok) AS keep
+        |FROM q JOIN first f USING (cmd5)""".stripMargin,
     "t5_text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),

@@ -89,6 +89,28 @@ class SbeFrameSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full hot path on the connector: frames -> decode -> event-time windows") {
+    val feed = mkFeed() // BTC@1s, ETH@2s, BTC@3s — one 1-minute window
+    val stream = spark.readStream.format("sbe-frames").load(feed.toString)
+      .select(Sbe.decodeTrade(col("frame")).as("d"))
+      .select(
+        (col("d.ts_ms") / 1000).cast("timestamp").as("event_ts"),
+        col("d.symbol").as("symbol"),
+        col("d.price").as("price"),
+        lit(1.0).as("qty"))
+    val agg = graft.streaming.HotPath
+      .windowedTradeStats(stream, "event_ts", "symbol", "price", "qty")
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("sbef_hotpath").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sbef_hotpath")
+        .select("symbol", "trade_count", "vwap")
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(rows === Seq(("BTC", 2L), ("ETH", 1L)))
+    } finally q.stop()
+  }
+
   test("empty directory yields an empty batch, not an error") {
     val d = Files.createTempDirectory("sbef_empty").toFile
     assert(spark.read.format("sbe-frames").load(d.toString).count() === 0)
