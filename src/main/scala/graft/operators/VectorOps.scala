@@ -105,14 +105,38 @@ object VectorOps {
       .reduce(_ + _)
   }
 
+  /** The nearest-centroid id as a per-row scalar EXPRESSION over literal
+    * centroid vectors: each centroid contributes a (d2, cid) struct (same
+    * zip_with+fold squared distance as [[rankedCells]]), `array_min`'s
+    * lexicographic struct order picks min d2 with ties to the smaller cid —
+    * identical semantics to ranking rank-1 by (d2, cid), but zero joins,
+    * zero shuffles, fully inside whole-stage codegen.
+    */
+  private def nearestCidExpr(cents: Seq[(Int, Seq[Double])]): Column = {
+    val scored = cents.map { case (cid, c) =>
+      struct(
+        aggregate(
+          zip_with(col("v"), typedLit(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, z) => a + z).as("d2"),
+        lit(cid).as("cid"))
+    }
+    array_min(array(scored: _*)).getField("cid")
+  }
+
   /** IVF (inverted-file) index: deterministic Lloyd k-means (seeded by the
     * first k vectors in id order, fixed iteration count — reproducible
     * anywhere), assigning every vector to its nearest centroid. Queries probe
     * only their own cell (`nProbe=1` semantics), turning top-k search into a
     * per-cell scan — the classic recall/throughput dial for ANN at corpus
-    * scale. Pure DataFrame ops: centroid update is a groupBy + per-dimension
-    * id-ordered fold via `posexplode`, assignment a broadcast cross-join over
-    * k rows.
+    * scale.
+    *
+    * Centroid state is k tiny vectors, so it lives on the DRIVER between
+    * iterations: assignment is then a zero-shuffle scalar expression over
+    * the corpus ([[nearestCidExpr]]) and each Lloyd round costs exactly ONE
+    * shuffle (the per-(cell, dim) mean update) — no crossJoin, no per-id
+    * ranking, no per-iteration caches to manage or leak. The k-row collect
+    * per round is the same driver traffic the final LocalRelation needed
+    * anyway.
     *
     * Determinism: the per-dimension mean is a sequential fold in id order
     * (sorted `collect_list` + `aggregate`), NOT `avg()` — double `avg`
@@ -123,30 +147,21 @@ object VectorOps {
     * per-(cell, dim) value list is the member count of one cell — if cells
     * get huge and bit-reproducibility is not required, `avg()` is the
     * cheaper scale variant.)
-    *
-    * Each iteration's centroids are persisted and materialized (k tiny rows)
-    * so iteration i+1's plan starts from the cached table instead of
-    * re-executing the whole assignment lineage back to the scan.
     */
   def ivfAssign(
       vecs: DataFrame, // id, embedding
       k: Int,
       iterations: Int = 3): (DataFrame, DataFrame) = {
-    // Each Lloyd iteration scans the parsed corpus twice (assignment +
-    // centroid update), so cache it for the LOOP ONLY: seed + 2×iterations
-    // passes hit the cache; it is released before returning, so callers'
-    // lazy plans fall back to the parquet scan (one pass each) and no cache
-    // handle outlives the call.
-    val v = vecs.select(col("id"), asDouble(col("embedding")).as("v")).persist()
-    // Seed = the k smallest ids numbered 0..k-1 in id order: one k-element
-    // array aggregate + posexplode, no global window over the corpus.
-    var centroids = v.orderBy("id").limit(k)
-      .agg(array_sort(collect_list(struct(col("id"), col("v")))).as("seed"))
-      .select(posexplode(col("seed")).as(Seq("pos", "s")))
-      .select(col("pos").cast("int").as("cid"), col("s.v").as("c"))
+    val v = vecs.select(col("id"), asDouble(col("embedding")).as("v"))
+    // Seed = the k smallest ids numbered 0..k-1 in id order.
+    var cents: Seq[(Int, Seq[Double])] = v.orderBy("id").limit(k)
+      .select(col("v")).collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
     for (_ <- 0 until iterations) {
-      val assigned = assignToNearest(v, centroids)
-      val next = assigned
+      // A cell that loses every member simply disappears (matching the
+      // unrolled oracle's GROUP BY), so later rounds rank fewer centroids.
+      cents = v
+        .withColumn("cid", nearestCidExpr(cents))
         .select(col("cid"), col("id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
         .agg(
@@ -160,22 +175,23 @@ object VectorOps {
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cid"), transform(col("dm"), e => e.getField("m")).as("c"))
-        .persist()
-      next.count() // materialize, then drop the previous iteration's cache
-      centroids.unpersist(blocking = false)
-      centroids = next
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq
     }
-    // Collapse the final centroids (k tiny rows) to a LocalRelation: the
-    // cache can be released HERE instead of leaking one table per query
-    // invocation, every downstream broadcast ships a literal instead of a
-    // plan, and nothing can ever re-execute the k-means lineage.
-    val rows = centroids.collect()
-    val schema = centroids.schema
-    centroids.unpersist(blocking = false)
-    v.unpersist(blocking = false)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "cid", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "c",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+        nullable = true)))
     val local = vecs.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), schema)
-    (assignToNearest(v, local), local)
+      java.util.Arrays.asList(cents.map { case (cid, c) =>
+        org.apache.spark.sql.Row(cid, c)
+      }: _*),
+      schema)
+    (v.withColumn("cid", nearestCidExpr(cents)), local)
   }
 
   /** Each row of `v` paired with its `n` nearest centroids (rank 1..n by
@@ -192,9 +208,6 @@ object VectorOps {
       .filter(col("__rn") <= n)
       .select(col("id"), col("v"), col("cid"))
   }
-
-  private def assignToNearest(v: DataFrame, centroids: DataFrame): DataFrame =
-    rankedCells(v, centroids, 1)
 
   /** IVF top-k: each query searches its `nProbe` nearest cells (corpus rows
     * live in exactly one cell, so probing more cells raises recall with cost
