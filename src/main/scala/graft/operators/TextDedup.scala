@@ -122,6 +122,46 @@ object TextDedup {
     verifyJaccard(cands, sigs.select(col("doc_id"), col("sh")), threshold)
   }
 
+  /** Near-dup pairs → duplicate CLUSTERS via bounded min-label propagation
+    * (HashToMin-style BSP connected components): every node starts labeled
+    * with its own id; each round every node takes the min of its own and its
+    * neighbors' labels. After `iterations` rounds a node's label is the
+    * smallest id within `iterations` hops — for dedup clusters (tiny
+    * diameters) a few rounds reach the true component representative, and
+    * the fixed round count keeps the computation deterministic and
+    * oracle-unrollable whether or not a pathological chain has converged.
+    *
+    * Scale shape: each round is one equi-join (edges × labels) + one
+    * min-groupBy — O(|E|) shuffle per round, O(diameter) rounds, the
+    * standard BSP bound. No collect; the label table stays distributed.
+    */
+  def neardupClusters(
+      pairs: DataFrame, // doc_a < doc_b
+      iterations: Int = 3): DataFrame = {
+    // Iterative lineage discipline: labels_j references labels_{j-1} twice
+    // (union + join), so an unbroken plan doubles per round and re-executes
+    // the upstream pair pipeline 2^rounds times. Cache the edge set for the
+    // loop and truncate the label lineage each round with an eager
+    // localCheckpoint (the standard BSP-iteration pattern) — every round
+    // then runs one join + one groupBy from materialized inputs.
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iterations) {
+      val neigh = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .select(edges("src").as("doc_id"), col("cluster_id"))
+      labels = labels.unionByName(neigh)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   /** C4-style boilerplate span removal: chunk each document's token stream
     * into fixed-width spans, drop every span whose occurrence count across
     * the WHOLE corpus reaches `maxOccurrences` (the C4 "line appears ≥3

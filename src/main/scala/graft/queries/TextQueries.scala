@@ -123,6 +123,16 @@ object TextQueries {
       TextDedup.boilerplateSpanRemoval(
         d, col("doc_id"), col("text"), spanWords = 12, maxOccurrences = 3)
     },
+    // D-clusters — LSH near-dup pairs resolved to duplicate clusters via 3
+    // rounds of min-label propagation (BSP connected components); each doc
+    // in any near-dup pair maps to its cluster representative (min id
+    // within 3 hops).
+    "t10_neardup_clusters" -> { (s, dir) =>
+      val pairs = TextDedup.nearDuplicates(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        k = K, rowsPerBand = R, threshold = 0.3)
+      TextDedup.neardupClusters(pairs.select("doc_a", "doc_b"), iterations = 3)
+    },
     // T-pipeline — the composed training-data gate: exact-dup flag (keep
     // the smallest id per content hash; re-keyed copies of docs < 50 make
     // real duplicates), quality threshold, and language gate fold into one
@@ -280,6 +290,46 @@ object TextQueries {
          |  coalesce(k.n_kept, 0) AS n_kept,
          |  coalesce(k.clean_text, '') AS clean_text
          |FROM n LEFT JOIN k USING (doc_id)""".stripMargin,
+    "t10_neardup_clusters" -> {
+      val rounds = (1 to 3).map { j =>
+        s"""l$j AS (
+           |  SELECT doc_id, min(cluster_id) AS cluster_id FROM (
+           |    SELECT doc_id, cluster_id FROM l${j - 1}
+           |    UNION ALL
+           |    SELECT e.src AS doc_id, l.cluster_id
+           |    FROM edges e JOIN l${j - 1} l ON l.doc_id = e.dst)
+           |  GROUP BY doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $shCte,
+         |sigs AS (
+         |  SELECT doc_id,
+         |    $duckSigExprs
+         |  FROM sh),
+         |bands AS ($duckBandsUnion),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+         |   AND x.doc_id < y.doc_id),
+         |ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+         |common AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN ex x ON x.doc_id = c.doc_a
+         |  JOIN ex y ON y.doc_id = c.doc_b AND y.tok = x.tok
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT m.doc_a, m.doc_b FROM common m
+         |  JOIN sz sa ON sa.doc_id = m.doc_a
+         |  JOIN sz sb ON sb.doc_id = m.doc_b
+         |  WHERE m.n_common * 1.0 / (sa.n + sb.n - m.n_common) >= 0.3),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS doc_id, src AS cluster_id FROM edges),
+         |$rounds
+         |SELECT doc_id, cluster_id FROM l3""".stripMargin
+    },
     "t9_filter_pipeline" ->
       """WITH u AS (
         |  SELECT doc_id, text FROM documents

@@ -169,6 +169,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("t8 boilerplate removal is the identity when no span repeats enough") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten eleven twelve thirteen"),
+      (2L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = TextDedup
+      .boilerplateSpanRemoval(docs, $"doc_id", $"text", spanWords = 5, maxOccurrences = 100L)
+      .orderBy("doc_id").collect()
+    // reassembly must be byte-identical to the original text
+    assert(out(0).getAs[String]("clean_text")
+      === "one two three four five six seven eight nine ten eleven twelve thirteen")
+    assert(out(1).getAs[String]("clean_text") === "alpha beta gamma delta")
+    assert(out(0).getAs[Long]("n_spans") === 3L && out(0).getAs[Long]("n_kept") === 3L)
+  }
+
+  test("neardupClusters: chains collapse to the min id, separate components stay apart") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val out = TextDedup.neardupClusters(pairs, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // 3 rounds cover the 3-hop chain 1-2-3-4; {6,7} is its own component
+    assert(out === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (6L, 6L), (7L, 6L)))
+  }
+
   test("TimeUnits: micros->millis->timestamp roundtrips and bucket index is floor-consistent") {
     val rnd = new scala.util.Random(3L)
     val ts = (0 until 500).map(_ => math.abs(rnd.nextLong()) % 4102444800000L).toDF("ms")
