@@ -42,6 +42,21 @@ object Multimodal {
       length(content).cast("long").as("n_bytes"))
   }
 
+  /** Resize/downsample: keep every `stride`-th byte of the payload (the
+    * thumbnail shape — real striding, stub semantics; a real resizer
+    * replaces the per-byte lambda with its kernel). Pure array ops inside
+    * codegen; output length = ceil(len / stride).
+    */
+  def resize(content: Column, stride: Int): Column = {
+    val n = ceil(length(content) / lit(stride.toDouble)).cast("int")
+    when(length(content) === 0, lit("")).otherwise(
+      concat_ws(
+        "",
+        transform(
+          sequence(lit(0), n - 1),
+          i => substring(content, (i * stride + 1).cast("int"), lit(1)).cast("string"))))
+  }
+
   /** Frame sampling: split a payload into `n` equal byte slices (the video
     * "every k-th frame" shape — real slicing, stub semantics).
     */

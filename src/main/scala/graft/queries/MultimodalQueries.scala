@@ -37,6 +37,17 @@ object MultimodalQueries {
           col("frame_idx"),
           length(col("frame")).cast("long").as("frame_len"),
           md5(col("frame")).as("frame_md5"))
+    },
+    // M3 — resize/downsample: every 7th byte of the payload (thumbnail
+    // shape); sampled length + content hash are the checkable surface.
+    "m3_resize" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").cast("binary").as("content"))
+        .select(col("id"), Multimodal.resize(col("content"), 7).as("thumb"))
+        .select(
+          col("id"),
+          length(col("thumb")).cast("long").as("thumb_len"),
+          md5(col("thumb")).as("thumb_md5"))
     }
   )
 
@@ -61,6 +72,16 @@ object MultimodalQueries {
         |SELECT id, CAST(i AS INT) AS frame_idx,
         |  CAST(length(substr(text, CAST(i * step + 1 AS INT), CAST(greatest(step, 1) AS INT))) AS BIGINT) AS frame_len,
         |  md5(substr(text, CAST(i * step + 1 AS INT), CAST(greatest(step, 1) AS INT))) AS frame_md5
-        |FROM s0""".stripMargin
+        |FROM s0""".stripMargin,
+    "m3_resize" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    array_to_string(
+        |      list_transform(generate_series(0, CAST(ceil(length(text) / 7.0) AS BIGINT) - 1),
+        |                     i -> substr(text, CAST(i * 7 + 1 AS INT), 1)),
+        |      '') AS thumb
+        |  FROM documents)
+        |SELECT id, CAST(length(thumb) AS BIGINT) AS thumb_len, md5(thumb) AS thumb_md5
+        |FROM t""".stripMargin
   )
 }

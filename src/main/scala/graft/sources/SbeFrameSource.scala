@@ -162,15 +162,23 @@ object SbeFrameReaderFactory extends PartitionReaderFactory {
           val len = java.nio.ByteBuffer.wrap(lenBytes).getInt
           val frame = new Array[Byte](len)
           var off = 0
-          while (off < len) {
+          var eof = false
+          while (off < len && !eof) {
             val r = in.read(frame, off, len - off)
-            if (r < 0) throw new java.io.EOFException(
-              s"truncated frame in $file at seq ${seq + 1}")
-            off += r
+            if (r < 0) eof = true else off += r
           }
-          seq += 1
-          row = InternalRow(frame, fileName, seq)
-          true
+          if (eof) {
+            // A truncated tail frame is what a live capture's in-flight
+            // write looks like — treat it as end-of-file (the frame is
+            // re-read complete once the file rolls), mirroring the
+            // reference's skip-bad-lines posture (S7) rather than failing
+            // the whole partition.
+            row = null; false
+          } else {
+            seq += 1
+            row = InternalRow(frame, fileName, seq)
+            true
+          }
         }
       }
       override def get(): InternalRow = row

@@ -115,4 +115,18 @@ class SbeFrameSourceSpec extends SparkSpec {
     val d = Files.createTempDirectory("sbef_empty").toFile
     assert(spark.read.format("sbe-frames").load(d.toString).count() === 0)
   }
+
+  test("a truncated tail frame reads as EOF, keeping the complete frames") {
+    val d = Files.createTempDirectory("sbef_trunc").toFile
+    val f = new File(d, "cap_00000.sbef")
+    SbeFrameSource.writeFrameFile(
+      f, Seq(tradeFrame(1000000L, 1L, 100L, -2, "BTC"), tradeFrame(2000000L, 2L, 200L, -2, "ETH")))
+    // chop the file mid-way through the second frame (a live in-flight write)
+    val bytes = Files.readAllBytes(f.toPath)
+    Files.write(f.toPath, java.util.Arrays.copyOf(bytes, bytes.length - 5))
+    val ids = spark.read.format("sbe-frames").load(d.toString)
+      .select(Sbe.decodeTrade(col("frame")).as("d")).select("d.trade_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(1L))
+  }
 }
