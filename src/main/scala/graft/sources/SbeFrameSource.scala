@@ -26,22 +26,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * deterministic, checkpointable offsets — restart/reconnect becomes offset
   * replay instead of bespoke backoff loops.
   *
-  * Offsets are file-granular: an offset is the count of consumed files in
-  * lexicographic order. Contract (same as Spark's own FileStreamSource
-  * discipline): files are immutable once visible and roll with
-  * lexicographically increasing names (the capture's timestamped chunks —
-  * the reference's reconnect boundaries — do exactly this).
+  * Offsets are (files, tailBytes): `files` frame files fully consumed in
+  * lexicographic order, plus `tailBytes` of the next one. The
+  * lexicographically LAST file is the live capture target and may grow;
+  * every earlier file is frozen (the capture rolls with increasing names —
+  * the reference's reconnect boundaries do exactly this). `latestOffset`
+  * walks the active file's length prefixes to the last COMPLETE frame
+  * boundary, so an in-flight append is never half-consumed: tail latency is
+  * one trigger, not one file roll.
   *
-  * Scale shape: one InputPartition per frame file, so a 1000-executor
-  * cluster tails a wide capture directory with per-file parallelism and no
-  * shuffle; decode stays columnar via the codegen `sbe_decode_*`
-  * expressions downstream ([[graft.functions.Sbe]]).
+  * Scale shape: one InputPartition per frame file (plus one bounded tail
+  * range), so a 1000-executor cluster tails a wide capture directory with
+  * per-file parallelism and no shuffle; decode stays columnar via the
+  * codegen `sbe_decode_*` expressions downstream ([[graft.functions.Sbe]]).
   */
 object SbeFrameSource {
   val Schema: StructType = StructType(Seq(
     StructField("frame", BinaryType, nullable = false),
     StructField("source_file", StringType, nullable = false),
-    StructField("frame_seq", LongType, nullable = false)))
+    // the frame's starting byte offset within its file — the stable,
+    // replayable per-frame identifier (survives partial-file reads, unlike
+    // an ordinal that would restart per byte-range partition)
+    StructField("frame_offset", LongType, nullable = false)))
 
   val FileSuffix = ".sbef"
 
@@ -51,12 +57,46 @@ object SbeFrameSource {
     fs.filter(f => f.isFile && f.getName.endsWith(FileSuffix)).sortBy(_.getName)
   }
 
-  /** Capture-side writer (ingest/test fixture, not the query hot path):
-    * one immutable length-prefixed frame file.
+  /** Byte offset just past the last COMPLETE frame in `file` — the safe
+    * consumption boundary for a file that may still be appended to. Walks
+    * length prefixes with seeks (no payload reads).
     */
-  def writeFrameFile(file: File, frames: Seq[Array[Byte]]): Unit = {
+  private[sources] def completeFrameBoundary(file: File): Long = {
+    val len = file.length()
+    val in = new DataInputStream(new java.io.BufferedInputStream(new FileInputStream(file)))
+    try {
+      var pos = 0L
+      var boundary = 0L
+      var done = false
+      while (!done) {
+        if (pos + 4 > len) done = true
+        else {
+          val frameLen = in.readInt().toLong
+          if (pos + 4 + frameLen > len) done = true
+          else {
+            in.skipNBytes(frameLen)
+            pos += 4 + frameLen
+            boundary = pos
+          }
+        }
+      }
+      boundary
+    } finally in.close()
+  }
+
+  /** Capture-side writer (ingest/test fixture, not the query hot path):
+    * one length-prefixed frame file.
+    */
+  def writeFrameFile(file: File, frames: Seq[Array[Byte]]): Unit =
+    writeFrames(file, frames, append = false)
+
+  /** Capture-side APPEND to the active file (live-feed fixture). */
+  def appendFrameFile(file: File, frames: Seq[Array[Byte]]): Unit =
+    writeFrames(file, frames, append = true)
+
+  private def writeFrames(file: File, frames: Seq[Array[Byte]], append: Boolean): Unit = {
     val out = new java.io.DataOutputStream(
-      new java.io.BufferedOutputStream(new java.io.FileOutputStream(file)))
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(file, append)))
     try frames.foreach { f => out.writeInt(f.length); out.write(f) }
     finally out.close()
   }
@@ -94,16 +134,16 @@ class SbeFrameScan(path: String, maxFilesPerTrigger: Option[Int]) extends Scan {
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       SbeFrameSource.listFrameFiles(path)
-        .map(f => SbeFramePartition(f.getAbsolutePath): InputPartition)
+        .map(f => SbeFramePartition(f.getAbsolutePath, 0L, -1L): InputPartition)
     override def createReaderFactory(): PartitionReaderFactory = SbeFrameReaderFactory
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new SbeFrameMicroBatchStream(path, maxFilesPerTrigger)
 }
 
-/** Offset = number of frame files consumed (lexicographic order). */
-case class SbeFrameOffset(fileCount: Int) extends Offset {
-  override def json(): String = s"""{"fileCount":$fileCount}"""
+/** `files` frame files fully consumed + `tailBytes` of the next one. */
+case class SbeFrameOffset(files: Int, tailBytes: Long) extends Offset {
+  override def json(): String = s"""{"files":$files,"tailBytes":$tailBytes}"""
 }
 
 /** Admission control (`maxFilesPerTrigger`) bounds each micro-batch like
@@ -113,48 +153,86 @@ case class SbeFrameOffset(fileCount: Int) extends Offset {
   */
 class SbeFrameMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int])
     extends MicroBatchStream with SupportsAdmissionControl {
-  override def initialOffset(): Offset = SbeFrameOffset(0)
-  override def latestOffset(): Offset =
-    SbeFrameOffset(SbeFrameSource.listFrameFiles(path).length)
+
+  override def initialOffset(): Offset = SbeFrameOffset(0, 0L)
+
+  private def available(): SbeFrameOffset = {
+    val files = SbeFrameSource.listFrameFiles(path)
+    if (files.isEmpty) SbeFrameOffset(0, 0L)
+    else SbeFrameOffset(
+      files.length - 1, SbeFrameSource.completeFrameBoundary(files.last))
+  }
+
+  override def latestOffset(): Offset = available()
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val avail = SbeFrameSource.listFrameFiles(path).length
-    val from = start.asInstanceOf[SbeFrameOffset].fileCount
+    val avail = available()
+    val from = start.asInstanceOf[SbeFrameOffset]
     limit match {
-      case m: ReadMaxFiles => SbeFrameOffset(math.min(avail, from + m.maxFiles()))
-      case _ => SbeFrameOffset(avail)
+      case m: ReadMaxFiles =>
+        // a capped batch always ends on a complete-file boundary; the
+        // active file's tail is consumed by a later (uncapped-remainder)
+        // trigger once all complete files are behind the offset
+        val cap = from.files + m.maxFiles()
+        if (cap <= avail.files) SbeFrameOffset(cap, 0L) else avail
+      case _ => avail
     }
   }
   override def deserializeOffset(json: String): Offset = {
-    // sole field of the trivial JSON above; no JSON lib needed
-    val n = json.replaceAll("[^0-9]", "")
-    SbeFrameOffset(if (n.isEmpty) 0 else n.toInt)
+    val nums = "-?\\d+".r.findAllIn(json).toSeq
+    if (nums.length >= 2) SbeFrameOffset(nums(0).toInt, nums(1).toLong)
+    // legacy single-field offset from the file-granular format
+    else SbeFrameOffset(nums.headOption.map(_.toInt).getOrElse(0), 0L)
   }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[SbeFrameOffset].fileCount
-    val e = end.asInstanceOf[SbeFrameOffset].fileCount
-    SbeFrameSource.listFrameFiles(path).slice(s, e)
-      .map(f => SbeFramePartition(f.getAbsolutePath): InputPartition)
+    val s = start.asInstanceOf[SbeFrameOffset]
+    val e = end.asInstanceOf[SbeFrameOffset]
+    val files = SbeFrameSource.listFrameFiles(path)
+    val parts = Seq.newBuilder[InputPartition]
+    if (s.files == e.files) {
+      if (e.tailBytes > s.tailBytes && s.files < files.length)
+        parts += SbeFramePartition(files(s.files).getAbsolutePath, s.tailBytes, e.tailBytes)
+    } else {
+      // the rest of the file the start offset was tailing (now frozen)
+      if (s.files < files.length)
+        parts += SbeFramePartition(files(s.files).getAbsolutePath, s.tailBytes, -1L)
+      // fully-consumed files in between
+      files.slice(s.files + 1, e.files).foreach { f =>
+        parts += SbeFramePartition(f.getAbsolutePath, 0L, -1L)
+      }
+      // the new active file's complete prefix
+      if (e.tailBytes > 0 && e.files < files.length)
+        parts += SbeFramePartition(files(e.files).getAbsolutePath, 0L, e.tailBytes)
+    }
+    parts.result().toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = SbeFrameReaderFactory
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-case class SbeFramePartition(file: String) extends InputPartition
+/** Byte range [fromByte, untilByte) of one frame file; untilByte = -1 reads
+  * to EOF. Range ends always fall on frame boundaries (planInputPartitions
+  * only cuts at boundaries computed by completeFrameBoundary).
+  */
+case class SbeFramePartition(file: String, fromByte: Long, untilByte: Long)
+    extends InputPartition
 
 object SbeFrameReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[SbeFramePartition].file
+    val p = partition.asInstanceOf[SbeFramePartition]
     new PartitionReader[InternalRow] {
       private val in = new DataInputStream(
-        new java.io.BufferedInputStream(new FileInputStream(file)))
-      private val fileName = UTF8String.fromString(new File(file).getName)
-      private var seq = -1L
+        new java.io.BufferedInputStream(new FileInputStream(p.file)))
+      in.skipNBytes(p.fromByte)
+      private val fileName = UTF8String.fromString(new File(p.file).getName)
+      private var pos = p.fromByte
       private var row: InternalRow = _
 
       override def next(): Boolean = {
+        if (p.untilByte >= 0 && pos >= p.untilByte) { row = null; return false }
         val lenBytes = new Array[Byte](4)
         val n = in.read(lenBytes)
         if (n < 4) { row = null; false }
@@ -170,13 +248,14 @@ object SbeFrameReaderFactory extends PartitionReaderFactory {
           if (eof) {
             // A truncated tail frame is what a live capture's in-flight
             // write looks like — treat it as end-of-file (the frame is
-            // re-read complete once the file rolls), mirroring the
+            // re-read complete once the boundary advances), mirroring the
             // reference's skip-bad-lines posture (S7) rather than failing
             // the whole partition.
             row = null; false
           } else {
-            seq += 1
-            row = InternalRow(frame, fileName, seq)
+            val frameStart = pos
+            pos += 4 + len
+            row = InternalRow(frame, fileName, frameStart)
             true
           }
         }

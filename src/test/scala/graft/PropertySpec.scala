@@ -183,6 +183,19 @@ class PropertySpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_spans") === 3L && out(0).getAs[Long]("n_kept") === 3L)
   }
 
+  test("t8 counts within-doc repetitions toward the corpus threshold") {
+    // one document repeating the same 2-word span 3 times: the span hits
+    // maxOccurrences=3 on its own and every copy is removed
+    val docs = Seq(
+      (1L, "click here click here click here"),
+      (2L, "real content stays put")).toDF("doc_id", "text")
+    val out = TextDedup
+      .boilerplateSpanRemoval(docs, $"doc_id", $"text", spanWords = 2, maxOccurrences = 3L)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_kept") === 0L && out(0).getAs[String]("clean_text") === "")
+    assert(out(1).getAs[String]("clean_text") === "real content stays put")
+  }
+
   test("neardupClusters: chains collapse to the min id, separate components stay apart") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("doc_a", "doc_b")
     val out = TextDedup.neardupClusters(pairs, iterations = 3)

@@ -36,13 +36,15 @@ class SbeFrameSourceSpec extends SparkSpec {
     d
   }
 
-  test("batch read: all frames, per-file frame_seq, decode through codegen expr") {
+  test("batch read: all frames, per-file byte offsets, decode through codegen expr") {
     val feed = mkFeed()
     val df = spark.read.format("sbe-frames").load(feed.toString)
     assert(df.count() === 3)
-    val seqs = df.select("source_file", "frame_seq").collect()
+    // BTC trade frame = 8 header + 26 block + 1 symLen + 3 sym = 38 bytes,
+    // +4 length prefix -> the second frame of cap_00000 starts at byte 42
+    val offs = df.select("source_file", "frame_offset").collect()
       .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
-    assert(seqs === Seq(("cap_00000.sbef", 0L), ("cap_00000.sbef", 1L), ("cap_00001.sbef", 0L)))
+    assert(offs === Seq(("cap_00000.sbef", 0L), ("cap_00000.sbef", 42L), ("cap_00001.sbef", 0L)))
     val dec = df
       .select(Sbe.decodeTrade(col("frame")).as("d"))
       .select(col("d.trade_id"), col("d.ts_ms"), round(col("d.price"), 2).as("price"), col("d.symbol"))
@@ -114,6 +116,38 @@ class SbeFrameSourceSpec extends SparkSpec {
   test("empty directory yields an empty batch, not an error") {
     val d = Files.createTempDirectory("sbef_empty").toFile
     assert(spark.read.format("sbe-frames").load(d.toString).count() === 0)
+  }
+
+  test("live appends to the ACTIVE file are tailed at frame granularity") {
+    val feed = mkFeed() // cap_00000 (2 frames), cap_00001 (1 frame)
+    val q = spark.readStream.format("sbe-frames").load(feed.toString)
+      .select(Sbe.decodeTrade(col("frame")).as("d")).select("d.trade_id")
+      .writeStream.outputMode("append").format("memory").queryName("sbef_live")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sbef_live").count() === 3)
+      // the capture appends a frame to the ACTIVE (last) file — no roll
+      val active = new File(feed, "cap_00001.sbef")
+      SbeFrameSource.appendFrameFile(active, Seq(tradeFrame(9000000L, 9L, 5L, 0, "BTC")))
+      q.processAllAvailable()
+      assert(spark.table("sbef_live").count() === 4)
+      // an in-flight (truncated) append must NOT be consumed...
+      val full = tradeFrame(9500000L, 10L, 6L, 0, "ETH")
+      val out = new java.io.FileOutputStream(active, true)
+      try {
+        out.write(java.nio.ByteBuffer.allocate(4).putInt(full.length).array())
+        out.write(full, 0, 10)
+      } finally out.close()
+      q.processAllAvailable()
+      assert(spark.table("sbef_live").count() === 4)
+      // ...until the remaining bytes land, then exactly that frame arrives
+      val out2 = new java.io.FileOutputStream(active, true)
+      try out2.write(full, 10, full.length - 10) finally out2.close()
+      q.processAllAvailable()
+      val ids = spark.table("sbef_live").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L, 9L, 10L))
+    } finally q.stop()
   }
 
   test("a truncated tail frame reads as EOF, keeping the complete frames") {
