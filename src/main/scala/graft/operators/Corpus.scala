@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-assembly operators for training-data pipelines (scale EXTENSION —
+  * no reference counterpart; the reference stops at feature engineering,
+  * these cover the steps between a filtered corpus and a training run):
+  * deterministic splits, weighted sampling, benchmark-contamination checks,
+  * and sequence packing.
+  *
+  * Everything is hash- or prefix-sum-based so the same corpus always yields
+  * the same split/sample/packing on any cluster size — a re-run after adding
+  * executors must not reshuffle examples between train and test.
+  */
+object Corpus {
+
+  /** Engine-portable uniform bucket in [0, buckets) from a salted md5 of the
+    * id — the standard deterministic train/val/test assignment (salt makes
+    * independent splits of the same corpus possible). Zero shuffle.
+    */
+  def hashBucket(id: Column, salt: String, buckets: Int): Column =
+    pmod(TextFunctions.md5PrefixHash(concat(lit(salt + ":"), id.cast("string"))), lit(buckets.toLong))
+
+  /** Train/val/test assignment: cumulative percentage cuts over the salted
+    * hash bucket. `cuts` maps label -> upper percentile bound, applied in
+    * ascending order (e.g. train->80, val->90, test->100).
+    */
+  def deterministicSplit(
+      docs: DataFrame,
+      id: Column,
+      salt: String,
+      cuts: Seq[(String, Int)]): DataFrame = {
+    val b = hashBucket(id, salt, 100)
+    val label = cuts.init.foldRight(lit(cuts.last._1): Column) { case ((name, hi), rest) =>
+      when(b < hi, name).otherwise(rest)
+    }
+    docs.withColumn("hash_bucket", b).withColumn("split", label)
+  }
+
+  /** Weighted per-stratum sampling by hash threshold: a document is kept when
+    * its salted hash bucket (out of `resolution`) falls below the stratum's
+    * rate. This is the scalable form of stratified sampling — zero shuffle,
+    * no per-stratum ranking window (whose parallelism would collapse to the
+    * stratum cardinality), exact determinism, and the sample only grows
+    * monotonically when a rate is raised (hash thresholding is a nested
+    * family — the property that makes mixture re-weighing reproducible).
+    * Rates are per-mille; strata absent from the map get `defaultPerMille`.
+    */
+  def weightedSample(
+      docs: DataFrame,
+      id: Column,
+      stratum: Column,
+      salt: String,
+      ratesPerMille: Map[String, Int],
+      defaultPerMille: Int,
+      resolution: Int = 1000): DataFrame = {
+    val b = hashBucket(id, salt, resolution)
+    val rate = ratesPerMille.foldLeft(lit(defaultPerMille): Column) { case (acc, (k, v)) =>
+      when(stratum === k, v).otherwise(acc)
+    }
+    docs
+      .withColumn("sample_bucket", b)
+      .withColumn("rate_per_mille", rate.cast("long"))
+      .filter(col("sample_bucket") < col("rate_per_mille"))
+  }
+
+  /** Benchmark-contamination check: word-n-gram overlap between a training
+    * corpus and a held-out benchmark set. Returns (train_doc, bench_doc)
+    * pairs sharing >= `minOverlap` distinct shingle hashes, with the overlap
+    * count and the contaminated fraction of the benchmark doc's shingles —
+    * the decontamination signal used before a training run.
+    *
+    * Scale shape: shingle hashing is per-row; both sides explode to
+    * (doc, hash) and meet in an equi-join on the 8-byte hash (never the
+    * string). The benchmark side is tiny relative to the corpus — AQE
+    * broadcasts it — so the corpus is never shuffled; the groupBy on
+    * surviving (train, bench) matches partial-aggregates map-side.
+    */
+  def contamination(
+      train: DataFrame, // id, text
+      bench: DataFrame, // id, text
+      id: Column,
+      text: Column,
+      minOverlap: Long): DataFrame = {
+    def exploded(df: DataFrame, as: String) = df
+      .select(id.as(as), explode(TextFunctions.shingleHashes(text)).as("h"))
+    val benchSizes = bench
+      .select(id.as("bench_doc"), size(TextFunctions.shingleHashes(text)).cast("long").as("n_bench"))
+    exploded(train, "train_doc")
+      .join(exploded(bench, "bench_doc"), Seq("h"))
+      .groupBy(col("train_doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .join(benchSizes, Seq("bench_doc"))
+      .select(
+        col("train_doc"), col("bench_doc"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_bench")).as("bench_frac"))
+  }
+
+  /** GPT-style sequence packing: documents are concatenated in id order and
+    * cut every `seqLen` tokens; each document reports its global token start
+    * offset, the sequence it starts in, its offset within that sequence, and
+    * how many sequences it spans (a straddling document continues into the
+    * next sequence — the standard pretraining packing semantic).
+    *
+    * Scale shape — two-phase distributed prefix sum, the same scheme as
+    * Spark's own RDD.zipWithIndex but with no driver collect: documents
+    * bucket by `id div bucketWidth` (order-preserving); phase 1 aggregates
+    * one token total per bucket (map-side partial); the bucket table —
+    * `bucketWidth`× smaller than the corpus — takes the only ordered window,
+    * and phase 2 joins the broadcast bucket offsets back to a bucket-local
+    * window. Corpus-side parallelism is O(buckets), never 1; if the bucket
+    * table itself outgrows one partition, the same two phases recurse on it.
+    */
+  def packSequences(
+      docs: DataFrame,
+      id: Column,
+      nTokens: Column,
+      seqLen: Int,
+      bucketWidth: Long = 64L): DataFrame = {
+    val base = docs
+      .select(id.as("doc_id"), nTokens.cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
+    val bucketOffsets = base
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn(
+        "bucket_offset",
+        coalesce(
+          sum(col("bucket_tokens")).over(
+            Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bucket"), col("bucket_offset"))
+    val local = base.withColumn(
+      "local_offset",
+      coalesce(
+        sum(col("n_tokens")).over(
+          Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    local
+      .join(broadcast(bucketOffsets), Seq("bucket"))
+      .withColumn("start_offset", col("bucket_offset") + col("local_offset"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset div $seqLen").as("seq_id"),
+        pmod(col("start_offset"), lit(seqLen.toLong)).as("offset_in_seq"),
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(
+            expr(s"(start_offset + n_tokens - 1) div $seqLen") -
+              expr(s"start_offset div $seqLen") + 1L)
+          .as("n_seqs_spanned"))
+  }
+}

@@ -286,4 +286,28 @@ object VectorOps {
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "hamming", "cos_sim")
   }
+
+  /** Symmetric absmax int8 quantization — the storage/serving compression
+    * step of an embedding pipeline. Per-vector scale = absmax/127; values
+    * quantize by the engine-portable `floor(x/scale + 0.5)` (plain IEEE ops,
+    * no engine rounding-mode dependence) and the reconstruction MSE comes
+    * from the same sequential index-ordered fold as the cosine kernels.
+    * Per-row expressions only — zero shuffle at any corpus size.
+    */
+  def quantizeInt8(vecs: DataFrame, id: Column, vec: Column): DataFrame = {
+    def quant(x: Column) = floor(x / col("scale") + 0.5)
+    val absmax = array_max(transform(col("v"), x => abs(x)))
+    vecs
+      .select(id.as("vec_id"), asDouble(vec).as("v"))
+      .withColumn("scale", when(absmax === 0d, lit(1.0)).otherwise(absmax / 127.0))
+      .select(
+        col("vec_id"),
+        col("scale"),
+        transform(col("v"), x => quant(x).cast("long")).as("q"),
+        nz(round(
+          aggregate(
+            transform(col("v"), x => (x - quant(x) * col("scale")) * (x - quant(x) * col("scale"))),
+            lit(0.0), (acc, x) => acc + x) / size(col("v")),
+          12)).as("recon_mse"))
+  }
 }

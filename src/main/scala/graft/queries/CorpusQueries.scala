@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Corpus
+
+/** Corpus-assembly queries: deterministic splits, weighted sampling,
+  * contamination checks, sequence packing, PII redaction. Hash constants are
+  * shared with the DuckDB oracle (md5-prefix, like the minhash family).
+  */
+object CorpusQueries {
+
+  /** DuckDB twin of [[Corpus.hashBucket]]. */
+  private def duckBucket(saltedExpr: String, buckets: Int): String =
+    s"(CAST(concat('0x', substr(md5($saltedExpr), 1, 8)) AS BIGINT) % $buckets)"
+
+  private val SampleRates = Map("src0" -> 800, "src1" -> 500, "src2" -> 300)
+  private val SampleDefault = 200
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C-split — deterministic 80/10/10 train/val/test assignment by salted
+    // content-id hash: re-runs and cluster resizes can never move a document
+    // across the split boundary.
+    "t11_train_split" -> { (s, dir) =>
+      Corpus
+        .deterministicSplit(
+          Tables.documents(s, dir), col("doc_id"), "split",
+          Seq("train" -> 80, "val" -> 90, "test" -> 100))
+        .select("doc_id", "hash_bucket", "split")
+    },
+    // C-contamination — 3-word-shingle overlap between the training corpus
+    // and a held-out benchmark slice (every 20th doc): the decontamination
+    // report run before any training job.
+    "t12_contamination" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      Corpus.contamination(
+        train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        bench = d.filter(pmod(col("doc_id"), lit(20)) === 0),
+        id = col("doc_id"), text = col("text"), minOverlap = 3L)
+    },
+    // C-sample — per-source mixture weights via hash-threshold sampling
+    // (zero shuffle; no per-stratum ranking window to collapse parallelism).
+    "t13_weighted_sample" -> { (s, dir) =>
+      Corpus
+        .weightedSample(
+          Tables.documents(s, dir), col("doc_id"), col("source"), "sample",
+          SampleRates, SampleDefault)
+        .select("doc_id", "source", "sample_bucket", "rate_per_mille")
+    },
+    // C-pack — GPT-style concat-and-chunk packing at 256-token sequences via
+    // the two-phase distributed prefix sum (no global window on the corpus).
+    "t14_sequence_packing" -> { (s, dir) =>
+      Corpus.packSequences(
+        Tables.documents(s, dir),
+        col("doc_id"), size(split(col("text"), " ")), seqLen = 256)
+    },
+    // C-pii — email/phone redaction with match counts. The synthetic docs
+    // carry no PII, so each row gets a deterministic injected contact tail;
+    // patterns are simple character classes that behave identically under
+    // Java regex (Spark) and RE2 (DuckDB).
+    "t15_pii_redaction" -> { (s, dir) =>
+      val email = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+      val phone = "555-[0-9]{4}"
+      val t = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(t, lit(email), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(t, lit(phone), lit(0))).cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(t, email, "<EMAIL>"), phone, "<PHONE>").as("redacted"))
+    }
+  )
+
+  private val shCte = // distinct 3-gram word shingle hashes per doc
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |shh AS (SELECT doc_id,
+       |  CASE WHEN len(tk) < 3 THEN []
+       |       ELSE list_transform(
+       |              list_distinct(list_transform(generate_series(1, len(tk) - 2),
+       |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])),
+       |              x -> ${duckBucket("x", 2147483647)}) END AS h
+       |  FROM toks)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "t11_train_split" -> {
+      val b = duckBucket("'split:' || CAST(doc_id AS VARCHAR)", 100)
+      s"""SELECT doc_id, $b AS hash_bucket,
+         |  CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+    },
+    "t12_contamination" ->
+      s"""WITH $shCte,
+         |tr AS (SELECT doc_id AS train_doc, unnest(h) AS hh FROM shh WHERE doc_id % 20 <> 0),
+         |be AS (SELECT doc_id AS bench_doc, unnest(h) AS hh FROM shh WHERE doc_id % 20 = 0),
+         |sz AS (SELECT doc_id AS bench_doc, len(h) AS n_bench FROM shh WHERE doc_id % 20 = 0),
+         |ov AS (
+         |  SELECT train_doc, bench_doc, count(*) AS n_overlap
+         |  FROM tr JOIN be USING (hh) GROUP BY 1, 2)
+         |SELECT o.train_doc, o.bench_doc, o.n_overlap,
+         |  o.n_overlap * 1.0 / s.n_bench AS bench_frac
+         |FROM ov o JOIN sz s USING (bench_doc)
+         |WHERE o.n_overlap >= 3""".stripMargin,
+    "t13_weighted_sample" -> {
+      val b = duckBucket("'sample:' || CAST(doc_id AS VARCHAR)", 1000)
+      val rate = SampleRates.foldLeft(s"$SampleDefault") { case (acc, (k, v)) =>
+        s"CASE WHEN source = '$k' THEN $v ELSE $acc END"
+      }
+      s"""SELECT doc_id, source, $b AS sample_bucket,
+         |  CAST($rate AS BIGINT) AS rate_per_mille
+         |FROM documents
+         |WHERE $b < $rate""".stripMargin
+    },
+    "t14_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  start_offset // 256 AS seq_id,
+        |  start_offset % 256 AS offset_in_seq,
+        |  CASE WHEN n_tokens = 0 THEN 0
+        |       ELSE (start_offset + n_tokens - 1) // 256 - start_offset // 256 + 1
+        |  END AS n_seqs_spanned
+        |FROM o""".stripMargin,
+    "t15_pii_redaction" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@mail.example.com or 555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS n_emails,
+        |  len(regexp_extract_all(t, '555-[0-9]{4}')) AS n_phones,
+        |  regexp_replace(regexp_replace(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+        |                 '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM d""".stripMargin
+  )
+}

@@ -66,6 +66,11 @@ object VectorQueries {
         Tables.embeddings(s, dir)
           .select(col("vec_id").as("id"), col("embedding"), col("label").as("block")),
         threshold = 0.35)
+    },
+    // V7 — absmax int8 quantization + reconstruction error (the embedding
+    // compression step before storage/serving).
+    "v7_quantize_int8" -> { (s, dir) =>
+      VectorOps.quantizeInt8(Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
     }
   )
 
@@ -189,6 +194,19 @@ object VectorQueries {
          |  round($cos, 6) + 0.0 AS cos_sim
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE round($cos, 6) >= 0.35""".stripMargin
-    }
+    },
+    "v7_quantize_int8" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+        |       ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END AS scale
+        |  FROM e)
+        |SELECT vec_id, scale,
+        |  list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q,
+        |  round(list_sum(list_transform(v,
+        |      x -> (x - floor(x / scale + 0.5) * scale) * (x - floor(x / scale + 0.5) * scale)))
+        |    / len(v), 12) + 0.0 AS recon_mse
+        |FROM s""".stripMargin
   )
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, VectorOps}
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deterministicSplit assigns every doc exactly one stable label at the cut proportions") {
+    val docs = (0L until 2000L).toDF("doc_id")
+    val cuts = Seq("train" -> 80, "val" -> 90, "test" -> 100)
+    val a = Corpus.deterministicSplit(docs, $"doc_id", "s1", cuts)
+    val counts = a.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 2000L)
+    // hash buckets are uniform: 80/10/10 within a loose tolerance
+    assert(counts("train") > 1400L && counts("val") > 100L && counts("test") > 100L)
+    // re-evaluation is bit-stable
+    val b = Corpus.deterministicSplit(docs, $"doc_id", "s1", cuts)
+    assert(a.except(b).count() === 0L && b.except(a).count() === 0L)
+    // a different salt is an independent assignment (some docs move)
+    val c = Corpus.deterministicSplit(docs, $"doc_id", "s2", cuts)
+    assert(a.join(c, "doc_id").filter(a("split") =!= c("split")).count() > 0L)
+  }
+
+  test("weightedSample is nested: raising a rate only ever adds documents") {
+    val docs = (0L until 1000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    def sample(rate: Int) = Corpus
+      .weightedSample(docs, $"doc_id", $"source", "mix", Map("src0" -> rate), 250)
+      .select("doc_id")
+    val lo = sample(300)
+    val hi = sample(700)
+    assert(lo.except(hi).count() === 0L) // lo ⊆ hi
+    assert(hi.count() > lo.count())
+  }
+
+  test("contamination finds planted train/bench overlap and nothing else") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon something else entirely"), // 3 shared 3-grams
+      (2L, "totally disjoint words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val out = Corpus
+      .contamination(train, bench, col("doc_id"), col("text"), minOverlap = 3L)
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("train_doc") === 1L)
+    assert(out(0).getAs[Long]("n_overlap") === 3L)
+  }
+
+  test("packSequences matches the single-window prefix sum for any bucket width") {
+    val docs = (0L until 100L).map(i => (i, s"d$i", (i % 17 + 1).toInt)).toDF("doc_id", "t", "n")
+    def run(w: Long) = Corpus
+      .packSequences(docs, $"doc_id", $"n", seqLen = 16, bucketWidth = w)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_offset", "seq_id", "offset_in_seq", "n_seqs_spanned")
+      .collect().toSeq
+    val ref = run(1L) // bucket per doc: offsets come entirely from the bucket table
+    assert(run(7L) === ref)
+    assert(run(64L) === ref)
+    // spot-check the packing invariants against a driver-side scan
+    val ns = (0L until 100L).map(i => i % 17 + 1)
+    val starts = ns.scanLeft(0L)(_ + _).init
+    ref.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("start_offset") === starts(i))
+      assert(r.getAs[Long]("seq_id") === starts(i) / 16)
+      assert(r.getAs[Long]("offset_in_seq") === starts(i) % 16)
+      val span = (starts(i) + ns(i) - 1) / 16 - starts(i) / 16 + 1
+      assert(r.getAs[Long]("n_seqs_spanned") === span)
+    }
+  }
+
+  test("quantizeInt8 bounds the per-element error by scale/2 and is exact on zeros") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = VectorOps.quantizeInt8(vecs, $"vec_id", $"embedding")
+      .orderBy("vec_id").collect()
+    val scale1 = out(0).getAs[Double]("scale")
+    assert(math.abs(scale1 - 1.0 / 127.0) < 1e-15)
+    val q1 = out(0).getSeq[Long](out(0).fieldIndex("q")).toSeq
+    assert(q1 === Seq(64L, -127L, 32L, 0L))
+    assert(out(0).getAs[Double]("recon_mse") <= (scale1 / 2) * (scale1 / 2) + 1e-15)
+    // zero vector: guard scale=1, all-zero codes, zero error
+    assert(out(1).getAs[Double]("scale") === 1.0)
+    assert(out(1).getSeq[Long](out(1).fieldIndex("q")).toSeq === Seq(0L, 0L, 0L, 0L))
+    assert(out(1).getAs[Double]("recon_mse") === 0.0)
+  }
+}
