@@ -32,24 +32,24 @@ object TextDedup {
       .groupBy(md5(content).as("content_md5"))
       .agg(min(id).as("doc_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-document minhash signature columns sig_0..sig_{k-1} plus the
-    * distinct shingle set (kept for downstream verification).
+  /** Per-document minhash signature columns (doc_id, sig_0..sig_{k-1}).
     *
-    * Shape: explode shingles → one codegen'd md5 per shingle → hash-aggregate
-    * with k `min` functions. Higher-order array lambdas evaluate interpreted
-    * in Spark (k array_min×transform passes profiled ~25× slower than this);
-    * the explode+agg form keeps everything inside whole-stage codegen at the
+    * Shape: explode shingle hashes → hash-aggregate with k `min` functions.
+    * Higher-order array lambdas evaluate interpreted in Spark (k
+    * array_min×transform passes profiled ~25× slower than this); the
+    * explode+agg form keeps everything inside whole-stage codegen at the
     * cost of one shuffle of O(docs) pre-aggregated rows — the right trade at
-    * any scale.
+    * any scale. Returns ONLY the signature table (no join back to the
+    * documents): banding consumes it as-is, and verification re-derives the
+    * shingle sets from the documents directly — a per-row expression is
+    * cheaper to recompute than a join is to shuffle.
     */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column, k: Int = 16): DataFrame = {
-    val base = docs.select(id.as("doc_id"), shingles(text).as("sh"), shingleHashes(text).as("__hs"))
-    val ex = base.select(col("doc_id"), explode_outer(col("__hs")).as("h"))
+    val ex = docs.select(id.as("doc_id"), explode_outer(shingleHashes(text)).as("h"))
     val aggs = minhashParams(k).zipWithIndex.map { case ((a, b), j) =>
       min((lit(a) * col("h") + lit(b)) % MinhashP).as(s"sig_$j")
     }
-    val sigs = ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    base.drop("__hs").join(sigs, Seq("doc_id"))
+    ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Band-hash fold modulus: keeps the running hash < 1e12 so the next
@@ -116,10 +116,12 @@ object TextDedup {
     // while caching the shingle string arrays costs ~5 s of columnar
     // serialization. Recomputing the branch is the faster plan here; on a
     // cluster where the corpus scan itself is expensive, persist
-    // `minhashSignatures(...).drop("sh")` (the small part) instead.
+    // `minhashSignatures(...)` (the small part) instead. Verification gets
+    // the shingle sets straight from the documents — not through the
+    // signature aggregate's lineage.
     val sigs = minhashSignatures(docs, id, text, k)
     val cands = lshCandidates(sigs, k, rowsPerBand)
-    verifyJaccard(cands, sigs.select(col("doc_id"), col("sh")), threshold)
+    verifyJaccard(cands, docs.select(id.as("doc_id"), shingles(text).as("sh")), threshold)
   }
 
   /** Near-dup pairs → duplicate CLUSTERS via bounded min-label propagation

@@ -20,12 +20,21 @@ import graft.functions.TextFunctions.md5PrefixHash
 object VectorOps {
 
   /** Sequential-fold dot product of two double arrays (deterministic order:
-    * left-to-right, matching DuckDB's list accumulation).
+    * left-to-right, matching DuckDB's list accumulation). Runs as the
+    * codegen kernel [[graft.functions.VectorKernels.DotExpr]] — the builtin
+    * `aggregate(zip_with(...))` fold evaluates its lambda interpreted per
+    * element, which dominated the blocked near-dup queries.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.VectorKernels.DotExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
-  def l2Norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  /** sqrt of the self-dot — the same `acc + x*x` fold order as the previous
+    * `aggregate` form, so norms are bit-identical.
+    */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 

@@ -58,11 +58,9 @@ object TextQueries {
       val copies = d.withColumn("doc_id", col("doc_id") + 1000000L)
       TextDedup.exactByContent(d.unionByName(copies), col("doc_id"), col("text"))
     },
-    // D-minhash — per-doc 16-value minhash signature (no shuffle).
+    // D-minhash — per-doc 16-value minhash signature.
     "t2_minhash_signatures" -> { (s, dir) =>
-      TextDedup
-        .minhashSignatures(Tables.documents(s, dir), col("doc_id"), col("text"), K)
-        .drop("sh")
+      TextDedup.minhashSignatures(Tables.documents(s, dir), col("doc_id"), col("text"), K)
     },
     // D-LSH — banded candidate pairs + exact jaccard verify >= 0.3. The
     // oracle runs the SAME LSH pipeline, so both sides miss the same
