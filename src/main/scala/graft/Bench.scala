@@ -24,11 +24,19 @@ object Bench {
     // smaller SF compiles different physical plans and the timed pass would
     // still pay janino/JIT for every query (~2 s/query observed). One full
     // pass at the bench SF puts the timed pass in steady state.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration aid);
+    // unset = the driver's full sweep.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (_, fn) =>
       try run(fn, sfDir)
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn, sfDir)
       catch { case _: Throwable => () }

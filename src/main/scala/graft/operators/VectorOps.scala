@@ -319,4 +319,30 @@ object VectorOps {
             lit(0.0), (acc, x) => acc + x) / size(col("v")),
           12)).as("recon_mse"))
   }
+
+  /** Per-dimension z-score standardization across the corpus — the feature
+    * scaling pass before quantization / clustering. One explode + one
+    * per-dim aggregate (64 groups — map-side partials make the shuffle k
+    * rows per partition), stats broadcast back onto the exploded stream.
+    * Sums accumulate in DECIMAL so the per-dim mean/std are order-independent
+    * and cross-engine exact; mean/var derived in double with a fixed
+    * operation order mirrored by the oracle SQL.
+    */
+  def perDimStandardize(vecs: DataFrame, id: Column, emb: Column): DataFrame = {
+    val ex = vecs.select(
+      id.as("vec_id"), posexplode(asDouble(emb)).as(Seq("dim", "x")))
+    val st = ex
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,12)")).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,12)")).cast("double").as("sxx"))
+      .withColumn("mean", col("sx") / col("n"))
+      .withColumn("sd", sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")))
+      .select("dim", "mean", "sd")
+    ex.join(broadcast(st), "dim")
+      .select(
+        col("vec_id"), col("dim").cast("long").as("dim"),
+        nz(round((col("x") - col("mean")) / col("sd"), 6)).as("x_norm"))
+  }
 }

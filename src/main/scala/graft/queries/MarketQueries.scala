@@ -141,6 +141,15 @@ object MarketQueries {
           tieBreak = col("trade_id"), windowMs = 300000L)
         .select("symbol", "ts_ms", "trade_id", "ma_w", "momentum", "acceleration")
     },
+    // W7 — gaps-and-islands sessionization: per-user activity sessions split
+    // at 8 h inactivity (batch twin of session_window; same island pattern as
+    // transformer.py's batch windows with a gap rule instead of a fixed grid).
+    "w7_sessionization" -> { (s, dir) =>
+      Sessionize.sessions(
+        Tables.trades(s, dir),
+        key = col("user_id"), tsMs = col("ts_ms"), tieBreak = col("trade_id"),
+        value = col("price"), gapMs = 28800000L)
+    },
     // A9/W2 — latest row per key (DISTINCT ON, RDS_SCHEMA.md:573-605).
     "a9_latest_per_key" -> { (s, dir) =>
       Windows
@@ -312,6 +321,24 @@ object MarketQueries {
          |  count(price) OVER w AS path_trades
          |FROM t
          |WINDOW w AS (PARTITION BY symbol ORDER BY ts_ms RANGE BETWEEN 1 FOLLOWING AND 600000 FOLLOWING)""".stripMargin,
+    "w7_sessionization" ->
+      s"""WITH t AS ($T),
+         |f AS (
+         |  SELECT user_id AS key, ts_ms, trade_id, price,
+         |    CASE WHEN lag(ts_ms) OVER w IS NULL
+         |              OR ts_ms - lag(ts_ms) OVER w > 28800000 THEN 1 ELSE 0 END AS ns
+         |  FROM t
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, trade_id)),
+         |g AS (
+         |  SELECT *, CAST(sum(ns) OVER (PARTITION BY key ORDER BY ts_ms, trade_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM f)
+         |SELECT key, session_seq,
+         |  min(ts_ms) AS session_start, max(ts_ms) AS session_end,
+         |  count(*) AS n_events,
+         |  max(ts_ms) - min(ts_ms) AS duration_ms,
+         |  CAST(sum(CAST(price AS DECIMAL(27,8))) AS DOUBLE) AS total_value
+         |FROM g GROUP BY 1, 2""".stripMargin,
     "w6_momentum" ->
       s"""WITH t AS ($T),
          |m AS (

@@ -198,10 +198,48 @@ object MicrostructureQueries {
           "parsed_symbol", regexp_extract(col("object_key"), "bronze/([a-z]+)/", 1))
         .withColumn(
           "parsed_mm", regexp_extract(col("object_key"), "mm=(\\d+)", 1).cast("int"))
+    },
+    // Z1 — Morton z-value layout keys over (user, minute): the clustering
+    // key OPTIMIZE-ZORDER-style writes range-partition on, so parquet
+    // min/max stats prune on either dimension (Layout.clusteredWrite).
+    "z1_zorder_keys" -> { (s, dir) =>
+      Tables.trades(s, dir)
+        .filter(col("trade_id") < 5000)
+        .select(
+          col("trade_id"),
+          col("user_id").bitwiseAND(lit(65535L)).as("zx"),
+          expr("ts_ms div 60000").bitwiseAND(lit(65535L)).as("zy"))
+        .withColumn("zvalue", Layout.zValue16(col("zx"), col("zy")))
+        .withColumn("zbucket", shiftright(col("zvalue"), 22))
+    },
+    // K8 — SCD2 history assembly: per-user change stream → validity
+    // intervals (the lakehouse generalization of db_writer.py's
+    // latest-row-per-key upsert; RDS_SCHEMA.md:703-756).
+    "k8_scd2_history" -> { (s, dir) =>
+      Scd.history(
+        Tables.trades(s, dir).filter(col("user_id") < 30),
+        key = col("user_id"), tsMs = col("ts_ms"), tieBreak = col("trade_id"),
+        attrs = Seq("price" -> col("price"), "symbol" -> col("symbol")))
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "z1_zorder_keys" -> {
+      val z = Layout.zValue16Sql("zx", "zy")
+      s"""WITH t AS ($T),
+         |k AS (
+         |  SELECT trade_id, user_id & 65535 AS zx, (ts_ms // 60000) & 65535 AS zy
+         |  FROM t WHERE trade_id < 5000),
+         |z AS (SELECT trade_id, zx, zy, $z AS zvalue FROM k)
+         |SELECT trade_id, zx, zy, zvalue, zvalue >> 22 AS zbucket FROM z""".stripMargin
+    },
+    "k8_scd2_history" ->
+      s"""WITH t AS ($T)
+         |SELECT user_id AS key, ts_ms AS valid_from, price, symbol,
+         |  lead(ts_ms, 1) OVER w AS valid_to,
+         |  lead(ts_ms, 1) OVER w IS NULL AS is_current
+         |FROM t WHERE user_id < 30
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, trade_id)""".stripMargin,
     "a2_bba_stats" ->
       s"""WITH t AS ($T),
          |$quotesCte

@@ -182,8 +182,20 @@ object TextQueries {
           (nUniq.cast("double") / nTok) * 0.3 +
           (lit(1.0) - stop.cast("double") / nTok) * 0.2).as("quality_score"),
         when(stop.cast("double") / nTok >= 0.03, "en").otherwise("unknown").as("lang_guess"))
+    },
+    // T-bm25 — Okapi BM25 against a fixed 4-term query: the retrieval-side
+    // scorer for quality-weighted sampling / corpus slicing.
+    "t16_bm25" -> { (s, dir) =>
+      TextRank.bm25(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        queryTerms = Bm25Terms)
     }
   )
+
+  /** Fixed BM25 query-term order — the per-doc total folds term scores in
+    * THIS order on both engines (double addition is not associative).
+    */
+  private val Bm25Terms = Seq("spark", "merge", "window", "hash")
 
   val oracle: Map[String, String] = Map(
     "t1_dedup_exact" ->
@@ -369,6 +381,41 @@ object TextQueries {
         |  least(n_tokens / 200.0, 1.0) * 0.5 + (n_unique * 1.0 / n_tokens) * 0.3
         |    + (1.0 - n_stop * 1.0 / n_tokens) * 0.2 AS quality_score,
         |  CASE WHEN n_stop * 1.0 / n_tokens >= 0.03 THEN 'en' ELSE 'unknown' END AS lang_guess
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    "t16_bm25" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val perTerm = Bm25Terms
+        .map(t => s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0)")
+        .mkString("\n        |    + ")
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |dls AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(sum(CAST(dl AS DECIMAL(27,8))) AS DOUBLE) / count(*) AS avgdl,
+        |    count(*) AS n_docs
+        |  FROM dls),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ($terms) GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+        |  FROM tf
+        |  JOIN dfreq USING (term)
+        |  JOIN dls USING (doc_id)
+        |  CROSS JOIN stats)
+        |SELECT doc_id,
+        |  round($perTerm, 6) + 0.0 AS bm25,
+        |  count(*) AS n_terms
+        |FROM sc GROUP BY doc_id""".stripMargin
+    }
   )
 }

@@ -67,6 +67,12 @@ object VectorQueries {
           .select(col("vec_id").as("id"), col("embedding"), col("label").as("block")),
         threshold = 0.35)
     },
+    // V8 — per-dimension z-score standardization across the corpus (the
+    // feature-scaling pass before quantization / clustering).
+    "v8_embed_standardize" -> { (s, dir) =>
+      VectorOps.perDimStandardize(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
+    },
     // V7 — absmax int8 quantization + reconstruction error (the embedding
     // compression step before storage/serving).
     "v7_quantize_int8" -> { (s, dir) =>
@@ -195,6 +201,22 @@ object VectorQueries {
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE round($cos, 6) >= 0.35""".stripMargin
     },
+    "v8_embed_standardize" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |ex AS (
+        |  SELECT vec_id, g.i - 1 AS dim, v[g.i] AS x
+        |  FROM e CROSS JOIN generate_series(1, 64) g(i)),
+        |st AS (
+        |  SELECT dim, count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        |  FROM ex GROUP BY dim),
+        |m AS (
+        |  SELECT dim, sx / n AS mean, sqrt((sxx - sx * sx / n) / n) AS sd
+        |  FROM st)
+        |SELECT vec_id, dim, round((x - mean) / sd, 6) + 0.0 AS x_norm
+        |FROM ex JOIN m USING (dim)""".stripMargin,
     "v7_quantize_int8" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

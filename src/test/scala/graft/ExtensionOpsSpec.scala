@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Layout, Scd, Sessionize, TextRank, VectorOps}
+
+/** Golden + property tests for the round-3 extension operators:
+  * sessionization, SCD2 history, BM25, z-order layout, per-dim
+  * standardization.
+  */
+class ExtensionOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- Sessionize ---------------------------------------------------------
+
+  test("sessionize: gap strictly greater than threshold starts a new session") {
+    val df = Seq(
+      ("u1", 0L, 1L, 1.0),
+      ("u1", 100L, 2L, 1.0), // gap == 100 → same session (boundary inclusive)
+      ("u1", 201L, 3L, 1.0), // gap == 101 > 100 → new session
+      ("u2", 5L, 4L, 2.0) // separate key
+    ).toDF("k", "ts", "id", "v")
+    val out = Sessionize
+      .sessions(df, col("k"), col("ts"), col("id"), col("v"), gapMs = 100L)
+      .orderBy("key", "session_seq")
+      .collect()
+    assert(out.length === 3)
+    val s1 = out(0)
+    assert(s1.getAs[Long]("session_seq") === 1L)
+    assert(s1.getAs[Long]("n_events") === 2L)
+    assert(s1.getAs[Long]("session_start") === 0L)
+    assert(s1.getAs[Long]("session_end") === 100L)
+    val s2 = out(1)
+    assert(s2.getAs[Long]("session_seq") === 2L)
+    assert(s2.getAs[Long]("n_events") === 1L)
+    assert(out(2).getAs[String]("key") === "u2")
+  }
+
+  test("sessionize: tied timestamps fall in one session deterministically") {
+    val df = Seq(
+      ("u", 10L, 1L, 1.0),
+      ("u", 10L, 2L, 2.0),
+      ("u", 10L, 3L, 3.0)
+    ).toDF("k", "ts", "id", "v")
+    val out = Sessionize
+      .sessions(df, col("k"), col("ts"), col("id"), col("v"), gapMs = 1L)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_events") === 3L)
+    assert(out.head.getAs[Double]("total_value") === 6.0)
+  }
+
+  // --- Scd ----------------------------------------------------------------
+
+  test("scd2: intervals tile the timeline, exactly one current row per key") {
+    val changes = Seq(
+      ("k1", 100L, 1L, 10.0),
+      ("k1", 200L, 2L, 20.0),
+      ("k1", 300L, 3L, 30.0),
+      ("k2", 50L, 4L, 5.0)
+    ).toDF("k", "ts", "id", "price")
+    val h = Scd
+      .history(changes, col("k"), col("ts"), col("id"),
+        attrs = Seq("price" -> col("price")))
+      .orderBy("key", "valid_from")
+      .collect()
+    assert(h.length === 4)
+    // valid_to == successor's valid_from (exclusive tiling, no overlap)
+    assert(h(0).getAs[Long]("valid_to") === h(1).getAs[Long]("valid_from"))
+    assert(h(1).getAs[Long]("valid_to") === h(2).getAs[Long]("valid_from"))
+    assert(h(2).isNullAt(h(2).fieldIndex("valid_to")))
+    assert(h.count(r => r.getAs[Boolean]("is_current")) === 2)
+    // as-of lookup at t=250 lands in the second interval
+    val asOf = h.filter(r =>
+      r.getAs[String]("key") == "k1" &&
+        r.getAs[Long]("valid_from") <= 250L &&
+        (r.isNullAt(r.fieldIndex("valid_to")) || 250L < r.getAs[Long]("valid_to")))
+    assert(asOf.length === 1 && asOf.head.getAs[Double]("price") === 20.0)
+  }
+
+  // --- TextRank -----------------------------------------------------------
+
+  test("bm25: matches the hand-computed Okapi score on a 3-doc corpus") {
+    val docs = Seq(
+      (1L, "spark spark fast"),
+      (2L, "slow merge"),
+      (3L, "other words here entirely")
+    ).toDF("doc_id", "text")
+    val out = TextRank
+      .bm25(docs, col("doc_id"), col("text"), queryTerms = Seq("spark", "merge"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25"))
+      .toMap
+    // N=3, avgdl=3. doc1: tf(spark)=2, dl=3, df=1:
+    //   idf = ln((3-1+0.5)/(1+0.5)+1) = ln(8/3)
+    //   s = idf * 2*2.2 / (2 + 1.2*(0.25 + 0.75*3/3)) = idf * 4.4 / 3.2
+    val idf = math.log(8.0 / 3.0)
+    val d1 = BigDecimal(idf * 4.4 / 3.2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(1L) - d1) < 1e-9)
+    // doc2: tf(merge)=1, dl=2: s = idf * 2.2 / (1 + 1.2*(0.25 + 0.75*2/3))
+    val d2 = BigDecimal(idf * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2.0 / 3.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(2L) - d2) < 1e-9)
+    assert(!out.contains(3L)) // no query term → no row
+  }
+
+  // --- Layout -------------------------------------------------------------
+
+  test("zValue16 interleaves bits (x even, y odd)") {
+    val r = spark.range(1)
+      .select(
+        Layout.zValue16(lit(0b1010L), lit(0b0110L)).as("z"),
+        Layout.zValue16(lit(65535L), lit(0L)).as("zx_only"),
+        Layout.zValue16(lit(0L), lit(65535L)).as("zy_only"))
+      .head()
+    // x=1010 → bits at even positions 2,6; y=0110 → odd positions 3,5:
+    // z = 0b01101100 = 108
+    assert(r.getAs[Long]("z") === 108L)
+    // 16 ones interleaved: x fills even bits, y odd bits
+    assert(r.getAs[Long]("zx_only") === 0x55555555L)
+    assert(r.getAs[Long]("zy_only") === 0xaaaaaaaaL)
+  }
+
+  test("clusteredWrite: z-ranges of output files are disjoint and prune both dims") {
+    val n = 4096
+    val df = spark.range(n).select(
+      col("id"),
+      (col("id") * 37 % 256).as("x"),
+      (col("id") * 101 % 256).as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Layout.clusteredWrite(df, col("x"), col("y"), s"$dir/t", numFiles = 8)
+    val back = spark.read.parquet(s"$dir/t")
+      .withColumn("f", input_file_name())
+      .withColumn("z", Layout.zValue16(col("x"), col("y")))
+    val ranges = back.groupBy("f")
+      .agg(min("z").as("lo"), max("z").as("hi"),
+        min("x").as("xlo"), max("x").as("xhi"))
+      .collect()
+    assert(ranges.length === 8)
+    val sorted = ranges.sortBy(_.getAs[Long]("lo"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+          "file z-ranges must not overlap")
+      case _ => ()
+    }
+    // Each file covers a z-contiguous rectangle, so its x-span is much
+    // smaller than the full domain (256): layout clusters BOTH dims.
+    val avgSpan = sorted.map(r => r.getAs[Long]("xhi") - r.getAs[Long]("xlo"))
+      .sum.toDouble / sorted.length
+    assert(avgSpan < 200.0, s"x-span $avgSpan should beat the unclustered 255")
+  }
+
+  // --- VectorOps.perDimStandardize ---------------------------------------
+
+  test("perDimStandardize: output has zero mean and unit variance per dim") {
+    val vecs = Tables.embeddings(spark, sf)
+    val out = VectorOps.perDimStandardize(vecs, col("vec_id"), col("embedding"))
+    val moments = out.groupBy("dim")
+      .agg(avg("x_norm").as("m"), (avg(col("x_norm") * col("x_norm"))).as("m2"))
+      .collect()
+    assert(moments.length === 64)
+    moments.foreach { r =>
+      assert(math.abs(r.getAs[Double]("m")) < 1e-4)
+      assert(math.abs(r.getAs[Double]("m2") - 1.0) < 1e-3)
+    }
+  }
+}
