@@ -60,6 +60,35 @@ object Analytics {
   /** P10: CASE bucketing (`RDS_SCHEMA.md:682-691`, trade-size buckets at
     * `S3_SCHEMA.md:488`).
     */
+  /** Time-weighted average price per key — each tick weighted by its holding
+    * time (to the next tick; the last tick of a key carries no weight). The
+    * standard bar/valuation feature the plain `avg` mis-states under
+    * irregular tick spacing. One shuffle: the lead window and the final
+    * aggregate share the key partitioning. `price*dt` accumulates in DECIMAL
+    * so the sum is order-independent and cross-engine exact.
+    */
+  def twap(
+      rows: DataFrame,
+      key: Column,
+      tsMs: Column,
+      price: Column,
+      tieBreak: Column): DataFrame = {
+    rows
+      .select(key.as("key"), tsMs.as("__ts"), price.as("__p"), tieBreak.as("__tie"))
+      .withColumn("__dt", lead(col("__ts"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("__ts"), col("__tie"))) - col("__ts"))
+      .filter(col("__dt").isNotNull)
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        sum(col("__dt")).as("total_ms"),
+        graft.functions.Num.nz(round(
+          sum((col("__p") * col("__dt")).cast("decimal(38,8)")).cast("double") /
+            sum(col("__dt")),
+          6)).as("twap"))
+  }
+
   def sizeBucket(v: Column, small: Double, large: Double): Column =
     when(v < small, "small").when(v < large, "medium").otherwise("large")
 }

@@ -121,6 +121,38 @@ object AnalyticsQueries {
           graft.functions.Num.decStr8(col("ns")).as("notional_sum_dec"),
           col("n"))
     },
+    // A13 — multi-granularity rollup: (symbol, day) / (symbol) / () levels
+    // in ONE aggregate pass (the expand-based GROUPING SETS plan), replacing
+    // three separate daily/symbol/global scans.
+    "a13_rollup_multigrain" -> { (s, dir) =>
+      Tables.trades(s, dir)
+        .select(col("symbol"), expr("ts_ms div 86400000").as("day_ms"),
+          col("qty"), col("price"))
+        .rollup(col("symbol"), col("day_ms"))
+        .agg(
+          count(lit(1)).as("n"),
+          graft.operators.TradeAggregates.exactSum(col("qty")).as("total_qty"),
+          round(avg(col("price")), 6).as("avg_price"),
+          (grouping(col("symbol")).cast("long") * 2 +
+            grouping(col("day_ms")).cast("long")).as("lvl"))
+    },
+    // A14 — fixed-vocabulary pivot: per-day per-symbol volume matrix (the
+    // wide feature shape; values list fixed so the schema is deterministic).
+    "a14_pivot_volumes" -> { (s, dir) =>
+      Tables.trades(s, dir)
+        .select(expr("ts_ms div 86400000").as("day_ms"), col("symbol"), col("qty"))
+        .groupBy(col("day_ms"))
+        .pivot("symbol", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(graft.operators.TradeAggregates.exactSum(col("qty")))
+    },
+    // A15 — time-weighted average price per symbol (ticks weighted by
+    // holding time; plain avg mis-states TWAP under irregular spacing).
+    "a15_twap" -> { (s, dir) =>
+      graft.operators.Analytics.twap(
+        Tables.trades(s, dir),
+        key = col("symbol"), tsMs = col("ts_ms"), price = col("price"),
+        tieBreak = col("trade_id"))
+    },
     // P1-P5 + P9 + P10 — projection/rename, required-field + positive +
     // ts-sanity filters, decimal-safe cast, derived scalars, CASE bucket
     // (transformer.py:27-260, feature_builder.py:114).
@@ -143,6 +175,36 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "a13_rollup_multigrain" ->
+      s"""WITH t AS ($T),
+         |p AS (SELECT symbol, ts_ms // 86400000 AS day_ms, qty, price FROM t)
+         |SELECT symbol, day_ms, count(*) AS n,
+         |  CAST(sum(CAST(qty AS DECIMAL(27,8))) AS DOUBLE) AS total_qty,
+         |  round(avg(price), 6) AS avg_price,
+         |  CAST(grouping(symbol) AS BIGINT) * 2
+         |    + CAST(grouping(day_ms) AS BIGINT) AS lvl
+         |FROM p GROUP BY ROLLUP(symbol, day_ms)""".stripMargin,
+    "a14_pivot_volumes" ->
+      s"""WITH t AS ($T),
+         |p AS (SELECT ts_ms // 86400000 AS day_ms, symbol, qty FROM t)
+         |SELECT day_ms,
+         |  CAST(sum(CASE WHEN symbol = 'click' THEN CAST(qty AS DECIMAL(27,8)) END) AS DOUBLE) AS click,
+         |  CAST(sum(CASE WHEN symbol = 'error' THEN CAST(qty AS DECIMAL(27,8)) END) AS DOUBLE) AS error,
+         |  CAST(sum(CASE WHEN symbol = 'purchase' THEN CAST(qty AS DECIMAL(27,8)) END) AS DOUBLE) AS purchase,
+         |  CAST(sum(CASE WHEN symbol = 'signup' THEN CAST(qty AS DECIMAL(27,8)) END) AS DOUBLE) AS signup,
+         |  CAST(sum(CASE WHEN symbol = 'view' THEN CAST(qty AS DECIMAL(27,8)) END) AS DOUBLE) AS "view"
+         |FROM p GROUP BY day_ms""".stripMargin,
+    "a15_twap" ->
+      s"""WITH t AS ($T),
+         |d AS (
+         |  SELECT symbol AS key, price,
+         |    lead(ts_ms, 1) OVER (PARTITION BY symbol ORDER BY ts_ms, trade_id)
+         |      - ts_ms AS dt
+         |  FROM t)
+         |SELECT key, count(*) AS n_ticks, CAST(sum(dt) AS BIGINT) AS total_ms,
+         |  round(CAST(sum(CAST(price * dt AS DECIMAL(38,8))) AS DOUBLE)
+         |    / sum(dt), 6) + 0.0 AS twap
+         |FROM d WHERE dt IS NOT NULL GROUP BY key""".stripMargin,
     "a7_prediction_rollup" ->
       """SELECT l_returnflag AS model_version,
         |  count(*) AS n_predictions,

@@ -47,6 +47,32 @@ object HotPath {
         col("trade_count"), col("volume"), col("min_price"), col("max_price"),
         col("vwap"))
 
+  /** T5-session: event-time SESSION windows per key — the streaming twin of
+    * [[graft.operators.Sessionize]] (same gap rule, merged by Spark's
+    * session-window state store instead of a batch island sum). State is one
+    * open session per live key, closed and emitted once the watermark passes
+    * `gap` beyond the last event — so state is O(live keys), independent of
+    * throughput.
+    */
+  def sessionStats(
+      stream: DataFrame,
+      tsCol: String,
+      key: String,
+      value: String,
+      gap: String = "30 seconds",
+      watermark: String = "10 seconds"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(key))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(value)).as("total_value"))
+      .select(
+        col(key),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** T3: bounded-state streaming dedup (the reference's per-symbol seen-set
     * with 1 h window / 100 k LRU cap).
     */

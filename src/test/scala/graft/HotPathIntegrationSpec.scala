@@ -76,6 +76,36 @@ class HotPathIntegrationSpec extends SparkSpec {
     assert(math.abs(out(1).getAs[Double]("price_minus_mid") - (-0.5)) < 1e-9)
   }
 
+  test("session_window: gapped events split, close events merge, late state evicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sess = HotPath.sessionStats(
+      mem.toDF().toDF("ts", "user", "v"),
+      tsCol = "ts", key = "user", value = "v",
+      gap = "10 seconds", watermark = "5 seconds")
+    val q = sess.writeStream.outputMode("append").format("memory")
+      .queryName("sess").start()
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    // u1: events at 1s,5s (merge: gap 4s < 10s) then 30s (new session);
+    // u2: single event at 2s.
+    mem.addData((t(1000), "u1", 1.0), (t(5000), "u1", 2.0), (t(2000), "u2", 5.0))
+    mem.addData((t(30000), "u1", 3.0))
+    // advance the watermark far enough to close every session
+    mem.addData((t(120000), "u3", 0.0))
+    q.processAllAvailable()
+    val out = spark.table("sess").orderBy("user", "session_start").collect()
+    q.stop()
+    val u1 = out.filter(_.getAs[String]("user") == "u1")
+    assert(u1.length === 2)
+    assert(u1(0).getAs[Long]("n_events") === 2L) // 1s+5s merged
+    assert(u1(0).getAs[Double]("total_value") === 3.0)
+    // session extends gap past the last event
+    assert(u1(0).getAs[java.sql.Timestamp]("session_end").getTime === 15000L)
+    assert(u1(1).getAs[Long]("n_events") === 1L)
+    assert(out.count(_.getAs[String]("user") == "u2") === 1)
+  }
+
   test("Skew: salted two-phase aggregation equals direct aggregation") {
     val rnd = new scala.util.Random(13L)
     // 90% of rows on one hot key
