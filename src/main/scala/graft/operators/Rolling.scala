@@ -189,6 +189,57 @@ object Rolling {
       .drop("__ia_n", "__ia_s1", "__ia_s2", "__owner", "__chunk", "__tie", "__sym", "__ts")
   }
 
+  /** W5 at firehose scale: [[forwardPathStats]] partitions by `symbol` only,
+    * collapsing to one task on a single-symbol stream. Mirror image of
+    * [[trailingStatsBucketed]]: rows bucket into (symbol, time-chunk) and the
+    * FORWARD frame's context comes from the next chunk's LEADING band — every
+    * row whose `ts < chunkStart + horizonMs` is also replicated into the
+    * previous chunk as a non-owned context row, frames compute chunk-locally,
+    * context rows drop. Bit-identical to [[forwardPathStats]] (same oracle);
+    * parallelism = symbols × chunks. Requires `chunkMs >= horizonMs` so
+    * context only ever comes from the immediately-next chunk.
+    */
+  def forwardPathStatsBucketed(
+      rows: DataFrame,
+      symbol: Column,
+      tsMs: Column,
+      price: Column,
+      qty: Column,
+      horizonMs: Long = 10000L,
+      chunkMs: Long = 60000L): DataFrame = {
+    require(chunkMs >= horizonMs, s"chunkMs ($chunkMs) must be >= horizonMs ($horizonMs)")
+    val base = rows
+      .withColumn("__sym", symbol)
+      .withColumn("__ts", tsMs)
+      .withColumn("__chunk", graft.functions.TimeUnits.bucketIndex(tsMs, chunkMs))
+    // A row in chunk c reaches forward to ts + horizonMs, all of which lives
+    // in chunk c+1's leading band — so the band rows of chunk c+1 replicate
+    // back into chunk c (single explode, no self-union).
+    val all = base
+      .withColumn(
+        "__dests",
+        when(
+          col("__ts") < col("__chunk") * chunkMs + horizonMs,
+          array(col("__chunk") - 1, col("__chunk")))
+          .otherwise(array(col("__chunk"))))
+      .withColumn("__home", col("__chunk"))
+      .withColumn("__chunk", explode(col("__dests")))
+      .withColumn("__owner", col("__chunk") === col("__home"))
+      .drop("__dests", "__home")
+    val w = Window
+      .partitionBy(col("__sym"), col("__chunk"))
+      .orderBy(col("__ts"))
+      .rangeBetween(1, horizonMs)
+    all
+      .withColumn("path_max", max(price).over(w))
+      .withColumn("path_min", min(price).over(w))
+      .withColumn("path_range", round(col("path_max") - col("path_min"), 8))
+      .withColumn("path_volume", sum(qty.cast("decimal(27,8)")).over(w).cast("double"))
+      .withColumn("path_trades", count(price).over(w))
+      .filter(col("__owner"))
+      .drop("__owner", "__chunk", "__sym", "__ts")
+  }
+
   /** W5: forward path stats over `(t, t + horizonMs]` — the label-side
     * max/min/range/volume/count of the 10 s window after each feature tick.
     */
@@ -231,5 +282,107 @@ object Rolling {
       .withColumn("ma_w", maExact)
       .withColumn("momentum", col("ma_w") - lag(col("ma_w"), 1).over(wSeq))
       .withColumn("acceleration", col("momentum") - lag(col("momentum"), 1).over(wSeq))
+  }
+
+  /** W6 at firehose scale: [[momentum]]'s per-symbol windows bucketed by
+    * (symbol, time-chunk), bit-identical output (same oracle). Two stitches:
+    *
+    *   1. `ma_w` (trailing range frame) — the same boundary-band replication
+    *      as [[trailingStatsBucketed]]: trailing-band rows of chunk c are
+    *      context rows of chunk c+1, frames compute chunk-locally, context
+    *      drops. Decimal-sum/count means are evaluation-order exact, so the
+    *      bucketed doubles are bit-identical to the per-symbol ones.
+    *   2. the lag chain — `momentum = ma - lag(ma)` and `acceleration =
+    *      momentum - lag(momentum) = (ma - l1) - (l1 - l2)` need the last TWO
+    *      `ma_w` values before each chunk's first row. A per-chunk tail
+    *      summary (last ≤2 rows' ma, one row per non-empty chunk) carries
+    *      them: the only per-symbol window runs over THAT tiny table, and
+    *      concatenating `lag(tail, 2) ++ lag(tail, 1)` handles 1-row chunks
+    *      (where the second-back row lives two non-empty chunks away).
+    *
+    * The identity `lag(momentum) = lag(ma,1) - lag(ma,2)` holds bitwise
+    * because momentum at every row IS that very subtraction of the same
+    * doubles. Requires `chunkMs >= windowMs`.
+    */
+  def momentumBucketed(
+      rows: DataFrame,
+      symbol: Column,
+      tsMs: Column,
+      price: Column,
+      tieBreak: Column,
+      windowMs: Long = 5000L,
+      chunkMs: Long = 60000L): DataFrame = {
+    require(chunkMs >= windowMs, s"chunkMs ($chunkMs) must be >= windowMs ($windowMs)")
+    val base = rows
+      .withColumn("__sym", symbol)
+      .withColumn("__ts", tsMs)
+      .withColumn("__tie", tieBreak)
+      .withColumn("__chunk", graft.functions.TimeUnits.bucketIndex(tsMs, chunkMs))
+    // 1 — trailing ma over (symbol, chunk) with boundary-band context rows.
+    val all = base
+      .withColumn(
+        "__dests",
+        when(
+          col("__ts") >= (col("__chunk") + 1) * chunkMs - windowMs,
+          array(col("__chunk"), col("__chunk") + 1))
+          .otherwise(array(col("__chunk"))))
+      .withColumn("__home", col("__chunk"))
+      .withColumn("__chunk", explode(col("__dests")))
+      .withColumn("__owner", col("__chunk") === col("__home"))
+      .drop("__dests", "__home")
+    val wRange = Window
+      .partitionBy(col("__sym"), col("__chunk"))
+      .orderBy(col("__ts"))
+      .rangeBetween(-windowMs, 0)
+    val owned = all
+      .withColumn(
+        "ma_w",
+        sum(price.cast("decimal(27,8)")).over(wRange).cast("double") /
+          count(lit(1)).over(wRange))
+      .filter(col("__owner"))
+      .drop("__owner")
+    // 2 — lag stitch. Chunk-local lags reuse the (symbol, chunk) exchange;
+    // only the first two rows of a chunk read the stitched tail values.
+    val wSeqChunk = Window
+      .partitionBy(col("__sym"), col("__chunk"))
+      .orderBy(col("__ts"), col("__tie"))
+    val wholeChunk = Window.partitionBy(col("__sym"), col("__chunk"))
+    val withRn = owned
+      .withColumn("__rn", row_number().over(wSeqChunk))
+      .withColumn("__cnt", count(lit(1)).over(wholeChunk))
+      .withColumn("__ma_l1_local", lag(col("ma_w"), 1).over(wSeqChunk))
+      .withColumn("__ma_l2_local", lag(col("ma_w"), 2).over(wSeqChunk))
+    val tails = withRn
+      .filter(col("__rn") > col("__cnt") - 2)
+      .groupBy(col("__sym"), col("__chunk"))
+      .agg(array_sort(collect_list(struct(col("__rn"), col("ma_w")))).as("__tl"))
+      .select(
+        col("__sym"), col("__chunk"),
+        transform(col("__tl"), e => e.getField("ma_w")).as("__tail"))
+    val wChunks = Window.partitionBy(col("__sym")).orderBy(col("__chunk"))
+    val empty = array().cast("array<double>")
+    val prev = tails
+      .withColumn(
+        "__prevcat",
+        concat(
+          coalesce(lag(col("__tail"), 2).over(wChunks), empty),
+          coalesce(lag(col("__tail"), 1).over(wChunks), empty)))
+      .select(
+        col("__sym"), col("__chunk"),
+        when(size(col("__prevcat")) >= 1, element_at(col("__prevcat"), -1)).as("__prev1"),
+        when(size(col("__prevcat")) >= 2, element_at(col("__prevcat"), -2)).as("__prev2"))
+    withRn
+      .join(prev, Seq("__sym", "__chunk"))
+      .withColumn("__ma_l1", coalesce(col("__ma_l1_local"), col("__prev1")))
+      .withColumn(
+        "__ma_l2",
+        when(col("__rn") === 1, col("__prev2"))
+          .when(col("__rn") === 2, col("__prev1"))
+          .otherwise(col("__ma_l2_local")))
+      .withColumn("momentum", col("ma_w") - col("__ma_l1"))
+      .withColumn("acceleration", col("momentum") - (col("__ma_l1") - col("__ma_l2")))
+      .drop(
+        "__rn", "__cnt", "__ma_l1_local", "__ma_l2_local", "__prev1", "__prev2",
+        "__ma_l1", "__ma_l2", "__chunk", "__tie", "__sym", "__ts")
   }
 }

@@ -132,6 +132,46 @@ object VectorOps {
     array_min(array(scored: _*)).getField("cid")
   }
 
+  /** Above this k, [[nearestCidExpr]]'s O(k·dim) literal expression tree
+    * stops being the right trade: codegen/planning cost grows with k while
+    * the broadcast-join alternative stays flat. 64 cells × 64 dims ≈ 12k
+    * expression nodes — comfortably inside codegen limits; a realistic
+    * 100 TB cell count (thousands) is not.
+    */
+  val NearestCidExprMaxK: Int = 64
+
+  /** The k-row centroid state as a broadcastable local DataFrame. */
+  private def centroidDf(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "cid", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "c",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+        nullable = true)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(cents.map { case (cid, c) =>
+        org.apache.spark.sql.Row(cid, c)
+      }: _*),
+      schema)
+  }
+
+  /** Nearest-centroid assignment of `v` (columns id, v) → (id, v, cid).
+    * k <= [[NearestCidExprMaxK]]: zero-shuffle scalar expression
+    * ([[nearestCidExpr]]). Larger k: broadcast the centroid table and rank —
+    * same (d2, cid) tie order, one extra per-id shuffle, expression size
+    * flat in k. Both paths produce identical assignments (the d2 fold is the
+    * same left-to-right zip_with sum), spec-asserted at k=128.
+    */
+  private[graft] def assignCids(
+      v: DataFrame,
+      cents: Seq[(Int, Seq[Double])],
+      maxExprK: Int = NearestCidExprMaxK): DataFrame =
+    if (cents.size <= maxExprK) v.withColumn("cid", nearestCidExpr(cents))
+    else rankedCells(v, centroidDf(v.sparkSession, cents), 1)
+
   /** IVF (inverted-file) index: deterministic Lloyd k-means (seeded by the
     * first k vectors in id order, fixed iteration count — reproducible
     * anywhere), assigning every vector to its nearest centroid. Queries probe
@@ -169,8 +209,7 @@ object VectorOps {
     for (_ <- 0 until iterations) {
       // A cell that loses every member simply disappears (matching the
       // unrolled oracle's GROUP BY), so later rounds rank fewer centroids.
-      cents = v
-        .withColumn("cid", nearestCidExpr(cents))
+      cents = assignCids(v, cents)
         .select(col("cid"), col("id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
         .agg(
@@ -188,19 +227,7 @@ object VectorOps {
         .map(r => (r.getInt(0), r.getSeq[Double](1)))
         .sortBy(_._1).toSeq
     }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(
-        "cid", org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField(
-        "c",
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
-        nullable = true)))
-    val local = vecs.sparkSession.createDataFrame(
-      java.util.Arrays.asList(cents.map { case (cid, c) =>
-        org.apache.spark.sql.Row(cid, c)
-      }: _*),
-      schema)
-    (v.withColumn("cid", nearestCidExpr(cents)), local)
+    (assignCids(v, cents), centroidDf(vecs.sparkSession, cents))
   }
 
   /** Each row of `v` paired with its `n` nearest centroids (rank 1..n by

@@ -132,6 +132,18 @@ object MarketQueries {
         .select("symbol", "ts_ms", "trade_id", "price", "path_max", "path_min",
           "path_range", "path_volume", "path_trades")
     },
+    // W5b — the same forward path stats with (symbol, time-chunk) bucketing
+    // (SCALE.md): bit-identical output (same oracle as w5), parallelism =
+    // symbols × chunks instead of collapsing to the symbol cardinality.
+    "w5b_path_stats_bucketed" -> { (s, dir) =>
+      Rolling
+        .forwardPathStatsBucketed(
+          Tables.trades(s, dir),
+          symbol = col("symbol"), tsMs = col("ts_ms"), price = col("price"),
+          qty = col("qty"), horizonMs = 600000L, chunkMs = 3600000L)
+        .select("symbol", "ts_ms", "trade_id", "price", "path_max", "path_min",
+          "path_range", "path_volume", "path_trades")
+    },
     // W6 — momentum / acceleration (S3_SCHEMA.md:569-578).
     "w6_momentum" -> { (s, dir) =>
       Rolling
@@ -139,6 +151,16 @@ object MarketQueries {
           Tables.trades(s, dir),
           symbol = col("symbol"), tsMs = col("ts_ms"), price = col("price"),
           tieBreak = col("trade_id"), windowMs = 300000L)
+        .select("symbol", "ts_ms", "trade_id", "ma_w", "momentum", "acceleration")
+    },
+    // W6b — bucketed momentum: boundary-band ma stitch + per-chunk tail lag
+    // stitch (SCALE.md); bit-identical to w6 (same oracle).
+    "w6b_momentum_bucketed" -> { (s, dir) =>
+      Rolling
+        .momentumBucketed(
+          Tables.trades(s, dir),
+          symbol = col("symbol"), tsMs = col("ts_ms"), price = col("price"),
+          tieBreak = col("trade_id"), windowMs = 300000L, chunkMs = 3600000L)
         .select("symbol", "ts_ms", "trade_id", "ma_w", "momentum", "acceleration")
     },
     // W7 — gaps-and-islands sessionization: per-user activity sessions split
@@ -209,6 +231,36 @@ object MarketQueries {
        |FROM ia
        |WINDOW wr AS (PARTITION BY symbol ORDER BY ts_ms RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW),
        |       ws AS (PARTITION BY symbol ORDER BY ts_ms, trade_id)""".stripMargin
+
+  /** Shared by w5 and w5b — same bit-identical-bucketing contract as a5/a5b. */
+  private val w5OracleSql: String =
+    s"""WITH t AS ($T)
+       |SELECT symbol, ts_ms, trade_id, price,
+       |  max(price) OVER w AS path_max,
+       |  min(price) OVER w AS path_min,
+       |  round(path_max - path_min, 8) AS path_range,
+       |  CAST(sum(CAST(qty AS DECIMAL(27,8))) OVER w AS DOUBLE) AS path_volume,
+       |  count(price) OVER w AS path_trades
+       |FROM t
+       |WINDOW w AS (PARTITION BY symbol ORDER BY ts_ms RANGE BETWEEN 1 FOLLOWING AND 600000 FOLLOWING)""".stripMargin
+
+  /** Shared by w6 and w6b. */
+  private val w6OracleSql: String =
+    s"""WITH t AS ($T),
+       |m AS (
+       |  SELECT symbol, ts_ms, trade_id,
+       |    CAST(sum(CAST(price AS DECIMAL(27,8))) OVER wr AS DOUBLE) / (count(*) OVER wr) AS ma_raw
+       |  FROM t
+       |  WINDOW wr AS (PARTITION BY symbol ORDER BY ts_ms RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)),
+       |d AS (
+       |  SELECT symbol, ts_ms, trade_id, ma_raw,
+       |    ma_raw - lag(ma_raw, 1) OVER ws AS momentum
+       |  FROM m
+       |  WINDOW ws AS (PARTITION BY symbol ORDER BY ts_ms, trade_id))
+       |SELECT symbol, ts_ms, trade_id, ma_raw AS ma_w, momentum,
+       |  momentum - lag(momentum, 1) OVER ws2 AS acceleration
+       |FROM d
+       |WINDOW ws2 AS (PARTITION BY symbol ORDER BY ts_ms, trade_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "a1_trade_batch_stats" ->
@@ -311,16 +363,9 @@ object MarketQueries {
          |    trade_id - prev_seq AS gap
          |  FROM t)
          |SELECT * FROM g WHERE gap > 50""".stripMargin,
-    "w5_path_stats" ->
-      s"""WITH t AS ($T)
-         |SELECT symbol, ts_ms, trade_id, price,
-         |  max(price) OVER w AS path_max,
-         |  min(price) OVER w AS path_min,
-         |  round(path_max - path_min, 8) AS path_range,
-         |  CAST(sum(CAST(qty AS DECIMAL(27,8))) OVER w AS DOUBLE) AS path_volume,
-         |  count(price) OVER w AS path_trades
-         |FROM t
-         |WINDOW w AS (PARTITION BY symbol ORDER BY ts_ms RANGE BETWEEN 1 FOLLOWING AND 600000 FOLLOWING)""".stripMargin,
+    "w5_path_stats" -> w5OracleSql,
+    // bucketed variant is output-identical by construction — same oracle
+    "w5b_path_stats_bucketed" -> w5OracleSql,
     "w7_sessionization" ->
       s"""WITH t AS ($T),
          |f AS (
@@ -339,22 +384,9 @@ object MarketQueries {
          |  max(ts_ms) - min(ts_ms) AS duration_ms,
          |  CAST(sum(CAST(price AS DECIMAL(27,8))) AS DOUBLE) AS total_value
          |FROM g GROUP BY 1, 2""".stripMargin,
-    "w6_momentum" ->
-      s"""WITH t AS ($T),
-         |m AS (
-         |  SELECT symbol, ts_ms, trade_id,
-         |    CAST(sum(CAST(price AS DECIMAL(27,8))) OVER wr AS DOUBLE) / (count(*) OVER wr) AS ma_raw
-         |  FROM t
-         |  WINDOW wr AS (PARTITION BY symbol ORDER BY ts_ms RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)),
-         |d AS (
-         |  SELECT symbol, ts_ms, trade_id, ma_raw,
-         |    ma_raw - lag(ma_raw, 1) OVER ws AS momentum
-         |  FROM m
-         |  WINDOW ws AS (PARTITION BY symbol ORDER BY ts_ms, trade_id))
-         |SELECT symbol, ts_ms, trade_id, ma_raw AS ma_w, momentum,
-         |  momentum - lag(momentum, 1) OVER ws2 AS acceleration
-         |FROM d
-         |WINDOW ws2 AS (PARTITION BY symbol ORDER BY ts_ms, trade_id)""".stripMargin,
+    "w6_momentum" -> w6OracleSql,
+    // bucketed variant is output-identical by construction — same oracle
+    "w6b_momentum_bucketed" -> w6OracleSql,
     "a9_latest_per_key" ->
       s"""WITH t AS ($T),
          |r AS (

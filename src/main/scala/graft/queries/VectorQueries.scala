@@ -74,9 +74,19 @@ object VectorQueries {
         Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
     },
     // V7 — absmax int8 quantization + reconstruction error (the embedding
-    // compression step before storage/serving).
+    // compression step before storage/serving). The operator returns the
+    // real `array<long>` quantized vector; the DECLARED query canonicalizes
+    // it to a CSV string + length because the driver's pandas checker cannot
+    // sort array-typed columns (same trick as the decimal canonical strings
+    // in c1/c2) — the array content is still fully hash-checked via the CSV.
     "v7_quantize_int8" -> { (s, dir) =>
       VectorOps.quantizeInt8(Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
+        .select(
+          col("vec_id"),
+          col("scale"),
+          concat_ws(",", transform(col("q"), x => x.cast("string"))).as("q_csv"),
+          size(col("q")).cast("long").as("q_len"),
+          col("recon_mse"))
     }
   )
 
@@ -225,7 +235,8 @@ object VectorQueries {
         |       ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END AS scale
         |  FROM e)
         |SELECT vec_id, scale,
-        |  list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q,
+        |  array_to_string(list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)), ',') AS q_csv,
+        |  CAST(len(v) AS BIGINT) AS q_len,
         |  round(list_sum(list_transform(v,
         |      x -> (x - floor(x / scale + 0.5) * scale) * (x - floor(x / scale + 0.5) * scale)))
         |    / len(v), 12) + 0.0 AS recon_mse

@@ -233,8 +233,10 @@ object SbeFrameReaderFactory extends PartitionReaderFactory {
 
       override def next(): Boolean = {
         if (p.untilByte >= 0 && pos >= p.untilByte) { row = null; return false }
+        // readNBytes loops until 4 bytes or true EOF — a single read() may
+        // legally return short before EOF and would drop the partition tail.
         val lenBytes = new Array[Byte](4)
-        val n = in.read(lenBytes)
+        val n = in.readNBytes(lenBytes, 0, 4)
         if (n < 4) { row = null; false }
         else {
           val len = java.nio.ByteBuffer.wrap(lenBytes).getInt

@@ -165,4 +165,35 @@ class ExtensionOpsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("m2") - 1.0) < 1e-3)
     }
   }
+
+  // --- VectorOps IVF assignment k-threshold guard -------------------------
+
+  test("ivf assignment at k=128: join path matches the expression path bit-for-bit") {
+    // 128 centroids exceeds NearestCidExprMaxK (64), so the default path is
+    // the broadcast-join + rank; forcing the literal-expression path via the
+    // maxExprK override must give identical assignments (same d2 fold, same
+    // (d2, cid) tie order) — and the join path must plan/execute without the
+    // O(k·dim) expression tree.
+    assert(VectorOps.NearestCidExprMaxK < 128)
+    val dim = 8
+    def vec(seed: Int): Seq[Double] =
+      (0 until dim).map(d => ((seed * 31 + d * 17) % 97).toDouble / 97.0)
+    val vecs = (0 until 300).map(i => (i.toLong, vec(i))).toDF("id", "embedding")
+    val v = vecs.select(col("id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = (0 until 128).map(c => (c, vec(c * 7 + 3)))
+    val joined = VectorOps.assignCids(v, cents)
+      .select("id", "cid").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val exprd = VectorOps.assignCids(v, cents, maxExprK = 1000)
+      .select("id", "cid").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(joined.size === 300)
+    assert(joined === exprd)
+  }
+
+  test("ivf end-to-end at nCells=128 plans without codegen blowup") {
+    val e = Tables.embeddings(spark, sf)
+    val out = VectorOps.annTopKIvf(
+      e.select(col("vec_id").as("id"), col("embedding")),
+      queryIds = (0L until 4L).toSeq, k = 2, nCells = 128, iterations = 1)
+    assert(out.count() > 0)
+  }
 }
