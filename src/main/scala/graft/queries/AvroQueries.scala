@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Avro
+
+/** Avro wire-format roundtrips — SURVEY §1.1: the reference's Kinesis
+  * payloads are Avro binary (the three record schemas under `schemas/avro/`). Each query encodes the
+  * trade view into real Avro binary frames (library encoder, fixture side)
+  * and decodes them back through the codegen [[Avro]] expressions — the
+  * replay path a consumer of captured wire data runs. The oracle reproduces
+  * the projected values directly from the source table: a hash match proves
+  * the binary round-trip is lossless field-for-field.
+  *
+  * Doubles survive Avro binary bit-exactly (IEEE764 little-endian on the
+  * wire), so no rounding is needed on either side.
+  */
+object AvroQueries {
+  private val T = Tables.tradesOracleCte
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MarketTrade.avsc roundtrip: all 8 fields through Avro binary.
+    "avro1_trade_roundtrip" -> { (s, dir) =>
+      val t = Tables.trades(s, dir).filter(col("trade_id") < 2000)
+      val q = coalesce(col("qty"), lit(0.0))
+      val enc = t.select(
+        Avro.encodeTrade(
+          upper(col("symbol")), col("ts_ms"), col("ts_ms") + 5L, col("trade_id"),
+          col("price"), q, col("trade_id") % 2 === 0, lit("sbe")).as("frame"))
+      enc.select(Avro.decodeTrade(col("frame")).as("d"))
+        .select(
+          col("d.symbol").as("symbol"),
+          col("d.event_ts").as("event_ts"),
+          col("d.ingest_ts").as("ingest_ts"),
+          col("d.trade_id").as("trade_id"),
+          col("d.price").as("price"),
+          col("d.qty").as("qty"),
+          col("d.is_buyer_maker").as("is_buyer_maker"),
+          col("d.source").as("source"))
+    },
+    // BestBidAsk.avsc roundtrip (quote fields synthesized from trades the
+    // same way the a2 quote view does).
+    "avro2_bba_roundtrip" -> { (s, dir) =>
+      val t = Tables.trades(s, dir).filter(col("trade_id") < 2000)
+      val q = coalesce(col("qty"), lit(0.0))
+      val enc = t.select(
+        col("trade_id").as("orig_id"),
+        Avro.encodeBba(
+          upper(col("symbol")), col("ts_ms"), col("ts_ms") + 7L,
+          col("price") - q * 0.01, q + 1.0,
+          col("price") + lit(0.01) + q * 0.005, lit(101.0) - q,
+          lit("rest")).as("frame"))
+      enc.select(col("orig_id"), Avro.decodeBba(col("frame")).as("d"))
+        .select(
+          col("orig_id"),
+          col("d.symbol").as("symbol"),
+          col("d.event_ts").as("event_ts"),
+          col("d.ingest_ts").as("ingest_ts"),
+          col("d.bid_px").as("bid_px"),
+          col("d.bid_sz").as("bid_sz"),
+          col("d.ask_px").as("ask_px"),
+          col("d.ask_sz").as("ask_sz"),
+          col("d.source").as("source"))
+    },
+    // DepthDelta.avsc roundtrip: the nested array<array<string>> book sides.
+    // Level strings are integer mantissas (cents) so the string form is
+    // engine-independent; the nested arrays are flattened to CSV so the full
+    // content is hash-checked (not just lengths).
+    "avro3_depth_roundtrip" -> { (s, dir) =>
+      val t = Tables.trades(s, dir).filter(col("trade_id") < 2000)
+      val m = round(col("price") * 100).cast("long")
+      def lvl(px: org.apache.spark.sql.Column, qy: org.apache.spark.sql.Column) =
+        array(px.cast("string"), qy.cast("string"))
+      val enc = t.select(
+        col("trade_id").as("orig_id"),
+        Avro.encodeDepth(
+          upper(col("symbol")), col("ts_ms"), col("ts_ms") + 11L,
+          array(lvl(m - 1L, m), lvl(m - 2L, m)),
+          array(lvl(m + 1L, m + 2L)),
+          lit("sbe")).as("frame"))
+      enc.select(col("orig_id"), Avro.decodeDepth(col("frame")).as("d"))
+        .select(
+          col("orig_id"),
+          col("d.symbol").as("symbol"),
+          col("d.event_ts").as("event_ts"),
+          col("d.ingest_ts").as("ingest_ts"),
+          size(col("d.bids")).cast("long").as("n_bids"),
+          size(col("d.asks")).cast("long").as("n_asks"),
+          concat_ws(",", flatten(col("d.bids"))).as("bids_csv"),
+          concat_ws(",", flatten(col("d.asks"))).as("asks_csv"),
+          element_at(element_at(col("d.bids"), 1), 1).cast("long").as("best_bid_cents"),
+          element_at(element_at(col("d.asks"), 1), 1).cast("long").as("best_ask_cents"),
+          col("d.source").as("source"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "avro1_trade_roundtrip" ->
+      s"""WITH t AS ($T)
+         |SELECT upper(symbol) AS symbol, ts_ms AS event_ts, ts_ms + 5 AS ingest_ts,
+         |  trade_id, price, coalesce(qty, 0.0) AS qty,
+         |  trade_id % 2 = 0 AS is_buyer_maker, 'sbe' AS source
+         |FROM t WHERE trade_id < 2000""".stripMargin,
+    "avro2_bba_roundtrip" ->
+      s"""WITH t AS ($T),
+         |q AS (SELECT trade_id, ts_ms, symbol, price, coalesce(qty, 0.0) AS qy
+         |      FROM t WHERE trade_id < 2000)
+         |SELECT trade_id AS orig_id, upper(symbol) AS symbol,
+         |  ts_ms AS event_ts, ts_ms + 7 AS ingest_ts,
+         |  price - qy * 0.01 AS bid_px, qy + 1.0 AS bid_sz,
+         |  price + 0.01 + qy * 0.005 AS ask_px, 101.0 - qy AS ask_sz,
+         |  'rest' AS source
+         |FROM q""".stripMargin,
+    "avro3_depth_roundtrip" ->
+      s"""WITH t AS ($T),
+         |m AS (SELECT trade_id, ts_ms, upper(symbol) AS sym,
+         |        CAST(round(price * 100) AS BIGINT) AS mm
+         |      FROM t WHERE trade_id < 2000)
+         |SELECT trade_id AS orig_id, sym AS symbol,
+         |  ts_ms AS event_ts, ts_ms + 11 AS ingest_ts,
+         |  CAST(2 AS BIGINT) AS n_bids, CAST(1 AS BIGINT) AS n_asks,
+         |  concat(mm - 1, ',', mm, ',', mm - 2, ',', mm) AS bids_csv,
+         |  concat(mm + 1, ',', mm + 2) AS asks_csv,
+         |  mm - 1 AS best_bid_cents, mm + 1 AS best_ask_cents,
+         |  'sbe' AS source
+         |FROM m""".stripMargin
+  )
+}
