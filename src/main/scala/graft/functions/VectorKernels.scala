@@ -18,6 +18,11 @@ object VectorKernels {
   /** Sequential left-to-right multiply-add — the exact fold order of
     * `aggregate(zip_with(a, b, (x, y) => x * y), 0.0, _+_)` and of DuckDB's
     * `list_sum(list_transform(...))` accumulation.
+    *
+    * CONTRACT (enforced by [[DotExpr]], not here): both arrays same length,
+    * no null elements. Called directly, mismatched lengths truncate to the
+    * shorter side and a null element reads as garbage via
+    * `ArrayData.getDouble` — always gate on [[dotDefined]] first.
     */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -27,16 +32,47 @@ object VectorKernels {
     acc
   }
 
+  /** True iff [[dot]] is well-defined: equal lengths, no null elements.
+    * The null scan is a bitmap test per element — negligible next to the
+    * multiply-add stream it guards.
+    */
+  def dotDefined(a: ArrayData, b: ArrayData): Boolean = {
+    val n = a.numElements()
+    if (b.numElements() != n) return false
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Dot product with the null semantics of the builtin fold it replaced:
+    * `zip_with` nulls the pair result on length mismatch and `x * y`
+    * null-propagates a null element, so the aggregate is null. DotExpr
+    * returns null in exactly those cases instead of silently truncating /
+    * reading garbage (the r4 ADVICE latent-trap fix).
+    */
   case class DotExpr(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
     override def inputTypes: Seq[DataType] =
       Seq(ArrayType(DoubleType), ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(a: Any, b: Any): Any =
-      java.lang.Double.valueOf(dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+    // Null even for non-null inputs (mismatched lengths / null elements).
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      if (dotDefined(aa, bb)) java.lang.Double.valueOf(dot(aa, bb)) else null
+    }
     override protected def doGenCode(
         ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
-      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dot($a, $b)")
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        if (graft.functions.VectorKernels.dotDefined($a, $b)) {
+          ${ev.value} = graft.functions.VectorKernels.dot($a, $b);
+        } else {
+          ${ev.isNull} = true;
+        }
+      """)
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): DotExpr =
       copy(left = newLeft, right = newRight)

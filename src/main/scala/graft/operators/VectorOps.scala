@@ -180,12 +180,15 @@ object VectorOps {
     * scale.
     *
     * Centroid state is k tiny vectors, so it lives on the DRIVER between
-    * iterations: assignment is then a zero-shuffle scalar expression over
-    * the corpus ([[nearestCidExpr]]) and each Lloyd round costs exactly ONE
-    * shuffle (the per-(cell, dim) mean update) — no crossJoin, no per-id
-    * ranking, no per-iteration caches to manage or leak. The k-row collect
-    * per round is the same driver traffic the final LocalRelation needed
-    * anyway.
+    * iterations. For k <= [[NearestCidExprMaxK]] assignment is a zero-shuffle
+    * scalar expression over the corpus ([[nearestCidExpr]]) and each Lloyd
+    * round costs exactly ONE shuffle (the per-(cell, dim) mean update) — no
+    * crossJoin, no per-id ranking, no per-iteration caches to manage or
+    * leak. Above that cap [[assignCids]] switches to the broadcast-join +
+    * rank path, which adds one per-id row_number shuffle per round (the
+    * price of keeping the codegen expression tree bounded). The k-row
+    * collect per round is the same driver traffic the final LocalRelation
+    * needed anyway.
     *
     * Determinism: the per-dimension mean is a sequential fold in id order
     * (sorted `collect_list` + `aggregate`), NOT `avg()` — double `avg`

@@ -29,9 +29,21 @@ object MicrostructureQueries {
   private object S1Feed {
     private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
     def dir(s: SparkSession, sfDir: String): String = {
-      val key = new java.io.File(sfDir).getCanonicalPath
+      // Key includes a cheap content fingerprint of the source table (file
+      // sizes + mtimes) so a regenerated sf dir within one process gets a
+      // fresh capture instead of a stale memoized feed.
+      val root = new java.io.File(sfDir)
+      val src = new java.io.File(root, "events.parquet")
+      val parts = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
+      val stamp = parts.sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString(",").hashCode
+      val key = s"${root.getCanonicalPath}#$stamp"
       cache.getOrElseUpdate(key, {
         val feed = java.nio.file.Files.createTempDirectory("graft_s1_feed_").toFile
+        // deleteOnExit runs LIFO: registering the dir BEFORE its files means
+        // files are deleted first, then the (empty) dir.
+        feed.deleteOnExit()
         val frames = Tables.trades(s, sfDir).filter(col("trade_id") < 2000)
           .select(
             col("trade_id"),
@@ -41,10 +53,11 @@ object MicrostructureQueries {
               col("qty") > 50, upper(col("symbol"))).as("frame"))
           .orderBy("trade_id").collect()
         frames.grouped(512).zipWithIndex.foreach { case (chunk, i) =>
+          val f = new java.io.File(
+            feed, f"capture_$i%05d${graft.sources.SbeFrameSource.FileSuffix}")
+          f.deleteOnExit()
           graft.sources.SbeFrameSource.writeFrameFile(
-            new java.io.File(
-              feed, f"capture_$i%05d${graft.sources.SbeFrameSource.FileSuffix}"),
-            chunk.map(_.getAs[Array[Byte]]("frame")).toSeq)
+            f, chunk.map(_.getAs[Array[Byte]]("frame")).toSeq)
         }
         feed.toString
       })

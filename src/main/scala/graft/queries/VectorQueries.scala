@@ -84,7 +84,12 @@ object VectorQueries {
         .select(
           col("vec_id"),
           col("scale"),
-          concat_ws(",", transform(col("q"), x => x.cast("string"))).as("q_csv"),
+          // null elements render as a literal NULL token (concat_ws would
+          // silently SKIP them, and DuckDB's array_to_string does the same —
+          // both engines would agree on a csv that dropped data). A null here
+          // can only come from a bug, so make it a visible hash mismatch.
+          concat_ws(",", transform(col("q"), x => coalesce(x.cast("string"), lit("NULL"))))
+            .as("q_csv"),
           size(col("q")).cast("long").as("q_len"),
           col("recon_mse"))
     }

@@ -196,4 +196,31 @@ class ExtensionOpsSpec extends SparkSpec {
       queryIds = (0L until 4L).toSeq, k = 2, nCells = 128, iterations = 1)
     assert(out.count() > 0)
   }
+
+  // DotExpr's contract (r4 ADVICE): null on length mismatch or null element,
+  // same as the builtin aggregate(zip_with(...)) fold it replaced — never a
+  // silent truncation or a garbage read. Pinned on both eval paths.
+  test("dot: null on mismatched lengths and null elements, value otherwise") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)), // 11.0
+      (2L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)),      // len mismatch
+      (3L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)), // null elem
+      (4L, null, Seq[java.lang.Double](1.0))                                  // null array
+    ).toDF("id", "a", "b")
+    def run(codegen: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try rows.select(col("id"), VectorOps.dot(col("a"), col("b")).as("d"))
+        .orderBy("id").collect().map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    val expected = Array[Option[Double]](Some(11.0), None, None, None)
+    assert(run("CODEGEN_ONLY") === expected)
+    assert(run("NO_CODEGEN") === expected)
+    // and it agrees with the builtin fold on the defined case
+    val builtin = rows.filter(col("id") === 1)
+      .select(expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, x) -> s + x)"))
+      .head().getDouble(0)
+    assert(builtin === 11.0)
+  }
 }
