@@ -12,11 +12,20 @@ import org.apache.spark.sql.functions._
   * history queryable — the shape warehouse loads use for dimension tables at
   * scale.
   *
-  * Shape: one shuffle on the key, one local sort, one `lead` pass — no
-  * self-join (the naive "join each row to its successor" doubles the
-  * shuffle). `valid_to` is exclusive (equal to the successor's
-  * `valid_from`), so intervals tile the timeline without overlap and an
-  * as-of lookup is `valid_from <= t AND (valid_to IS NULL OR t < valid_to)`.
+  * No-op compression (classic SCD2): change-stream rows whose attribute
+  * tuple equals their predecessor's open no new interval — they're dropped
+  * BEFORE the lead pass, so consecutive identical states collapse into one
+  * `[first_seen, next_change)` interval instead of one interval per source
+  * row. The compare is a null-safe `<=>` on the attr struct (a lag over the
+  * same window), so the whole operator is still one shuffle on the key with
+  * one local sort — the filter sits between two window passes that share
+  * partitioning AND ordering, so Catalyst plans a single Exchange and the
+  * second window reuses the sort. No self-join (the naive "join each row to
+  * its successor" doubles the shuffle).
+  *
+  * `valid_to` is exclusive (equal to the NEXT CHANGE's `valid_from`), so
+  * intervals tile the timeline without overlap and an as-of lookup is
+  * `valid_from <= t AND (valid_to IS NULL OR t < valid_to)`.
   */
 object Scd {
 
@@ -26,14 +35,18 @@ object Scd {
       tsMs: Column,
       tieBreak: Column,
       attrs: Seq[(String, Column)]): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(tsMs, tieBreak)
     val base = changes.select(
       (key.as("key") +: tsMs.as("valid_from") +: tieBreak.as("__tie") +:
         attrs.map { case (n, c) => c.as(n) }): _*)
+    val w = Window.partitionBy(col("key")).orderBy(col("valid_from"), col("__tie"))
+    val cur = struct(attrs.map { case (n, _) => col(n) }: _*)
     base
-      .withColumn("valid_to", lead(col("valid_from"), 1).over(
-        Window.partitionBy(col("key")).orderBy(col("valid_from"), col("__tie"))))
+      // lag(struct) is null only for the first row per key; `cur` is itself
+      // never null, so !(prev <=> cur) alone keeps first rows AND changes.
+      .withColumn("__changed", !(lag(cur, 1).over(w) <=> cur))
+      .filter(col("__changed"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
-      .drop("__tie")
+      .drop("__tie", "__changed")
   }
 }

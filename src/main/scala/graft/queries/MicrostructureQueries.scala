@@ -261,13 +261,23 @@ object MicrostructureQueries {
          |z AS (SELECT trade_id, zx, zy, $z AS zvalue FROM k)
          |SELECT trade_id, zx, zy, zvalue, zvalue >> 22 AS zbucket FROM z""".stripMargin
     },
+    // No-op compression: rows whose (price, symbol) tuple equals the
+    // predecessor's are dropped before the lead pass (Scd.history's
+    // lag-struct compare), so valid_to is the next CHANGE's valid_from.
     "k8_scd2_history" ->
-      s"""WITH t AS ($T)
-         |SELECT user_id AS key, ts_ms AS valid_from, price, symbol,
+      s"""WITH t AS ($T),
+         |s AS (SELECT user_id AS key, ts_ms, trade_id, price, symbol
+         |      FROM t WHERE user_id < 30),
+         |m AS (SELECT *,
+         |        struct_pack(p := price, sy := symbol) IS DISTINCT FROM
+         |          lag(struct_pack(p := price, sy := symbol))
+         |            OVER (PARTITION BY key ORDER BY ts_ms, trade_id) AS changed
+         |      FROM s)
+         |SELECT key, ts_ms AS valid_from, price, symbol,
          |  lead(ts_ms, 1) OVER w AS valid_to,
          |  lead(ts_ms, 1) OVER w IS NULL AS is_current
-         |FROM t WHERE user_id < 30
-         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, trade_id)""".stripMargin,
+         |FROM m WHERE changed
+         |WINDOW w AS (PARTITION BY key ORDER BY ts_ms, trade_id)""".stripMargin,
     "a2_bba_stats" ->
       s"""WITH t AS ($T),
          |$quotesCte

@@ -77,6 +77,31 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(asOf.length === 1 && asOf.head.getAs[Double]("price") === 20.0)
   }
 
+  test("scd2: consecutive identical attribute tuples compress to one interval") {
+    val changes = Seq(
+      ("k1", 100L, 1L, 10.0), // open @100
+      ("k1", 200L, 2L, 10.0), // no-op — dropped
+      ("k1", 300L, 3L, 10.0), // no-op — dropped
+      ("k1", 400L, 4L, 20.0), // change @400
+      ("k1", 500L, 5L, 10.0), // back to 10.0: a REAL change (not merged with row 1)
+      ("k2", 50L, 6L, 5.0)
+    ).toDF("k", "ts", "id", "price")
+    val h = Scd
+      .history(changes, col("k"), col("ts"), col("id"),
+        attrs = Seq("price" -> col("price")))
+      .orderBy("key", "valid_from")
+      .collect()
+    assert(h.length === 4)
+    val k1 = h.filter(_.getAs[String]("key") == "k1")
+    assert(k1.map(r => (r.getAs[Long]("valid_from"), r.getAs[Double]("price"))).toSeq ===
+      Seq((100L, 10.0), (400L, 20.0), (500L, 10.0)))
+    // the compressed first interval spans to the next CHANGE, not next row
+    assert(k1(0).getAs[Long]("valid_to") === 400L)
+    assert(k1(1).getAs[Long]("valid_to") === 500L)
+    assert(k1(2).isNullAt(k1(2).fieldIndex("valid_to")))
+    assert(h.count(_.getAs[Boolean]("is_current")) === 2)
+  }
+
   // --- TextRank -----------------------------------------------------------
 
   test("bm25: matches the hand-computed Okapi score on a 3-doc corpus") {
