@@ -303,6 +303,21 @@ object Rolling {
     * The identity `lag(momentum) = lag(ma,1) - lag(ma,2)` holds bitwise
     * because momentum at every row IS that very subtraction of the same
     * doubles. Requires `chunkMs >= windowMs`.
+    *
+    * `materializeSharedStage`: the windowed stage feeds TWO consumers (the
+    * output rows and the per-chunk tail summary). Unmaterialized, Catalyst
+    * plans the full scan→explode→shuffle→window pipeline twice — column
+    * pruning makes the subtrees differ, so ReuseExchange can't dedupe them
+    * (measured 2× the runtime at sf0.1). The default lazily
+    * `localCheckpoint`s the stage: computed once, both consumers read the
+    * stored blocks, and the blocks are reclaimed by the ContextCleaner when
+    * the RDD is GC'd (unlike `persist`, which leaks pinned cache entries —
+    * measured degrading UNRELATED queries in the same JVM). Tradeoff:
+    * localCheckpoint truncates lineage, so on a multi-executor cluster an
+    * executor loss fails the query instead of recomputing (swap in a
+    * reliable `checkpoint` dir for long jobs); pass `false` to keep the
+    * pure recompute plan — also what the plan-shape specs introspect, since
+    * a checkpointed stage hides its subtree behind a Scan ExistingRDD.
     */
   def momentumBucketed(
       rows: DataFrame,
@@ -311,7 +326,8 @@ object Rolling {
       price: Column,
       tieBreak: Column,
       windowMs: Long = 5000L,
-      chunkMs: Long = 60000L): DataFrame = {
+      chunkMs: Long = 60000L,
+      materializeSharedStage: Boolean = true): DataFrame = {
     require(chunkMs >= windowMs, s"chunkMs ($chunkMs) must be >= windowMs ($windowMs)")
     val base = rows
       .withColumn("__sym", symbol)
@@ -347,11 +363,13 @@ object Rolling {
       .partitionBy(col("__sym"), col("__chunk"))
       .orderBy(col("__ts"), col("__tie"))
     val wholeChunk = Window.partitionBy(col("__sym"), col("__chunk"))
-    val withRn = owned
+    val withRnPlan = owned
       .withColumn("__rn", row_number().over(wSeqChunk))
       .withColumn("__cnt", count(lit(1)).over(wholeChunk))
       .withColumn("__ma_l1_local", lag(col("ma_w"), 1).over(wSeqChunk))
       .withColumn("__ma_l2_local", lag(col("ma_w"), 2).over(wSeqChunk))
+    val withRn =
+      if (materializeSharedStage) withRnPlan.localCheckpoint(false) else withRnPlan
     val tails = withRn
       .filter(col("__rn") > col("__cnt") - 2)
       .groupBy(col("__sym"), col("__chunk"))

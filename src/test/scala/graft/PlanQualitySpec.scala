@@ -84,13 +84,36 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("w5b/w6b bucketed windows partition by (symbol, chunk), not symbol alone") {
-    for (name <- Seq("w5b_path_stats_bucketed", "w6b_momentum_bucketed")) {
-      val p = plan(name)
+    // w6b's default plan hides the big stage behind a localCheckpoint scan,
+    // so its shape is asserted on the materializeSharedStage=false twin
+    // (same logical plan, no checkpoint barrier).
+    val w6bPlain = graft.operators.Rolling.momentumBucketed(
+      Tables.trades(spark, sf),
+      symbol = org.apache.spark.sql.functions.col("symbol"),
+      tsMs = org.apache.spark.sql.functions.col("ts_ms"),
+      price = org.apache.spark.sql.functions.col("price"),
+      tieBreak = org.apache.spark.sql.functions.col("trade_id"),
+      windowMs = 300000L, chunkMs = 3600000L,
+      materializeSharedStage = false)
+      .queryExecution.executedPlan.toString
+    for ((name, p) <- Seq(
+        "w5b_path_stats_bucketed" -> plan("w5b_path_stats_bucketed"),
+        "w6b_momentum_bucketed(materialize=false)" -> w6bPlain)) {
       assert(p.contains("__chunk"), s"$name: ${p.take(800)}")
       assert(
         "hashpartitioning\\([^)]*__chunk".r.findFirstIn(p).nonEmpty,
         s"$name: ${p.take(800)}")
     }
+  }
+
+  test("w6b materializes the shared windowed stage once (no double pipeline)") {
+    val p = plan("w6b_momentum_bucketed")
+    // both consumers read the checkpointed stage: the scan/explode/window
+    // pipeline must NOT appear in the final plan (it runs once inside the
+    // checkpoint), and the stitch join must broadcast the tiny tail side.
+    assert(p.contains("Scan ExistingRDD"), p.take(800))
+    assert(!p.contains("Generate explode"), "shared stage computed twice:\n" + p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
   test("w5b/w6b bucketed windows output equals the per-symbol w5/w6 windows") {
