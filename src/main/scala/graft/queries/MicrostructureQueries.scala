@@ -19,38 +19,51 @@ import graft.operators._
 object MicrostructureQueries {
   private val T = Tables.tradesOracleCte
 
-  /** s1's capture fixture: the first 2000 trades encoded into rolling `.sbef`
-    * files ONCE per (process, sf dir) — ingest-side setup, hoisted out of the
-    * declared query so the measured plan is purely the `sbe-frames` scan.
-    * The feed root is a process-unique temp dir (no cross-process races on a
-    * shared path) and the memo is keyed by the canonical sf path, so repeat
-    * invocations — e.g. the bench loop — skip the encode+write entirely.
+  /** s1's capture fixtures: the first 2000 trades encoded into rolling
+    * `.sbef` files ONCE per (process, sf dir, template) — ingest-side setup,
+    * hoisted out of the declared queries so each measured plan is purely the
+    * `sbe-frames` scan + decode. All three wire templates flow through the
+    * same source: trade (10000), BBA (10001), depth (10003) — the fixture
+    * values mirror the s2/s2b/s2c roundtrips so the same oracle arithmetic
+    * applies. The feed root is a process-unique temp dir (no cross-process
+    * races on a shared path, deleteOnExit-registered) and the memo is keyed
+    * by (canonical sf path, content fingerprint, template), so repeat
+    * invocations — e.g. the bench loop — skip the encode+write entirely and
+    * a regenerated sf dir gets a fresh capture instead of a stale feed.
     */
   private object S1Feed {
     private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
-    def dir(s: SparkSession, sfDir: String): String = {
-      // Key includes a cheap content fingerprint of the source table (file
-      // sizes + mtimes) so a regenerated sf dir within one process gets a
-      // fresh capture instead of a stale memoized feed.
+    def dir(s: SparkSession, sfDir: String, kind: String): String = {
       val root = new java.io.File(sfDir)
       val src = new java.io.File(root, "events.parquet")
       val parts = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
       val stamp = parts.sortBy(_.getName)
         .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
         .mkString(",").hashCode
-      val key = s"${root.getCanonicalPath}#$stamp"
+      val key = s"${root.getCanonicalPath}#$stamp#$kind"
       cache.getOrElseUpdate(key, {
-        val feed = java.nio.file.Files.createTempDirectory("graft_s1_feed_").toFile
+        val feed =
+          java.nio.file.Files.createTempDirectory(s"graft_s1_${kind}_feed_").toFile
         // deleteOnExit runs LIFO: registering the dir BEFORE its files means
         // files are deleted first, then the (empty) dir.
         feed.deleteOnExit()
+        val m = round(col("price") * 100).cast("long")
+        val frameCol = kind match {
+          case "trade" => Sbe.encodeTrade(
+            col("ts_ms") * 1000L, col("trade_id"), m, lit(-2),
+            col("qty") > 50, upper(col("symbol")))
+          case "bba" => Sbe.encodeBba(
+            col("ts_ms") * 1000L, m - 50L, m + 50L,
+            round(col("qty") * 100).cast("long") + 1L,
+            round(col("qty") * 100).cast("long") + 2L,
+            lit(-2), upper(col("symbol")))
+          case "depth" => Sbe.encodeDepth(
+            col("ts_ms") * 1000L, col("trade_id") * 10L, col("trade_id") * 10L + 5L,
+            array(m - 1L, m - 2L, m - 3L), array(m + 1L, m + 2L),
+            lit(-2), upper(col("symbol")))
+        }
         val frames = Tables.trades(s, sfDir).filter(col("trade_id") < 2000)
-          .select(
-            col("trade_id"),
-            Sbe.encodeTrade(
-              col("ts_ms") * 1000L, col("trade_id"),
-              round(col("price") * 100).cast("long"), lit(-2),
-              col("qty") > 50, upper(col("symbol"))).as("frame"))
+          .select(col("trade_id"), frameCol.as("frame"))
           .orderBy("trade_id").collect()
         frames.grouped(512).zipWithIndex.foreach { case (chunk, i) =>
           val f = new java.io.File(
@@ -121,13 +134,41 @@ object MicrostructureQueries {
     // capture fixture (encode + write) is [[S1Feed]]: memoized per
     // (process, sf dir), so the declared plan is ONLY the scan + decode.
     "s1_sbe_frame_source" -> { (s, dir) =>
-      s.read.format("sbe-frames").load(S1Feed.dir(s, dir))
+      s.read.format("sbe-frames").load(S1Feed.dir(s, dir, "trade"))
         .select(Sbe.decodeTrade(col("frame")).as("d"))
         .select(
           col("d.trade_id").as("trade_id"),
           col("d.ts_ms").as("ts_ms"),
           round(col("d.price"), 2).as("price"),
           col("d.is_buyer_maker").as("is_buyer_maker"),
+          col("d.symbol").as("symbol"))
+    },
+    // S1b — BBA frames (templateId 10001) through the same DSv2 source +
+    // codegen decode: the full quote ingest path, closing the loop on the
+    // second decode expression (fixture values mirror s2b).
+    "s1b_bba_frame_source" -> { (s, dir) =>
+      s.read.format("sbe-frames").load(S1Feed.dir(s, dir, "bba"))
+        .select(Sbe.decodeBba(col("frame")).as("d"))
+        .select(
+          col("d.ts_ms").as("ts_ms"),
+          round(col("d.bid_px"), 2).as("bid_px"),
+          round(col("d.ask_px"), 2).as("ask_px"),
+          round(col("d.ask_px") - col("d.bid_px"), 2).as("spread"),
+          col("d.symbol").as("symbol"))
+    },
+    // S1c — depth frames (templateId 10003, repeating groups) through the
+    // same source; levels flattened to scalars as in s2c.
+    "s1c_depth_frame_source" -> { (s, dir) =>
+      s.read.format("sbe-frames").load(S1Feed.dir(s, dir, "depth"))
+        .select(Sbe.decodeDepth(col("frame")).as("d"))
+        .select(
+          col("d.ts_ms").as("ts_ms"),
+          col("d.first_update_id").as("first_update_id"),
+          col("d.final_update_id").as("final_update_id"),
+          size(col("d.bids")).cast("long").as("n_bids"),
+          size(col("d.asks")).cast("long").as("n_asks"),
+          round(element_at(col("d.bids"), 1).getField("price"), 2).as("best_bid"),
+          round(element_at(col("d.asks"), 1).getField("price"), 2).as("best_ask"),
           col("d.symbol").as("symbol"))
     },
     // S2 — SBE mantissa·10^exp binary decode roundtrip through the custom
@@ -346,6 +387,30 @@ object MicrostructureQueries {
          |  qty > 50 AS is_buyer_maker,
          |  upper(symbol) AS symbol
          |FROM t WHERE trade_id < 2000""".stripMargin,
+    "s1b_bba_frame_source" ->
+      s"""WITH t AS ($T)
+         |SELECT ts_ms,
+         |  round((CAST(round(price * 100) AS BIGINT) - 50) * 0.01, 2) AS bid_px,
+         |  round((CAST(round(price * 100) AS BIGINT) + 50) * 0.01, 2) AS ask_px,
+         |  round((CAST(round(price * 100) AS BIGINT) + 50) * 0.01
+         |        - (CAST(round(price * 100) AS BIGINT) - 50) * 0.01, 2) AS spread,
+         |  upper(symbol) AS symbol
+         |FROM t WHERE trade_id < 2000""".stripMargin,
+    "s1c_depth_frame_source" ->
+      s"""WITH t AS ($T),
+         |m AS (
+         |  SELECT trade_id, ts_ms, CAST(round(price * 100) AS BIGINT) AS mm,
+         |         upper(symbol) AS sym
+         |  FROM t WHERE trade_id < 2000)
+         |SELECT ts_ms,
+         |  trade_id * 10 AS first_update_id,
+         |  trade_id * 10 + 5 AS final_update_id,
+         |  CAST(3 AS BIGINT) AS n_bids,
+         |  CAST(2 AS BIGINT) AS n_asks,
+         |  round((mm - 1) * 0.01, 2) AS best_bid,
+         |  round((mm + 1) * 0.01, 2) AS best_ask,
+         |  sym AS symbol
+         |FROM m""".stripMargin,
     "s2_sbe_roundtrip" ->
       s"""WITH t AS ($T)
          |SELECT trade_id AS orig_id, ts_ms, trade_id,
