@@ -50,5 +50,15 @@ object GraftFunctions {
       "built-in")
     registry.createOrReplaceTempFunction(
       "graft_simhash32", exprs => TextKernels.Simhash32Expr(exprs.head), "built-in")
+    // avro_decode(frame, writerSchemaJson [, readerSchemaJson]) — the
+    // from_avro SQL surface (schema JSON as literals, folded at plan time).
+    registry.createOrReplaceTempFunction(
+      "avro_decode",
+      exprs => {
+        val writer = String.valueOf(lit(exprs(1)))
+        val reader = if (exprs.size > 2) String.valueOf(lit(exprs(2))) else writer
+        graft.functions.Avro.AvroDecode(exprs.head, writer, reader)
+      },
+      "built-in")
   }
 }

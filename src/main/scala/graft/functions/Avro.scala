@@ -2,6 +2,8 @@ package graft.functions
 
 import java.io.ByteArrayOutputStream
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.avro.Schema
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.io.{DecoderFactory, EncoderFactory}
@@ -234,6 +236,141 @@ object Avro {
     ColumnBridge.column(AvroBbaDecode(ColumnBridge.expression(c)))
   def decodeDepth(c: Column): Column =
     ColumnBridge.column(AvroDepthDecode(ColumnBridge.expression(c)))
+
+  // ── generic decoder: any record schema + reader/writer resolution ────────
+  // The `from_avro` surface: a decode expression built from schema JSON at
+  // plan time, with full Avro schema-resolution semantics (reader-side added
+  // fields take their defaults, dropped fields are skipped, matching is by
+  // field NAME not position) — what a consumer replaying old captures after
+  // a schema evolution actually needs.
+
+  /** Avro Schema → Spark DataType (records, arrays, maps, enums, fixed,
+    * nullable `["null", T]` unions; no general unions).
+    */
+  def sparkType(s: Schema): DataType = s.getType match {
+    case Schema.Type.STRING => StringType
+    case Schema.Type.LONG => LongType
+    case Schema.Type.INT => IntegerType
+    case Schema.Type.DOUBLE => DoubleType
+    case Schema.Type.FLOAT => FloatType
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.BYTES => BinaryType
+    case Schema.Type.ENUM => StringType
+    case Schema.Type.FIXED => BinaryType
+    case Schema.Type.ARRAY => ArrayType(sparkType(s.getElementType))
+    case Schema.Type.MAP =>
+      MapType(StringType, sparkType(s.getValueType))
+    case Schema.Type.RECORD =>
+      StructType(s.getFields.asScala.map(f =>
+        StructField(f.name, sparkType(f.schema))).toSeq)
+    case Schema.Type.UNION =>
+      val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1, s"only nullable unions supported, got $s")
+      sparkType(nonNull.head)
+    case t => throw new IllegalArgumentException(s"unsupported Avro type $t")
+  }
+
+  /** Avro generic datum → Catalyst value, shaped by the (reader) schema. */
+  private def toCatalyst(v: AnyRef, s: Schema): Any = {
+    if (v == null) return null
+    s.getType match {
+      case Schema.Type.UNION =>
+        val branch = s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+        toCatalyst(v, branch)
+      case Schema.Type.STRING | Schema.Type.ENUM => utf8(v)
+      case Schema.Type.BYTES =>
+        val bb = v.asInstanceOf[java.nio.ByteBuffer]
+        val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
+      case Schema.Type.FIXED =>
+        v.asInstanceOf[org.apache.avro.generic.GenericFixed].bytes().clone()
+      case Schema.Type.ARRAY =>
+        val in = v.asInstanceOf[java.util.List[AnyRef]]
+        val out = new Array[Any](in.size())
+        var i = 0
+        while (i < in.size()) { out(i) = toCatalyst(in.get(i), s.getElementType); i += 1 }
+        new GenericArrayData(out)
+      case Schema.Type.MAP =>
+        val in = v.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+        val ks = new Array[Any](in.size()); val vs = new Array[Any](in.size())
+        var i = 0
+        val it = in.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          ks(i) = utf8(e.getKey); vs(i) = toCatalyst(e.getValue, s.getValueType); i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new GenericArrayData(ks), new GenericArrayData(vs))
+      case Schema.Type.RECORD =>
+        val rec = v.asInstanceOf[GenericRecord]
+        val fields = s.getFields
+        val out = new Array[Any](fields.size())
+        var i = 0
+        while (i < fields.size()) {
+          out(i) = toCatalyst(rec.get(i), fields.get(i).schema()); i += 1
+        }
+        InternalRow.fromSeq(out.toIndexedSeq)
+      // INT/LONG/FLOAT/DOUBLE/BOOLEAN arrive as their boxed JVM forms
+      case _ => v
+    }
+  }
+
+  /** Serializable decode kernel: parses schemas lazily per JVM/executor,
+    * resolves writer→reader, null on undecodable bytes.
+    */
+  final class AvroRowKernel(val writerJson: String, val readerJson: String)
+      extends Serializable {
+    @transient private lazy val readerSchema = new Schema.Parser().parse(readerJson)
+    @transient private lazy val datumReader = new GenericDatumReader[GenericRecord](
+      new Schema.Parser().parse(writerJson), readerSchema)
+    def decode(bytes: Array[Byte]): InternalRow =
+      try {
+        val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+        val rec = datumReader.read(null, dec)
+        if (!dec.isEnd) throw new java.io.IOException("trailing bytes after record")
+        toCatalyst(rec, readerSchema).asInstanceOf[InternalRow]
+      } catch { case _: Exception => null }
+  }
+
+  /** `from_avro` equivalent: decode `child` (binary) written with
+    * `writerJson`, projected through `readerJson` (defaults to the writer).
+    * Codegen references the kernel via `addReferenceObj` — no per-row
+    * registry lookup, schemas parsed once per executor.
+    */
+  case class AvroDecode(child: Expression, writerJson: String, readerJson: String)
+      extends UnaryExpression {
+    @transient private lazy val kernel = new AvroRowKernel(writerJson, readerJson)
+    @transient override lazy val dataType: DataType =
+      sparkType(new Schema.Parser().parse(readerJson))
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      kernel.decode(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext,
+        ev: codegen.ExprCode): codegen.ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val kRef = ctx.addReferenceObj(
+        "avroKernel", kernel, classOf[AvroRowKernel].getName)
+      val childGen = child.genCode(ctx)
+      val rowType = classOf[InternalRow].getName
+      ev.copy(code = code"""
+          ${childGen.code}
+          boolean ${ev.isNull} = true;
+          $rowType ${ev.value} = null;
+          if (!${childGen.isNull}) {
+            ${ev.value} = $kRef.decode(${childGen.value});
+            ${ev.isNull} = (${ev.value} == null);
+          }
+        """)
+    }
+    override protected def withNewChildInternal(newChild: Expression): AvroDecode =
+      copy(child = newChild)
+  }
+
+  def decode(c: Column, writerJson: String): Column =
+    decode(c, writerJson, writerJson)
+  def decode(c: Column, writerJson: String, readerJson: String): Column =
+    ColumnBridge.column(
+      AvroDecode(ColumnBridge.expression(c), writerJson, readerJson))
 
   // ── encoders (fixture/ingest side — UDFs are fine off the hot path) ──────
 

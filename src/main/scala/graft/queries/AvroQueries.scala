@@ -20,7 +20,10 @@ import graft.functions.Avro
 object AvroQueries {
   private val T = Tables.tradesOracleCte
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ evolutionQuery
+
+  private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MarketTrade.avsc roundtrip: all 8 fields through Avro binary.
     "avro1_trade_roundtrip" -> { (s, dir) =>
       val t = Tables.trades(s, dir).filter(col("trade_id") < 2000)
@@ -96,7 +99,45 @@ object AvroQueries {
     }
   )
 
+  /** Evolved reader for avro4: a consumer replaying OLD captures after a
+    * schema migration — `venue` added with a default, `fee_bps` added as
+    * nullable, `qty`/timestamps dropped, `symbol` moved. Avro resolves by
+    * field name against the writer schema.
+    */
+  private val EvolvedTradeReaderJson: String =
+    """{"type":"record","name":"MarketTrade","namespace":"binance","fields":[
+      |{"name":"venue","type":"string","default":"binance"},
+      |{"name":"trade_id","type":"long"},
+      |{"name":"price","type":"double"},
+      |{"name":"symbol","type":"string"},
+      |{"name":"fee_bps","type":["null","double"],"default":null}]}""".stripMargin
+
+  val evolutionQuery: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Schema-resolution decode: v1 frames → evolved reader (generic decoder).
+    "avro4_evolved_reader" -> { (s, dir) =>
+      val t = Tables.trades(s, dir).filter(col("trade_id") < 2000)
+      val q = coalesce(col("qty"), lit(0.0))
+      val enc = t.select(
+        Avro.encodeTrade(
+          upper(col("symbol")), col("ts_ms"), col("ts_ms") + 5L, col("trade_id"),
+          col("price"), q, col("trade_id") % 2 === 0, lit("sbe")).as("frame"))
+      enc.select(
+        Avro.decode(col("frame"), Avro.TradeSchemaJson, EvolvedTradeReaderJson).as("d"))
+        .select(
+          col("d.venue").as("venue"),
+          col("d.trade_id").as("trade_id"),
+          col("d.price").as("price"),
+          col("d.symbol").as("symbol"),
+          col("d.fee_bps").as("fee_bps"))
+    }
+  )
+
   val oracle: Map[String, String] = Map(
+    "avro4_evolved_reader" ->
+      s"""WITH t AS ($T)
+         |SELECT 'binance' AS venue, trade_id, price, upper(symbol) AS symbol,
+         |  CAST(NULL AS DOUBLE) AS fee_bps
+         |FROM t WHERE trade_id < 2000""".stripMargin,
     "avro1_trade_roundtrip" ->
       s"""WITH t AS ($T)
          |SELECT upper(symbol) AS symbol, ts_ms AS event_ts, ts_ms + 5 AS ingest_ts,

@@ -96,6 +96,91 @@ class AvroSpec extends SparkSpec {
     assert(mixed.filter(col("d").isNotNull).count() === 1)
   }
 
+  // ── generic decoder + schema resolution ──────────────────────────────────
+
+  private val evolvedReaderJson =
+    """{"type":"record","name":"MarketTrade","namespace":"binance","fields":[
+      |{"name":"venue","type":"string","default":"binance"},
+      |{"name":"trade_id","type":"long"},
+      |{"name":"price","type":"double"},
+      |{"name":"symbol","type":"string"},
+      |{"name":"fee_bps","type":["null","double"],"default":null}]}""".stripMargin
+
+  test("generic decode with writer schema matches the typed trade decoder") {
+    val df = Seq(("BTCUSDT", 1L, 2L, 42L, 100.5, 0.25, true, "sbe"))
+      .toDF("s", "e", "i", "t", "p", "q", "mk", "src")
+      .select(Avro.encodeTrade(
+        col("s"), col("e"), col("i"), col("t"), col("p"), col("q"), col("mk"),
+        col("src")).as("frame"))
+    val typed = df.select(Avro.decodeTrade(col("frame")).as("d")).select("d.*")
+    val generic = df.select(
+      Avro.decode(col("frame"), Avro.TradeSchemaJson).as("d")).select("d.*")
+    assert(generic.schema === typed.schema)
+    assert(generic.collect().toSeq === typed.collect().toSeq)
+  }
+
+  test("schema evolution: added fields take defaults, dropped skipped, match by name") {
+    val df = Seq(("ETHUSDT", 10L, 11L, 7L, 2000.0, 1.5, false, "rest"))
+      .toDF("s", "e", "i", "t", "p", "q", "mk", "src")
+      .select(Avro.encodeTrade(
+        col("s"), col("e"), col("i"), col("t"), col("p"), col("q"), col("mk"),
+        col("src")).as("frame"))
+    val out = df.select(
+      Avro.decode(col("frame"), Avro.TradeSchemaJson, evolvedReaderJson).as("d"))
+      .select("d.*")
+    // reader order, NOT writer order: venue (new, default), trade_id, price,
+    // symbol (moved), fee_bps (new nullable, default null)
+    assert(out.columns.toSeq === Seq("venue", "trade_id", "price", "symbol", "fee_bps"))
+    val r = out.head()
+    assert(r.getString(0) === "binance")
+    assert(r.getLong(1) === 7L)
+    assert(r.getDouble(2) === 2000.0)
+    assert(r.getString(3) === "ETHUSDT")
+    assert(r.isNullAt(4))
+  }
+
+  test("avro_decode SQL surface decodes with literal schemas") {
+    GraftFunctions.register(spark)
+    Seq(("BTCUSDT", 1L, 2L, 3L, 9.5, 0.5, true, "sbe"))
+      .toDF("s", "e", "i", "t", "p", "q", "mk", "src")
+      .select(Avro.encodeTrade(
+        col("s"), col("e"), col("i"), col("t"), col("p"), col("q"), col("mk"),
+        col("src")).as("frame"))
+      .createOrReplaceTempView("avro_frames")
+    val w = Avro.TradeSchemaJson.replace("\n", " ")
+    val got = spark.sql(
+      s"SELECT avro_decode(frame, '$w').trade_id AS tid FROM avro_frames")
+      .head().getLong(0)
+    assert(got === 3L)
+  }
+
+  test("generic decode handles maps, enums, and nullable unions") {
+    val schema =
+      """{"type":"record","name":"Doc","fields":[
+        |{"name":"tags","type":{"type":"map","values":"long"}},
+        |{"name":"kind","type":{"type":"enum","name":"K","symbols":["A","B"]}},
+        |{"name":"note","type":["null","string"],"default":null}]}""".stripMargin
+    val s = new org.apache.avro.Schema.Parser().parse(schema)
+    val rec = new org.apache.avro.generic.GenericData.Record(s)
+    val tags = new java.util.HashMap[String, java.lang.Long]()
+    tags.put("x", 1L); tags.put("y", 2L)
+    rec.put("tags", tags)
+    rec.put("kind", new org.apache.avro.generic.GenericData.EnumSymbol(
+      s.getField("kind").schema(), "B"))
+    rec.put("note", null)
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+    new org.apache.avro.generic.GenericDatumWriter[
+      org.apache.avro.generic.GenericRecord](s).write(rec, enc)
+    enc.flush()
+    val df = Seq(Tuple1(out.toByteArray)).toDF("frame")
+      .select(Avro.decode(col("frame"), schema).as("d"))
+    val r = df.select("d.*").head()
+    assert(r.getMap[String, Long](0).toSeq.sorted === Seq("x" -> 1L, "y" -> 2L))
+    assert(r.getString(1) === "B")
+    assert(r.isNullAt(2))
+  }
+
   test("sf0.001 trade roundtrip: decode(encode(x)) == x for every row") {
     val t = Tables.trades(spark, sf).limit(500)
       .select(
