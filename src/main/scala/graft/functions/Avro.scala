@@ -245,9 +245,20 @@ object Avro {
   // a schema evolution actually needs.
 
   /** Avro Schema → Spark DataType (records, arrays, maps, enums, fixed,
-    * nullable `["null", T]` unions; no general unions).
+    * nullable `["null", T]` unions; no general unions). Logical types map to
+    * their Spark equivalents: decimal → DecimalType, timestamp-millis/micros
+    * → TimestampType (µs), date → DateType, uuid → StringType.
     */
-  def sparkType(s: Schema): DataType = s.getType match {
+  def sparkType(s: Schema): DataType = s.getLogicalType match {
+    case d: org.apache.avro.LogicalTypes.Decimal =>
+      DecimalType(d.getPrecision, d.getScale)
+    case _: org.apache.avro.LogicalTypes.TimestampMillis => TimestampType
+    case _: org.apache.avro.LogicalTypes.TimestampMicros => TimestampType
+    case _: org.apache.avro.LogicalTypes.Date => DateType
+    case _ => sparkTypeRaw(s)
+  }
+
+  private def sparkTypeRaw(s: Schema): DataType = s.getType match {
     case Schema.Type.STRING => StringType
     case Schema.Type.LONG => LongType
     case Schema.Type.INT => IntegerType
@@ -273,6 +284,24 @@ object Avro {
   /** Avro generic datum → Catalyst value, shaped by the (reader) schema. */
   private def toCatalyst(v: AnyRef, s: Schema): Any = {
     if (v == null) return null
+    s.getLogicalType match {
+      case d: org.apache.avro.LogicalTypes.Decimal =>
+        val unscaled = s.getType match {
+          case Schema.Type.FIXED =>
+            v.asInstanceOf[org.apache.avro.generic.GenericFixed].bytes()
+          case _ =>
+            val bb = v.asInstanceOf[java.nio.ByteBuffer]
+            val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
+        }
+        return org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(new java.math.BigInteger(unscaled), d.getScale),
+          d.getPrecision, d.getScale)
+      case _: org.apache.avro.LogicalTypes.TimestampMillis =>
+        return java.lang.Long.valueOf(v.asInstanceOf[java.lang.Long] * 1000L) // ms → µs
+      case _: org.apache.avro.LogicalTypes.TimestampMicros => return v
+      case _: org.apache.avro.LogicalTypes.Date => return v // days since epoch
+      case _ => ()
+    }
     s.getType match {
       case Schema.Type.UNION =>
         val branch = s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get

@@ -181,6 +181,56 @@ class AvroSpec extends SparkSpec {
     assert(r.isNullAt(2))
   }
 
+  test("logical types: decimal, timestamp-millis/micros, date map to Spark types") {
+    val schema =
+      """{"type":"record","name":"Px","fields":[
+        |{"name":"amount","type":{"type":"bytes","logicalType":"decimal","precision":20,"scale":8}},
+        |{"name":"at_ms","type":{"type":"long","logicalType":"timestamp-millis"}},
+        |{"name":"at_us","type":{"type":"long","logicalType":"timestamp-micros"}},
+        |{"name":"day","type":{"type":"int","logicalType":"date"}}]}""".stripMargin
+    val s = new org.apache.avro.Schema.Parser().parse(schema)
+    val rec = new org.apache.avro.generic.GenericData.Record(s)
+    val amt = new java.math.BigDecimal("67123.45678901") // scale 8
+    rec.put("amount", java.nio.ByteBuffer.wrap(
+      amt.setScale(8).unscaledValue().toByteArray))
+    rec.put("at_ms", 1700000000123L)
+    rec.put("at_us", 1700000000123456L)
+    rec.put("day", 19600) // days since epoch
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+    new org.apache.avro.generic.GenericDatumWriter[
+      org.apache.avro.generic.GenericRecord](s).write(rec, enc)
+    enc.flush()
+    val df = Seq(Tuple1(out.toByteArray)).toDF("frame")
+      .select(Avro.decode(col("frame"), schema).as("d"))
+      .select("d.*")
+    import org.apache.spark.sql.types._
+    assert(df.schema("amount").dataType === DecimalType(20, 8))
+    assert(df.schema("at_ms").dataType === TimestampType)
+    assert(df.schema("at_us").dataType === TimestampType)
+    assert(df.schema("day").dataType === DateType)
+    val r = df.selectExpr(
+      "CAST(amount AS STRING)", "unix_micros(at_ms)", "unix_micros(at_us)",
+      "datediff(day, DATE '1970-01-01')").head()
+    assert(r.getString(0) === "67123.45678901")
+    assert(r.getLong(1) === 1700000000123000L)
+    assert(r.getLong(2) === 1700000000123456L)
+    assert(r.getInt(3) === 19600)
+  }
+
+  test("generic decode compiles under CODEGEN_ONLY (no interpreted fallback)") {
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val n = Tables.trades(spark, sf).limit(50)
+        .select(Avro.encodeTrade(
+          upper(col("symbol")), col("ts_ms"), col("ts_ms"), col("trade_id"),
+          col("price"), coalesce(col("qty"), lit(0.0)), lit(true), lit("s")).as("frame"))
+        .select(Avro.decode(col("frame"), Avro.TradeSchemaJson).as("d"))
+        .filter(col("d").isNotNull).count()
+      assert(n === 50)
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   test("sf0.001 trade roundtrip: decode(encode(x)) == x for every row") {
     val t = Tables.trades(spark, sf).limit(500)
       .select(
