@@ -197,13 +197,16 @@ object VectorOps {
     * nearest-cell assignment. The ordered fold is bit-reproducible anywhere,
     * which is what lets the DuckDB oracle unroll the same iterations. (The
     * per-(cell, dim) value list is the member count of one cell — if cells
-    * get huge and bit-reproducibility is not required, `avg()` is the
-    * cheaper scale variant.)
+    * get huge and bit-reproducibility is not required, `exactMeans = false`
+    * switches to plain `avg()`: map-side partial sums, shuffle volume
+    * O(cells × dims) instead of O(rows × dims) — the production dial,
+    * recall-equivalence spec-asserted.)
     */
   def ivfAssign(
       vecs: DataFrame, // id, embedding
       k: Int,
-      iterations: Int = 3): (DataFrame, DataFrame) = {
+      iterations: Int = 3,
+      exactMeans: Boolean = true): (DataFrame, DataFrame) = {
     val v = vecs.select(col("id"), asDouble(col("embedding")).as("v"))
     // Seed = the k smallest ids numbered 0..k-1 in id order.
     var cents: Seq[(Int, Seq[Double])] = v.orderBy("id").limit(k)
@@ -212,17 +215,30 @@ object VectorOps {
     for (_ <- 0 until iterations) {
       // A cell that loses every member simply disappears (matching the
       // unrolled oracle's GROUP BY), so later rounds rank fewer centroids.
-      cents = assignCids(v, cents)
+      val assigned = assignCids(v, cents)
         .select(col("cid"), col("id"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cid", "dim")
-        .agg(
-          aggregate(
-            transform(
-              array_sort(collect_list(struct(col("id"), col("x")))),
-              e => e.getField("x")),
-            lit(0.0), (a, x) => a + x).as("sx"),
-          count(lit(1)).as("n"))
-        .withColumn("m", col("sx") / col("n"))
+      // exactMeans: id-ordered sequential fold — bit-reproducible under any
+      // partitioning (what the unrolled DuckDB oracle needs), but the whole
+      // cell's values cross the shuffle as a collect_list per (cell, dim).
+      // Fast path: plain avg() — map-side partial sums make shuffle volume
+      // O(cells × dims) instead of O(rows × dims), the production shape when
+      // cells are huge and low-bit reproducibility across partitionings is
+      // not required.
+      val means =
+        if (exactMeans)
+          assigned
+            .groupBy("cid", "dim")
+            .agg(
+              aggregate(
+                transform(
+                  array_sort(collect_list(struct(col("id"), col("x")))),
+                  e => e.getField("x")),
+                lit(0.0), (a, x) => a + x).as("sx"),
+              count(lit(1)).as("n"))
+            .withColumn("m", col("sx") / col("n"))
+        else
+          assigned.groupBy("cid", "dim").agg(avg(col("x")).as("m"))
+      cents = means
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cid"), transform(col("dm"), e => e.getField("m")).as("c"))
@@ -258,8 +274,9 @@ object VectorOps {
       k: Int,
       nCells: Int,
       iterations: Int = 3,
-      nProbe: Int = 1): DataFrame = {
-    val (assigned, centroids) = ivfAssign(vecs, nCells, iterations)
+      nProbe: Int = 1,
+      exactMeans: Boolean = true): DataFrame = {
+    val (assigned, centroids) = ivfAssign(vecs, nCells, iterations, exactMeans)
     val queries = rankedCells(
       assigned.filter(col("id").isin(queryIds: _*)).select(col("id"), col("v")),
       centroids, nProbe)

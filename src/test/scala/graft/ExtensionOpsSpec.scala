@@ -214,6 +214,24 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(joined === exprd)
   }
 
+  test("ivf fast-means path (avg) matches exact-means results at sf0.001") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val qs = (0L until 6L).toSeq
+    def run(exact: Boolean) = VectorOps
+      .annTopKIvf(e, queryIds = qs, k = 5, nCells = 8, iterations = 2,
+        nProbe = 2, exactMeans = exact)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = run(true)
+    val fast = run(false)
+    // avg() differs from the ordered fold only in low-order bits; a boundary
+    // assignment can flip in principle, so assert high overlap, not identity.
+    val overlap = (exact & fast).size.toDouble / exact.size
+    assert(overlap >= 0.8, s"fast-means recall vs exact collapsed: $overlap")
+    assert(fast.groupBy(_._1).forall(_._2.size == 5), "k results per query")
+  }
+
   test("ivf end-to-end at nCells=128 plans without codegen blowup") {
     val e = Tables.embeddings(spark, sf)
     val out = VectorOps.annTopKIvf(
