@@ -60,5 +60,11 @@ object GraftFunctions {
         graft.functions.Avro.AvroDecode(exprs.head, writer, reader)
       },
       "built-in")
+    // avro_encode(struct, schemaJson) — the to_avro SQL surface.
+    registry.createOrReplaceTempFunction(
+      "avro_encode",
+      exprs => graft.functions.Avro.AvroEncodeExpr(
+        exprs.head, String.valueOf(lit(exprs(1)))),
+      "built-in")
   }
 }

@@ -401,6 +401,120 @@ object Avro {
     ColumnBridge.column(
       AvroDecode(ColumnBridge.expression(c), writerJson, readerJson))
 
+  // ── generic encoder: the `to_avro` half ──────────────────────────────────
+
+  /** Catalyst value → Avro generic datum, shaped by the schema. Inverse of
+    * `toCatalyst`; struct fields bind to record fields POSITIONALLY (the
+    * input struct must have `sparkType(schema)`'s shape).
+    */
+  private def fromCatalyst(v: Any, s: Schema): AnyRef = {
+    if (v == null) return null
+    s.getLogicalType match {
+      case d: org.apache.avro.LogicalTypes.Decimal =>
+        val unscaled = v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal.setScale(d.getScale).unscaledValue().toByteArray
+        return s.getType match {
+          case Schema.Type.FIXED =>
+            val buf = new Array[Byte](s.getFixedSize)
+            // sign-extend into the fixed width (big-endian, right-aligned)
+            val sign: Byte = if (unscaled.head < 0) -1 else 0
+            java.util.Arrays.fill(buf, sign)
+            System.arraycopy(unscaled, 0, buf, buf.length - unscaled.length, unscaled.length)
+            new GenericData.Fixed(s, buf)
+          case _ => java.nio.ByteBuffer.wrap(unscaled)
+        }
+      case _: org.apache.avro.LogicalTypes.TimestampMillis =>
+        return java.lang.Long.valueOf(v.asInstanceOf[Long] / 1000L) // µs → ms
+      case _: org.apache.avro.LogicalTypes.TimestampMicros =>
+        return java.lang.Long.valueOf(v.asInstanceOf[Long])
+      case _: org.apache.avro.LogicalTypes.Date =>
+        return java.lang.Integer.valueOf(v.asInstanceOf[Int])
+      case _ => ()
+    }
+    s.getType match {
+      case Schema.Type.UNION =>
+        fromCatalyst(v, s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get)
+      case Schema.Type.STRING => v.asInstanceOf[UTF8String].toString
+      case Schema.Type.ENUM =>
+        new GenericData.EnumSymbol(s, v.asInstanceOf[UTF8String].toString)
+      case Schema.Type.BYTES => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case Schema.Type.FIXED => new GenericData.Fixed(s, v.asInstanceOf[Array[Byte]])
+      case Schema.Type.ARRAY =>
+        val in = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val elemT = sparkType(s.getElementType)
+        val out = new java.util.ArrayList[AnyRef](in.numElements())
+        var i = 0
+        while (i < in.numElements()) {
+          out.add(fromCatalyst(in.get(i, elemT), s.getElementType)); i += 1
+        }
+        out
+      case Schema.Type.MAP =>
+        val in = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val valT = sparkType(s.getValueType)
+        val out = new java.util.HashMap[String, AnyRef](in.numElements())
+        val ks = in.keyArray(); val vs = in.valueArray()
+        var i = 0
+        while (i < in.numElements()) {
+          out.put(
+            ks.get(i, StringType).asInstanceOf[UTF8String].toString,
+            fromCatalyst(vs.get(i, valT), s.getValueType))
+          i += 1
+        }
+        out
+      case Schema.Type.RECORD =>
+        val row = v.asInstanceOf[InternalRow]
+        val rec = new GenericData.Record(s)
+        val fields = s.getFields
+        var i = 0
+        while (i < fields.size()) {
+          val fs = fields.get(i).schema()
+          rec.put(i, fromCatalyst(row.get(i, sparkType(fs)), fs))
+          i += 1
+        }
+        rec
+      // INT/LONG/FLOAT/DOUBLE/BOOLEAN: Catalyst primitives box directly
+      case _ => v.asInstanceOf[AnyRef]
+    }
+  }
+
+  /** Serializable encode kernel (`to_avro` half of [[AvroRowKernel]]). */
+  final class AvroWriteKernel(val schemaJson: String) extends Serializable {
+    @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
+    @transient private lazy val datumWriter = new GenericDatumWriter[GenericRecord](schema)
+    def encode(row: InternalRow): Array[Byte] = {
+      val rec = fromCatalyst(row, schema).asInstanceOf[GenericRecord]
+      val out = new ByteArrayOutputStream(64)
+      val enc = EncoderFactory.get().binaryEncoder(out, null)
+      datumWriter.write(rec, enc)
+      enc.flush()
+      out.toByteArray
+    }
+  }
+
+  /** `to_avro` equivalent: serialize a struct column (shaped like
+    * `sparkType(schemaJson)`, fields bound positionally) to Avro binary.
+    */
+  case class AvroEncodeExpr(child: Expression, schemaJson: String)
+      extends UnaryExpression {
+    @transient private lazy val kernel = new AvroWriteKernel(schemaJson)
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = child.nullable
+    override def nullSafeEval(input: Any): Any =
+      kernel.encode(input.asInstanceOf[InternalRow])
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext,
+        ev: codegen.ExprCode): codegen.ExprCode = {
+      val kRef = ctx.addReferenceObj(
+        "avroWriteKernel", kernel, classOf[AvroWriteKernel].getName)
+      nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $kRef.encode($in);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): AvroEncodeExpr =
+      copy(child = newChild)
+  }
+
+  def encode(c: Column, schemaJson: String): Column =
+    ColumnBridge.column(AvroEncodeExpr(ColumnBridge.expression(c), schemaJson))
+
   // ── encoders (fixture/ingest side — UDFs are fine off the hot path) ──────
 
   private def write(schema: Schema, rec: GenericRecord): Array[Byte] = {

@@ -21,7 +21,7 @@ object AvroQueries {
   private val T = Tables.tradesOracleCte
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ evolutionQuery
+    baseQueries ++ evolutionQuery ++ genericQuery
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MarketTrade.avsc roundtrip: all 8 fields through Avro binary.
@@ -132,7 +132,42 @@ object AvroQueries {
     }
   )
 
+  /** Generic `to_avro`→`from_avro` path: the whole roundtrip through the
+    * schema-driven expressions (no typed UDF anywhere in the plan).
+    */
+  val genericQuery: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "avro5_generic_roundtrip" -> { (s, dir) =>
+      val t = Tables.trades(s, dir).filter(col("trade_id") < 2000)
+      val rec = struct(
+        upper(col("symbol")).as("symbol"),
+        col("ts_ms").as("event_ts"),
+        (col("ts_ms") + 5L).as("ingest_ts"),
+        col("trade_id"),
+        col("price"),
+        coalesce(col("qty"), lit(0.0)).as("qty"),
+        (col("trade_id") % 2 === 0).as("is_buyer_maker"),
+        lit("sbe").as("source"))
+      t.select(Avro.encode(rec, Avro.TradeSchemaJson).as("frame"))
+        .select(Avro.decode(col("frame"), Avro.TradeSchemaJson).as("d"))
+        .select(
+          col("d.symbol").as("symbol"),
+          col("d.event_ts").as("event_ts"),
+          col("d.ingest_ts").as("ingest_ts"),
+          col("d.trade_id").as("trade_id"),
+          col("d.price").as("price"),
+          col("d.qty").as("qty"),
+          col("d.is_buyer_maker").as("is_buyer_maker"),
+          col("d.source").as("source"))
+    }
+  )
+
   val oracle: Map[String, String] = Map(
+    "avro5_generic_roundtrip" ->
+      s"""WITH t AS ($T)
+         |SELECT upper(symbol) AS symbol, ts_ms AS event_ts, ts_ms + 5 AS ingest_ts,
+         |  trade_id, price, coalesce(qty, 0.0) AS qty,
+         |  trade_id % 2 = 0 AS is_buyer_maker, 'sbe' AS source
+         |FROM t WHERE trade_id < 2000""".stripMargin,
     "avro4_evolved_reader" ->
       s"""WITH t AS ($T)
          |SELECT 'binance' AS venue, trade_id, price, upper(symbol) AS symbol,

@@ -231,6 +231,68 @@ class AvroSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 
+  test("generic encode emits byte-identical frames to the typed encoder") {
+    val df = Seq(("BTCUSDT", 1L, 2L, 42L, 100.5, 0.25, true, "sbe"))
+      .toDF("symbol", "event_ts", "ingest_ts", "trade_id", "price", "qty",
+        "is_buyer_maker", "source")
+    val typed = df.select(Avro.encodeTrade(
+      col("symbol"), col("event_ts"), col("ingest_ts"), col("trade_id"),
+      col("price"), col("qty"), col("is_buyer_maker"), col("source")).as("f"))
+    val generic = df.select(Avro.encode(
+      struct(
+        col("symbol"), col("event_ts"), col("ingest_ts"), col("trade_id"),
+        col("price"), col("qty"), col("is_buyer_maker"), col("source")),
+      Avro.TradeSchemaJson).as("f"))
+    assert(generic.head().getAs[Array[Byte]]("f").toSeq ===
+      typed.head().getAs[Array[Byte]]("f").toSeq)
+  }
+
+  test("generic encode/decode roundtrip covers maps, enums, unions, logical types") {
+    val schema =
+      """{"type":"record","name":"Mix","fields":[
+        |{"name":"tags","type":{"type":"map","values":"long"}},
+        |{"name":"kind","type":{"type":"enum","name":"K2","symbols":["A","B"]}},
+        |{"name":"note","type":["null","string"],"default":null},
+        |{"name":"amount","type":{"type":"bytes","logicalType":"decimal","precision":20,"scale":8}},
+        |{"name":"at_us","type":{"type":"long","logicalType":"timestamp-micros"}},
+        |{"name":"day","type":{"type":"int","logicalType":"date"}}]}""".stripMargin
+    val src = spark.sql(
+      """SELECT map('x', CAST(1 AS BIGINT), 'y', CAST(2 AS BIGINT)) AS tags,
+        |  'B' AS kind, CAST(NULL AS STRING) AS note,
+        |  CAST('67123.45678901' AS DECIMAL(20,8)) AS amount,
+        |  timestamp_micros(1700000000123456) AS at_us,
+        |  DATE '2023-08-31' AS day""".stripMargin)
+    val rt = src
+      .select(Avro.encode(
+        struct(col("tags"), col("kind"), col("note"), col("amount"),
+          col("at_us"), col("day")), schema).as("frame"))
+      .select(Avro.decode(col("frame"), schema).as("d"))
+      .select("d.*")
+    assert(rt.schema === src.schema.copy(fields = rt.schema.fields)) // shape sanity
+    val (a, b) = (src.head(), rt.head())
+    assert(b.getMap[String, Long](0).toSeq.sorted === a.getMap[String, Long](0).toSeq.sorted)
+    assert(b.getString(1) === "B" && b.isNullAt(2))
+    assert(b.getDecimal(3) === a.getDecimal(3))
+    assert(b.getTimestamp(4) === a.getTimestamp(4))
+    assert(b.getDate(5).toString === a.getDate(5).toString)
+  }
+
+  test("avro_encode SQL surface round-trips through avro_decode") {
+    GraftFunctions.register(spark)
+    val w = Avro.TradeSchemaJson.replace("\n", " ")
+    val got = spark.sql(
+      s"""SELECT avro_decode(
+         |  avro_encode(
+         |    named_struct(
+         |      'symbol', 'X', 'event_ts', CAST(1 AS BIGINT),
+         |      'ingest_ts', CAST(2 AS BIGINT), 'trade_id', CAST(9 AS BIGINT),
+         |      'price', 1.5D, 'qty', 2.5D, 'is_buyer_maker', true,
+         |      'source', 'sbe'),
+         |    '$w'),
+         |  '$w').trade_id AS tid""".stripMargin).head().getLong(0)
+    assert(got === 9L)
+  }
+
   test("sf0.001 trade roundtrip: decode(encode(x)) == x for every row") {
     val t = Tables.trades(spark, sf).limit(500)
       .select(
