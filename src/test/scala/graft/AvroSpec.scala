@@ -293,6 +293,43 @@ class AvroSpec extends SparkSpec {
     assert(got === 9L)
   }
 
+  for (seed <- Seq(11L, 97L)) {
+    test(s"property (seed $seed): adversarial values survive the roundtrip bit-exactly") {
+      val rnd = new scala.util.Random(seed)
+      val specials = Seq(
+        Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+        Double.MaxValue, Double.MinPositiveValue, -0.0, 0.0)
+      val symbols = Seq("", "BTCUSDT", "наличные", "円/ビット", "a" * 500, " tab\t")
+      val rows = (0 until 200).map { i =>
+        (symbols(rnd.nextInt(symbols.length)),
+          rnd.nextLong(), rnd.nextLong(), rnd.nextLong(),
+          if (i % 3 == 0) specials(rnd.nextInt(specials.length))
+          else java.lang.Double.longBitsToDouble(rnd.nextLong()),
+          rnd.nextDouble(), rnd.nextBoolean(),
+          symbols(rnd.nextInt(symbols.length)))
+      }
+      val df = rows.toDF(
+        "symbol", "event_ts", "ingest_ts", "trade_id", "price", "qty",
+        "is_buyer_maker", "source")
+      val rt = df.select(Avro.decodeTrade(Avro.encodeTrade(
+          col("symbol"), col("event_ts"), col("ingest_ts"), col("trade_id"),
+          col("price"), col("qty"), col("is_buyer_maker"), col("source"))).as("d"))
+        .select("d.*")
+      val got = rt.collect()
+      assert(got.length === rows.length)
+      got.zip(df.collect()).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(g.getString(0) === e.getString(0), s"row $i symbol")
+        assert(g.getLong(1) === e.getLong(1) && g.getLong(2) === e.getLong(2)
+          && g.getLong(3) === e.getLong(3), s"row $i longs")
+        // bit-exact doubles: NaN payloads and -0.0 must survive
+        assert(java.lang.Double.doubleToRawLongBits(g.getDouble(4)) ===
+          java.lang.Double.doubleToRawLongBits(e.getDouble(4)), s"row $i price bits")
+        assert(g.getBoolean(6) === e.getBoolean(6), s"row $i flag")
+        assert(g.getString(7) === e.getString(7), s"row $i source")
+      }
+    }
+  }
+
   test("sf0.001 trade roundtrip: decode(encode(x)) == x for every row") {
     val t = Tables.trades(spark, sf).limit(500)
       .select(
