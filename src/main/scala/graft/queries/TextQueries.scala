@@ -189,6 +189,31 @@ object TextQueries {
       TextRank.bm25(
         Tables.documents(s, dir), col("doc_id"), col("text"),
         queryTerms = Bm25Terms)
+    },
+    // T17 — word-3-gram repetition ratio (the Gopher-style "repetition"
+    // quality signal t5's length/TTR/stopword trio misses): share of
+    // duplicated 3-grams per document. Per-row array ops, zero shuffle.
+    "t17_repetition" -> { (s, dir) =>
+      val tk = TextFunctions.tokens(col("text"))
+      val n = size(tk)
+      val grams = when(
+        n >= 3,
+        transform(sequence(lit(1), n - 2), i => concat_ws(" ", slice(tk, i, lit(3)))))
+        .otherwise(array().cast("array<string>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), grams.as("g"))
+        .select(
+          col("doc_id"),
+          size(col("g")).cast("long").as("n_grams"),
+          size(array_distinct(col("g"))).cast("long").as("n_distinct"),
+          when(
+            size(col("g")) > 0,
+            round(
+              lit(1.0) -
+                size(array_distinct(col("g"))).cast("double") / size(col("g")),
+              6))
+            .otherwise(0.0).as("repetition_ratio"))
+        .withColumn("is_repetitive", col("repetition_ratio") > 0.2)
     }
   )
 
@@ -416,6 +441,26 @@ object TextQueries {
         |  round($perTerm, 6) + 0.0 AS bm25,
         |  count(*) AS n_terms
         |FROM sc GROUP BY doc_id""".stripMargin
-    }
+    },
+    // 1-based inclusive slices: tk[i:i+2] = 3 tokens, i in 1..n-2 — the
+    // same windows as Spark's slice(tk, i, 3) over sequence(1, n-2).
+    "t17_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3
+        |      THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+        |      ELSE [] END AS grams
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(grams) > 0
+        |    THEN round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
+        |    ELSE 0.0 END AS repetition_ratio,
+        |  CASE WHEN len(grams) > 0
+        |    THEN round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6) > 0.2
+        |    ELSE false END AS is_repetitive
+        |FROM g""".stripMargin
   )
 }
