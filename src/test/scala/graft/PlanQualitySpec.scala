@@ -161,6 +161,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange"), p.take(500))
   }
 
+  test("t17 repetition ratio is per-row (zero shuffle, no UDF)") {
+    val p = plan("t17_repetition")
+    assert(!p.contains("Exchange"), p.take(500))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p.take(500))
+  }
+
   test("t16 bm25 broadcasts df and corpus stats; only tf x doc-length shuffles") {
     val p = plan("t16_bm25")
     assert(!p.contains("CartesianProduct"))
