@@ -172,6 +172,28 @@ object MarketQueries {
         key = col("user_id"), tsMs = col("ts_ms"), tieBreak = col("trade_id"),
         value = col("price"), gapMs = 28800000L)
     },
+    // J6 — point-in-interval (range) join via the chunk-bucketed equi-join
+    // rewrite (operators/Interval.scala): trades matched to the session
+    // interval containing them. Sessions partition each user's trades, so
+    // every trade matches exactly one interval — the oracle's BETWEEN join
+    // checks both the rewrite's completeness (no lost matches across cell
+    // boundaries) and its precision (no phantom matches from replication).
+    "j6_interval_join" -> { (s, dir) =>
+      val t = Tables.trades(s, dir).filter(col("user_id") < 50)
+      val sess = Sessionize.sessions(
+        t, key = col("user_id"), tsMs = col("ts_ms"), tieBreak = col("trade_id"),
+        value = col("price"), gapMs = 28800000L)
+      Interval.pointInInterval(
+        t.select(col("user_id"), col("ts_ms"), col("trade_id")),
+        sess.select(
+          col("key"), col("session_seq"), col("session_start"), col("session_end")),
+        pointKey = col("user_id"), ts = col("ts_ms"),
+        intervalKey = col("key"), start = col("session_start"),
+        end = col("session_end"), chunkMs = 86400000L)
+        .select(
+          col("trade_id"), col("user_id"), col("session_seq"),
+          col("session_start"), col("session_end"))
+    },
     // A9/W2 — latest row per key (DISTINCT ON, RDS_SCHEMA.md:573-605).
     "a9_latest_per_key" -> { (s, dir) =>
       Windows
@@ -366,6 +388,28 @@ object MarketQueries {
     "w5_path_stats" -> w5OracleSql,
     // bucketed variant is output-identical by construction — same oracle
     "w5b_path_stats_bucketed" -> w5OracleSql,
+    "j6_interval_join" ->
+      s"""WITH t AS ($T),
+         |p AS (SELECT user_id, ts_ms, trade_id FROM t WHERE user_id < 50),
+         |f AS (
+         |  SELECT user_id AS key, ts_ms, trade_id,
+         |    CASE WHEN lag(ts_ms) OVER w IS NULL
+         |              OR ts_ms - lag(ts_ms) OVER w > 28800000 THEN 1 ELSE 0 END AS ns
+         |  FROM p
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, trade_id)),
+         |g AS (
+         |  SELECT *, CAST(sum(ns) OVER (PARTITION BY key ORDER BY ts_ms, trade_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM f),
+         |sess AS (
+         |  SELECT key, session_seq,
+         |    min(ts_ms) AS session_start, max(ts_ms) AS session_end
+         |  FROM g GROUP BY 1, 2)
+         |SELECT p.trade_id, p.user_id, s.session_seq, s.session_start, s.session_end
+         |FROM p
+         |JOIN sess s
+         |  ON s.key = p.user_id
+         | AND p.ts_ms BETWEEN s.session_start AND s.session_end""".stripMargin,
     "w7_sessionization" ->
       s"""WITH t AS ($T),
          |f AS (

@@ -102,6 +102,44 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(h.count(_.getAs[Boolean]("is_current")) === 2)
   }
 
+  // --- Interval (range) join ----------------------------------------------
+
+  test("pointInInterval: overlaps multiply, boundaries are inclusive, misses drop") {
+    val points = Seq(
+      ("u1", 100L, 1L),  // inside A only
+      ("u1", 250L, 2L),  // inside A AND B (overlap) -> 2 rows
+      ("u1", 300L, 3L),  // == A.end == B bounds -> inclusive both -> 2 rows
+      ("u1", 999L, 4L),  // in no interval -> dropped
+      ("u2", 100L, 5L),  // right key-range, wrong key -> dropped
+      ("u1", 5000L, 6L)  // interval C spans many cells (chunk=1000)
+    ).toDF("k", "ts", "pid")
+    val intervals = Seq(
+      ("u1", 50L, 300L, "A"),
+      ("u1", 200L, 300L, "B"),
+      ("u1", 4000L, 9000L, "C") // 6 cells at chunkMs=1000
+    ).toDF("k", "s", "e", "iid")
+    val out = graft.operators.Interval.pointInInterval(
+      points, intervals,
+      pointKey = col("k"), ts = col("ts"),
+      intervalKey = col("k"), start = col("s"), end = col("e"),
+      chunkMs = 1000L)
+      .select(col("pid"), col("iid")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set(
+      (1L, "A"), (2L, "A"), (2L, "B"), (3L, "A"), (3L, "B"), (6L, "C")))
+  }
+
+  test("pointInInterval: no duplicate matches from multi-cell replication") {
+    // interval spans 10 cells; every point inside must match exactly once
+    val points = (0L until 50L).map(i => ("k", 1000L + i * 100L, i)).toDF("k", "ts", "pid")
+    val intervals = Seq(("k", 0L, 10000L, "I")).toDF("k", "s", "e", "iid")
+    val out = graft.operators.Interval.pointInInterval(
+      points, intervals, col("k"), col("ts"), col("k"), col("s"), col("e"),
+      chunkMs = 1000L)
+    assert(out.count() === 50L)
+    assert(out.select("pid").distinct().count() === 50L)
+  }
+
   // --- TextRank -----------------------------------------------------------
 
   test("bm25: matches the hand-computed Okapi score on a 3-doc corpus") {

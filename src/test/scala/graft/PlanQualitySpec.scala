@@ -161,6 +161,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange"), p.take(500))
   }
 
+  test("j6 interval join is an equi-join on (key, cell), never a cartesian/BNLJ") {
+    val p = plan("j6_interval_join")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(p.contains("Generate explode"), "interval cell replication missing")
+  }
+
   test("t17 repetition ratio is per-row (zero shuffle, no UDF)") {
     val p = plan("t17_repetition")
     assert(!p.contains("Exchange"), p.take(500))
