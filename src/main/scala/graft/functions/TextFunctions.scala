@@ -53,6 +53,12 @@ object TextFunctions {
         TextKernels.ShingleHashesExpr(ColumnBridge.expression(text), n, MinhashP)),
       typedLit(Seq.empty[Long]))
 
+  /** One-pass (n_grams, n_distinct) struct over word n-grams — the
+    * repetition-ratio kernel ([[TextKernels.NgramRepetitionExpr]]).
+    */
+  def ngramRepetition(text: Column, n: Int = 3): Column =
+    ColumnBridge.column(TextKernels.NgramRepetitionExpr(ColumnBridge.expression(text), n))
+
   /** MinHash parameters: k permutations of h -> (a*h + b) mod p over the
     * Mersenne prime 2^31-1. Constants are fixed literals so the DuckDB oracle
     * can inline the identical family.

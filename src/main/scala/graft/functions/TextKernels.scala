@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{codegen, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -138,6 +139,49 @@ object TextKernels {
         ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
       defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingleHashes($c, $n, ${p}L)")
     override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+      copy(child = newChild)
+  }
+
+  /** (n_grams, n_distinct) over word n-grams of `split(text, " ")` in ONE
+    * pass — no per-row gram-array materialization, no `array_distinct`
+    * second scan. Windows are exactly those of
+    * `transform(sequence(1, size(tk) - n + 1), i -> concat_ws(" ", slice(tk, i, n)))`
+    * (Spark's split keeps trailing empty tokens, hence `split(" ", -1)`),
+    * so the counts are bit-identical to the declarative form — spec- and
+    * oracle-asserted. Distinctness is exact (string set), not hashed: a
+    * hash collision would silently undercount.
+    */
+  def ngramRepetition(t: UTF8String, n: Int): InternalRow = {
+    val tk = t.toString.split(" ", -1)
+    val total = tk.length - n + 1
+    if (total <= 0) return InternalRow(0L, 0L)
+    val seen = new java.util.HashSet[String](total * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tk(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    InternalRow(total.toLong, seen.size.toLong)
+  }
+
+  case class NgramRepetitionExpr(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_grams", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false)))
+    override def nullSafeEval(input: Any): Any =
+      ngramRepetition(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.ngramRepetition($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): NgramRepetitionExpr =
       copy(child = newChild)
   }
 

@@ -67,4 +67,29 @@ class TypedApiSpec extends SparkSpec {
       .collect()(0)
     assert(viaSql === viaCol)
   }
+
+  test("ngramRepetition kernel is bit-identical to the declarative sequence+slice form") {
+    import org.apache.spark.sql.functions._
+    // edge cases: empty, shorter than n, exact n, trailing spaces (Spark's
+    // split keeps trailing empty tokens), repeats, unicode
+    val edge = Seq(
+      "", "a", "a b", "a b c", "a b c ", "  ", "a a a a a a",
+      "x y z x y z x y z", "ü ber ü ber ü").toDF("text")
+    val corpus = Tables.documents(spark, sf).select(col("text")).limit(200)
+    for (df <- Seq(edge, corpus)) {
+      val tk = split(col("text"), " ")
+      val n = size(tk)
+      val grams = when(
+        n >= 3,
+        transform(sequence(lit(1), n - 2), i => concat_ws(" ", slice(tk, i, lit(3)))))
+        .otherwise(array().cast("array<string>"))
+      val declarative = df.select(
+        size(grams).cast("long").as("n_grams"),
+        size(array_distinct(grams)).cast("long").as("n_distinct"))
+      val kernel = df.select(
+        functions.TextFunctions.ngramRepetition(col("text"), 3).as("r"))
+        .select(col("r.n_grams").as("n_grams"), col("r.n_distinct").as("n_distinct"))
+      assert(kernel.exceptAll(declarative).isEmpty && declarative.exceptAll(kernel).isEmpty)
+    }
+  }
 }
