@@ -50,6 +50,11 @@ object GraftFunctions {
       "built-in")
     registry.createOrReplaceTempFunction(
       "graft_simhash32", exprs => TextKernels.Simhash32Expr(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_ngram_repetition",
+      exprs => TextKernels.NgramRepetitionExpr(
+        exprs.head, n = lit(exprs(1)).asInstanceOf[Number].intValue()),
+      "built-in")
     // avro_decode(frame, writerSchemaJson [, readerSchemaJson]) — the
     // from_avro SQL surface (schema JSON as literals, folded at plan time).
     registry.createOrReplaceTempFunction(
