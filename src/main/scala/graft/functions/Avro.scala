@@ -281,8 +281,10 @@ object Avro {
     case t => throw new IllegalArgumentException(s"unsupported Avro type $t")
   }
 
-  /** Avro generic datum → Catalyst value, shaped by the (reader) schema. */
-  private def toCatalyst(v: AnyRef, s: Schema): Any = {
+  /** Avro generic datum → Catalyst value, shaped by the (reader) schema.
+    * (private[graft]: also the row converter for the `avro-ocf` file source.)
+    */
+  private[graft] def toCatalyst(v: AnyRef, s: Schema): Any = {
     if (v == null) return null
     s.getLogicalType match {
       case d: org.apache.avro.LogicalTypes.Decimal =>

@@ -21,7 +21,7 @@ object AvroQueries {
   private val T = Tables.tradesOracleCte
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ evolutionQuery ++ genericQuery
+    baseQueries ++ evolutionQuery ++ genericQuery ++ ocfQuery
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MarketTrade.avsc roundtrip: all 8 fields through Avro binary.
@@ -161,7 +161,61 @@ object AvroQueries {
     }
   )
 
+  /** OCF capture fixture: first 2000 trades as rolling container files,
+    * written ONCE per (process, sf dir) — same memo discipline as S1Feed so
+    * the declared plan is purely the `avro-ocf` scan.
+    */
+  private object OcfFeed {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def dir(s: SparkSession, sfDir: String): String = {
+      val key = new java.io.File(sfDir).getCanonicalPath
+      cache.getOrElseUpdate(key, {
+        val feed = java.nio.file.Files.createTempDirectory("graft_ocf_feed_").toFile
+        feed.deleteOnExit()
+        val rows = Tables.trades(s, sfDir).filter(col("trade_id") < 2000)
+          .select(
+            upper(col("symbol")).as("symbol"), col("ts_ms"), col("trade_id"),
+            col("price"), coalesce(col("qty"), lit(0.0)).as("qty"))
+          .orderBy("trade_id").collect()
+        val recs = rows.map { r =>
+          val rec = new org.apache.avro.generic.GenericData.Record(Avro.TradeSchema)
+          rec.put("symbol", r.getAs[String]("symbol"))
+          rec.put("event_ts", r.getAs[Long]("ts_ms"))
+          rec.put("ingest_ts", r.getAs[Long]("ts_ms") + 5L)
+          rec.put("trade_id", r.getAs[Long]("trade_id"))
+          rec.put("price", r.getAs[Double]("price"))
+          rec.put("qty", r.getAs[Double]("qty"))
+          rec.put("is_buyer_maker", r.getAs[Long]("trade_id") % 2 == 0)
+          rec.put("source", "ocf")
+          rec
+        }.toSeq
+        recs.grouped(800).zipWithIndex.foreach { case (chunk, i) =>
+          val f = new java.io.File(feed, f"part-$i%05d.avro")
+          f.deleteOnExit()
+          graft.sources.AvroOcfSource.writeOcf(f, Avro.TradeSchema, chunk, syncEvery = 128)
+        }
+        feed.toString
+      })
+    }
+  }
+
+  /** The `avro-ocf` container-file source scanned through the driver gate. */
+  val ocfQuery: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "avro6_ocf_scan" -> { (s, dir) =>
+      s.read.format("avro-ocf").load(OcfFeed.dir(s, dir))
+        .select(
+          col("symbol"), col("event_ts"), col("ingest_ts"), col("trade_id"),
+          col("price"), col("qty"), col("is_buyer_maker"), col("source"))
+    }
+  )
+
   val oracle: Map[String, String] = Map(
+    "avro6_ocf_scan" ->
+      s"""WITH t AS ($T)
+         |SELECT upper(symbol) AS symbol, ts_ms AS event_ts, ts_ms + 5 AS ingest_ts,
+         |  trade_id, price, coalesce(qty, 0.0) AS qty,
+         |  trade_id % 2 = 0 AS is_buyer_maker, 'ocf' AS source
+         |FROM t WHERE trade_id < 2000""".stripMargin,
     "avro5_generic_roundtrip" ->
       s"""WITH t AS ($T)
          |SELECT upper(symbol) AS symbol, ts_ms AS event_ts, ts_ms + 5 AS ingest_ts,

@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.io.File
+import java.util
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.functions.Avro
+
+/** `avro-ocf` — a DataSource V2 batch source for Avro Object Container
+  * Files, the on-disk form Avro data lands in (exports, replays, archive
+  * dumps). The environment ships Avro core but not the `spark-avro` module,
+  * so `spark.read.format("avro")` does not exist; this source provides that
+  * surface on `org.apache.avro.file.DataFileReader` — including the
+  * container format's self-describing schema (inferred from the first
+  * file's header), block compression codecs, and reader-schema resolution
+  * via the `readerSchema` option (same evolution semantics as
+  * [[graft.functions.Avro.AvroDecode]]).
+  *
+  * Scale shape: one InputPartition per file — a wide export directory reads
+  * with per-file parallelism and zero shuffle. (OCF sync markers support
+  * intra-file splits via `DataFileReader.sync`; per-file granularity keeps
+  * offsets trivial and matches the rolling-file layout every exporter
+  * produces. Split-by-sync is the documented upgrade if single giant files
+  * appear.)
+  */
+object AvroOcfSource {
+  val FileSuffix = ".avro"
+
+  private[sources] def listFiles(dir: String): Array[File] = {
+    val d = new File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.getName.endsWith(FileSuffix)).sortBy(_.getName)
+  }
+
+  /** The writer schema embedded in the container header. */
+  def writerSchema(file: File): Schema = {
+    val r = new DataFileReader[GenericRecord](file, new GenericDatumReader[GenericRecord]())
+    try r.getSchema finally r.close()
+  }
+
+  /** Fixture/export-side writer: one container file, deflate-compressed
+    * blocks, `syncEvery` records per block (small values force multi-block
+    * files so block boundaries are actually exercised).
+    */
+  def writeOcf(
+      file: File,
+      schema: Schema,
+      records: Seq[GenericRecord],
+      syncEvery: Int = 512): Unit = {
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+    w.create(schema, file)
+    try {
+      records.zipWithIndex.foreach { case (r, i) =>
+        w.append(r)
+        if ((i + 1) % syncEvery == 0) w.sync()
+      }
+    } finally w.close()
+  }
+}
+
+class AvroOcfProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "avro-ocf"
+
+  private def readerJson(options: CaseInsensitiveStringMap): Option[String] =
+    Option(options.get("readerSchema"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val reader = readerJson(options).map(new Schema.Parser().parse(_)).getOrElse {
+      val path = Option(options.get("path")).getOrElse(
+        throw new IllegalArgumentException("avro-ocf requires a path (load(dir))"))
+      val files = AvroOcfSource.listFiles(path)
+      require(files.nonEmpty, s"avro-ocf: no ${AvroOcfSource.FileSuffix} files under $path")
+      AvroOcfSource.writerSchema(files.head)
+    }
+    Avro.sparkType(reader).asInstanceOf[StructType]
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("avro-ocf requires a path (load(dir))"))
+    new AvroOcfTable(path, Option(properties.get("readerSchema")), schema)
+  }
+}
+
+class AvroOcfTable(path: String, readerJson: Option[String], tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"avro-ocf:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new AvroOcfScan(path, readerJson, tableSchema)
+    }
+}
+
+class AvroOcfScan(path: String, readerJson: Option[String], tableSchema: StructType)
+    extends Scan {
+  override def readSchema(): StructType = tableSchema
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      AvroOcfSource.listFiles(path)
+        .map(f => AvroOcfPartition(f.getAbsolutePath, readerJson): InputPartition)
+    override def createReaderFactory(): PartitionReaderFactory = AvroOcfReaderFactory
+  }
+}
+
+case class AvroOcfPartition(file: String, readerJson: Option[String]) extends InputPartition
+
+object AvroOcfReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[AvroOcfPartition]
+    new PartitionReader[InternalRow] {
+      // expected (reader) schema set up-front; DataFileReader supplies the
+      // writer schema from the container header, so resolution is automatic
+      private val datumReader = p.readerJson match {
+        case Some(j) =>
+          new GenericDatumReader[GenericRecord](null, new Schema.Parser().parse(j))
+        case None => new GenericDatumReader[GenericRecord]()
+      }
+      private val fileReader =
+        new DataFileReader[GenericRecord](new File(p.file), datumReader)
+      private val resolved: Schema = p.readerJson
+        .map(new Schema.Parser().parse(_)).getOrElse(fileReader.getSchema)
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (fileReader.hasNext) {
+          current = Avro.toCatalyst(fileReader.next(), resolved).asInstanceOf[InternalRow]
+          true
+        } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = fileReader.close()
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.avro.generic.GenericData
+import org.apache.spark.sql.functions._
+
+import graft.functions.Avro
+import graft.sources.AvroOcfSource
+
+/** `avro-ocf` DataSource V2: container files with embedded writer schema,
+  * deflate-compressed multi-block bodies, per-file parallelism, and
+  * reader-schema resolution through the `readerSchema` option.
+  */
+class AvroOcfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tradeRecord(id: Long): GenericData.Record = {
+    val r = new GenericData.Record(Avro.TradeSchema)
+    r.put("symbol", s"SYM${id % 3}")
+    r.put("event_ts", 1000L + id)
+    r.put("ingest_ts", 1001L + id)
+    r.put("trade_id", id)
+    r.put("price", 100.0 + id * 0.5)
+    r.put("qty", 0.25 * (id % 7))
+    r.put("is_buyer_maker", id % 2 == 0)
+    r.put("source", "ocf")
+    r
+  }
+
+  private def writeFixture(n: Int): java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ocf_").toFile
+    // two files, tiny sync interval -> several compressed blocks per file
+    val (a, b) = (0L until n.toLong).map(tradeRecord).splitAt(n / 2)
+    AvroOcfSource.writeOcf(
+      new java.io.File(dir, "part-00000.avro"), Avro.TradeSchema, a, syncEvery = 64)
+    AvroOcfSource.writeOcf(
+      new java.io.File(dir, "part-00001.avro"), Avro.TradeSchema, b, syncEvery = 64)
+    dir
+  }
+
+  test("schema is inferred from the container header; values read back exactly") {
+    val dir = writeFixture(500)
+    val df = spark.read.format("avro-ocf").load(dir.toString)
+    assert(df.schema === Avro.tradeType)
+    assert(df.count() === 500)
+    val ids = df.select("trade_id").as[Long].collect().sorted
+    assert(ids.toSeq === (0L until 500L))
+    val r = df.filter(col("trade_id") === 42L).head()
+    assert(r.getAs[String]("symbol") === "SYM0")
+    assert(r.getAs[Double]("price") === 121.0)
+    assert(r.getAs[Boolean]("is_buyer_maker"))
+  }
+
+  test("readerSchema option applies evolution on read (defaults, drops, reorder)") {
+    val dir = writeFixture(100)
+    val evolved =
+      """{"type":"record","name":"MarketTrade","namespace":"binance","fields":[
+        |{"name":"venue","type":"string","default":"binance"},
+        |{"name":"trade_id","type":"long"},
+        |{"name":"symbol","type":"string"}]}""".stripMargin
+    val df = spark.read.format("avro-ocf")
+      .option("readerSchema", evolved).load(dir.toString)
+    assert(df.columns.toSeq === Seq("venue", "trade_id", "symbol"))
+    val r = df.filter(col("trade_id") === 7L).head()
+    assert(r.getString(0) === "binance" && r.getString(2) === "SYM1")
+    assert(df.count() === 100)
+  }
+
+  test("reads are file-parallel and filters work through the scan") {
+    val dir = writeFixture(300)
+    val df = spark.read.format("avro-ocf").load(dir.toString)
+    assert(df.rdd.getNumPartitions === 2) // one partition per container file
+    assert(df.filter(col("price") > 200.0).count() ===
+      (0L until 300L).count(id => 100.0 + id * 0.5 > 200.0))
+  }
+}
