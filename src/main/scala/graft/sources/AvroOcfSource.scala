@@ -26,12 +26,13 @@ import graft.functions.Avro
   * via the `readerSchema` option (same evolution semantics as
   * [[graft.functions.Avro.AvroDecode]]).
   *
-  * Scale shape: one InputPartition per file — a wide export directory reads
-  * with per-file parallelism and zero shuffle. (OCF sync markers support
-  * intra-file splits via `DataFileReader.sync`; per-file granularity keeps
-  * offsets trivial and matches the rolling-file layout every exporter
-  * produces. Split-by-sync is the documented upgrade if single giant files
-  * appear.)
+  * Scale shape: per-file parallelism PLUS intra-file sync-point splits — a
+  * single giant export file is chopped into `splitBytes` byte ranges (option,
+  * default 128 MiB) and each task `sync`s to the first block boundary at or
+  * past its range start, reading until the first boundary past its range end
+  * (`pastSync`) — the standard splittable-container contract: every record
+  * is read by exactly one task regardless of where block boundaries fall.
+  * Zero shuffle either way.
   */
 object AvroOcfSource {
   val FileSuffix = ".avro"
@@ -102,24 +103,44 @@ class AvroOcfTable(path: String, readerJson: Option[String], tableSchema: Struct
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val splitBytes = Option(options.get("splitBytes")).map(_.toLong)
+      .getOrElse(128L << 20)
     new ScanBuilder {
-      override def build(): Scan = new AvroOcfScan(path, readerJson, tableSchema)
+      override def build(): Scan =
+        new AvroOcfScan(path, readerJson, tableSchema, splitBytes)
     }
+  }
 }
 
-class AvroOcfScan(path: String, readerJson: Option[String], tableSchema: StructType)
-    extends Scan {
+class AvroOcfScan(
+    path: String,
+    readerJson: Option[String],
+    tableSchema: StructType,
+    splitBytes: Long) extends Scan {
   override def readSchema(): StructType = tableSchema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      AvroOcfSource.listFiles(path)
-        .map(f => AvroOcfPartition(f.getAbsolutePath, readerJson): InputPartition)
+      AvroOcfSource.listFiles(path).flatMap { f =>
+        val len = f.length()
+        val ranges = 0L until math.max(1L, (len + splitBytes - 1) / splitBytes)
+        ranges.map { i =>
+          AvroOcfPartition(
+            f.getAbsolutePath, readerJson,
+            start = i * splitBytes,
+            end = math.min((i + 1) * splitBytes, len)): InputPartition
+        }
+      }
     override def createReaderFactory(): PartitionReaderFactory = AvroOcfReaderFactory
   }
 }
 
-case class AvroOcfPartition(file: String, readerJson: Option[String]) extends InputPartition
+/** Byte range [start, end): the task syncs to the first block boundary at or
+  * past `start` and stops at the first boundary past `end`.
+  */
+case class AvroOcfPartition(
+    file: String, readerJson: Option[String], start: Long, end: Long)
+    extends InputPartition
 
 object AvroOcfReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -134,11 +155,16 @@ object AvroOcfReaderFactory extends PartitionReaderFactory {
       }
       private val fileReader =
         new DataFileReader[GenericRecord](new File(p.file), datumReader)
+      // Position at the first block boundary at or past the range start
+      // (sync(0) lands just past the header — the header ends with the sync
+      // marker), then stop at the first boundary past the range end: every
+      // record is read by exactly one split.
+      fileReader.sync(p.start)
       private val resolved: Schema = p.readerJson
         .map(new Schema.Parser().parse(_)).getOrElse(fileReader.getSchema)
       private var current: InternalRow = _
       override def next(): Boolean =
-        if (fileReader.hasNext) {
+        if (fileReader.hasNext && !fileReader.pastSync(p.end)) {
           current = Avro.toCatalyst(fileReader.next(), resolved).asInstanceOf[InternalRow]
           true
         } else false

@@ -65,6 +65,20 @@ class AvroOcfSpec extends SparkSpec {
     assert(df.count() === 100)
   }
 
+  test("sync-point splits: one giant file reads exactly-once across many tasks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ocf_split_").toFile
+    val f = new java.io.File(dir, "giant.avro")
+    // tiny sync interval -> many small blocks; tiny splitBytes -> many splits
+    AvroOcfSource.writeOcf(
+      f, Avro.TradeSchema, (0L until 2000L).map(tradeRecord), syncEvery = 50)
+    val df = spark.read.format("avro-ocf")
+      .option("splitBytes", "4096").load(dir.toString)
+    assert(df.rdd.getNumPartitions > 4, s"expected many splits, got ${df.rdd.getNumPartitions}")
+    val ids = df.select("trade_id").as[Long].collect().sorted
+    assert(ids.length === 2000, "records lost or duplicated across split boundaries")
+    assert(ids.toSeq === (0L until 2000L))
+  }
+
   test("reads are file-parallel and filters work through the scan") {
     val dir = writeFixture(300)
     val df = spark.read.format("avro-ocf").load(dir.toString)
