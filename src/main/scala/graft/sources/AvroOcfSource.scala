@@ -39,8 +39,11 @@ object AvroOcfSource {
 
   private[sources] def listFiles(dir: String): Array[File] = {
     val d = new File(dir)
+    // Zero-length files can't be valid containers (no header); skip them so
+    // an empty writer-side artifact doesn't fail the whole scan.
     Option(d.listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isFile && f.getName.endsWith(FileSuffix)).sortBy(_.getName)
+      .filter(f => f.isFile && f.getName.endsWith(FileSuffix) && f.length() > 0)
+      .sortBy(_.getName)
   }
 
   /** The writer schema embedded in the container header. */
@@ -91,9 +94,13 @@ class AvroOcfProvider extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
+    // Resolve options EXACTLY as inferSchema does (case-insensitively): a
+    // user-typed 'readerschema' must not yield a table whose declared schema
+    // is the reader layout while the scan decodes with the writer layout.
+    val options = new CaseInsensitiveStringMap(properties)
+    val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("avro-ocf requires a path (load(dir))"))
-    new AvroOcfTable(path, Option(properties.get("readerSchema")), schema)
+    new AvroOcfTable(path, readerJson(options), schema)
   }
 }
 
@@ -158,10 +165,18 @@ object AvroOcfReaderFactory extends PartitionReaderFactory {
       // Position at the first block boundary at or past the range start
       // (sync(0) lands just past the header — the header ends with the sync
       // marker), then stop at the first boundary past the range end: every
-      // record is read by exactly one split.
-      fileReader.sync(p.start)
-      private val resolved: Schema = p.readerJson
-        .map(new Schema.Parser().parse(_)).getOrElse(fileReader.getSchema)
+      // record is read by exactly one split. If positioning or reader-schema
+      // parsing throws, close the already-open container reader — the task
+      // will be retried/failed, but the handle must not leak.
+      private val resolved: Schema =
+        try {
+          fileReader.sync(p.start)
+          p.readerJson.map(new Schema.Parser().parse(_)).getOrElse(fileReader.getSchema)
+        } catch {
+          case e: Throwable =>
+            try fileReader.close() catch { case _: Throwable => () }
+            throw e
+        }
       private var current: InternalRow = _
       override def next(): Boolean =
         if (fileReader.hasNext && !fileReader.pastSync(p.end)) {

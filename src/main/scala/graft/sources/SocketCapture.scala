@@ -31,7 +31,8 @@ final class SocketCapture(
     port: Int,
     dir: File,
     rollBytes: Long = 64L << 20,
-    flushEveryFrames: Int = 1) extends AutoCloseable {
+    flushEveryFrames: Int = 1,
+    maxFrameBytes: Int = 16 << 20) extends AutoCloseable {
 
   private val framesJournaled = new AtomicLong(0)
   @volatile private var failure: Option[Throwable] = None
@@ -65,6 +66,12 @@ final class SocketCapture(
           try in.readInt()
           catch { case _: EOFException => eof = true; -1 }
         if (!eof) {
+          // The wire length prefix is untrusted input: a corrupt/negative or
+          // ~2 GB value must become a framing error, not an allocation crash
+          // (NegativeArraySizeException/OOM) inside the receiver thread.
+          if (len < 0 || len > maxFrameBytes)
+            throw new java.io.StreamCorruptedException(
+              s"framing error: length prefix $len outside [0, $maxFrameBytes]")
           val payload = new Array[Byte](len)
           in.readFully(payload) // EOF mid-payload aborts WITHOUT journaling
           out.writeInt(len)

@@ -65,6 +65,31 @@ class AvroOcfSpec extends SparkSpec {
     assert(df.count() === 100)
   }
 
+  test("options resolve case-insensitively in BOTH inferSchema and getTable") {
+    // Regression (r5 advice): getTable read the raw properties map, so a
+    // user-typed 'readerschema' declared the reader layout but decoded the
+    // writer layout — silent column misalignment. Both paths must agree.
+    val dir = writeFixture(60)
+    val evolved =
+      """{"type":"record","name":"MarketTrade","namespace":"binance","fields":[
+        |{"name":"venue","type":"string","default":"binance"},
+        |{"name":"trade_id","type":"long"},
+        |{"name":"symbol","type":"string"}]}""".stripMargin
+    val df = spark.read.format("avro-ocf")
+      .option("readerschema", evolved) // deliberately lower-cased
+      .load(dir.toString)
+    assert(df.columns.toSeq === Seq("venue", "trade_id", "symbol"))
+    val r = df.filter(col("trade_id") === 7L).head()
+    assert(r.getString(0) === "binance" && r.getString(2) === "SYM1")
+  }
+
+  test("zero-length .avro files are skipped, not fatal") {
+    val dir = writeFixture(80)
+    assert(new java.io.File(dir, "empty.avro").createNewFile())
+    val df = spark.read.format("avro-ocf").load(dir.toString)
+    assert(df.count() === 80)
+  }
+
   test("sync-point splits: one giant file reads exactly-once across many tasks") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ocf_split_").toFile
     val f = new java.io.File(dir, "giant.avro")

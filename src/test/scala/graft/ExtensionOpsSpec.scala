@@ -129,6 +129,46 @@ class ExtensionOpsSpec extends SparkSpec {
       (1L, "A"), (2L, "A"), (2L, "B"), (3L, "A"), (3L, "B"), (6L, "C")))
   }
 
+  test("pointInInterval: shared column names keep the points side, once") {
+    val points = Seq(("u1", 100L, 1L)).toDF("k", "ts", "pid")
+    val intervals = Seq(("u1", 50L, 300L, "A")).toDF("k", "s", "e", "iid")
+    val out = graft.operators.Interval.pointInInterval(
+      points, intervals, col("k"), col("ts"), col("k"), col("s"), col("e"),
+      chunkMs = 1000L)
+    // exactly one 'k' (points side), no scratch columns, no ambiguity
+    assert(out.columns.count(_ == "k") === 1)
+    assert(!out.columns.exists(_.startsWith("__graft_iv_")))
+    val r = out.head()
+    assert(r.getAs[String]("k") === "u1" && r.getAs[String]("iid") === "A")
+  }
+
+  test("pointInInterval: runaway interval span fails loudly, nulls just drop") {
+    val points = Seq(("u1", 100L, 1L)).toDF("k", "ts", "pid")
+    // 10^9 ms span at chunkMs=1000 -> 10^6 cells >> maxCellsPerInterval
+    val runaway = Seq(("u1", 0L, 1000000000L, "bad")).toDF("k", "s", "e", "iid")
+    val e = intercept[Exception] { // SparkRuntimeException (USER_RAISED_EXCEPTION)
+      graft.operators.Interval.pointInInterval(
+        points, runaway, col("k"), col("ts"), col("k"), col("s"), col("e"),
+        chunkMs = 1000L).count()
+    }
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("pointInInterval")) ||
+        mentions(t.getCause))
+    assert(mentions(e))
+    // null bounds are a non-match, never a spurious guard error
+    val nullEnd = Seq(("u1", 50L, Option.empty[Long], "N")).toDF("k", "s", "e", "iid")
+    val n = graft.operators.Interval.pointInInterval(
+      points, nullEnd, col("k"), col("ts"), col("k"), col("s"), col("e"),
+      chunkMs = 1000L).count()
+    assert(n === 0L)
+    // reserved scratch prefix in an input is rejected up-front
+    intercept[IllegalArgumentException] {
+      graft.operators.Interval.pointInInterval(
+        points.withColumnRenamed("pid", "__graft_iv_pid"), runaway,
+        col("k"), col("ts"), col("k"), col("s"), col("e"), chunkMs = 1000L)
+    }
+  }
+
   test("pointInInterval: no duplicate matches from multi-cell replication") {
     // interval spans 10 cells; every point inside must match exactly once
     val points = (0L until 50L).map(i => ("k", 1000L + i * 100L, i)).toDF("k", "ts", "pid")

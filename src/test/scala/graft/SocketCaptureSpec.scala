@@ -75,6 +75,22 @@ class SocketCaptureSpec extends SparkSpec {
     assert(n === frames.size)
   }
 
+  test("corrupt length prefix is a framing error, not an allocation crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sockcap_corrupt_").toFile
+    val server = new ServerSocket(0)
+    val t = new Thread(() => {
+      val sock = server.accept()
+      val out = new DataOutputStream(sock.getOutputStream)
+      out.writeInt(0x7FFFFFF0) // ~2 GB claim: must be rejected before allocation
+      out.flush(); sock.close(); server.close()
+    }, "corrupt-server")
+    t.setDaemon(true); t.start()
+    val cap = new SocketCapture("localhost", server.getLocalPort, dir, maxFrameBytes = 1 << 20)
+    val e = intercept[java.io.StreamCorruptedException](cap.awaitCompletion())
+    assert(e.getMessage.contains("framing error"))
+    assert(cap.journaledCount === 0)
+  }
+
   test("a second capture resumes file numbering instead of clobbering") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sockcap_resume_").toFile
     val first = tradeFrames(40).take(20)
