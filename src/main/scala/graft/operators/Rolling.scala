@@ -308,16 +308,29 @@ object Rolling {
     * output rows and the per-chunk tail summary). Unmaterialized, Catalyst
     * plans the full scan→explode→shuffle→window pipeline twice — column
     * pruning makes the subtrees differ, so ReuseExchange can't dedupe them
-    * (measured 2× the runtime at sf0.1). The default lazily
-    * `localCheckpoint`s the stage: computed once, both consumers read the
-    * stored blocks, and the blocks are reclaimed by the ContextCleaner when
-    * the RDD is GC'd (unlike `persist`, which leaks pinned cache entries —
-    * measured degrading UNRELATED queries in the same JVM). Tradeoff:
-    * localCheckpoint truncates lineage, so on a multi-executor cluster an
-    * executor loss fails the query instead of recomputing (swap in a
-    * reliable `checkpoint` dir for long jobs); pass `false` to keep the
-    * pure recompute plan — also what the plan-shape specs introspect, since
-    * a checkpointed stage hides its subtree behind a Scan ExistingRDD.
+    * (measured 2× the runtime at sf0.1). When enabled, the stage is lazily
+    * materialized once and both consumers read the stored blocks (unlike
+    * `persist`, which leaks pinned cache entries — measured degrading
+    * UNRELATED queries in the same JVM). HOW it materializes is
+    * fault-tolerance-aware:
+    *
+    *   - `checkpointDir` set → reliable `checkpoint` into that directory:
+    *     survives executor loss, the production shape for long cluster jobs.
+    *   - else, local master → `localCheckpoint` (executor-local blocks,
+    *     ContextCleaner-reclaimed). Truncates lineage — an executor loss
+    *     would fail the query — which is moot in one-JVM local mode.
+    *   - else (cluster, no dir) → fall back to the pure recompute plan:
+    *     paying the pipeline twice beats a query that dies with the first
+    *     lost executor at 1000-node scale with node churn.
+    *
+    * Pass `materializeSharedStage = false` to force the recompute plan —
+    * also what the plan-shape specs introspect, since a checkpointed stage
+    * hides its subtree behind a Scan ExistingRDD.
+    *
+    * Width note: the materialized stage carries EVERY input column (the
+    * checkpoint barrier blocks Catalyst column pruning above the scan), so
+    * project `rows` down to the columns you need first — at 100 TB the
+    * difference between materializing 4 columns and 40 is the job.
     */
   def momentumBucketed(
       rows: DataFrame,
@@ -327,7 +340,8 @@ object Rolling {
       tieBreak: Column,
       windowMs: Long = 5000L,
       chunkMs: Long = 60000L,
-      materializeSharedStage: Boolean = true): DataFrame = {
+      materializeSharedStage: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(chunkMs >= windowMs, s"chunkMs ($chunkMs) must be >= windowMs ($windowMs)")
     val base = rows
       .withColumn("__sym", symbol)
@@ -368,15 +382,29 @@ object Rolling {
       .withColumn("__cnt", count(lit(1)).over(wholeChunk))
       .withColumn("__ma_l1_local", lag(col("ma_w"), 1).over(wSeqChunk))
       .withColumn("__ma_l2_local", lag(col("ma_w"), 2).over(wSeqChunk))
+      // ordering scratch is consumed by the windows above; keep it out of
+      // the materialized stage
+      .drop("__ts", "__tie")
     val withRn =
-      if (materializeSharedStage) withRnPlan.localCheckpoint(false) else withRnPlan
+      if (!materializeSharedStage) withRnPlan
+      else checkpointDir match {
+        case Some(dir) =>
+          rows.sparkSession.sparkContext.setCheckpointDir(dir)
+          withRnPlan.checkpoint(false)
+        case None if rows.sparkSession.sparkContext.isLocal =>
+          withRnPlan.localCheckpoint(false)
+        case None => withRnPlan // cluster without a reliable dir: recompute-safe
+      }
+    // The chunk's LAST row already carries the whole tail: its ma_w is the
+    // tail's newest value and its chunk-local lag is the second-newest — so
+    // a filter+select yields one row per non-empty chunk with zero
+    // aggregation (the collect_list formulation cost two exchanges and an
+    // ObjectHashAggregate pair for the same ≤2 values).
     val tails = withRn
-      .filter(col("__rn") > col("__cnt") - 2)
-      .groupBy(col("__sym"), col("__chunk"))
-      .agg(array_sort(collect_list(struct(col("__rn"), col("ma_w")))).as("__tl"))
+      .filter(col("__rn") === col("__cnt"))
       .select(
         col("__sym"), col("__chunk"),
-        transform(col("__tl"), e => e.getField("ma_w")).as("__tail"))
+        filter(array(col("__ma_l1_local"), col("ma_w")), _.isNotNull).as("__tail"))
     val wChunks = Window.partitionBy(col("__sym")).orderBy(col("__chunk"))
     val empty = array().cast("array<double>")
     val prev = tails

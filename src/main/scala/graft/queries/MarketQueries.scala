@@ -158,7 +158,9 @@ object MarketQueries {
     "w6b_momentum_bucketed" -> { (s, dir) =>
       Rolling
         .momentumBucketed(
-          Tables.trades(s, dir),
+          // project FIRST: the materialized shared stage carries every input
+          // column (checkpoint blocks pruning), so 4 columns in, not 11
+          Tables.trades(s, dir).select("symbol", "ts_ms", "trade_id", "price"),
           symbol = col("symbol"), tsMs = col("ts_ms"), price = col("price"),
           tieBreak = col("trade_id"), windowMs = 300000L, chunkMs = 3600000L)
         .select("symbol", "ts_ms", "trade_id", "ma_w", "momentum", "acceleration")

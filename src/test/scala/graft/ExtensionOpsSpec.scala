@@ -102,6 +102,29 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(h.count(_.getAs[Boolean]("is_current")) === 2)
   }
 
+  // --- Momentum materialization modes -------------------------------------
+
+  test("momentumBucketed: all materialization modes match the per-symbol plan") {
+    val t = Tables.trades(spark, sf).select("symbol", "ts_ms", "trade_id", "price")
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] = df
+      .select("symbol", "ts_ms", "trade_id", "ma_w", "momentum", "acceleration")
+      .collect().map(_.mkString("|")).toSet
+    val expected = canon(graft.operators.Rolling.momentum(
+      t, col("symbol"), col("ts_ms"), col("price"), col("trade_id"),
+      windowMs = 300000L))
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_w6b_ck_").toString
+    def bucketed(mat: Boolean, dir: Option[String]) =
+      canon(graft.operators.Rolling.momentumBucketed(
+        t, col("symbol"), col("ts_ms"), col("price"), col("trade_id"),
+        windowMs = 300000L, chunkMs = 3600000L,
+        materializeSharedStage = mat, checkpointDir = dir))
+    assert(bucketed(mat = true, None) === expected)   // localCheckpoint (local mode)
+    assert(bucketed(mat = true, Some(ckDir)) === expected) // reliable checkpoint
+    assert(bucketed(mat = false, None) === expected)  // pure recompute plan
+    // the reliable-checkpoint mode actually wrote to the given directory
+    assert(new java.io.File(ckDir).listFiles().nonEmpty)
+  }
+
   // --- Interval (range) join ----------------------------------------------
 
   test("pointInInterval: overlaps multiply, boundaries are inclusive, misses drop") {
