@@ -479,6 +479,59 @@ object Avro {
     }
   }
 
+  /** InternalRow → Avro record (the `avro-ocf` sink's row converter). */
+  private[graft] def toAvroRecord(row: InternalRow, s: Schema): GenericRecord =
+    fromCatalyst(row, s).asInstanceOf[GenericRecord]
+
+  /** Spark DataType → Avro Schema, the inverse of [[sparkType]]: nullable
+    * fields become `["null", T]` unions with a null default (so readers can
+    * evolve against the written schema), DecimalType → bytes+decimal logical
+    * type, TimestampType → timestamp-micros, DateType → date. Nested record
+    * names are derived from the field path (Avro requires unique names).
+    */
+  def avroSchemaFor(
+      dt: StructType,
+      name: String = "Record",
+      namespace: String = "graft"): Schema =
+    avroType(dt, name, namespace, nullable = false)
+
+  private def avroType(dt: DataType, name: String, ns: String, nullable: Boolean): Schema = {
+    val base = dt match {
+      case StringType => Schema.create(Schema.Type.STRING)
+      case LongType => Schema.create(Schema.Type.LONG)
+      case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case d: DecimalType =>
+        org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(Schema.create(Schema.Type.BYTES))
+      case TimestampType | TimestampNTZType =>
+        org.apache.avro.LogicalTypes.timestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
+      case DateType =>
+        org.apache.avro.LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+      case ArrayType(et, containsNull) =>
+        Schema.createArray(avroType(et, name + "_item", ns, containsNull))
+      case MapType(StringType, vt, vcn) =>
+        Schema.createMap(avroType(vt, name + "_value", ns, vcn))
+      case st: StructType =>
+        val fields = st.fields.map { f =>
+          val fs = avroType(f.dataType, name + "_" + f.name, ns, f.nullable)
+          if (f.nullable)
+            new Schema.Field(f.name, fs, null, org.apache.avro.JsonProperties.NULL_VALUE)
+          else new Schema.Field(f.name, fs)
+        }
+        Schema.createRecord(name, null, ns, false, java.util.Arrays.asList(fields: _*))
+      case other =>
+        throw new IllegalArgumentException(s"avro-ocf: unsupported Spark type $other")
+    }
+    if (nullable && base.getType != Schema.Type.UNION)
+      Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+    else base
+  }
+
   /** Serializable encode kernel (`to_avro` half of [[AvroRowKernel]]). */
   final class AvroWriteKernel(val schemaJson: String) extends Serializable {
     @transient private lazy val schema = new Schema.Parser().parse(schemaJson)

@@ -214,10 +214,47 @@ object AvroQueries {
         .select(
           col("symbol"), col("event_ts"), col("ingest_ts"), col("trade_id"),
           col("price"), col("qty"), col("is_buyer_maker"), col("source"))
+    },
+    // Full sink round-trip through the driver gate: export the trade view
+    // with `df.write.format("avro-ocf")` (the write side a user shipping
+    // training shards in the reference's Avro contract runs), scan the
+    // containers back, and aggregate. Decimal-summed measures keep the
+    // result fold-order-exact so the oracle hash-matches.
+    "avro7_ocf_roundtrip" -> { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_ocf_rt_").toFile
+      out.deleteOnExit()
+      Tables.trades(s, dir).filter(col("trade_id") < 2000)
+        .select(
+          upper(col("symbol")).as("symbol"), col("ts_ms").as("event_ts"),
+          col("trade_id"), col("price"), coalesce(col("qty"), lit(0.0)).as("qty"))
+        .write.format("avro-ocf").mode("overwrite")
+        .option("codec", "deflate").option("syncEvery", "256")
+        .save(out.toString)
+      s.read.format("avro-ocf").load(out.toString)
+        .groupBy(col("symbol"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("trade_id")).as("id_sum"),
+          min(col("price")).as("px_min"),
+          max(col("price")).as("px_max"),
+          sum(col("price").cast("decimal(27,8)")).cast("double").as("px_sum"),
+          sum(col("qty").cast("decimal(27,8)")).cast("double").as("qty_sum"),
+          max(col("event_ts")).as("last_ts"))
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "avro7_ocf_roundtrip" ->
+      s"""WITH t AS ($T),
+         |q AS (SELECT upper(symbol) AS symbol, ts_ms AS event_ts, trade_id,
+         |        price, coalesce(qty, 0.0) AS qty
+         |      FROM t WHERE trade_id < 2000)
+         |SELECT symbol, count(*) AS n, CAST(sum(trade_id) AS BIGINT) AS id_sum,
+         |  min(price) AS px_min, max(price) AS px_max,
+         |  CAST(sum(CAST(price AS DECIMAL(27,8))) AS DOUBLE) AS px_sum,
+         |  CAST(sum(CAST(qty AS DECIMAL(27,8))) AS DOUBLE) AS qty_sum,
+         |  max(event_ts) AS last_ts
+         |FROM q GROUP BY 1""".stripMargin,
     "avro6_ocf_scan" ->
       s"""WITH t AS ($T)
          |SELECT upper(symbol) AS symbol, ts_ms AS event_ts, ts_ms + 5 AS ingest_ts,

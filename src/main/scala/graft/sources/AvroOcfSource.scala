@@ -4,12 +4,13 @@ import java.io.File
 import java.util
 
 import org.apache.avro.Schema
-import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -76,6 +77,10 @@ object AvroOcfSource {
 class AvroOcfProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "avro-ocf"
 
+  // Writes hand the dataframe's schema straight to getTable (a write target
+  // may be an empty directory, where header-based inference is impossible).
+  override def supportsExternalMetadata(): Boolean = true
+
   private def readerJson(options: CaseInsensitiveStringMap): Option[String] =
     Option(options.get("readerSchema"))
 
@@ -105,11 +110,12 @@ class AvroOcfProvider extends TableProvider with DataSourceRegister {
 }
 
 class AvroOcfTable(path: String, readerJson: Option[String], tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"avro-ocf:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val splitBytes = Option(options.get("splitBytes")).map(_.toLong)
       .getOrElse(128L << 20)
@@ -118,6 +124,144 @@ class AvroOcfTable(path: String, readerJson: Option[String], tableSchema: Struct
         new AvroOcfScan(path, readerJson, tableSchema, splitBytes)
     }
   }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AvroOcfWriteBuilder(path, info)
+}
+
+/** Write side: `df.write.format("avro-ocf").mode("append"|"overwrite")`.
+  *
+  * Options: `codec` = deflate (default) | uncompressed | snappy | zstd;
+  * `deflateLevel` (1-9, default 6); `syncEvery` = records per block sync
+  * (default 512 — block boundaries are the read-side split points, so this
+  * also bounds split granularity); `avroSchema` = explicit writer schema
+  * JSON (default: derived from the dataframe schema via
+  * [[Avro.avroSchemaFor]]).
+  *
+  * Commit protocol (task-per-partition files, speculative-attempt safe):
+  * each task streams into `.part-<partition>-<task>.avro.tmp`; only the
+  * driver-side commit renames tmp files to visible `part-*.avro` names (and
+  * first clears prior files when truncating for overwrite mode), so readers
+  * never observe half-written containers and a failed/aborted attempt
+  * leaves only a tmp file that abort() deletes. Empty partitions produce no
+  * file.
+  */
+class AvroOcfWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val opts = info.options()
+      val schemaJson = Option(opts.get("avroSchema")).getOrElse(
+        Avro.avroSchemaFor(info.schema(), "Record", "graft").toString)
+      val codec = Option(opts.get("codec")).getOrElse("deflate")
+      val deflateLevel = Option(opts.get("deflateLevel")).map(_.toInt).getOrElse(6)
+      val syncEvery = Option(opts.get("syncEvery")).map(_.toInt).getOrElse(512)
+      require(syncEvery > 0, s"syncEvery must be positive, got $syncEvery")
+      new AvroOcfBatchWrite(path, schemaJson, codec, deflateLevel, syncEvery, doTruncate)
+    }
+  }
+}
+
+case class AvroOcfCommit(tmpPath: String, finalName: String) extends WriterCommitMessage
+
+class AvroOcfBatchWrite(
+    path: String,
+    schemaJson: String,
+    codec: String,
+    deflateLevel: Int,
+    syncEvery: Int,
+    doTruncate: Boolean) extends BatchWrite {
+
+  // Distinguishes this write job's files from any earlier job's (task ids
+  // restart across applications, so they alone can't keep append-mode file
+  // names unique).
+  private val writeId = java.util.UUID.randomUUID().toString.take(8)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new File(path)
+    if (!dir.exists()) dir.mkdirs()
+    AvroOcfWriterFactory(path, schemaJson, codec, deflateLevel, syncEvery, writeId)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (doTruncate) AvroOcfSource.listFiles(path).foreach { f =>
+      if (!f.delete()) throw new java.io.IOException(s"avro-ocf: cannot truncate $f")
+    }
+    messages.collect { case m: AvroOcfCommit if m.tmpPath.nonEmpty => m }.foreach { m =>
+      val tmp = new File(m.tmpPath)
+      val dst = new File(new File(path), m.finalName)
+      if (!tmp.renameTo(dst))
+        throw new java.io.IOException(s"avro-ocf: commit rename failed: $tmp -> $dst")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: AvroOcfCommit => m }
+      .foreach(m => new File(m.tmpPath).delete())
+}
+
+case class AvroOcfWriterFactory(
+    path: String,
+    schemaJson: String,
+    codec: String,
+    deflateLevel: Int,
+    syncEvery: Int,
+    writeId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AvroOcfDataWriter(
+      path, schemaJson, codec, deflateLevel, syncEvery, partitionId, taskId, writeId)
+}
+
+class AvroOcfDataWriter(
+    path: String,
+    schemaJson: String,
+    codec: String,
+    deflateLevel: Int,
+    syncEvery: Int,
+    partitionId: Int,
+    taskId: Long,
+    writeId: String) extends DataWriter[InternalRow] {
+
+  private val schema = new Schema.Parser().parse(schemaJson)
+  private val finalName =
+    f"part-$partitionId%05d-$writeId-$taskId${AvroOcfSource.FileSuffix}"
+  private val tmpFile = new File(new File(path), s".$finalName.tmp")
+  private var writer: DataFileWriter[GenericRecord] = _ // opened on first row
+  private var sinceSync = 0
+
+  private def open(): Unit = {
+    writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    writer.setCodec(codec.toLowerCase match {
+      case "deflate" => CodecFactory.deflateCodec(deflateLevel)
+      case "uncompressed" | "null" => CodecFactory.nullCodec()
+      case "snappy" => CodecFactory.snappyCodec()
+      case "zstd" | "zstandard" => CodecFactory.zstandardCodec(3)
+      case other => throw new IllegalArgumentException(s"avro-ocf: unknown codec '$other'")
+    })
+    writer.create(schema, tmpFile)
+  }
+
+  override def write(record: InternalRow): Unit = {
+    if (writer == null) open()
+    writer.append(Avro.toAvroRecord(record, schema))
+    sinceSync += 1
+    if (sinceSync >= syncEvery) { writer.sync(); sinceSync = 0 }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer == null) return AvroOcfCommit("", "") // empty partition: no file
+    writer.close(); writer = null
+    AvroOcfCommit(tmpFile.getAbsolutePath, finalName)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) { try writer.close() catch { case _: Throwable => () }; writer = null }
+    tmpFile.delete()
+  }
+
+  override def close(): Unit =
+    if (writer != null) { try writer.close() catch { case _: Throwable => () }; writer = null }
 }
 
 class AvroOcfScan(

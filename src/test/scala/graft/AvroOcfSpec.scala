@@ -104,6 +104,55 @@ class AvroOcfSpec extends SparkSpec {
     assert(ids.toSeq === (0L until 2000L))
   }
 
+  test("write sink round-trips: df.write -> scan, task-per-partition files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ocf_sink_").toString
+    val src = spark.range(0, 1000).selectExpr(
+      "concat('SYM', id % 3) AS symbol", "id AS trade_id",
+      "cast(100.0 + id * 0.5 AS double) AS price",
+      "id % 2 = 0 AS is_buyer_maker",
+      "IF(id % 10 = 0, CAST(NULL AS double), cast(id AS double) / 4) AS qty")
+      .repartition(4)
+    src.write.format("avro-ocf").mode("append").option("syncEvery", "100").save(dir)
+    val files = new java.io.File(dir).listFiles((_, n) => n.endsWith(".avro"))
+    assert(files.length === 4) // one container per task/partition
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".tmp")))
+    val back = spark.read.format("avro-ocf").load(dir)
+    assert(back.schema.fieldNames.toSeq ===
+      Seq("symbol", "trade_id", "price", "is_buyer_maker", "qty"))
+    assert(back.count() === 1000)
+    assert(back.filter(col("qty").isNull).count() === 100) // nullable union survives
+    val r = back.filter(col("trade_id") === 42L).head()
+    assert(r.getAs[String]("symbol") === "SYM0" && r.getAs[Double]("price") === 121.0)
+  }
+
+  test("write sink: overwrite truncates, append accumulates, codecs decode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ocf_modes_").toString
+    def w(n: Int, mode: String, codec: String): Unit =
+      spark.range(0, n).selectExpr("id AS v").coalesce(1)
+        .write.format("avro-ocf").mode(mode).option("codec", codec).save(dir)
+    w(100, "append", "deflate")
+    w(50, "append", "uncompressed") // second job: unique file names, no clobber
+    assert(spark.read.format("avro-ocf").load(dir).count() === 150)
+    w(30, "overwrite", "deflate") // truncate: old files gone, only the 30 remain
+    val back = spark.read.format("avro-ocf").load(dir)
+    assert(back.count() === 30)
+    assert(back.agg(sum("v")).head().getLong(0) === (0 until 30).sum.toLong)
+  }
+
+  test("write sink honors an explicit avroSchema option") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ocf_explicit_").toString
+    val src = spark.range(0, 20).selectExpr(
+      "concat('S', id) AS symbol", "id AS event_ts", "id + 5 AS ingest_ts",
+      "id AS trade_id", "cast(id AS double) AS price", "cast(1.0 AS double) AS qty",
+      "id % 2 = 0 AS is_buyer_maker", "'w' AS source")
+    src.coalesce(1).write.format("avro-ocf").mode("append")
+      .option("avroSchema", Avro.TradeSchemaJson).save(dir)
+    // the container header carries the reference MarketTrade schema verbatim
+    val f = new java.io.File(dir).listFiles((_, n) => n.endsWith(".avro")).head
+    assert(AvroOcfSource.writerSchema(f).getFullName === "binance.MarketTrade")
+    assert(spark.read.format("avro-ocf").load(dir).count() === 20)
+  }
+
   test("reads are file-parallel and filters work through the scan") {
     val dir = writeFixture(300)
     val df = spark.read.format("avro-ocf").load(dir.toString)
