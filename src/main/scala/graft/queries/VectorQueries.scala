@@ -44,6 +44,19 @@ object VectorQueries {
         Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding")),
         queryIds = (0L until 10L).toSeq, k = 3, nCells = 8)
     },
+    // V4-fast — the PRODUCTION IVF shape: exactMeans=false swaps the
+    // id-ordered mean fold for plain avg(), cutting centroid-update shuffle
+    // volume from O(rows × dims) to O(cells × dims) via map-side partial
+    // sums. avg()'s merge order is partitioning-dependent, so no DuckDB
+    // oracle applies (declared without oracleSql → rows-only gate); result
+    // equivalence with the exact path is spec-asserted (ExtensionOpsSpec
+    // "ivf fast-means path"). This row exists to document the production
+    // path's cost next to the oracle-reproducible exact fold in x_v4.
+    "x_v4_fast" -> { (s, dir) =>
+      VectorOps.annTopKIvf(
+        Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding")),
+        queryIds = (0L until 10L).toSeq, k = 3, nCells = 8, exactMeans = false)
+    },
     // V5 — IVF with multi-probe (nProbe=2): queries search their 2 nearest
     // cells, the recall dial of the IVF family. Same unrolled-Lloyd oracle
     // with a ranked probe CTE.
