@@ -83,28 +83,55 @@ class LiveFeedIntegrationSpec extends SparkSpec {
     } finally { q.stop(); cap.close() }
   }
 
-  test("Avro: socket -> journal -> streaming tail -> schema-resolved decode") {
-    val frames = Tables.trades(spark, sf).filter(col("trade_id") < 150)
+  test("Avro: socket -> journal -> streaming windowed agg, across a live append") {
+    // The full hot-path loop for the Avro wire format: SocketCapture journals
+    // Avro-framed payloads WHILE a streaming query tails the journal,
+    // schema-resolved-decodes each frame, and maintains a watermarked
+    // 1-minute event-time aggregation — the reference's Kinesis-consumer →
+    // aggregator shape end-to-end on real wire bytes.
+    val src = Tables.trades(spark, sf).filter(col("trade_id") < 150)
+    val frames = src
       .select(Avro.encodeTrade(
         upper(col("symbol")), col("ts_ms"), col("ts_ms") + 5L, col("trade_id"),
         col("price"), coalesce(col("qty"), lit(0.0)),
         col("trade_id") % 2 === 0, lit("sbe")).as("frame"))
       .orderBy("trade_id").collect().map(_.getAs[Array[Byte]]("frame")).toSeq
+    // batch twin of the streaming agg = the expected final answer
+    val expected = src
+      .groupBy(upper(col("symbol")).as("symbol"),
+        window(timestamp_millis(col("ts_ms")), "1 minute").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("symbol"), col("w.start").cast("long").as("ws"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     val dir = java.nio.file.Files.createTempDirectory("graft_live_avro_").toFile
     val (port, release) = serveGated(frames, firstHalf = 80)
     val cap = new SocketCapture("localhost", port, dir)
-    release.countDown()
-    cap.awaitCompletion()
     val q = spark.readStream.format("sbe-frames").load(dir.toString)
       .select(Avro.decode(col("frame"), Avro.TradeSchemaJson).as("d"))
-      .select(col("d.trade_id").as("id"), col("d.symbol").as("symbol"))
-      .writeStream.outputMode("append").format("memory").queryName("live_avro")
+      .select(
+        col("d.symbol").as("symbol"),
+        timestamp_millis(col("d.event_ts")).as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("symbol"), window(col("ts"), "1 minute").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory").queryName("live_avro")
       .start()
+    def total(): Long = {
+      q.processAllAvailable()
+      spark.table("live_avro").agg(sum("n")).head().getLong(0)
+    }
     try {
-      assert(awaitCount(q, "live_avro", 150) === 150)
-      assert(spark.table("live_avro").where(col("symbol").isNull).count() === 0)
-      assert(spark.table("live_avro").select("id").as[Long].collect().sorted.toSeq
-        === (0L until 150L))
-    } finally q.stop()
+      val deadline = System.currentTimeMillis() + 30000
+      while (total() != 80 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(total() === 80, "first half not aggregated")
+      release.countDown() // second half arrives while the query runs
+      cap.awaitCompletion()
+      while (total() != 150 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(total() === 150, "live append not aggregated")
+      val got = spark.table("live_avro")
+        .select(col("symbol"), col("w.start").cast("long").as("ws"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === expected, "streaming windowed agg diverged from batch twin")
+    } finally { q.stop(); cap.close() }
   }
 }
