@@ -319,9 +319,9 @@ object Rolling {
     *   - else, local master → `localCheckpoint` (executor-local blocks,
     *     ContextCleaner-reclaimed). Truncates lineage — an executor loss
     *     would fail the query — which is moot in one-JVM local mode.
-    *   - else (cluster, no dir) → fall back to the pure recompute plan:
-    *     paying the pipeline twice beats a query that dies with the first
-    *     lost executor at 1000-node scale with node churn.
+    *   - else (cluster, no dir) → [[Materialize.cached]]: an RDD-level
+    *     cache that computes once but KEEPS lineage, so an executor loss
+    *     recomputes instead of failing, with no CacheManager pinning.
     *
     * Pass `materializeSharedStage = false` to force the recompute plan —
     * also what the plan-shape specs introspect, since a checkpointed stage
@@ -387,14 +387,7 @@ object Rolling {
       .drop("__ts", "__tie")
     val withRn =
       if (!materializeSharedStage) withRnPlan
-      else checkpointDir match {
-        case Some(dir) =>
-          rows.sparkSession.sparkContext.setCheckpointDir(dir)
-          withRnPlan.checkpoint(false)
-        case None if rows.sparkSession.sparkContext.isLocal =>
-          withRnPlan.localCheckpoint(false)
-        case None => withRnPlan // cluster without a reliable dir: recompute-safe
-      }
+      else Materialize.stage(withRnPlan, checkpointDir, eager = false)
     // The chunk's LAST row already carries the whole tail: its ma_w is the
     // tail's newest value and its chunk-local lag is the second-newest — so
     // a filter+select yields one row per non-empty chunk with zero

@@ -136,29 +136,39 @@ object TextDedup {
     * Scale shape: each round is one equi-join (edges × labels) + one
     * min-groupBy — O(|E|) shuffle per round, O(diameter) rounds, the
     * standard BSP bound. No collect; the label table stays distributed.
+    *
+    * @param checkpointDir reliable checkpoint directory for the per-round
+    *                      label materialization — set it on real clusters
+    *                      (see [[Materialize.stage]]; without it, local mode
+    *                      uses localCheckpoint and a cluster falls back to a
+    *                      lineage-preserving RDD cache, so an executor loss
+    *                      recomputes rounds instead of failing the job)
     */
   def neardupClusters(
       pairs: DataFrame, // doc_a < doc_b
-      iterations: Int = 3): DataFrame = {
+      iterations: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
     // Iterative lineage discipline: labels_j references labels_{j-1} twice
     // (union + join), so an unbroken plan doubles per round and re-executes
     // the upstream pair pipeline 2^rounds times. Cache the edge set for the
-    // loop and truncate the label lineage each round with an eager
-    // localCheckpoint (the standard BSP-iteration pattern) — every round
-    // then runs one join + one groupBy from materialized inputs.
+    // loop and bound each round's plan with an EAGER materialization (the
+    // standard BSP-iteration pattern) — every round then runs one join +
+    // one groupBy from materialized inputs.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
+    var labels = Materialize.stage(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")),
+      checkpointDir, eager = true)
     for (_ <- 0 until iterations) {
       val neigh = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .select(edges("src").as("doc_id"), col("cluster_id"))
-      labels = labels.unionByName(neigh)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint(true)
+      labels = Materialize.stage(
+        labels.unionByName(neigh)
+          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id")),
+        checkpointDir, eager = true)
     }
     edges.unpersist(blocking = false)
     labels

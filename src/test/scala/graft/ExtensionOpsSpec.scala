@@ -102,6 +102,39 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(h.count(_.getAs[Boolean]("is_current")) === 2)
   }
 
+  // --- Materialize: RDD-level cache (the cluster-without-dir mode) --------
+
+  test("Materialize.cached preserves results, bounds the plan, keeps lineage") {
+    val base = Tables.trades(spark, sf)
+      .select(col("symbol"), col("trade_id"), col("price"))
+      .filter(col("trade_id") < 500)
+    val cached = graft.operators.Materialize.cached(base, eager = false)
+    // bit-identical rows
+    assert(cached.collect().map(_.mkString("|")).sorted.toSeq ===
+      base.collect().map(_.mkString("|")).sorted.toSeq)
+    // the plan is bounded at an ExistingRDD scan (compute-once barrier)...
+    assert(cached.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    // ...but unlike localCheckpoint the RDD keeps its parent lineage, so an
+    // executor loss recomputes instead of failing
+    assert(cached.queryExecution.toRdd.toDebugString.linesIterator.size > 1,
+      "lineage truncated")
+  }
+
+  test("neardupClusters: reliable-checkpoint and RDD-cache modes match local") {
+    val pairs = Seq(
+      ("a", "b"), ("b", "c"), // one component {a,b,c}
+      ("x", "y")              // another {x,y}
+    ).toDF("doc_a", "doc_b")
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+      df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = canon(graft.operators.TextDedup.neardupClusters(pairs))
+    assert(expected === Set(("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")))
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_t10_ck_").toString
+    assert(canon(graft.operators.TextDedup.neardupClusters(
+      pairs, checkpointDir = Some(ckDir))) === expected)
+    assert(new java.io.File(ckDir).listFiles().nonEmpty)
+  }
+
   // --- Momentum materialization modes -------------------------------------
 
   test("momentumBucketed: all materialization modes match the per-symbol plan") {
