@@ -9,7 +9,7 @@ import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericR
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -51,6 +51,25 @@ object AvroOcfSource {
   def writerSchema(file: File): Schema = {
     val r = new DataFileReader[GenericRecord](file, new GenericDatumReader[GenericRecord]())
     try r.getSchema finally r.close()
+  }
+
+  /** Subset record schema keeping only `names`, in that order, with each
+    * field's type/default copied verbatim. The record's full name is
+    * preserved — Avro resolves reader↔writer records BY NAME, so a renamed
+    * subset would not resolve. Used for column-pruned scans: Avro's
+    * resolving decoder byte-skips every writer field absent from the reader
+    * schema, so pruning happens at decode time, not post-hoc.
+    */
+  private[sources] def subsetSchema(full: Schema, names: Seq[String]): Schema = {
+    val fields = names.map { n =>
+      val f = Option(full.getField(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"avro-ocf: pruned column '$n' not in schema ${full.getFullName}"))
+      new Schema.Field(f, f.schema())
+    }
+    Schema.createRecord(
+      full.getName, full.getDoc, full.getNamespace, false,
+      java.util.Arrays.asList(fields: _*))
   }
 
   /** Fixture/export-side writer: one container file, deflate-compressed
@@ -119,9 +138,22 @@ class AvroOcfTable(path: String, readerJson: Option[String], tableSchema: Struct
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val splitBytes = Option(options.get("splitBytes")).map(_.toLong)
       .getOrElse(128L << 20)
-    new ScanBuilder {
-      override def build(): Scan =
-        new AvroOcfScan(path, readerJson, tableSchema, splitBytes)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // Top-level column pruning pushed into the Avro decoder: the scan
+      // hands the tasks a SUBSET reader schema, and Avro's resolving
+      // decoder byte-skips the dropped writer fields instead of decoding
+      // them. A 2-of-40-column projection over archived containers then
+      // costs 2 fields of object building per record, not 40.
+      private var pruned: Option[Seq[String]] = None
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        pruned = Some(requiredSchema.fieldNames.toSeq)
+      override def build(): Scan = {
+        val outSchema = pruned match {
+          case Some(names) => StructType(names.map(n => tableSchema(n)))
+          case None => tableSchema
+        }
+        new AvroOcfScan(path, readerJson, outSchema, splitBytes, pruned)
+      }
     }
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -267,9 +299,10 @@ class AvroOcfDataWriter(
 class AvroOcfScan(
     path: String,
     readerJson: Option[String],
-    tableSchema: StructType,
-    splitBytes: Long) extends Scan {
-  override def readSchema(): StructType = tableSchema
+    outSchema: StructType,
+    splitBytes: Long,
+    prunedNames: Option[Seq[String]]) extends Scan {
+  override def readSchema(): StructType = outSchema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       AvroOcfSource.listFiles(path).flatMap { f =>
@@ -277,7 +310,7 @@ class AvroOcfScan(
         val ranges = 0L until math.max(1L, (len + splitBytes - 1) / splitBytes)
         ranges.map { i =>
           AvroOcfPartition(
-            f.getAbsolutePath, readerJson,
+            f.getAbsolutePath, readerJson, prunedNames,
             start = i * splitBytes,
             end = math.min((i + 1) * splitBytes, len)): InputPartition
         }
@@ -287,10 +320,15 @@ class AvroOcfScan(
 }
 
 /** Byte range [start, end): the task syncs to the first block boundary at or
-  * past `start` and stops at the first boundary past `end`.
+  * past `start` and stops at the first boundary past `end`. `prunedNames`
+  * (if set) restricts decoding to those top-level fields, in order.
   */
 case class AvroOcfPartition(
-    file: String, readerJson: Option[String], start: Long, end: Long)
+    file: String,
+    readerJson: Option[String],
+    prunedNames: Option[Seq[String]],
+    start: Long,
+    end: Long)
     extends InputPartition
 
 object AvroOcfReaderFactory extends PartitionReaderFactory {
@@ -312,10 +350,23 @@ object AvroOcfReaderFactory extends PartitionReaderFactory {
       // record is read by exactly one split. If positioning or reader-schema
       // parsing throws, close the already-open container reader — the task
       // will be retried/failed, but the handle must not leak.
+      //
+      // Column pruning: the EXPECTED (reader) schema handed to the datum
+      // reader is the pruned subset of the full reader schema — Avro's
+      // resolving decoder then byte-skips dropped fields. setExpected before
+      // the first read is safe: the resolver is built lazily per read.
       private val resolved: Schema =
         try {
           fileReader.sync(p.start)
-          p.readerJson.map(new Schema.Parser().parse(_)).getOrElse(fileReader.getSchema)
+          val full = p.readerJson.map(new Schema.Parser().parse(_))
+            .getOrElse(fileReader.getSchema)
+          p.prunedNames match {
+            case Some(names) =>
+              val subset = AvroOcfSource.subsetSchema(full, names)
+              datumReader.setExpected(subset)
+              subset
+            case None => full
+          }
         } catch {
           case e: Throwable =>
             try fileReader.close() catch { case _: Throwable => () }

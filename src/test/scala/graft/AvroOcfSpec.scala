@@ -104,6 +104,32 @@ class AvroOcfSpec extends SparkSpec {
     assert(ids.toSeq === (0L until 2000L))
   }
 
+  test("column pruning reaches the decoder: subset reader schema, exact values") {
+    val dir = writeFixture(200)
+    val df = spark.read.format("avro-ocf").load(dir.toString)
+      .select("price", "trade_id") // 2 of 8 columns, reordered
+    // the SCAN itself (not a post-scan project) must carry only the 2 fields
+    val scanLine = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("avro-ocf")).getOrElse("")
+    assert(scanLine.contains("price") && scanLine.contains("trade_id"))
+    assert(!scanLine.contains("symbol") && !scanLine.contains("ingest_ts"),
+      s"scan decodes unprojected columns: $scanLine")
+    assert(df.schema.fieldNames.toSeq === Seq("price", "trade_id"))
+    val r = df.filter(col("trade_id") === 42L).head()
+    assert(r.getDouble(0) === 121.0 && r.getLong(1) === 42L)
+    // empty projection (count(*)) decodes zero fields and still counts right
+    assert(spark.read.format("avro-ocf").load(dir.toString).count() === 200)
+    // pruning composes with readerSchema evolution
+    val evolved =
+      """{"type":"record","name":"MarketTrade","namespace":"binance","fields":[
+        |{"name":"venue","type":"string","default":"binance"},
+        |{"name":"trade_id","type":"long"},
+        |{"name":"symbol","type":"string"}]}""".stripMargin
+    val ev = spark.read.format("avro-ocf").option("readerSchema", evolved)
+      .load(dir.toString).select("venue", "trade_id")
+    assert(ev.filter(col("trade_id") === 7L).head().getString(0) === "binance")
+  }
+
   test("write sink round-trips: df.write -> scan, task-per-partition files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ocf_sink_").toString
     val src = spark.range(0, 1000).selectExpr(
