@@ -62,10 +62,15 @@ object Bench {
     val sweep = selected.map { case (name, fn) => name -> timed(fn) }
     // Pass 2 — isolated medians: GC-settle, then `runs` back-to-back runs
     // per query; the median discards the one-JVM GC outliers that dominate
-    // sweep variance.
+    // sweep variance. The sweep leaves the JVM full of dead checkpoint/
+    // broadcast blocks whose ASYNC ContextCleaner removals race the first
+    // timed runs (measured inflating the alphabetically-early queries ~2×),
+    // so drain it: gc to enqueue the cleanups, then a settle pause before
+    // the phase and a short one per query group.
     val medians = if (runs > 1) {
+      System.gc(); Thread.sleep(3000); System.gc(); Thread.sleep(1000)
       selected.map { case (name, fn) =>
-        System.gc()
+        System.gc(); Thread.sleep(100)
         val ts = Seq.fill(runs)(timed(fn)).sorted
         (name, ts(ts.length / 2), ts.head, ts.last)
       }

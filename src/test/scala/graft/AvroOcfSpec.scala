@@ -179,6 +179,30 @@ class AvroOcfSpec extends SparkSpec {
     assert(spark.read.format("avro-ocf").load(dir).count() === 20)
   }
 
+  test("streaming export: foreachBatch appends container shards per micro-batch") {
+    // The training-shard export loop under a stream: each micro-batch
+    // appends its own container files (the sink's per-job ids keep names
+    // unique), and the batch scan sees the union — at-least-once append,
+    // the same contract as the reference's S3 shard exporters.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ocf_stream_").toString
+    val mem = MemoryStream[(Long, Double)]
+    val q = mem.toDF().toDF("trade_id", "price")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.format("avro-ocf").mode("append").save(dir)
+      }
+      .start()
+    try {
+      mem.addData((0L, 1.0), (1L, 2.0)); q.processAllAvailable()
+      mem.addData((2L, 3.0)); q.processAllAvailable()
+      val back = spark.read.format("avro-ocf").load(dir)
+      assert(back.count() === 3)
+      assert(back.select("trade_id").as[Long].collect().sorted.toSeq === Seq(0L, 1L, 2L))
+    } finally q.stop()
+  }
+
   test("reads are file-parallel and filters work through the scan") {
     val dir = writeFixture(300)
     val df = spark.read.format("avro-ocf").load(dir.toString)
