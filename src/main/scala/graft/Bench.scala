@@ -38,10 +38,25 @@ object Bench {
     // Catalyst prune projections, silently benchmarking just the scan).
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
-    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
+    // A query that throws must be VISIBLE, not a silently-fast row: a
+    // swallowed failure once produced a plausible-looking 0.14 s "total"
+    // for a 55 s suite (stale classpath). First error per query is recorded
+    // and reported in the JSON; an all-queries-failed run exits nonzero.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def runLogged(
+        name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try run(fn, sfDir)
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          errors.getOrElseUpdate(
+            name, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+      }
+    def timed(
+        name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      runLogged(name, fn)
       (System.nanoTime() - t0) / 1e9
     }
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -54,12 +69,9 @@ object Bench {
     // smaller SF compiles different physical plans and the timed pass would
     // still pay janino/JIT for every query (~2 s/query observed). One full
     // pass at the bench SF puts the timed pass in steady state.
-    selected.foreach { case (_, fn) =>
-      try run(fn, sfDir)
-      catch { case _: Throwable => () }
-    }
+    selected.foreach { case (name, fn) => runLogged(name, fn) }
     // Pass 1 — the historical sweep: one timed run per query, sorted order.
-    val sweep = selected.map { case (name, fn) => name -> timed(fn) }
+    val sweep = selected.map { case (name, fn) => name -> timed(name, fn) }
     // Pass 2 — isolated medians: GC-settle, then `runs` back-to-back runs
     // per query; the median discards the one-JVM GC outliers that dominate
     // sweep variance. The sweep leaves the JVM full of dead checkpoint/
@@ -71,7 +83,7 @@ object Bench {
       System.gc(); Thread.sleep(3000); System.gc(); Thread.sleep(1000)
       selected.map { case (name, fn) =>
         System.gc(); Thread.sleep(100)
-        val ts = Seq.fill(runs)(timed(fn)).sorted
+        val ts = Seq.fill(runs)(timed(name, fn)).sorted
         (name, ts(ts.length / 2), ts.head, ts.last)
       }
     } else sweep.map { case (n, t) => (n, t, t, t) }
@@ -81,12 +93,16 @@ object Bench {
       pairs.map { case (k, v) => "\"" + k + "\":" + num(v, dp) }
         .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
+    val errJson = errors
+      .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'") + "\"" }
+      .mkString("{", ",", "}")
     // Full-precision record → a file in the repo: the driver keeps only the
     // LAST ~2000 chars of the stdout line (BENCH_r5's recorded tail cut the
     // map mid-way), so the complete medians+sweep+spread live on disk where
     // the round artifacts are read from.
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,
+         |"errors":$errJson,
          |"queries":${fmt(medians.map { case (n, m, _, _) => n -> m }, 6)},
          |"queries_sweep":${fmt(sweep, 6)},
          |"spread":${medians.map { case (n, _, lo, hi) =>
@@ -99,8 +115,13 @@ object Bench {
     // medians map LAST so the surviving tail is the regression signal.
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,""" +
-        s""""full":"bench_full.json","queries_sweep":${fmt(sweep, 3)},""" +
+        s""""full":"bench_full.json","errors":$errJson,"queries_sweep":${fmt(sweep, 3)},""" +
         s""""queries":${fmt(medians.map { case (n, m, _, _) => n -> m }, 3)}}""")
     spark.stop()
+    if (errors.size == selected.size && selected.nonEmpty) {
+      System.err.println(s"graft.Bench: ALL ${selected.size} queries failed — " +
+        "timings above are meaningless (broken build/classpath?)")
+      sys.exit(2)
+    }
   }
 }
