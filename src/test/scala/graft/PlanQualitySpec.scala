@@ -186,4 +186,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("fleet-wide: no query funnels unbounded data through one partition") {
+    // Every declared query's physical plan, audited for the two shapes that
+    // silently stop scaling: an Exchange SinglePartition (all data to one
+    // task) and an unpartitioned Window. The allowlist is the audited set
+    // whose single-partition input is PROVABLY bounded:
+    //   a9b — global scalar max (map-side partials, 1-row final)
+    //   t14 — bucket-summary prefix sum (rows/bucketWidth rows; the dial is
+    //         the documented two-phase scale contract)
+    //   t16 — global scalar sum/count for average doc length (1-row final)
+    // A new query landing here must either partition or join this list with
+    // a boundedness argument.
+    val allowed = Set("a9b_service_health", "t14_sequence_packing", "t16_bm25")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.toString
+      if (p.contains("SinglePartition") && !allowed(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unaudited single-partition plans: ${offenders.mkString(", ")}")
+  }
 }
