@@ -59,6 +59,13 @@ object TextFunctions {
   def ngramRepetition(text: Column, n: Int = 3): Column =
     ColumnBridge.column(TextKernels.NgramRepetitionExpr(ColumnBridge.expression(text), n))
 
+  /** One-pass (n_grams, max_count, top_gram) struct over word n-grams — the
+    * Gopher most-common-n-gram dominance kernel
+    * ([[TextKernels.GramDominanceExpr]]).
+    */
+  def gramDominance(text: Column, n: Int = 1): Column =
+    ColumnBridge.column(TextKernels.GramDominanceExpr(ColumnBridge.expression(text), n))
+
   /** MinHash parameters: k permutations of h -> (a*h + b) mod p over the
     * Mersenne prime 2^31-1. Constants are fixed literals so the DuckDB oracle
     * can inline the identical family.

@@ -185,6 +185,58 @@ object TextKernels {
       copy(child = newChild)
   }
 
+  /** (n_grams, max_count, top_gram) over word n-grams of `split(text, " ")`
+    * in ONE pass — the Gopher "fraction in the most common n-gram" quality
+    * rule's per-row half. Tokenization is identical to [[ngramRepetition]]
+    * (`split(" ", -1)`, trailing empties kept). `top_gram` breaks count
+    * ties lexicographically (smallest wins) so the result is deterministic
+    * and the DuckDB oracle (`min(gram) WHERE count = max`) reproduces it.
+    */
+  def gramDominance(t: UTF8String, n: Int): InternalRow = {
+    val tk = t.toString.split(" ", -1)
+    val total = tk.length - n + 1
+    if (total <= 0) return InternalRow(0L, 0L, null)
+    val counts = new java.util.HashMap[String, Integer](total * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tk(i + j))
+        j += 1
+      }
+      counts.merge(sb.toString, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+      i += 1
+    }
+    var best: String = null
+    var bc = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.intValue()
+      if (c > bc || (c == bc && e.getKey.compareTo(best) < 0)) {
+        best = e.getKey; bc = c
+      }
+    }
+    InternalRow(total.toLong, bc.toLong, UTF8String.fromString(best))
+  }
+
+  case class GramDominanceExpr(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_grams", LongType, nullable = false),
+      StructField("max_count", LongType, nullable = false),
+      StructField("top_gram", StringType, nullable = true)))
+    override def nullSafeEval(input: Any): Any =
+      gramDominance(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.gramDominance($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): GramDominanceExpr =
+      copy(child = newChild)
+  }
+
   case class Simhash32Expr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any =

@@ -211,6 +211,32 @@ object TextQueries {
               6))
             .otherwise(0.0).as("repetition_ratio"))
         .withColumn("is_repetitive", col("repetition_ratio") > 0.2)
+    },
+    // T18 — Gopher most-common-n-gram dominance: the share of the document
+    // claimed by its single most frequent word (and 2-gram) — the classic
+    // "fraction in the most common n-gram" corpus-quality rule. One-pass
+    // codegen kernel per n (TextKernels.GramDominanceExpr), zero shuffle;
+    // the top gram breaks count ties lexicographically so the DuckDB oracle
+    // (min(gram) at the max count) reproduces it exactly.
+    "t18_gram_dominance" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          TextFunctions.gramDominance(col("text"), 1).as("g1"),
+          TextFunctions.gramDominance(col("text"), 2).as("g2"))
+        .select(
+          col("doc_id"),
+          col("g1.n_grams").as("n_tokens"),
+          col("g1.max_count").as("top1_count"),
+          col("g1.top_gram").as("top1_token"),
+          when(col("g1.n_grams") > 0,
+            round(col("g1.max_count").cast("double") / col("g1.n_grams"), 6))
+            .otherwise(0.0).as("top1_share"),
+          when(col("g2.n_grams") > 0,
+            round(col("g2.max_count").cast("double") / col("g2.n_grams"), 6))
+            .otherwise(0.0).as("top2_share"))
+        .withColumn(
+          "is_dominated", col("top1_share") > 0.2 || col("top2_share") > 0.18)
     }
   )
 
@@ -441,6 +467,38 @@ object TextQueries {
     },
     // 1-based inclusive slices: tk[i:i+2] = 3 tokens, i in 1..n-2 — the
     // same windows as Spark's slice(tk, i, 3) over sequence(1, n-2).
+    "t18_gram_dominance" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g1 AS (SELECT doc_id, unnest(tk) AS gram FROM t),
+        |g2src AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 2
+        |      THEN [array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))]
+        |      ELSE [] END AS grams
+        |  FROM t),
+        |g2 AS (SELECT doc_id, unnest(grams) AS gram FROM g2src),
+        |c1 AS (SELECT doc_id, gram, count(*) AS c FROM g1 GROUP BY 1, 2),
+        |m1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+        |         CAST(max(c) AS BIGINT) AS maxc FROM c1 GROUP BY 1),
+        |top1 AS (SELECT c1.doc_id, min(c1.gram) AS top_gram
+        |         FROM c1 JOIN m1 USING (doc_id) WHERE c1.c = m1.maxc GROUP BY 1),
+        |c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |m2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+        |         CAST(max(c) AS BIGINT) AS maxc FROM c2 GROUP BY 1)
+        |SELECT t.doc_id,
+        |  m1.total AS n_tokens,
+        |  m1.maxc AS top1_count,
+        |  top1.top_gram AS top1_token,
+        |  round(m1.maxc * 1.0 / m1.total, 6) + 0.0 AS top1_share,
+        |  CASE WHEN m2.total IS NOT NULL AND m2.total > 0
+        |    THEN round(m2.maxc * 1.0 / m2.total, 6) + 0.0 ELSE 0.0 END AS top2_share,
+        |  (round(m1.maxc * 1.0 / m1.total, 6) > 0.2 OR
+        |   CASE WHEN m2.total IS NOT NULL AND m2.total > 0
+        |     THEN round(m2.maxc * 1.0 / m2.total, 6) ELSE 0.0 END > 0.18) AS is_dominated
+        |FROM t
+        |JOIN m1 USING (doc_id)
+        |JOIN top1 USING (doc_id)
+        |LEFT JOIN m2 USING (doc_id)""".stripMargin,
     "t17_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |g AS (

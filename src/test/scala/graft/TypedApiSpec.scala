@@ -92,4 +92,30 @@ class TypedApiSpec extends SparkSpec {
       assert(kernel.exceptAll(declarative).isEmpty && declarative.exceptAll(kernel).isEmpty)
     }
   }
+
+  test("gramDominance kernel matches a declarative explode+count, ties break low") {
+    import org.apache.spark.sql.functions._
+    val edge = Seq(
+      "a", "a b", "b a b a", // tie at n=1 between a and b -> 'a' wins
+      "a a b b c", "x y x y x", "ü ber ü ber ü", "a b c ").toDF("text")
+    val corpus = Tables.documents(spark, sf).select(col("text")).limit(200)
+    for (df <- Seq(edge, corpus)) {
+      val base = df.withColumn("__id", monotonically_increasing_id())
+      val declarative = base
+        .select(col("__id"), explode(split(col("text"), " ", -1)).as("tok"))
+        .groupBy("__id", "tok").count()
+        .groupBy("__id")
+        .agg(
+          sum("count").as("n_grams"),
+          max("count").as("max_count"),
+          min_by(col("tok"), struct(negate(col("count")), col("tok"))).as("top_gram"))
+        .select("__id", "n_grams", "max_count", "top_gram")
+      val kernel = base
+        .select(col("__id"), functions.TextFunctions.gramDominance(col("text"), 1).as("g"))
+        .select(
+          col("__id"), col("g.n_grams").as("n_grams"),
+          col("g.max_count").as("max_count"), col("g.top_gram").as("top_gram"))
+      assert(kernel.exceptAll(declarative).isEmpty && declarative.exceptAll(kernel).isEmpty)
+    }
+  }
 }
