@@ -165,6 +165,33 @@ class AvroOcfSpec extends SparkSpec {
     assert(back.agg(sum("v")).head().getLong(0) === (0 until 30).sum.toLong)
   }
 
+  test("write sink round-trips complex types: nested struct, map, decimal, temporal") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ocf_complex_").toString
+    val src = spark.range(0, 50).selectExpr(
+      "id",
+      "named_struct('px', CAST(100.5 + id AS DECIMAL(20,8)), 'qty', CAST(id AS DOUBLE)) AS level",
+      "array(named_struct('p', id * 2, 'q', id * 3), named_struct('p', id, 'q', id)) AS book",
+      "map('venue', concat('v', id % 3), 'tier', 'spot') AS tags",
+      "timestamp_micros(1700000000000000 + id * 1000000) AS ts",
+      "date_add(DATE'2024-01-01', CAST(id AS INT)) AS d",
+      "IF(id % 5 = 0, CAST(NULL AS DECIMAL(10,4)), CAST(id / 7.0 AS DECIMAL(10,4))) AS fee")
+    src.coalesce(2).write.format("avro-ocf").mode("append").save(dir)
+    val back = spark.read.format("avro-ocf").load(dir)
+    assert(back.count() === 50)
+    val r = back.filter(col("id") === 21L).head()
+    assert(r.getAs[org.apache.spark.sql.Row]("level")
+      .getAs[java.math.BigDecimal]("px").doubleValue() === 121.5)
+    assert(r.getAs[Seq[org.apache.spark.sql.Row]]("book").map(_.getLong(0)) === Seq(42L, 21L))
+    assert(r.getAs[Map[String, String]]("tags") === Map("venue" -> "v0", "tier" -> "spot"))
+    assert(r.getAs[java.sql.Timestamp]("ts").getTime === 1700000021000L)
+    assert(r.getAs[java.sql.Date]("d").toString === "2024-01-22")
+    assert(r.getAs[java.math.BigDecimal]("fee").doubleValue() === 3.0)
+    assert(back.filter(col("fee").isNull).count() === 10) // nullable decimal union
+    // decimal exactness survives the bytes+logical-type encoding
+    assert(back.agg(sum(col("level.px"))).head().getDecimal(0).doubleValue()
+      === (0 until 50).map(100.5 + _).sum)
+  }
+
   test("write sink honors an explicit avroSchema option") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ocf_explicit_").toString
     val src = spark.range(0, 20).selectExpr(
