@@ -55,6 +55,11 @@ object GraftFunctions {
       exprs => TextKernels.NgramRepetitionExpr(
         exprs.head, n = lit(exprs(1)).asInstanceOf[Number].intValue()),
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_gram_dominance",
+      exprs => TextKernels.GramDominanceExpr(
+        exprs.head, n = lit(exprs(1)).asInstanceOf[Number].intValue()),
+      "built-in")
     // avro_decode(frame, writerSchemaJson [, readerSchemaJson]) — the
     // from_avro SQL surface (schema JSON as literals, folded at plan time).
     registry.createOrReplaceTempFunction(

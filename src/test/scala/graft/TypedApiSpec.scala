@@ -55,7 +55,9 @@ class TypedApiSpec extends SparkSpec {
         |       graft_simhash32(text) AS sh,
         |       size(graft_word_shingles(text, 3)) AS nw,
         |       size(graft_char_shingles(text, 5)) AS nc,
-        |       size(graft_shingle_hashes(text, 3, 1000000007)) AS nh
+        |       size(graft_shingle_hashes(text, 3, 1000000007)) AS nh,
+        |       graft_ngram_repetition(text, 2).n_distinct AS nd,
+        |       graft_gram_dominance(text, 1).top_gram AS tg
         |FROM docs""".stripMargin).collect()(0)
     val viaCol = spark.table("docs")
       .select(
@@ -63,7 +65,9 @@ class TypedApiSpec extends SparkSpec {
         functions.TextFunctions.simhash32($"text").as("sh"),
         org.apache.spark.sql.functions.size(functions.TextFunctions.shingles($"text", 3)).as("nw"),
         org.apache.spark.sql.functions.size(functions.TextFunctions.charShingles($"text", 5)).as("nc"),
-        org.apache.spark.sql.functions.size(functions.TextFunctions.shingleHashes($"text", 3)).as("nh"))
+        org.apache.spark.sql.functions.size(functions.TextFunctions.shingleHashes($"text", 3)).as("nh"),
+        functions.TextFunctions.ngramRepetition($"text", 2).getField("n_distinct").as("nd"),
+        functions.TextFunctions.gramDominance($"text", 1).getField("top_gram").as("tg"))
       .collect()(0)
     assert(viaSql === viaCol)
   }
