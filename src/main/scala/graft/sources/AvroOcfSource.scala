@@ -124,7 +124,16 @@ class AvroOcfProvider extends TableProvider with DataSourceRegister {
     val options = new CaseInsensitiveStringMap(properties)
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("avro-ocf requires a path (load(dir))"))
-    new AvroOcfTable(path, readerJson(options), schema)
+    // Without an explicit readerSchema, pin EVERY file to the same reader
+    // schema (the one the table schema was inferred from — the first file's
+    // writer schema). A directory of heterogeneous export batches then
+    // schema-RESOLVES per file instead of decoding each file in its own
+    // layout while the table declares another (silently swapped columns).
+    // Empty dir (a write target): nothing to pin; reads will infer later.
+    val reader = readerJson(options).orElse(
+      AvroOcfSource.listFiles(path).headOption
+        .map(f => AvroOcfSource.writerSchema(f).toString))
+    new AvroOcfTable(path, reader, schema)
   }
 }
 

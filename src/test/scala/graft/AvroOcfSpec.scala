@@ -90,6 +90,34 @@ class AvroOcfSpec extends SparkSpec {
     assert(df.count() === 80)
   }
 
+  test("heterogeneous writer schemas in one directory resolve, never misalign") {
+    // Two export batches, schemas evolved between them: the scan pins every
+    // file to the inferred (first file's) reader schema and lets Avro
+    // resolution match BY NAME — batch 2's reordered/extra fields must land
+    // in the right columns, not shift positionally.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ocf_mixed_").toFile
+    val v1 = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"Evt","fields":[
+        |{"name":"id","type":"long"},{"name":"tag","type":"string"}]}""".stripMargin)
+    val v2 = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"Evt","fields":[
+        |{"name":"tag","type":"string"},{"name":"extra","type":"double"},
+        |{"name":"id","type":"long"}]}""".stripMargin)
+    def rec(s: org.apache.avro.Schema, vals: (String, AnyRef)*) = {
+      val r = new GenericData.Record(s); vals.foreach { case (k, v) => r.put(k, v) }; r
+    }
+    AvroOcfSource.writeOcf(new java.io.File(dir, "a_batch1.avro"), v1,
+      (0L until 5L).map(i => rec(v1, "id" -> Long.box(i), "tag" -> s"old$i")))
+    AvroOcfSource.writeOcf(new java.io.File(dir, "b_batch2.avro"), v2,
+      (5L until 10L).map(i => rec(v2,
+        "tag" -> s"new$i", "extra" -> Double.box(i * 0.5), "id" -> Long.box(i))))
+    val df = spark.read.format("avro-ocf").load(dir.toString)
+    assert(df.schema.fieldNames.toSeq === Seq("id", "tag")) // first file's layout
+    val rows = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === (0L until 5L).map(i => i -> s"old$i").toMap ++
+      (5L until 10L).map(i => i -> s"new$i").toMap)
+  }
+
   test("sync-point splits: one giant file reads exactly-once across many tasks") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ocf_split_").toFile
     val f = new java.io.File(dir, "giant.avro")
