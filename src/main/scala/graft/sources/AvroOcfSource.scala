@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -124,6 +125,9 @@ class AvroOcfProvider extends TableProvider with DataSourceRegister {
     val options = new CaseInsensitiveStringMap(properties)
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("avro-ocf requires a path (load(dir))"))
+    require(partitioning.isEmpty,
+      "avro-ocf does not support partitionBy; write each partition directory " +
+        "explicitly (or use the parquet bronze writer for hive-style layout)")
     // Without an explicit readerSchema, pin EVERY file to the same reader
     // schema (the one the table schema was inferred from — the first file's
     // writer schema). A directory of heterogeneous export batches then
@@ -143,10 +147,12 @@ class AvroOcfTable(path: String, readerJson: Option[String], tableSchema: Struct
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val splitBytes = Option(options.get("splitBytes")).map(_.toLong)
       .getOrElse(128L << 20)
+    val maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
     new ScanBuilder with SupportsPushDownRequiredColumns {
       // Top-level column pruning pushed into the Avro decoder: the scan
       // hands the tasks a SUBSET reader schema, and Avro's resolving
@@ -161,7 +167,7 @@ class AvroOcfTable(path: String, readerJson: Option[String], tableSchema: Struct
           case Some(names) => StructType(names.map(n => tableSchema(n)))
           case None => tableSchema
         }
-        new AvroOcfScan(path, readerJson, outSchema, splitBytes, pruned)
+        new AvroOcfScan(path, readerJson, outSchema, splitBytes, pruned, maxFilesPerTrigger)
       }
     }
   }
@@ -216,8 +222,12 @@ class AvroOcfBatchWrite(
 
   // Distinguishes this write job's files from any earlier job's (task ids
   // restart across applications, so they alone can't keep append-mode file
-  // names unique).
-  private val writeId = java.util.UUID.randomUUID().toString.take(8)
+  // names unique). Millis-prefixed so append-order ≈ lexical name order:
+  // the streaming tail's offsets count SORTED names, so a later job's files
+  // must sort after an earlier job's (the random suffix only breaks
+  // same-millisecond collisions between concurrent jobs).
+  private val writeId = f"${System.currentTimeMillis()}%013d-" +
+    java.util.UUID.randomUUID().toString.take(4)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new File(path)
@@ -265,8 +275,9 @@ class AvroOcfDataWriter(
     writeId: String) extends DataWriter[InternalRow] {
 
   private val schema = new Schema.Parser().parse(schemaJson)
+  // writeId leads: files sort job-major (append order), then by partition.
   private val finalName =
-    f"part-$partitionId%05d-$writeId-$taskId${AvroOcfSource.FileSuffix}"
+    f"part-$writeId-$partitionId%05d-$taskId${AvroOcfSource.FileSuffix}"
   private val tmpFile = new File(new File(path), s".$finalName.tmp")
   private var writer: DataFileWriter[GenericRecord] = _ // opened on first row
   private var sinceSync = 0
@@ -310,22 +321,69 @@ class AvroOcfScan(
     readerJson: Option[String],
     outSchema: StructType,
     splitBytes: Long,
-    prunedNames: Option[Seq[String]]) extends Scan {
+    prunedNames: Option[Seq[String]],
+    maxFilesPerTrigger: Option[Int] = None) extends Scan {
   override def readSchema(): StructType = outSchema
+
+  private def partitionsOf(files: Seq[File]): Array[InputPartition] =
+    files.toArray.flatMap { f =>
+      val len = f.length()
+      val ranges = 0L until math.max(1L, (len + splitBytes - 1) / splitBytes)
+      ranges.map { i =>
+        AvroOcfPartition(
+          f.getAbsolutePath, readerJson, prunedNames,
+          start = i * splitBytes,
+          end = math.min((i + 1) * splitBytes, len)): InputPartition
+      }
+    }
+
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      AvroOcfSource.listFiles(path).flatMap { f =>
-        val len = f.length()
-        val ranges = 0L until math.max(1L, (len + splitBytes - 1) / splitBytes)
-        ranges.map { i =>
-          AvroOcfPartition(
-            f.getAbsolutePath, readerJson, prunedNames,
-            start = i * splitBytes,
-            end = math.min((i + 1) * splitBytes, len)): InputPartition
-        }
-      }
+      partitionsOf(AvroOcfSource.listFiles(path).toSeq)
     override def createReaderFactory(): PartitionReaderFactory = AvroOcfReaderFactory
   }
+
+  /** Streaming tail of a growing shard directory — the training-side
+    * consumer of the [[AvroOcfBatchWrite]] exporter. Offsets count SORTED
+    * file names: container files are immutable once visible (the sink's
+    * tmp→rename commit), and the sink's millis-prefixed job ids make later
+    * jobs' names sort after earlier ones, so a name-count prefix is a
+    * replayable offset exactly as in [[SbeFrameSource]]. Writers that
+    * expose partially-written containers (no atomic rename) are outside
+    * the contract. `maxFilesPerTrigger` bounds each micro-batch.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream with SupportsAdmissionControl {
+      private def count(): Int = AvroOcfSource.listFiles(path).length
+      override def initialOffset(): Offset = AvroOcfStreamOffset(0)
+      override def latestOffset(): Offset = AvroOcfStreamOffset(count())
+      override def getDefaultReadLimit: ReadLimit =
+        maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+      override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+        val avail = count()
+        limit match {
+          case m: ReadMaxFiles =>
+            AvroOcfStreamOffset(
+              math.min(avail, start.asInstanceOf[AvroOcfStreamOffset].files + m.maxFiles()))
+          case _ => AvroOcfStreamOffset(avail)
+        }
+      }
+      override def deserializeOffset(json: String): Offset =
+        AvroOcfStreamOffset(json.trim.toInt)
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+        val s = start.asInstanceOf[AvroOcfStreamOffset].files
+        val e = end.asInstanceOf[AvroOcfStreamOffset].files
+        partitionsOf(AvroOcfSource.listFiles(path).slice(s, e).toSeq)
+      }
+      override def createReaderFactory(): PartitionReaderFactory = AvroOcfReaderFactory
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+    }
+}
+
+/** Count of fully-consumed container files in sorted-name order. */
+case class AvroOcfStreamOffset(files: Int) extends Offset {
+  override def json(): String = files.toString
 }
 
 /** Byte range [start, end): the task syncs to the first block boundary at or

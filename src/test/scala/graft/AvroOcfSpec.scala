@@ -234,6 +234,41 @@ class AvroOcfSpec extends SparkSpec {
     assert(spark.read.format("avro-ocf").load(dir).count() === 20)
   }
 
+  test("streaming read tails a growing shard directory across sink jobs") {
+    // sink → stream composition: each write job's files sort after the
+    // previous job's (millis-prefixed ids), so the name-count offset admits
+    // exactly the new files; a restart from the checkpoint must not replay.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ocf_tail_").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_ocf_tail_ck_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ocf_tail_out_").toString
+    def export(from: Long, until: Long): Unit =
+      spark.range(from, until).selectExpr("id", "cast(id AS double) AS v")
+        .coalesce(2).write.format("avro-ocf").mode("append").save(dir)
+    export(0, 40)
+    def start() = spark.readStream.format("avro-ocf")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream.option("checkpointLocation", ck)
+      .outputMode("append").format("parquet").option("path", out).start()
+    def sunk(): Long = spark.read.parquet(out).count()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(sunk() === 40)
+      export(40, 70) // lands while the query runs
+      q.processAllAvailable()
+      assert(sunk() === 70)
+    } finally q.stop()
+    export(70, 100) // lands while the query is DOWN
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // restart resumes from the checkpointed name-count offset: the files
+      // that landed while the query was down arrive, nothing replays
+      val ids = spark.read.parquet(out).select("id").as[Long].collect().sorted
+      assert(ids.toSeq === (0L until 100L), "missed or replayed files across restart")
+    } finally q2.stop()
+  }
+
   test("streaming export: foreachBatch appends container shards per micro-batch") {
     // The training-shard export loop under a stream: each micro-batch
     // appends its own container files (the sink's per-job ids keep names
