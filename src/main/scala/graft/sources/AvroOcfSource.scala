@@ -18,10 +18,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.functions.Avro
 
-/** `avro-ocf` — a DataSource V2 batch source for Avro Object Container
-  * Files, the on-disk form Avro data lands in (exports, replays, archive
-  * dumps). The environment ships Avro core but not the `spark-avro` module,
-  * so `spark.read.format("avro")` does not exist; this source provides that
+/** `avro-ocf` — a DataSource V2 for Avro Object Container Files, the
+  * on-disk form Avro data lands in (exports, replays, archive dumps):
+  * batch read, micro-batch streaming tail, and batch write. The environment
+  * ships Avro core but not the `spark-avro` module, so
+  * `spark.read.format("avro")` does not exist; this source provides that
   * surface on `org.apache.avro.file.DataFileReader` — including the
   * container format's self-describing schema (inferred from the first
   * file's header), block compression codecs, and reader-schema resolution
@@ -185,12 +186,12 @@ class AvroOcfTable(path: String, readerJson: Option[String], tableSchema: Struct
   * [[Avro.avroSchemaFor]]).
   *
   * Commit protocol (task-per-partition files, speculative-attempt safe):
-  * each task streams into `.part-<partition>-<task>.avro.tmp`; only the
-  * driver-side commit renames tmp files to visible `part-*.avro` names (and
-  * first clears prior files when truncating for overwrite mode), so readers
-  * never observe half-written containers and a failed/aborted attempt
-  * leaves only a tmp file that abort() deletes. Empty partitions produce no
-  * file.
+  * each task streams into a hidden `.part-<job>-<partition>-<task>.avro.tmp`;
+  * only the driver-side commit renames tmp files to visible
+  * `part-<job>-<partition>-<task>.avro` names (and first clears prior files
+  * when truncating for overwrite mode), so readers never observe
+  * half-written containers and a failed/aborted attempt leaves only a tmp
+  * file that abort() deletes. Empty partitions produce no file.
   */
 class AvroOcfWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -348,9 +349,12 @@ class AvroOcfScan(
     * file names: container files are immutable once visible (the sink's
     * tmp→rename commit), and the sink's millis-prefixed job ids make later
     * jobs' names sort after earlier ones, so a name-count prefix is a
-    * replayable offset exactly as in [[SbeFrameSource]]. Writers that
-    * expose partially-written containers (no atomic rename) are outside
-    * the contract. `maxFilesPerTrigger` bounds each micro-batch.
+    * replayable offset exactly as in [[SbeFrameSource]]. The directory
+    * contract is APPEND-ONLY atomic-visibility: writers that expose
+    * partially-written containers (no atomic rename) or delete/overwrite
+    * earlier files mid-stream are outside it — index-sliced offsets assume
+    * the sorted prefix never changes. `maxFilesPerTrigger` bounds each
+    * micro-batch.
     */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MicroBatchStream with SupportsAdmissionControl {
