@@ -94,7 +94,13 @@ object Bench {
         .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
     val errJson = errors
-      .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'") + "\"" }
+      .map { case (k, v) =>
+        // exception messages routinely carry newlines/plan fragments — strip
+        // control chars so the one-JSON-line contract survives
+        val clean = v.replaceAll("[\\x00-\\x1f]", " ")
+          .replace("\\", "\\\\").replace("\"", "'")
+        "\"" + k + "\":\"" + clean + "\""
+      }
       .mkString("{", ",", "}")
     // Full-precision record → a file in the repo: the driver keeps only the
     // LAST ~2000 chars of the stdout line (BENCH_r5's recorded tail cut the

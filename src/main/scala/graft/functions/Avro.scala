@@ -406,10 +406,17 @@ object Avro {
   // ── generic encoder: the `to_avro` half ──────────────────────────────────
 
   /** Catalyst value → Avro generic datum, shaped by the schema. Inverse of
-    * `toCatalyst`; struct fields bind to record fields POSITIONALLY (the
-    * input struct must have `sparkType(schema)`'s shape).
+    * `toCatalyst`; struct fields bind to record fields POSITIONALLY.
+    *
+    * `dt` is the value's ACTUAL Spark type, which steers how child slots
+    * are read from InternalRow/ArrayData: reading a ShortType slot with
+    * getInt returns the raw unsigned lower bytes (an UnsafeRow short -5
+    * reads as 65531), so slot reads must use the real type and the numeric
+    * branches below box `Number`s to the Avro target width — that also
+    * legitimately widens int→long / float→double when an explicit writer
+    * schema asks for it.
     */
-  private def fromCatalyst(v: Any, s: Schema): AnyRef = {
+  private def fromCatalyst(v: Any, s: Schema, dt: DataType): AnyRef = {
     if (v == null) return null
     s.getLogicalType match {
       case d: org.apache.avro.LogicalTypes.Decimal =>
@@ -435,7 +442,7 @@ object Avro {
     }
     s.getType match {
       case Schema.Type.UNION =>
-        fromCatalyst(v, s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get)
+        fromCatalyst(v, s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get, dt)
       case Schema.Type.STRING => v.asInstanceOf[UTF8String].toString
       case Schema.Type.ENUM =>
         new GenericData.EnumSymbol(s, v.asInstanceOf[UTF8String].toString)
@@ -443,23 +450,23 @@ object Avro {
       case Schema.Type.FIXED => new GenericData.Fixed(s, v.asInstanceOf[Array[Byte]])
       case Schema.Type.ARRAY =>
         val in = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        val elemT = sparkType(s.getElementType)
+        val elemT = dt.asInstanceOf[ArrayType].elementType
         val out = new java.util.ArrayList[AnyRef](in.numElements())
         var i = 0
         while (i < in.numElements()) {
-          out.add(fromCatalyst(in.get(i, elemT), s.getElementType)); i += 1
+          out.add(fromCatalyst(in.get(i, elemT), s.getElementType, elemT)); i += 1
         }
         out
       case Schema.Type.MAP =>
         val in = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
-        val valT = sparkType(s.getValueType)
+        val valT = dt.asInstanceOf[MapType].valueType
         val out = new java.util.HashMap[String, AnyRef](in.numElements())
         val ks = in.keyArray(); val vs = in.valueArray()
         var i = 0
         while (i < in.numElements()) {
           out.put(
             ks.get(i, StringType).asInstanceOf[UTF8String].toString,
-            fromCatalyst(vs.get(i, valT), s.getValueType))
+            fromCatalyst(vs.get(i, valT), s.getValueType, valT))
           i += 1
         }
         out
@@ -467,21 +474,36 @@ object Avro {
         val row = v.asInstanceOf[InternalRow]
         val rec = new GenericData.Record(s)
         val fields = s.getFields
+        val sparkFields = dt.asInstanceOf[StructType].fields
         var i = 0
         while (i < fields.size()) {
           val fs = fields.get(i).schema()
-          rec.put(i, fromCatalyst(row.get(i, sparkType(fs)), fs))
+          val ft = sparkFields(i).dataType
+          rec.put(i, fromCatalyst(row.get(i, ft), fs, ft))
           i += 1
         }
         rec
-      // INT/LONG/FLOAT/DOUBLE/BOOLEAN: Catalyst primitives box directly
-      case _ => v.asInstanceOf[AnyRef]
+      // numeric targets box via Number: preserves negative Short/Byte slots
+      // and widens int→long / float→double for explicit writer schemas
+      case Schema.Type.INT =>
+        java.lang.Integer.valueOf(v.asInstanceOf[Number].intValue())
+      case Schema.Type.LONG =>
+        java.lang.Long.valueOf(v.asInstanceOf[Number].longValue())
+      case Schema.Type.FLOAT =>
+        java.lang.Float.valueOf(v.asInstanceOf[Number].floatValue())
+      case Schema.Type.DOUBLE =>
+        java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue())
+      case _ => v.asInstanceOf[AnyRef] // BOOLEAN
     }
   }
 
-  /** InternalRow → Avro record (the `avro-ocf` sink's row converter). */
-  private[graft] def toAvroRecord(row: InternalRow, s: Schema): GenericRecord =
-    fromCatalyst(row, s).asInstanceOf[GenericRecord]
+  /** InternalRow → Avro record (the `avro-ocf` sink's row converter).
+    * `sparkSchema` is the dataframe's real schema — slot reads must honor
+    * it, not the Avro-derived approximation (see [[fromCatalyst]]).
+    */
+  private[graft] def toAvroRecord(
+      row: InternalRow, s: Schema, sparkSchema: StructType): GenericRecord =
+    fromCatalyst(row, s, sparkSchema).asInstanceOf[GenericRecord]
 
   /** Spark DataType → Avro Schema, the inverse of [[sparkType]]: nullable
     * fields become `["null", T]` unions with a null default (so readers can
@@ -533,11 +555,12 @@ object Avro {
   }
 
   /** Serializable encode kernel (`to_avro` half of [[AvroRowKernel]]). */
-  final class AvroWriteKernel(val schemaJson: String) extends Serializable {
+  final class AvroWriteKernel(val schemaJson: String, val structType: StructType)
+      extends Serializable {
     @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
     @transient private lazy val datumWriter = new GenericDatumWriter[GenericRecord](schema)
     def encode(row: InternalRow): Array[Byte] = {
-      val rec = fromCatalyst(row, schema).asInstanceOf[GenericRecord]
+      val rec = fromCatalyst(row, schema, structType).asInstanceOf[GenericRecord]
       val out = new ByteArrayOutputStream(64)
       val enc = EncoderFactory.get().binaryEncoder(out, null)
       datumWriter.write(rec, enc)
@@ -551,7 +574,10 @@ object Avro {
     */
   case class AvroEncodeExpr(child: Expression, schemaJson: String)
       extends UnaryExpression {
-    @transient private lazy val kernel = new AvroWriteKernel(schemaJson)
+    // the child's REAL struct type steers InternalRow slot reads (a
+    // ShortType slot read as int returns garbage for negatives)
+    @transient private lazy val kernel =
+      new AvroWriteKernel(schemaJson, child.dataType.asInstanceOf[StructType])
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = child.nullable
     override def nullSafeEval(input: Any): Any =

@@ -216,7 +216,11 @@ object TextKernels {
     while (it.hasNext) {
       val e = it.next()
       val c = e.getValue.intValue()
-      if (c > bc || (c == bc && e.getKey.compareTo(best) < 0)) {
+      // tie-break on UTF-8 BYTE order (UTF8String.compareTo), not Java's
+      // UTF-16 code-unit order: they disagree for supplementary characters,
+      // and the DuckDB oracle's min(gram) compares UTF-8 bytes
+      if (c > bc || (c == bc &&
+          UTF8String.fromString(e.getKey).compareTo(UTF8String.fromString(best)) < 0)) {
         best = e.getKey; bc = c
       }
     }

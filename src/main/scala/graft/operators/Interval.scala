@@ -90,11 +90,17 @@ object Interval {
     val startCell = graft.functions.TimeUnits.bucketIndex(col(sCol), chunkMs)
     val endCell = graft.functions.TimeUnits.bucketIndex(col(eCol), chunkMs)
     // Per-row replication guard: fail loudly rather than explode quietly.
-    // Polarity matters for nulls: a null start/end makes the predicate null
-    // -> otherwise branch -> null endCell -> sequence null -> explode drops
-    // the row (the no-match semantics above), never a spurious error.
+    // Guard the ABSOLUTE span: sequence(a, b) with a > b generates a
+    // DESCENDING sequence, so an inverted interval (end < start, e.g. a µs
+    // end against a ms start) replicates just as explosively as a forward
+    // one — both directions must trip the guard. Bounded inverted intervals
+    // survive to the containment filter, which matches nothing (end < start
+    // can contain no point). Polarity matters for nulls: a null start/end
+    // makes the predicate null -> otherwise branch -> null endCell ->
+    // sequence null -> explode drops the row (the no-match semantics
+    // above), never a spurious error.
     val guardedEndCell = when(
-      endCell - startCell >= lit(maxCellsPerInterval.toLong),
+      abs(endCell - startCell) >= lit(maxCellsPerInterval.toLong),
       raise_error(concat(
         lit(s"pointInInterval: interval spans more than $maxCellsPerInterval cells " +
           s"at chunkMs=$chunkMs (start="), col(sCol).cast("string"),

@@ -392,12 +392,18 @@ object Rolling {
     // tail's newest value and its chunk-local lag is the second-newest — so
     // a filter+select yields one row per non-empty chunk with zero
     // aggregation (the collect_list formulation cost two exchanges and an
-    // ObjectHashAggregate pair for the same ≤2 values).
+    // ObjectHashAggregate pair for the same ≤2 values). The tail length is
+    // decided by __cnt, NOT by null-filtering: a chunk whose last ma_w is
+    // genuinely null (every price in its trailing window null) must keep
+    // that null positionally — the next chunk's first momentum is then null,
+    // exactly as w6's lag over the full partition computes it. Filtering
+    // nulls would promote an OLDER ma into the stitch and silently shift it.
     val tails = withRn
       .filter(col("__rn") === col("__cnt"))
       .select(
         col("__sym"), col("__chunk"),
-        filter(array(col("__ma_l1_local"), col("ma_w")), _.isNotNull).as("__tail"))
+        when(col("__cnt") >= 2, array(col("__ma_l1_local"), col("ma_w")))
+          .otherwise(array(col("ma_w"))).as("__tail"))
     val wChunks = Window.partitionBy(col("__sym")).orderBy(col("__chunk"))
     val empty = array().cast("array<double>")
     val prev = tails

@@ -129,16 +129,7 @@ class AvroOcfProvider extends TableProvider with DataSourceRegister {
     require(partitioning.isEmpty,
       "avro-ocf does not support partitionBy; write each partition directory " +
         "explicitly (or use the parquet bronze writer for hive-style layout)")
-    // Without an explicit readerSchema, pin EVERY file to the same reader
-    // schema (the one the table schema was inferred from — the first file's
-    // writer schema). A directory of heterogeneous export batches then
-    // schema-RESOLVES per file instead of decoding each file in its own
-    // layout while the table declares another (silently swapped columns).
-    // Empty dir (a write target): nothing to pin; reads will infer later.
-    val reader = readerJson(options).orElse(
-      AvroOcfSource.listFiles(path).headOption
-        .map(f => AvroOcfSource.writerSchema(f).toString))
-    new AvroOcfTable(path, reader, schema)
+    new AvroOcfTable(path, readerJson(options), schema)
   }
 }
 
@@ -150,7 +141,30 @@ class AvroOcfTable(path: String, readerJson: Option[String], tableSchema: Struct
     util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** The one reader schema every file resolves against — computed LAZILY so
+    * pure writes (which never build a scan) don't pay a directory listing +
+    * header parse per append job. Without an explicit readerSchema option
+    * it pins the first file's writer schema (the one the table schema was
+    * inferred from): a directory of heterogeneous export batches then
+    * schema-RESOLVES per file instead of decoding each file in its own
+    * layout while the table declares another (silently swapped columns).
+    */
+  private lazy val pinnedReaderJson: Option[String] = readerJson.orElse(
+    AvroOcfSource.listFiles(path).headOption
+      .map(f => AvroOcfSource.writerSchema(f).toString))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // A user-supplied read schema (spark.read.schema(...)) cannot steer the
+    // Avro decoder — rows would be declared in one layout and decoded in
+    // another. Reject it up-front; evolution goes through `readerSchema`.
+    pinnedReaderJson.foreach { j =>
+      val decoded = Avro.sparkType(new Schema.Parser().parse(j))
+      require(decoded == tableSchema,
+        "avro-ocf: a user-specified read schema is not supported (the scan " +
+          "decodes the container's schema); pass the 'readerSchema' option " +
+          s"for evolution instead. declared=$tableSchema decoded=$decoded")
+    }
     val splitBytes = Option(options.get("splitBytes")).map(_.toLong)
       .getOrElse(128L << 20)
     val maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
@@ -168,7 +182,8 @@ class AvroOcfTable(path: String, readerJson: Option[String], tableSchema: Struct
           case Some(names) => StructType(names.map(n => tableSchema(n)))
           case None => tableSchema
         }
-        new AvroOcfScan(path, readerJson, outSchema, splitBytes, pruned, maxFilesPerTrigger)
+        new AvroOcfScan(
+          path, pinnedReaderJson, outSchema, splitBytes, pruned, maxFilesPerTrigger)
       }
     }
   }
@@ -206,7 +221,8 @@ class AvroOcfWriteBuilder(path: String, info: LogicalWriteInfo)
       val deflateLevel = Option(opts.get("deflateLevel")).map(_.toInt).getOrElse(6)
       val syncEvery = Option(opts.get("syncEvery")).map(_.toInt).getOrElse(512)
       require(syncEvery > 0, s"syncEvery must be positive, got $syncEvery")
-      new AvroOcfBatchWrite(path, schemaJson, codec, deflateLevel, syncEvery, doTruncate)
+      new AvroOcfBatchWrite(
+        path, schemaJson, info.schema(), codec, deflateLevel, syncEvery, doTruncate)
     }
   }
 }
@@ -216,6 +232,7 @@ case class AvroOcfCommit(tmpPath: String, finalName: String) extends WriterCommi
 class AvroOcfBatchWrite(
     path: String,
     schemaJson: String,
+    sparkSchema: StructType,
     codec: String,
     deflateLevel: Int,
     syncEvery: Int,
@@ -233,7 +250,8 @@ class AvroOcfBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new File(path)
     if (!dir.exists()) dir.mkdirs()
-    AvroOcfWriterFactory(path, schemaJson, codec, deflateLevel, syncEvery, writeId)
+    AvroOcfWriterFactory(
+      path, schemaJson, sparkSchema, codec, deflateLevel, syncEvery, writeId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -256,18 +274,21 @@ class AvroOcfBatchWrite(
 case class AvroOcfWriterFactory(
     path: String,
     schemaJson: String,
+    sparkSchema: StructType,
     codec: String,
     deflateLevel: Int,
     syncEvery: Int,
     writeId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new AvroOcfDataWriter(
-      path, schemaJson, codec, deflateLevel, syncEvery, partitionId, taskId, writeId)
+      path, schemaJson, sparkSchema, codec, deflateLevel, syncEvery,
+      partitionId, taskId, writeId)
 }
 
 class AvroOcfDataWriter(
     path: String,
     schemaJson: String,
+    sparkSchema: StructType,
     codec: String,
     deflateLevel: Int,
     syncEvery: Int,
@@ -297,7 +318,7 @@ class AvroOcfDataWriter(
 
   override def write(record: InternalRow): Unit = {
     if (writer == null) open()
-    writer.append(Avro.toAvroRecord(record, schema))
+    writer.append(Avro.toAvroRecord(record, schema, sparkSchema))
     sinceSync += 1
     if (sinceSync >= syncEvery) { writer.sync(); sinceSync = 0 }
   }
@@ -345,39 +366,46 @@ class AvroOcfScan(
   }
 
   /** Streaming tail of a growing shard directory — the training-side
-    * consumer of the [[AvroOcfBatchWrite]] exporter. Offsets count SORTED
-    * file names: container files are immutable once visible (the sink's
-    * tmp→rename commit), and the sink's millis-prefixed job ids make later
-    * jobs' names sort after earlier ones, so a name-count prefix is a
-    * replayable offset exactly as in [[SbeFrameSource]]. The directory
-    * contract is APPEND-ONLY atomic-visibility: writers that expose
-    * partially-written containers (no atomic rename) or delete/overwrite
-    * earlier files mid-stream are outside it — index-sliced offsets assume
-    * the sorted prefix never changes. `maxFilesPerTrigger` bounds each
-    * micro-batch.
+    * consumer of the [[AvroOcfBatchWrite]] exporter. The offset is the NAME
+    * of the last consumed file: container files are immutable once visible
+    * (the sink's tmp→rename commit) and the sink's millis-prefixed job ids
+    * make later jobs' names sort after earlier ones, so `name > offset`
+    * selects exactly the unconsumed files. Name-anchored (not index-
+    * counted) offsets stay correct even if a straggling concurrent job
+    * commits files that sort BELOW the consumed boundary — those are
+    * deterministically skipped (they violate the append-order contract)
+    * rather than silently shifting an index slice into skips AND
+    * duplicates. The directory contract is append-only atomic-visibility,
+    * one writer job at a time for gap-free consumption.
+    * `maxFilesPerTrigger` bounds each micro-batch.
     */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MicroBatchStream with SupportsAdmissionControl {
-      private def count(): Int = AvroOcfSource.listFiles(path).length
-      override def initialOffset(): Offset = AvroOcfStreamOffset(0)
-      override def latestOffset(): Offset = AvroOcfStreamOffset(count())
+      private def namesAfter(boundary: String): Seq[String] =
+        AvroOcfSource.listFiles(path).map(_.getName).filter(_ > boundary).toSeq
+      private def offsetAt(boundary: String, take: Option[Int]): AvroOcfStreamOffset = {
+        val fresh = namesAfter(boundary)
+        val admitted = take.map(fresh.take).getOrElse(fresh)
+        AvroOcfStreamOffset(if (admitted.isEmpty) boundary else admitted.last)
+      }
+      override def initialOffset(): Offset = AvroOcfStreamOffset("")
+      override def latestOffset(): Offset = offsetAt("", None)
       override def getDefaultReadLimit: ReadLimit =
         maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
       override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-        val avail = count()
+        val from = start.asInstanceOf[AvroOcfStreamOffset].lastName
         limit match {
-          case m: ReadMaxFiles =>
-            AvroOcfStreamOffset(
-              math.min(avail, start.asInstanceOf[AvroOcfStreamOffset].files + m.maxFiles()))
-          case _ => AvroOcfStreamOffset(avail)
+          case m: ReadMaxFiles => offsetAt(from, Some(m.maxFiles()))
+          case _ => offsetAt(from, None)
         }
       }
-      override def deserializeOffset(json: String): Offset =
-        AvroOcfStreamOffset(json.trim.toInt)
+      override def deserializeOffset(json: String): Offset = AvroOcfStreamOffset(json)
       override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-        val s = start.asInstanceOf[AvroOcfStreamOffset].files
-        val e = end.asInstanceOf[AvroOcfStreamOffset].files
-        partitionsOf(AvroOcfSource.listFiles(path).slice(s, e).toSeq)
+        val s = start.asInstanceOf[AvroOcfStreamOffset].lastName
+        val e = end.asInstanceOf[AvroOcfStreamOffset].lastName
+        partitionsOf(
+          AvroOcfSource.listFiles(path)
+            .filter(f => f.getName > s && f.getName <= e).toSeq)
       }
       override def createReaderFactory(): PartitionReaderFactory = AvroOcfReaderFactory
       override def commit(end: Offset): Unit = ()
@@ -385,9 +413,11 @@ class AvroOcfScan(
     }
 }
 
-/** Count of fully-consumed container files in sorted-name order. */
-case class AvroOcfStreamOffset(files: Int) extends Offset {
-  override def json(): String = files.toString
+/** Name of the last fully-consumed container file ("" = nothing consumed);
+  * files are admitted in sorted-name order.
+  */
+case class AvroOcfStreamOffset(lastName: String) extends Offset {
+  override def json(): String = lastName
 }
 
 /** Byte range [start, end): the task syncs to the first block boundary at or

@@ -220,6 +220,20 @@ class AvroOcfSpec extends SparkSpec {
       === (0 until 50).map(100.5 + _).sum)
   }
 
+  test("write sink preserves negative short/byte values (slot-width regression)") {
+    // Reading a ShortType UnsafeRow slot as int returns the raw unsigned
+    // lower bytes (-5 reads as 65531); the converter must honor the
+    // dataframe's real types, and Avro INT widening must sign-extend.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ocf_short_").toString
+    spark.range(0, 10).selectExpr(
+      "id", "CAST(-5 - id AS SMALLINT) AS s16", "CAST(-3 AS TINYINT) AS s8")
+      .coalesce(1).write.format("avro-ocf").mode("append").save(dir)
+    val back = spark.read.format("avro-ocf").load(dir)
+    val r = back.filter(col("id") === 2L).head()
+    assert(r.getInt(1) === -7 && r.getInt(2) === -3)
+    assert(back.filter(col("s16") >= 0 || col("s8") >= 0).count() === 0)
+  }
+
   test("write sink honors an explicit avroSchema option") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ocf_explicit_").toString
     val src = spark.range(0, 20).selectExpr(

@@ -158,6 +158,30 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(new java.io.File(ckDir).listFiles().nonEmpty)
   }
 
+  test("momentumBucketed: null moving averages at chunk tails stitch as null") {
+    // Null out the last windowMs of EVERY chunk: the chunk-last row's
+    // trailing window is then entirely null -> ma_w null at the tail, and
+    // the next chunk's first momentum must be null (w6 semantics), not
+    // computed against an older promoted ma.
+    val t = Tables.trades(spark, sf)
+      .select("symbol", "ts_ms", "trade_id", "price")
+      .withColumn(
+        "price",
+        when(col("ts_ms") % 3600000L >= 3300000L, lit(null).cast("double"))
+          .otherwise(col("price")))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select("symbol", "ts_ms", "trade_id", "ma_w", "momentum", "acceleration")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val viaW6 = canon(graft.operators.Rolling.momentum(
+      t, col("symbol"), col("ts_ms"), col("price"), col("trade_id"),
+      windowMs = 300000L))
+    assert(viaW6.exists(_.contains("null")), "fixture failed to produce null ma rows")
+    val viaW6b = canon(graft.operators.Rolling.momentumBucketed(
+      t, col("symbol"), col("ts_ms"), col("price"), col("trade_id"),
+      windowMs = 300000L, chunkMs = 3600000L))
+    assert(viaW6b === viaW6)
+  }
+
   // --- Interval (range) join ----------------------------------------------
 
   test("pointInInterval: overlaps multiply, boundaries are inclusive, misses drop") {
