@@ -83,12 +83,6 @@ object VectorOps {
       .select("block", "id_a", "id_b", "cos_sim")
   }
 
-  /** Sign-random-projection bucket id: `nBits` hyperplanes whose components
-    * are deterministic pseudo-random ±1 derived from md5 of (bit, dim) — so
-    * the bucketing is reproducible anywhere. Vectors in the same bucket are
-    * near-dup candidates; at 100 TB candidate generation is an equi-join on
-    * (bucket), replacing the per-block quadratic scan.
-    */
   /** The ±1 hyperplane component for (bit, dim): deterministic pseudo-random
     * from md5, shared by the Spark plan and the generated oracle SQL so both
     * engines bucket identically.
@@ -99,17 +93,23 @@ object VectorOps {
         .digest(s"srp_${bit}_$d".getBytes("UTF-8"))(0) % 2 == 0) 1.0
     else -1.0
 
+  /** Sign-random-projection bucket id: `nBits` hyperplanes whose components
+    * are deterministic pseudo-random ±1 derived from md5 of (bit, dim) — so
+    * the bucketing is reproducible anywhere. Vectors in the same bucket are
+    * near-dup candidates; at 100 TB candidate generation is an equi-join on
+    * (bucket), replacing the per-block quadratic scan. Each projection runs
+    * through the codegen dot kernel (same multiply-then-left-fold double
+    * arithmetic as the interpreted `aggregate(zip_with(...))` form and the
+    * generated oracle SQL's explicit term sum, but ~512 boxed lambda calls
+    * per row cheaper); a null/length-mismatched vector yields a null dot →
+    * every bit contributes 0, same as zip_with null propagation did.
+    */
   def srpBucket(embedding: Column, dim: Int, nBits: Int = 12): Column = {
     val v = asDouble(embedding)
     (0 until nBits)
       .map { bit =>
-        // literal sign vector + zip_with fold: same multiply-then-left-fold
-        // double arithmetic as an explicit term-by-term sum (which is what
-        // the generated oracle SQL spells out), but an O(1)-size expression
-        // tree instead of O(dim) — planning and codegen stay small
         val signs = typedLit((0 until dim).map(d => srpSign(bit, d)))
-        val proj = aggregate(zip_with(v, signs, (x, s) => x * s), lit(0.0), (a, t) => a + t)
-        when(proj > 0, lit(1L << bit)).otherwise(lit(0L))
+        when(dot(v, signs) > 0, lit(1L << bit)).otherwise(lit(0L))
       }
       .reduce(_ + _)
   }
@@ -207,7 +207,15 @@ object VectorOps {
       k: Int,
       iterations: Int = 3,
       exactMeans: Boolean = true): (DataFrame, DataFrame) = {
+    // Null embeddings (or vectors with null elements) are dropped up-front:
+    // a null among the seed vectors would become a null centroid whose null
+    // d2 wins array_min's nulls-first struct order for EVERY row — one dirty
+    // vector silently swallowing the whole corpus into a single cell. The
+    // guard is the codegen dot kernel: dot(v, v) is null exactly when v is
+    // null, has a null element, or mismatches itself (never) — one cheap
+    // per-row check, no interpreted HOF.
     val v = vecs.select(col("id"), asDouble(col("embedding")).as("v"))
+      .filter(dot(col("v"), col("v")).isNotNull)
     // Seed = the k smallest ids numbered 0..k-1 in id order.
     var cents: Seq[(Int, Seq[Double])] = v.orderBy("id").limit(k)
       .select(col("v")).collect().zipWithIndex
@@ -385,7 +393,16 @@ object VectorOps {
         sum(col("x").cast("decimal(38,12)")).cast("double").as("sx"),
         sum((col("x") * col("x")).cast("decimal(38,12)")).cast("double").as("sxx"))
       .withColumn("mean", col("sx") / col("n"))
-      .withColumn("sd", sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")))
+      // greatest(var, 0): decimal-cast rounding can push the power-sum
+      // variance a sub-ulp below zero -> sqrt would be NaN. nullif(sd, 0):
+      // a CONSTANT dimension has sd = 0, and engines disagree on x/0.0
+      // (Spark null, DuckDB IEEE inf/nan) — nulling the sd makes x_norm
+      // null for constant dims on BOTH engines (the oracle mirrors this).
+      .withColumn(
+        "sd",
+        nullif(
+          sqrt(greatest((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"), lit(0.0))),
+          lit(0.0)))
       .select("dim", "mean", "sd")
     ex.join(broadcast(st), "dim")
       .select(

@@ -125,6 +125,12 @@ case class AsOfMergeJoinExec(
   protected override def doExecute(): RDD[InternalRow] = {
     require(tsL.dataType == LongType && tsR.dataType == LongType,
       "as-of timestamps must be epoch-millis LongType")
+    // One interpreted ordering (built from the LEFT key type) reads and
+    // compares BOTH sides' key slots; a type mismatch would mis-read slots
+    // (an int slot read as long returns garbage for negatives) and merge in
+    // a corrupted order — silently dropped matches. Fail loudly instead.
+    require(keyL.dataType == keyR.dataType,
+      s"as-of key types must match: left=${keyL.dataType} right=${keyR.dataType}")
     val numOutputRows = longMetric("numOutputRows")
     val kIdxL = left.output.indexWhere(_.name == keyName)
     val tIdxL = left.output.indexWhere(_.name == leftTsName)
@@ -150,7 +156,8 @@ case class AsOfMergeJoinExec(
         private val buf = new java.util.ArrayDeque[InternalRow]()
         private var bufKey: Any = null
         private var rNext: InternalRow = _
-        private var out: InternalRow = _
+        private var pendL: InternalRow = _
+        private var pendR: InternalRow = _
         private var ready = false
 
         advanceRight()
@@ -163,9 +170,16 @@ case class AsOfMergeJoinExec(
           }
         }
 
+        // findNext only LOCATES the next (left, best-right) pair; the shared
+        // UnsafeProjection buffer is applied in next(). Projecting inside
+        // hasNext() would overwrite the row handed out by the previous
+        // next() while the consumer may still hold it — Spark's row-reuse
+        // contract is "valid until the next next()", not "until hasNext".
+        // pendL needs no copy: lIter does not advance again until the next
+        // findNext call; pendR is already a buffered copy.
         private def findNext(): Unit = {
-          out = null
-          while (out == null && lIter.hasNext) {
+          pendL = null; pendR = null
+          while (pendL == null && lIter.hasNext) {
             val l = lIter.next()
             if (!l.isNullAt(kIdxL) && !l.isNullAt(tIdxL)) {
               val k = l.get(kIdxL, keyType)
@@ -200,7 +214,8 @@ case class AsOfMergeJoinExec(
                 }
               if (best != null) {
                 numOutputRows += 1
-                out = proj(joined(l, best))
+                pendL = l
+                pendR = best
               }
             }
           }
@@ -208,13 +223,13 @@ case class AsOfMergeJoinExec(
 
         override def hasNext: Boolean = {
           if (!ready) { findNext(); ready = true }
-          out != null
+          pendL != null
         }
 
         override def next(): InternalRow = {
           if (!ready) findNext()
           ready = false
-          out
+          if (pendL == null) null else proj(joined(pendL, pendR))
         }
       }
     }
@@ -238,6 +253,12 @@ object AsOfMergeDsl {
       rightValueCols: Seq[String],
       backward: Boolean,
       rightTieBreak: Option[String]): DataFrame = {
+    // The node's output drops the right side's key BY NAME, so a value
+    // column sharing that name (or the reserved right-ts name) would vanish
+    // silently — reject it loudly; alias the column beforehand instead.
+    require(!rightValueCols.contains(key) && !rightValueCols.contains(AsOfDsl.RightTs),
+      s"rightValueCols may not contain the join key '$key' or the reserved " +
+        s"'${AsOfDsl.RightTs}' name — alias the column on the right side first")
     val spark = left.sparkSession
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
     if (!exp.extraStrategies.contains(AsOfMergeJoinStrategy))

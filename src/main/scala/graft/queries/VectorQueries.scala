@@ -241,7 +241,8 @@ object VectorQueries {
         |    CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
         |  FROM ex GROUP BY dim),
         |m AS (
-        |  SELECT dim, sx / n AS mean, sqrt((sxx - sx * sx / n) / n) AS sd
+        |  SELECT dim, sx / n AS mean,
+        |    nullif(sqrt(greatest((sxx - sx * sx / n) / n, 0.0)), 0.0) AS sd
         |  FROM st)
         |SELECT vec_id, dim, round((x - mean) / sd, 6) + 0.0 AS x_norm
         |FROM ex JOIN m USING (dim)""".stripMargin,
