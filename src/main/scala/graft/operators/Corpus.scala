@@ -34,7 +34,12 @@ object Corpus {
       id: Column,
       salt: String,
       cuts: Seq[(String, Int)]): DataFrame = {
-    val b = hashBucket(id, salt, 100)
+    // A null id hashes to a null bucket, which falls through every when()
+    // to the LAST cut — silently skewing the held-out split with every
+    // dirty row. Corpus accounting must be loud: fail the job instead.
+    val b = when(id.isNull,
+      raise_error(lit("deterministicSplit: null document id")).cast("long"))
+      .otherwise(hashBucket(id, salt, 100))
     val label = cuts.init.foldRight(lit(cuts.last._1): Column) { case ((name, hi), rest) =>
       when(b < hi, name).otherwise(rest)
     }

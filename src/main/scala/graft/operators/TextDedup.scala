@@ -65,6 +65,10 @@ object TextDedup {
     * many shingles.
     */
   def lshCandidates(sigs: DataFrame, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    require(k % rowsPerBand == 0,
+      s"k ($k) must divide evenly into bands of $rowsPerBand - a truncated " +
+        "trailing band would silently ignore signature columns and shift the " +
+        "collision threshold")
     val nBands = k / rowsPerBand
     val bandStructs = (0 until nBands).map { bIdx =>
       val bh = (0 until rowsPerBand)
@@ -154,9 +158,14 @@ object TextDedup {
     // loop and bound each round's plan with an EAGER materialization (the
     // standard BSP-iteration pattern) — every round then runs one join +
     // one groupBy from materialized inputs.
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+    // RDD-level cache, not Dataset.persist: the latter pins a session-global
+    // CacheManager entry that outlives this call if any round throws (no GC
+    // reclaim — the exact leak Materialize's doc disqualifies); the RDD
+    // cache is ContextCleaner-managed, so no unpersist bookkeeping needed.
+    val edges = Materialize.cached(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+      eager = false)
     var labels = Materialize.stage(
       edges.select(col("src").as("doc_id")).distinct()
         .withColumn("cluster_id", col("doc_id")),
@@ -170,7 +179,6 @@ object TextDedup {
           .groupBy("doc_id").agg(min("cluster_id").as("cluster_id")),
         checkpointDir, eager = true)
     }
-    edges.unpersist(blocking = false)
     labels
   }
 
@@ -193,7 +201,11 @@ object TextDedup {
       text: Column,
       spanWords: Int = 12,
       maxOccurrences: Long = 3L): DataFrame = {
-    val tok = docs.select(id.as("doc_id"), split(text, " ").as("w"))
+    // null text -> empty doc (not a vanished one): posexplode over a null
+    // span array would emit zero rows and drop the doc from BOTH sides of
+    // the final right join, violating the all-boilerplate-docs-still-appear
+    // contract for null-text rows
+    val tok = docs.select(id.as("doc_id"), split(coalesce(text, lit("")), " ").as("w"))
     val spans = tok
       .select(
         col("doc_id"),

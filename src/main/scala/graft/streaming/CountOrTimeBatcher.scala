@@ -16,9 +16,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * State is O(live keys × maxCount) items; an idle key's remainder flushes
   * on its timeout and the state is removed, so idle keys cost nothing.
-  * Replays re-emit deterministic count-flush batches (items are ordered by
-  * (ts, payload) before slicing); time-flush batches are as deterministic
-  * as wall-clock flushes can be — same contract as the reference.
+  * The whole pending set (carried buffer + new arrivals) is ordered by
+  * (ts, payload) before slicing, so count-flush contents don't depend on
+  * how arrivals were split across micro-batches; time-flush batches are as
+  * deterministic as wall-clock flushes can be — same contract as the
+  * reference. `batch_id` is seeded from the epoch's first event time and
+  * increments per flush, so ids stay unique per key even after the state
+  * for a drained/idle key is removed and later re-created — a sink keyed
+  * on (key, batch_id) never sees a fresh epoch collide with an old one.
   */
 object CountOrTimeBatcher {
 
@@ -62,7 +67,7 @@ object CountOrTimeBatcher {
       nowMs: Long,
       maxCount: Int,
       maxDelayMs: Long): (Seq[Batch], Option[Buffer]) = {
-    var pending = buf0.items ++ newItems.sortBy(e => (e.ts_ms, e.payload))
+    var pending = (buf0.items ++ newItems).sortBy(e => (e.ts_ms, e.payload))
     var nextId = buf0.nextBatchId
     val out = scala.collection.mutable.ArrayBuffer.empty[Batch]
     while (pending.lengthCompare(maxCount) >= 0) {
@@ -100,8 +105,12 @@ object CountOrTimeBatcher {
             else Iterator.empty
           } else {
             val now = state.getCurrentProcessingTimeMs()
-            val buf0 = state.getOption.getOrElse(Buffer(Nil, 0L, 0L))
-            val (out, next) = onInput(key, buf0, it.toSeq, now, maxCount, maxDelayMs)
+            val newItems = it.toSeq
+            // fresh epoch: seed the id sequence from the earliest event time
+            // so ids never restart at 0 after a drained key's state expires
+            val buf0 = state.getOption.getOrElse(
+              Buffer(Nil, if (newItems.isEmpty) 0L else newItems.map(_.ts_ms).min, 0L))
+            val (out, next) = onInput(key, buf0, newItems, now, maxCount, maxDelayMs)
             next match {
               case Some(b) =>
                 state.update(b)

@@ -52,7 +52,12 @@ object GapDetector {
             state.remove()
             Iterator.empty
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.seq, e.ts_ms))
+            // EVENT-TIME order (matching the batch analog's window ordering):
+            // a replayed old id arriving after newer events must surface as a
+            // regression even when both land in one micro-batch — seq-order
+            // sorting would silently launder it into forward progress, and
+            // the emitted events would depend on micro-batch boundaries.
+            val sorted = it.toSeq.sortBy(e => (e.ts_ms, e.seq))
             val out = scala.collection.mutable.ArrayBuffer.empty[GapEvent]
             var last = state.getOption.map(_.lastSeq)
             sorted.foreach { e =>

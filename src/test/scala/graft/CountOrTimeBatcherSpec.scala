@@ -35,8 +35,9 @@ class CountOrTimeBatcherSpec extends SparkSpec {
     val b1 = spark.table("cot_count").as[Batch].collect()
     assert(b1.length === 2)
     assert(b1.forall(b => b.key == "BTC" && b.n == 3 && b.flush_reason == "count"))
-    assert(b1.map(_.batch_id).sorted.toSeq === Seq(0L, 1L))
-    assert(b1.find(_.batch_id == 0L).get.payloads === Seq("p1", "p2", "p3"))
+    // ids seed from the epoch's first event time (1000) and increment
+    assert(b1.map(_.batch_id).sorted.toSeq === Seq(1000L, 1001L))
+    assert(b1.find(_.batch_id == 1000L).get.payloads === Seq("p1", "p2", "p3"))
 
     // 2 more BTC items join the 1 buffered -> exactly one more full batch
     mem.addData(Item("BTC", 8000L, "p8"), Item("BTC", 9000L, "p9"))
@@ -44,7 +45,7 @@ class CountOrTimeBatcherSpec extends SparkSpec {
     val b2 = spark.table("cot_count").as[Batch].collect()
     q.stop()
     assert(b2.length === 3)
-    val third = b2.find(_.batch_id == 2L).get
+    val third = b2.find(_.batch_id == 1002L).get
     assert(third.payloads === Seq("p7", "p8", "p9") && third.flush_reason == "count")
   }
 

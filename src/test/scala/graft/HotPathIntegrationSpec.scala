@@ -51,7 +51,8 @@ class HotPathIntegrationSpec extends SparkSpec {
 
     // latest-feature view over the emitted feature rows (K4 analog)
     val latest = HotPath.latestPerKeyBatch(
-      spark.table("hotpath"), col("symbol"), unix_millis(col("open_time")))
+      spark.table("hotpath"), col("symbol"), unix_millis(col("open_time")),
+      tieBreak = col("trade_count"))
     assert(latest.count() === 1L)
   }
 
