@@ -16,13 +16,25 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Morton interleave of the low 16 bits of two non-negative dimensions:
-    * x occupies even bits, y odd bits. Pure integer codegen expressions —
-    * zero shuffle; the z-value is a scan-time column.
+  /** Morton interleave of two dimensions in [0, 65535]: x occupies even
+    * bits, y odd bits. Pure integer codegen expressions — zero shuffle; the
+    * z-value is a scan-time column. Out-of-range inputs FAIL the job: a
+    * silent low-16-bit mask would alias distant values (5 and 65541) onto
+    * one z-cell, making every file's (x, y) rectangle claim false and
+    * quietly destroying the pruning the layout exists for — quantize wider
+    * domains into 16 bits (scale/shift/bucket) before calling.
     */
   def zValue16(x: Column, y: Column): Column = {
-    val xm = x.cast("long").bitwiseAND(lit(65535L))
-    val ym = y.cast("long").bitwiseAND(lit(65535L))
+    def checked(c: Column, name: String): Column = {
+      val l = c.cast("long")
+      when(l < 0L || l > 65535L,
+        raise_error(concat(
+          lit(s"zValue16: $name outside [0, 65535] (quantize first): "),
+          l.cast("string"))).cast("long"))
+        .otherwise(l)
+    }
+    val xm = checked(x, "x")
+    val ym = checked(y, "y")
     (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
       acc +
         shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i) +

@@ -4,16 +4,26 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation (scale EXTENSION, SURVEY §7.2.10 — no reference
-  * counterpart; the reference runs one symbol on one node): a single hot key (one symbol carrying
-  * most of the firehose) serializes a plain groupBy into one reducer. Salted
-  * two-phase aggregation splits each key into `saltBuckets` sub-keys for the
-  * partial phase, then merges partials per real key. AQE's skew-join
-  * handling covers joins; this covers aggregations.
+  * counterpart; the reference runs one symbol on one node). WHEN salting
+  * actually pays, stated precisely: for simple decomposable aggregates
+  * (sum/count/min/max) Spark's map-side partial aggregation already bounds
+  * a hot key's reducer input to one pre-combined row per map task, so a
+  * plain groupBy handles ROW skew and salting only adds a second exchange.
+  * Salting earns its shuffle when the PARTIAL state itself is the problem:
+  * aggregation buffers that grow with group size (collect_list/collect_set,
+  * exact percentile buffers, large decimal/object state under
+  * ObjectHashAggregate) or when the fallback to sort-based aggregation on
+  * one giant reducer group dominates. The two-phase shape here is that
+  * pattern, demonstrated on basic stats because their merge algebra is
+  * oracle-checkable; AQE's skew handling covers joins.
   *
-  * Only algebraically decomposable aggregates participate (sum/count/min/
-  * max — exactly what the hot-path features need); non-decomposable ones
-  * (exact percentile, stddev) should aggregate unsalted or switch to
-  * sketches.
+  * Only algebraically decomposable aggregates participate; non-mergeable
+  * ones (exact percentile) should aggregate unsalted or switch to sketches.
+  *
+  * Contract: `keys` must be bare column references (`col("name")`) — phase
+  * 2 re-groups the phase-1 OUTPUT by the same expressions, so a computed
+  * key (e.g. `upper(col("x"))`) would not resolve there; alias computed
+  * keys into real columns first.
   */
 object Skew {
 

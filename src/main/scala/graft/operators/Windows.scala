@@ -53,11 +53,21 @@ object Windows {
       tsMs: Column,
       seq: Column,
       tolerance: Long = 1L): DataFrame = {
+    // prev = running MAX of seen ids, not lag: a replayed old id must
+    // surface as a regression (negative gap) AND must not manufacture a
+    // false forward gap on the next in-order id (lag against the replayed
+    // id would). Matches the streaming twin (streaming/GapDetector), which
+    // tracks max(seq) in state — batch backfills and the live detector now
+    // agree on the same data.
     val w = Window.partitionBy(key).orderBy(tsMs, seq)
+      .rowsBetween(Window.unboundedPreceding, -1)
     rows
-      .withColumn("prev_seq", lag(seq, 1).over(w))
+      .withColumn("prev_seq", max(seq).over(w))
       .withColumn("gap", seq - col("prev_seq"))
-      .filter(col("gap") > tolerance)
+      .withColumn(
+        "kind",
+        when(col("gap") > tolerance, "gap").when(col("gap") < 0, "regression"))
+      .filter(col("kind").isNotNull)
   }
 
   /** O4: top-N rows per group by `ord` descending (tie-broken ascending by

@@ -119,7 +119,7 @@ object MarketQueries {
           Tables.trades(s, dir),
           key = col("user_id"), tsMs = col("ts_ms"), seq = col("trade_id"),
           tolerance = 50L)
-        .select("user_id", "trade_id", "ts_ms", "prev_seq", "gap")
+        .select("user_id", "trade_id", "ts_ms", "prev_seq", "gap", "kind")
     },
     // W5 — forward path stats for the 10 s-ahead label window
     // (S3_SCHEMA.md:648-653); horizon scaled to 10 min for the sparse table.
@@ -383,10 +383,13 @@ object MarketQueries {
       s"""WITH t AS ($T),
          |g AS (
          |  SELECT user_id, trade_id, ts_ms,
-         |    lag(trade_id, 1) OVER (PARTITION BY user_id ORDER BY ts_ms, trade_id) AS prev_seq,
+         |    max(trade_id) OVER (PARTITION BY user_id ORDER BY ts_ms, trade_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_seq,
          |    trade_id - prev_seq AS gap
          |  FROM t)
-         |SELECT * FROM g WHERE gap > 50""".stripMargin,
+         |SELECT user_id, trade_id, ts_ms, prev_seq, gap,
+         |  CASE WHEN gap > 50 THEN 'gap' ELSE 'regression' END AS kind
+         |FROM g WHERE gap > 50 OR gap < 0""".stripMargin,
     "w5_path_stats" -> w5OracleSql,
     // bucketed variant is output-identical by construction — same oracle
     "w5b_path_stats_bucketed" -> w5OracleSql,

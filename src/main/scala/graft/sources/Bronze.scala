@@ -22,22 +22,34 @@ object Bronze {
 
   /** P7: tolerant alias normalization at the bronze boundary — for each
     * target column, coalesce over its known aliases (`qty`|`volume`,
-    * `bid_px`|`bid_price`, `feature_builder.py:110,209-212`).
+    * `bid_px`|`bid_price`, `feature_builder.py:110,209-212`). An EXISTING
+    * target column always heads its own coalesce chain (aliases only fill
+    * its nulls — they can never overwrite real values), and entries apply
+    * in sorted-target order so overlapping chains resolve identically on
+    * every JVM (Map iteration order is not deterministic).
     */
   def normalizeAliases(df: DataFrame, aliases: Map[String, Seq[String]]): DataFrame =
-    aliases.foldLeft(df) { case (d, (target, names)) =>
-      val present = names.filter(d.columns.contains)
-      if (present.isEmpty) d
-      else d.withColumn(target, coalesce(present.map(col): _*))
+    aliases.toSeq.sortBy(_._1).foldLeft(df) { case (d, (target, names)) =>
+      val fromAliases = names.filter(n => n != target && d.columns.contains(n))
+      val chain =
+        (if (d.columns.contains(target)) Seq(target) else Nil) ++ fromAliases
+      if (fromAliases.isEmpty) d
+      else d.withColumn(target, coalesce(chain.map(col): _*))
     }
 
-  /** K2: partitioned write with derived calendar partition columns. */
+  /** K2: partitioned write with derived calendar partition columns.
+    * Dynamic partition overwrite: a landing replaces ONLY the calendar
+    * partitions present in `df` — under the default static mode, every
+    * incremental landing would truncate the whole path first, silently
+    * destroying previously landed days.
+    */
   def writePartitioned(df: DataFrame, tsMs: Column, path: String): Unit = {
     val withParts = TimeUnits.partitionCols(tsMs).foldLeft(df) {
       case (d, (name, c)) => d.withColumn(name, c)
     }
     withParts.write
       .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("yyyy", "mm", "dd", "hh")
       .parquet(path)
   }
@@ -85,15 +97,46 @@ object Bronze {
     * the pointer first, so they always see a complete version.
     */
   def reAnchor(spark: SparkSession, basePath: String, newState: DataFrame): Long = {
-    import spark.implicits._
-    val version = loadWatermark(spark, s"$basePath/_current", "version").getOrElse(0L) + 1L
-    newState.write.mode("overwrite").parquet(s"$basePath/v$version")
-    saveWatermark(spark, s"$basePath/_current", "version", version)
+    val pointer = s"$basePath/_current"
+    val prior = s"$basePath/_current_prior"
+    // Next version = 1 + max(pointer, shelved pointer, existing v* dirs):
+    // the directory scan recovers from a crash that wrote v(N) but died
+    // before the pointer swap — without it, the next re-anchor would
+    // recompute N and trip errorifexists on the orphan.
+    val fromDirs = Option(new java.io.File(basePath).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong)
+    val version = (loadWatermark(spark, pointer, "version").toSeq ++
+      loadWatermark(spark, prior, "version").toSeq ++ fromDirs)
+      .foldLeft(0L)(math.max) + 1L
+    // errorifexists: a version directory is immutable history — if the
+    // pointer was lost but v$version survived, fail loudly rather than
+    // rewrite a directory a reader may be resolving.
+    newState.write.mode("errorifexists").parquet(s"$basePath/v$version")
+    // Pointer swap via renames (each atomic on a POSIX FS), not a parquet
+    // overwrite (delete-then-write would expose readers to a torn pointer
+    // for the whole write): stage the new pointer, shelve the old one, move
+    // the staged one in. readCurrent falls back to the shelved pointer, so
+    // the only mid-swap observation is the PREVIOUS complete version.
+    val staging = s"$basePath/_current_staging"
+    saveWatermark(spark, staging, "version", version)
+    val fs = java.nio.file.FileSystems.getDefault
+    def rm(p: String): Unit = {
+      val d = new java.io.File(p)
+      if (d.exists()) { Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete() }
+    }
+    rm(prior)
+    if (new java.io.File(pointer).exists())
+      java.nio.file.Files.move(fs.getPath(pointer), fs.getPath(prior))
+    java.nio.file.Files.move(fs.getPath(staging), fs.getPath(pointer))
+    rm(prior)
     version
   }
 
   def readCurrent(spark: SparkSession, basePath: String): Option[DataFrame] =
     loadWatermark(spark, s"$basePath/_current", "version")
+      .orElse(loadWatermark(spark, s"$basePath/_current_prior", "version"))
       .map(v => spark.read.parquet(s"$basePath/v$v"))
 
   /** K7: durable watermark (one-row parquet). */
@@ -102,9 +145,19 @@ object Bronze {
     Seq((key, valueMs)).toDF("key", "watermark_ms").write.mode("overwrite").parquet(path)
   }
 
+  /** None means PROVABLY ABSENT (no checkpoint at `path`); any other read
+    * failure propagates. Swallowing transient errors as None would make
+    * callers silently reprocess full history (readIncremental) or reset the
+    * re-anchor version counter onto existing directories.
+    */
   def loadWatermark(spark: SparkSession, path: String, key: String): Option[Long] =
     try {
       spark.read.parquet(path).filter(col("key") === key)
         .select("watermark_ms").collect().headOption.map(_.getLong(0))
-    } catch { case _: Exception => None }
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") ||
+            e.getMessage.contains("Path does not exist") =>
+        None
+    }
 }

@@ -62,12 +62,10 @@ class EtlLifecycleSpec extends SparkSpec {
       ("BTC", day0 + 90000000L, 110.0, 1.0, 4L),
       ("ETH", day0 + 90001000L, 11.0, 1.0, 5L)
     ).toDF("symbol", "ts_ms", "price", "qty", "trade_id")
-    batch2
-      .withColumn("yyyy", date_format(timestamp_millis($"ts_ms"), "yyyy"))
-      .withColumn("mm", date_format(timestamp_millis($"ts_ms"), "MM"))
-      .withColumn("dd", date_format(timestamp_millis($"ts_ms"), "dd"))
-      .withColumn("hh", date_format(timestamp_millis($"ts_ms"), "HH"))
-      .write.mode("append").partitionBy("yyyy", "mm", "dd", "hh").parquet(bronzePath)
+    // the landing helper itself: dynamic partition overwrite means this
+    // second landing replaces only ITS calendar partitions — batch 1's
+    // partitions must survive (regression: static mode truncated the path)
+    Bronze.writePartitioned(batch2, $"ts_ms", bronzePath)
 
     assert(runCycle() === 4L) // only the 2 new rows processed and appended
 
