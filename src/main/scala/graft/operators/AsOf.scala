@@ -19,19 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
-  /** Nearest-within-tolerance join (both directions in time).
-    *
-    * @param leftId   column uniquely identifying a left row (rank partition).
-    * @param rightValueCols right columns to carry; right's ts arrives as
-    *                 `__right_ts`. Ties on |Δt| break toward the earlier
-    *                 right timestamp, then `rightValueCols` order.
-    * Result: inner — left rows with no right row within tolerance are absent
-    * (callers needing outer semantics left-join the result back, see J1).
-    */
   /** Backward as-of join: for each left row, the LATEST right row with
     * `rightTs <= leftTs` within `toleranceMs` (the classic "state as of this
     * event" lookup — J3 stream-static enrichment: each trade gets the most
-    * recent quote's mid). Same bucket trick, right side replicated 2×.
+    * recent quote's mid). Same bucket trick, right side replicated 2×; ties
+    * on `__right_ts` break toward the largest `rightTieBreak`.
     */
   def backward(
       left: DataFrame,
@@ -43,6 +35,8 @@ object AsOf {
       leftId: String,
       rightValueCols: Seq[String],
       rightTieBreak: String): DataFrame = {
+    require(toleranceMs > 0, s"toleranceMs must be positive, got $toleranceMs" +
+      " (the bucket width divides by it; 0 would be an ANSI divide-by-zero)")
     val rb = expr(s"__right_ts div $toleranceMs")
     val r = right
       .select((col(key) +: col(rightTs).as("__right_ts") +: rightValueCols.map(col)): _*)
@@ -61,6 +55,17 @@ object AsOf {
       .drop("__rn", "__b")
   }
 
+  /** Nearest-within-tolerance join (both directions in time).
+    *
+    * @param leftId   column uniquely identifying a left row (rank partition).
+    * @param rightValueCols right columns to carry; right's ts arrives as
+    *                 `__right_ts`. Ties on |Δt| break toward the earlier
+    *                 right timestamp, then by `rightValueCols` in order —
+    *                 so two right rows sharing (key, ts) still resolve
+    *                 deterministically under any partitioning.
+    * Result: inner — left rows with no right row within tolerance are absent
+    * (callers needing outer semantics left-join the result back, see J1).
+    */
   def nearest(
       left: DataFrame,
       right: DataFrame,
@@ -70,6 +75,8 @@ object AsOf {
       toleranceMs: Long,
       leftId: String,
       rightValueCols: Seq[String]): DataFrame = {
+    require(toleranceMs > 0, s"toleranceMs must be positive, got $toleranceMs" +
+      " (the bucket width divides by it; 0 would be an ANSI divide-by-zero)")
     val rb = expr(s"__right_ts div $toleranceMs")
     val r = right
       .select((col(key) +: col(rightTs).as("__right_ts") +: rightValueCols.map(col)): _*)
@@ -78,9 +85,13 @@ object AsOf {
     val joined = l
       .join(r, Seq(key, "__b"))
       .filter(abs(col("__right_ts") - col(leftTs)) <= toleranceMs)
+    // tie columns are r-qualified: the left side may carry same-named
+    // columns, and a bare col(name) would be ambiguous after the join
     val w = Window
       .partitionBy(col(key), col(leftId))
-      .orderBy(abs(col("__right_ts") - col(leftTs)), col("__right_ts"))
+      .orderBy(
+        abs(col("__right_ts") - col(leftTs)) +: col("__right_ts") +:
+          rightValueCols.map(r(_)): _*)
     joined
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

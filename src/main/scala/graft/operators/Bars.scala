@@ -13,8 +13,10 @@ import graft.operators.TradeAggregates.exactSum
   * aggregation collapses each input partition to O(distinct buckets) before
   * the shuffle; bucket count grows with time span, not row count, so the
   * shuffle stays small at 100 TB. Open/close are `min_by`/`max_by` over a
-  * (ts, tiebreak) struct — a single pass, no sort, no window, and
-  * deterministic under ties.
+  * (ts, tiebreak) struct — no window pass and deterministic under ties;
+  * note the struct ordering makes Spark plan a SortAggregate (per-partition
+  * sort before the partial phase — see SCALE.md "known limits" and
+  * TradeAggregates.packedOrder for the hash-aggregate fast path).
   */
 object Bars {
 

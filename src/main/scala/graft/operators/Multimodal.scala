@@ -49,12 +49,16 @@ object Multimodal {
     */
   def resize(content: Column, stride: Int): Column = {
     val n = ceil(length(content) / lit(stride.toDouble)).cast("int")
-    when(length(content) === 0, lit("")).otherwise(
-      concat_ws(
-        "",
-        transform(
-          sequence(lit(0), n - 1),
-          i => substring(content, (i * stride + 1).cast("int"), lit(1)).cast("string"))))
+    // null payload -> null thumb (concat_ws would quietly turn it into "",
+    // diverging from SQL null semantics and any oracle's NULL result)
+    when(content.isNull, lit(null).cast("string"))
+      .when(length(content) === 0, lit(""))
+      .otherwise(
+        concat_ws(
+          "",
+          transform(
+            sequence(lit(0), n - 1),
+            i => substring(content, (i * stride + 1).cast("int"), lit(1)).cast("string"))))
   }
 
   /** Frame sampling: split a payload into `n` equal byte slices (the video
@@ -86,13 +90,21 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // kernel boundary: a real implementation hands `batch` to the
         // decoder in one call; the stub computes per-payload byte stats.
+        // null id/content rows emit null features instead of NPE-failing
+        // the task — nullable binary is the norm for real media tables
         batch.iterator.map { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          val mean =
-            if (bytes.isEmpty) 0.0
-            else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
-          Row(id, mean, bytes.length.toLong)
+          if (r.isNullAt(0)) Row(null, null, null)
+          else {
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            if (bytes == null) Row(id, null, null)
+            else {
+              val mean =
+                if (bytes.isEmpty) 0.0
+                else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
+              Row(id, mean, bytes.length.toLong)
+            }
+          }
         }
       }
     }

@@ -36,6 +36,9 @@ object TextRank {
       queryTerms: Seq[String],
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    // duplicate query terms would double-count their score in the per-doc
+    // fold (tf/df dedupe via groupBy, the fold does not) — dedupe up-front
+    val terms = queryTerms.distinct
     val toks = docs.select(
       id.as("doc_id"),
       explode(filter(split(text, " "), t => t =!= lit(""))).as("term"))
@@ -47,7 +50,7 @@ object TextRank {
         .as("avgdl"),
       count(lit(1)).as("n_docs"))
     val tf = toks
-      .filter(col("term").isin(queryTerms: _*))
+      .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -61,7 +64,7 @@ object TextRank {
         "s",
         idf * (col("tf") * (k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
-    val perTerm = queryTerms.map(t =>
+    val perTerm = terms.map(t =>
       coalesce(max(when(col("term") === t, col("s"))), lit(0.0)))
     scored
       .groupBy(col("doc_id"))
