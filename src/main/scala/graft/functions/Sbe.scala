@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * {{{
   *   u16 blockLength | u16 templateId | u16 schemaId | u16 version
   *   trade (10000):  i64 ts_us | i64 trade_id | i64 mantissa | i8 exp | u8 maker
-  *   bba   (10001):  i64 ts_us | i64 bid_mant | i8 bid_exp | i64 ask_mant | i8 ask_exp
+  *   bba   (10001):  i64 ts_us | 4 x (i64 mant, i8 exp) for bid_px, ask_px, bid_sz, ask_sz
   *   then: u8 symbolLen | bytes symbol
   * }}}
   * Prices are mantissa·10^exponent int64+int8 pairs (`sbe_decoder.cpp:107-111`);
@@ -153,6 +153,14 @@ object Sbe {
   def decodeBba(c: Column): Column =
     ColumnBridge.column(SbeBbaDecode(ColumnBridge.expression(c)))
 
+  /** Counts written as a single unsigned byte (symbol length, level counts)
+    * must fit it — silent .toByte wrapping would emit an undecodable frame.
+    */
+  private def u8(n: Int, what: String): Byte = {
+    require(n >= 0 && n <= 255, s"SBE $what must fit one unsigned byte, got $n")
+    n.toByte
+  }
+
   val encodeBba: UserDefinedFunction = udf(
     (tsUs: Long, bidM: Long, askM: Long, bidSzM: Long, askSzM: Long, exp: Int, symbol: String) => {
       val sym = symbol.getBytes("UTF-8")
@@ -160,7 +168,7 @@ object Sbe {
       bb.putShort(44.toShort).putShort(10001.toShort).putShort(1.toShort).putShort(0.toShort)
       bb.putLong(tsUs)
       Seq(bidM, askM, bidSzM, askSzM).foreach { m => bb.putLong(m); bb.put(exp.toByte) }
-      bb.put(sym.length.toByte).put(sym)
+      bb.put(u8(sym.length, "symbol length")).put(sym)
       bb.array()
     })
 
@@ -180,7 +188,7 @@ object Sbe {
     StructField("asks", ArrayType(levelType)),
     StructField("symbol", StringType)))
 
-  def decodeDepthBytes(bytes: Array[Byte]): InternalRow = {
+  def decodeDepthBytes(bytes: Array[Byte]): InternalRow = try {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     if (bb.remaining() < 8) return null
     bb.getShort()
@@ -212,6 +220,12 @@ object Sbe {
       java.lang.Long.valueOf(Math.floorDiv(tsUs, 1000L)),
       java.lang.Long.valueOf(firstId), java.lang.Long.valueOf(finalId),
       bids, asks, UTF8String.fromBytes(sym))
+  } catch {
+    // A truncated/malformed depth body (level counts claiming more data
+    // than the buffer holds) is a bad frame, not a task failure — the same
+    // null-on-bad-frame contract the fixed-size decoders honor via their
+    // up-front remaining() checks, which can't cover a variable-length body.
+    case _: java.nio.BufferUnderflowException => null
   }
 
   case class SbeDepthDecode(child: Expression) extends UnaryExpression {
@@ -253,13 +267,13 @@ object Sbe {
       bb.putShort(0.toShort).putShort(10003.toShort).putShort(1.toShort).putShort(0.toShort)
       bb.putLong(tsUs).putLong(firstId).putLong(finalId)
       def side(ls: Seq[Long]): Unit = {
-        bb.put(ls.length.toByte)
+        bb.put(u8(ls.length, "level count"))
         ls.foreach { m =>
           bb.putLong(m); bb.put(exp.toByte); bb.putLong(m + 1); bb.put(exp.toByte)
         }
       }
       side(bids); side(asks)
-      bb.put(sym.length.toByte).put(sym)
+      bb.put(u8(sym.length, "symbol length")).put(sym)
       bb.array()
     })
 
@@ -271,7 +285,7 @@ object Sbe {
       bb.putShort(27.toShort).putShort(10000.toShort).putShort(1.toShort).putShort(0.toShort)
       bb.putLong(tsUs).putLong(tradeId).putLong(mantissa)
       bb.put(exp.toByte).put(if (maker) 1.toByte else 0.toByte)
-      bb.put(sym.length.toByte).put(sym)
+      bb.put(u8(sym.length, "symbol length")).put(sym)
       bb.array()
     })
 }

@@ -101,5 +101,6 @@ object TextFunctions {
 
   /** Stopword-membership count used by the quality/language heuristics. */
   def stopwordCount(tk: Column, stopwords: Seq[String]): Column =
-    size(filter(tk, t => stopwords.map(w => t === w).reduce(_ || _)))
+    if (stopwords.isEmpty) lit(0) // reduce on an empty list would throw
+    else size(filter(tk, t => stopwords.map(w => t === w).reduce(_ || _)))
 }

@@ -51,6 +51,13 @@ object SbeFrameSource {
 
   val FileSuffix = ".sbef"
 
+  /** Sanity bound on a length prefix (shared intent with SocketCapture's
+    * maxFrameBytes): anything outside [0, MaxFrameBytes] is a corrupt or
+    * torn prefix, and readers stop at the last good boundary instead of
+    * mis-seeking or allocating garbage.
+    */
+  val MaxFrameBytes: Int = 16 << 20
+
   private[sources] def listFrameFiles(dir: String): Array[File] = {
     val d = new File(dir)
     val fs = Option(d.listFiles()).getOrElse(Array.empty[File])
@@ -59,20 +66,27 @@ object SbeFrameSource {
 
   /** Byte offset just past the last COMPLETE frame in `file` — the safe
     * consumption boundary for a file that may still be appended to. Walks
-    * length prefixes with seeks (no payload reads).
+    * length prefixes with seeks (no payload reads) starting from `from`,
+    * which MUST be a known frame boundary (0, or a previously returned
+    * boundary — the admission-control path resumes from the checkpointed
+    * tail so each trigger walks only the new suffix, not the whole file).
+    * A corrupt prefix (negative or > [[MaxFrameBytes]]) ends the walk at
+    * the last good boundary — never a mis-seek or an EOF throw.
     */
-  private[sources] def completeFrameBoundary(file: File): Long = {
+  private[sources] def completeFrameBoundary(file: File, from: Long = 0L): Long = {
     val len = file.length()
     val in = new DataInputStream(new java.io.BufferedInputStream(new FileInputStream(file)))
     try {
-      var pos = 0L
-      var boundary = 0L
+      in.skipNBytes(from)
+      var pos = from
+      var boundary = from
       var done = false
       while (!done) {
         if (pos + 4 > len) done = true
         else {
           val frameLen = in.readInt().toLong
-          if (pos + 4 + frameLen > len) done = true
+          if (frameLen < 0 || frameLen > MaxFrameBytes) done = true
+          else if (pos + 4 + frameLen > len) done = true
           else {
             in.skipNBytes(frameLen)
             pos += 4 + frameLen
@@ -141,9 +155,13 @@ class SbeFrameScan(path: String, maxFilesPerTrigger: Option[Int]) extends Scan {
     new SbeFrameMicroBatchStream(path, maxFilesPerTrigger)
 }
 
-/** `files` frame files fully consumed + `tailBytes` of the next one. */
-case class SbeFrameOffset(files: Int, tailBytes: Long) extends Offset {
-  override def json(): String = s"""{"files":$files,"tailBytes":$tailBytes}"""
+/** Every file named lexicographically BEFORE `file` is fully consumed,
+  * plus `tailBytes` of `file` itself ("" = nothing consumed). NAME-anchored,
+  * not index-counted, so deleting already-consumed capture files
+  * (retention) cannot shift the mapping and corrupt replay.
+  */
+case class SbeFrameOffset(file: String, tailBytes: Long) extends Offset {
+  override def json(): String = s"""{"file":"$file","tailBytes":$tailBytes}"""
 }
 
 /** Admission control (`maxFilesPerTrigger`) bounds each micro-batch like
@@ -154,36 +172,51 @@ case class SbeFrameOffset(files: Int, tailBytes: Long) extends Offset {
 class SbeFrameMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int])
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  override def initialOffset(): Offset = SbeFrameOffset(0, 0L)
+  override def initialOffset(): Offset = SbeFrameOffset("", 0L)
 
-  private def available(): SbeFrameOffset = {
+  /** `resume`: when the start offset already tails the ACTIVE file, the
+    * boundary walk continues from its checkpointed tail instead of byte 0 —
+    * per-trigger cost is O(new frames), not O(file).
+    */
+  private def available(resume: Option[SbeFrameOffset]): SbeFrameOffset = {
     val files = SbeFrameSource.listFrameFiles(path)
-    if (files.isEmpty) SbeFrameOffset(0, 0L)
-    else SbeFrameOffset(
-      files.length - 1, SbeFrameSource.completeFrameBoundary(files.last))
+    if (files.isEmpty) SbeFrameOffset("", 0L)
+    else {
+      val active = files.last
+      val from = resume
+        .filter(_.file == active.getName).map(_.tailBytes).getOrElse(0L)
+      SbeFrameOffset(
+        active.getName, SbeFrameSource.completeFrameBoundary(active, from))
+    }
   }
 
-  override def latestOffset(): Offset = available()
+  override def latestOffset(): Offset = available(None)
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val avail = available()
     val from = start.asInstanceOf[SbeFrameOffset]
+    val avail = available(Some(from))
     limit match {
       case m: ReadMaxFiles =>
-        // a capped batch always ends on a complete-file boundary; the
-        // active file's tail is consumed by a later (uncapped-remainder)
-        // trigger once all complete files are behind the offset
-        val cap = from.files + m.maxFiles()
-        if (cap <= avail.files) SbeFrameOffset(cap, 0L) else avail
+        // a capped batch always ends on a complete-file boundary (tail 0 of
+        // the file AFTER the admitted ones); the active file's tail is
+        // consumed by a later trigger once all complete files are behind
+        // the offset. `pending` counts from the partially-consumed start
+        // file itself, matching the index-based semantics this replaces.
+        val names = SbeFrameSource.listFrameFiles(path).map(_.getName)
+        val pending =
+          if (from.file.isEmpty) names.toSeq else names.filter(_ >= from.file).toSeq
+        if (m.maxFiles() < pending.length) SbeFrameOffset(pending(m.maxFiles()), 0L)
+        else avail
       case _ => avail
     }
   }
   override def deserializeOffset(json: String): Offset = {
-    val nums = "-?\\d+".r.findAllIn(json).toSeq
-    if (nums.length >= 2) SbeFrameOffset(nums(0).toInt, nums(1).toLong)
-    // legacy single-field offset from the file-granular format
-    else SbeFrameOffset(nums.headOption.map(_.toInt).getOrElse(0), 0L)
+    val fileRe = """\"file\":\"([^\"]*)\"""".r
+    val tailRe = """\"tailBytes\":(-?\d+)""".r
+    SbeFrameOffset(
+      fileRe.findFirstMatchIn(json).map(_.group(1)).getOrElse(""),
+      tailRe.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -191,20 +224,22 @@ class SbeFrameMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int])
     val e = end.asInstanceOf[SbeFrameOffset]
     val files = SbeFrameSource.listFrameFiles(path)
     val parts = Seq.newBuilder[InputPartition]
-    if (s.files == e.files) {
-      if (e.tailBytes > s.tailBytes && s.files < files.length)
-        parts += SbeFramePartition(files(s.files).getAbsolutePath, s.tailBytes, e.tailBytes)
+    if (s.file == e.file) {
+      if (e.tailBytes > s.tailBytes)
+        files.find(_.getName == s.file).foreach(f =>
+          parts += SbeFramePartition(f.getAbsolutePath, s.tailBytes, e.tailBytes))
     } else {
       // the rest of the file the start offset was tailing (now frozen)
-      if (s.files < files.length)
-        parts += SbeFramePartition(files(s.files).getAbsolutePath, s.tailBytes, -1L)
-      // fully-consumed files in between
-      files.slice(s.files + 1, e.files).foreach { f =>
+      files.find(_.getName == s.file).foreach(f =>
+        parts += SbeFramePartition(f.getAbsolutePath, s.tailBytes, -1L))
+      // fully-consumed files in between (by NAME, immune to deletions)
+      files.filter(f => f.getName > s.file && f.getName < e.file).foreach { f =>
         parts += SbeFramePartition(f.getAbsolutePath, 0L, -1L)
       }
       // the new active file's complete prefix
-      if (e.tailBytes > 0 && e.files < files.length)
-        parts += SbeFramePartition(files(e.files).getAbsolutePath, 0L, e.tailBytes)
+      if (e.tailBytes > 0)
+        files.find(_.getName == e.file).foreach(f =>
+          parts += SbeFramePartition(f.getAbsolutePath, 0L, e.tailBytes))
     }
     parts.result().toArray
   }
@@ -240,6 +275,9 @@ object SbeFrameReaderFactory extends PartitionReaderFactory {
         if (n < 4) { row = null; false }
         else {
           val len = java.nio.ByteBuffer.wrap(lenBytes).getInt
+          // corrupt prefix: stop at the last good boundary (torn-tail
+          // posture) instead of a negative-size crash or a huge allocation
+          if (len < 0 || len > SbeFrameSource.MaxFrameBytes) { row = null; return false }
           val frame = new Array[Byte](len)
           var off = 0
           var eof = false

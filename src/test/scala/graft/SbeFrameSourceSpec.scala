@@ -14,6 +14,8 @@ import graft.sources.SbeFrameSource
   * sequence numbering, and decode through the codegen expression.
   */
 class SbeFrameSourceSpec extends SparkSpec {
+  import spark.implicits._
+
 
   // test-side frame builder mirroring Sbe.encodeTrade's wire layout
   private def tradeFrame(tsUs: Long, id: Long, mant: Long, exp: Int, sym: String): Array[Byte] = {
@@ -148,6 +150,47 @@ class SbeFrameSourceSpec extends SparkSpec {
       val ids = spark.table("sbef_live").collect().map(_.getLong(0)).sorted.toSeq
       assert(ids === Seq(1L, 2L, 3L, 9L, 10L))
     } finally q.stop()
+  }
+
+  test("retention deletes of consumed files cannot shift the replay offset") {
+    // Name-anchored offsets: after files A,B are consumed and A is deleted
+    // (retention), a restart from the checkpoint must read ONLY new file C —
+    // index-counted offsets would shift and re-read B / skip C's content.
+    val feed = mkFeed() // cap_00000 (2 frames) + cap_00001 (1 frame)
+    val ck = Files.createTempDirectory("sbef_ck").toString
+    val out = Files.createTempDirectory("sbef_out").toString
+    def start() = spark.readStream.format("sbe-frames").load(feed.toString)
+      .select(Sbe.decodeTrade(col("frame")).getField("trade_id").as("id"))
+      .writeStream.option("checkpointLocation", ck)
+      .outputMode("append").format("parquet").option("path", out).start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 3)
+    } finally q.stop()
+    assert(new File(feed, "cap_00000.sbef").delete()) // retention removes oldest
+    SbeFrameSource.writeFrameFile(
+      new File(feed, "cap_00002.sbef"), Seq(tradeFrame(4000000L, 4L, 1L, 0, "BTC")))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val ids = spark.read.parquet(out).select("id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L, 4L),
+        s"offset shifted after retention: ${ids.toSeq}")
+    } finally q2.stop()
+  }
+
+  test("a corrupt length prefix stops at the last good boundary, not a crash") {
+    val d = Files.createTempDirectory("sbef_corrupt").toFile
+    val f = new File(d, "cap_00000.sbef")
+    SbeFrameSource.writeFrameFile(f, Seq(tradeFrame(1000000L, 1L, 5L, 0, "BTC")))
+    // append a corrupt negative length prefix followed by garbage
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream(f, true))
+    out.writeInt(-123456); out.write(Array.fill[Byte](64)(7)); out.close()
+    val ids = spark.read.format("sbe-frames").load(d.toString)
+      .select(Sbe.decodeTrade(col("frame")).getField("trade_id").as("id"))
+      .as[Long].collect()
+    assert(ids.toSeq === Seq(1L)) // good frame kept, corrupt tail ignored
   }
 
   test("a truncated tail frame reads as EOF, keeping the complete frames") {
