@@ -467,6 +467,11 @@ object TextQueries {
     },
     // 1-based inclusive slices: tk[i:i+2] = 3 tokens, i in 1..n-2 — the
     // same windows as Spark's slice(tk, i, 3) over sequence(1, n-2).
+    // LEFT JOINs + CASE-to-0.0: a NULL-text doc has no m1/m2 rows (unnest of
+    // a NULL split emits nothing) but the Spark kernel keeps the row with a
+    // null stats struct — shares fall back to 0.0 on BOTH engines, counts
+    // and top gram stay NULL. An inner join here would silently drop such
+    // docs from the oracle only.
     "t18_gram_dominance" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |g1 AS (SELECT doc_id, unnest(tk) AS gram FROM t),
@@ -489,15 +494,17 @@ object TextQueries {
         |  m1.total AS n_tokens,
         |  m1.maxc AS top1_count,
         |  top1.top_gram AS top1_token,
-        |  round(m1.maxc * 1.0 / m1.total, 6) + 0.0 AS top1_share,
+        |  CASE WHEN m1.total > 0
+        |    THEN round(m1.maxc * 1.0 / m1.total, 6) + 0.0 ELSE 0.0 END AS top1_share,
         |  CASE WHEN m2.total IS NOT NULL AND m2.total > 0
         |    THEN round(m2.maxc * 1.0 / m2.total, 6) + 0.0 ELSE 0.0 END AS top2_share,
-        |  (round(m1.maxc * 1.0 / m1.total, 6) > 0.2 OR
+        |  (CASE WHEN m1.total > 0
+        |     THEN round(m1.maxc * 1.0 / m1.total, 6) ELSE 0.0 END > 0.2 OR
         |   CASE WHEN m2.total IS NOT NULL AND m2.total > 0
         |     THEN round(m2.maxc * 1.0 / m2.total, 6) ELSE 0.0 END > 0.18) AS is_dominated
         |FROM t
-        |JOIN m1 USING (doc_id)
-        |JOIN top1 USING (doc_id)
+        |LEFT JOIN m1 USING (doc_id)
+        |LEFT JOIN top1 USING (doc_id)
         |LEFT JOIN m2 USING (doc_id)""".stripMargin,
     "t17_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

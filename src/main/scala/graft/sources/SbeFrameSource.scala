@@ -211,12 +211,39 @@ class SbeFrameMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int])
       case _ => avail
     }
   }
+  /** Current format: `{"file":name,"tailBytes":M}`. Checkpoints written
+    * before the name-anchored format carry `{"files":N,"tailBytes":M}` —
+    * N files fully consumed by INDEX, tailing the (N+1)th. A legacy index
+    * is translated into the Nth sorted file name (same semantics) so an
+    * existing checkpoint resumes at its exact boundary instead of silently
+    * decoding to the empty offset and replanning every consumed file
+    * (duplicate ingestion downstream). If the index no longer maps (files
+    * deleted by retention — the failure mode that motivated name anchoring)
+    * or the JSON matches neither format, FAIL the restart loudly; a guessed
+    * offset is silent duplication or data loss.
+    */
   override def deserializeOffset(json: String): Offset = {
     val fileRe = """\"file\":\"([^\"]*)\"""".r
     val tailRe = """\"tailBytes\":(-?\d+)""".r
-    SbeFrameOffset(
-      fileRe.findFirstMatchIn(json).map(_.group(1)).getOrElse(""),
-      tailRe.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L))
+    val legacyRe = """\"files\":(\d+)""".r
+    val tail = tailRe.findFirstMatchIn(json).map(_.group(1).toLong)
+    fileRe.findFirstMatchIn(json).map(m => SbeFrameOffset(m.group(1), tail.getOrElse(0L)))
+      .orElse(legacyRe.findFirstMatchIn(json).map { m =>
+        val n = m.group(1).toInt
+        val t = tail.getOrElse(0L)
+        if (n == 0 && t == 0L) SbeFrameOffset("", 0L)
+        else {
+          val names = SbeFrameSource.listFrameFiles(path).map(_.getName)
+          if (n < names.length) SbeFrameOffset(names(n), t)
+          else throw new IllegalStateException(
+            s"sbe-frames: legacy offset index $n does not map onto the " +
+              s"${names.length} files now under $path (consumed files deleted " +
+              "by retention?) — cannot translate safely; clear the checkpoint " +
+              "to choose an explicit restart point")
+        }
+      })
+      .getOrElse(throw new IllegalArgumentException(
+        s"sbe-frames: unrecognized offset JSON: $json"))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -21,9 +21,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * how arrivals were split across micro-batches; time-flush batches are as
   * deterministic as wall-clock flushes can be — same contract as the
   * reference. `batch_id` is seeded from the epoch's first event time and
-  * increments per flush, so ids stay unique per key even after the state
-  * for a drained/idle key is removed and later re-created — a sink keyed
-  * on (key, batch_id) never sees a fresh epoch collide with an old one.
+  * increments per flush, so a re-created epoch (after a drained/idle key's
+  * state is removed) resumes from a larger id than the old epoch's seed —
+  * BEST-EFFORT uniqueness, not a guarantee: it holds only while the new
+  * epoch's first `ts_ms` exceeds the old epoch's seed plus its flush count,
+  * so a key that drains and re-forms within a few milliseconds, or replayed
+  * event times, can reuse ids. Sinks that need a true per-key unique key
+  * should use (key, batch_id, first_ts) or an idempotent upsert on content.
   */
 object CountOrTimeBatcher {
 

@@ -93,6 +93,25 @@ class SbeFrameSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("legacy index-counted checkpoint offsets translate to name-anchored ones") {
+    val feed = mkFeed() // cap_00000 (2 frames), cap_00001 (1 frame)
+    val stream = new graft.sources.SbeFrameMicroBatchStream(feed.toString, None)
+    // current name-anchored format passes through untouched
+    assert(stream.deserializeOffset("""{"file":"cap_00001.sbef","tailBytes":42}""")
+      === graft.sources.SbeFrameOffset("cap_00001.sbef", 42L))
+    // r5-era format: 1 file fully consumed by index + 42 bytes of the next —
+    // resumes at the same boundary, not from scratch (duplicate ingestion)
+    assert(stream.deserializeOffset("""{"files":1,"tailBytes":42}""")
+      === graft.sources.SbeFrameOffset("cap_00001.sbef", 42L))
+    assert(stream.deserializeOffset("""{"files":0,"tailBytes":0}""")
+      === graft.sources.SbeFrameOffset("", 0L))
+    // an index beyond the surviving files (retention) or unparseable JSON
+    // must fail the restart loudly, never default to the empty offset
+    intercept[IllegalStateException](
+      stream.deserializeOffset("""{"files":7,"tailBytes":9}"""))
+    intercept[IllegalArgumentException](stream.deserializeOffset("""{"wat":true}"""))
+  }
+
   test("full hot path on the connector: frames -> decode -> event-time windows") {
     val feed = mkFeed() // BTC@1s, ETH@2s, BTC@3s — one 1-minute window
     val stream = spark.readStream.format("sbe-frames").load(feed.toString)
