@@ -1,11 +1,12 @@
 package graft.sources
 
-import java.io.File
 import java.util
 
 import org.apache.avro.Schema
-import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter, SeekableInput}
 import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -15,6 +16,7 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterF
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.functions.Avro
 
@@ -29,6 +31,25 @@ import graft.functions.Avro
   * via the `readerSchema` option (same evolution semantics as
   * [[graft.functions.Avro.AvroDecode]]).
   *
+  * Storage: all IO goes through the Hadoop FileSystem API ([[GraftFs]]) —
+  * the reference's container dumps live on S3 (`s3_writer.py:216-230`), so
+  * `load("s3a://bucket/exports")` must work, not just local paths; the
+  * reader factory and write factory each carry a
+  * [[SerializableConfiguration]] so executors resolve the FileSystem
+  * themselves. Note the write commit protocol's rename step is atomic on
+  * `file:`/`hdfs:` but a copy on S3A — a reader listing mid-commit may see
+  * a file appear non-atomically there; the `.tmp` prefix still keeps
+  * half-written containers out of every scan (listing filters by suffix).
+  *
+  * Filter pushdown is DELIBERATELY not implemented
+  * (`SupportsPushDownRequiredColumns` only): OCF blocks carry no min/max
+  * statistics, so a pushed predicate could never skip a block's IO or
+  * decode — every row must be decoded and tested regardless, which is
+  * exactly what the post-scan Catalyst `Filter` already does, inside
+  * whole-stage codegen. The pruning that DOES pay — skipping unprojected
+  * COLUMNS inside each record — is implemented below by handing the Avro
+  * resolving decoder a subset reader schema (byte-skip, not decode).
+  *
   * Scale shape: per-file parallelism PLUS intra-file sync-point splits — a
   * single giant export file is chopped into `splitBytes` byte ranges (option,
   * default 128 MiB) and each task `sync`s to the first block boundary at or
@@ -40,18 +61,46 @@ import graft.functions.Avro
 object AvroOcfSource {
   val FileSuffix = ".avro"
 
-  private[sources] def listFiles(dir: String): Array[File] = {
-    val d = new File(dir)
-    // Zero-length files can't be valid containers (no header); skip them so
-    // an empty writer-side artifact doesn't fail the whole scan.
-    Option(d.listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isFile && f.getName.endsWith(FileSuffix) && f.length() > 0)
-      .sortBy(_.getName)
+  /** Zero-length files can't be valid containers (no header); skip them so
+    * an empty writer-side artifact doesn't fail the whole scan.
+    */
+  private[sources] def listFiles(
+      dir: String,
+      conf: Configuration = GraftFs.conf()): Array[FileStatus] =
+    GraftFs.listBySuffix(dir, FileSuffix, conf, keepEmpty = false)
+
+  /** Avro's random-access input contract over a Hadoop stream —
+    * `FSDataInputStream` is seekable on every FS implementation, which is
+    * all `DataFileReader` needs for header reads and sync-point seeks.
+    * Length is pinned at open (Avro asks it to bound `pastSync`).
+    */
+  private[sources] final class HadoopSeekableInput(f: FileSystem, path: Path)
+      extends SeekableInput {
+    private val len = f.getFileStatus(path).getLen
+    private val in = f.open(path)
+    override def read(b: Array[Byte], off: Int, n: Int): Int = in.read(b, off, n)
+    override def seek(p: Long): Unit = in.seek(p)
+    override def tell(): Long = in.getPos
+    override def length(): Long = len
+    override def close(): Unit = in.close()
+  }
+
+  private[sources] def openReader(
+      f: FileSystem, path: Path, datumReader: GenericDatumReader[GenericRecord])
+      : DataFileReader[GenericRecord] = {
+    val in = new HadoopSeekableInput(f, path)
+    try new DataFileReader[GenericRecord](in, datumReader)
+    catch { case e: Throwable => try in.close() catch { case _: Throwable => () }; throw e }
   }
 
   /** The writer schema embedded in the container header. */
-  def writerSchema(file: File): Schema = {
-    val r = new DataFileReader[GenericRecord](file, new GenericDatumReader[GenericRecord]())
+  def writerSchema(file: java.io.File): Schema = {
+    val p = new Path(file.toURI)
+    writerSchema(GraftFs.fs(p, GraftFs.conf()), p)
+  }
+
+  private[sources] def writerSchema(f: FileSystem, path: Path): Schema = {
+    val r = openReader(f, path, new GenericDatumReader[GenericRecord]())
     try r.getSchema finally r.close()
   }
 
@@ -79,13 +128,15 @@ object AvroOcfSource {
     * files so block boundaries are actually exercised).
     */
   def writeOcf(
-      file: File,
+      file: java.io.File,
       schema: Schema,
       records: Seq[GenericRecord],
       syncEvery: Int = 512): Unit = {
+    val p = new Path(file.toURI)
+    val f = GraftFs.fs(p, GraftFs.conf())
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
     w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
-    w.create(schema, file)
+    w.create(schema, f.create(p, true))
     try {
       records.zipWithIndex.foreach { case (r, i) =>
         w.append(r)
@@ -109,9 +160,11 @@ class AvroOcfProvider extends TableProvider with DataSourceRegister {
     val reader = readerJson(options).map(new Schema.Parser().parse(_)).getOrElse {
       val path = Option(options.get("path")).getOrElse(
         throw new IllegalArgumentException("avro-ocf requires a path (load(dir))"))
-      val files = AvroOcfSource.listFiles(path)
+      val conf = GraftFs.conf()
+      val files = AvroOcfSource.listFiles(path, conf)
       require(files.nonEmpty, s"avro-ocf: no ${AvroOcfSource.FileSuffix} files under $path")
-      AvroOcfSource.writerSchema(files.head)
+      val head = files.head.getPath
+      AvroOcfSource.writerSchema(GraftFs.fs(head, conf), head)
     }
     Avro.sparkType(reader).asInstanceOf[StructType]
   }
@@ -150,9 +203,12 @@ class AvroOcfTable(path: String, readerJson: Option[String], tableSchema: Struct
     * schema-RESOLVES per file instead of decoding each file in its own
     * layout while the table declares another (silently swapped columns).
     */
-  private lazy val pinnedReaderJson: Option[String] = readerJson.orElse(
-    AvroOcfSource.listFiles(path).headOption
-      .map(f => AvroOcfSource.writerSchema(f).toString))
+  private lazy val pinnedReaderJson: Option[String] = readerJson.orElse {
+    val conf = GraftFs.conf()
+    AvroOcfSource.listFiles(path, conf).headOption
+      .map(st => AvroOcfSource.writerSchema(
+        GraftFs.fs(st.getPath, conf), st.getPath).toString)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // A user-supplied read schema (spark.read.schema(...)) cannot steer the
@@ -206,7 +262,10 @@ class AvroOcfTable(path: String, readerJson: Option[String], tableSchema: Struct
   * `part-<job>-<partition>-<task>.avro` names (and first clears prior files
   * when truncating for overwrite mode), so readers never observe
   * half-written containers and a failed/aborted attempt leaves only a tmp
-  * file that abort() deletes. Empty partitions produce no file.
+  * file that abort() deletes. Empty partitions produce no file. The rename
+  * is atomic on `file:`/`hdfs:`; on S3A it's a server-side copy — readers
+  * never see partial content (the copy is all-or-nothing per object) but
+  * commit latency grows with file size there.
   */
 class AvroOcfWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -238,6 +297,8 @@ class AvroOcfBatchWrite(
     syncEvery: Int,
     doTruncate: Boolean) extends BatchWrite {
 
+  private val conf = GraftFs.serializableConf()
+
   // Distinguishes this write job's files from any earlier job's (task ids
   // restart across applications, so they alone can't keep append-mode file
   // names unique). Millis-prefixed so append-order ≈ lexical name order:
@@ -248,27 +309,33 @@ class AvroOcfBatchWrite(
     java.util.UUID.randomUUID().toString.take(4)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val dir = new File(path)
-    if (!dir.exists()) dir.mkdirs()
+    val dir = new Path(path)
+    GraftFs.fs(dir, conf.value).mkdirs(dir)
     AvroOcfWriterFactory(
-      path, schemaJson, sparkSchema, codec, deflateLevel, syncEvery, writeId)
+      path, schemaJson, sparkSchema, codec, deflateLevel, syncEvery, writeId, conf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    if (doTruncate) AvroOcfSource.listFiles(path).foreach { f =>
-      if (!f.delete()) throw new java.io.IOException(s"avro-ocf: cannot truncate $f")
+    val dir = new Path(path)
+    val f = GraftFs.fs(dir, conf.value)
+    if (doTruncate) AvroOcfSource.listFiles(path, conf.value).foreach { st =>
+      if (!f.delete(st.getPath, false))
+        throw new java.io.IOException(s"avro-ocf: cannot truncate ${st.getPath}")
     }
     messages.collect { case m: AvroOcfCommit if m.tmpPath.nonEmpty => m }.foreach { m =>
-      val tmp = new File(m.tmpPath)
-      val dst = new File(new File(path), m.finalName)
-      if (!tmp.renameTo(dst))
+      val tmp = new Path(m.tmpPath)
+      val dst = new Path(dir, m.finalName)
+      if (!f.rename(tmp, dst))
         throw new java.io.IOException(s"avro-ocf: commit rename failed: $tmp -> $dst")
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: AvroOcfCommit => m }
-      .foreach(m => new File(m.tmpPath).delete())
+    messages.collect { case m: AvroOcfCommit if m.tmpPath.nonEmpty => m }.foreach { m =>
+      val tmp = new Path(m.tmpPath)
+      try GraftFs.fs(tmp, conf.value).delete(tmp, false)
+      catch { case _: Throwable => () }
+    }
 }
 
 case class AvroOcfWriterFactory(
@@ -278,11 +345,12 @@ case class AvroOcfWriterFactory(
     codec: String,
     deflateLevel: Int,
     syncEvery: Int,
-    writeId: String) extends DataWriterFactory {
+    writeId: String,
+    conf: SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new AvroOcfDataWriter(
       path, schemaJson, sparkSchema, codec, deflateLevel, syncEvery,
-      partitionId, taskId, writeId)
+      partitionId, taskId, writeId, conf)
 }
 
 class AvroOcfDataWriter(
@@ -294,13 +362,14 @@ class AvroOcfDataWriter(
     syncEvery: Int,
     partitionId: Int,
     taskId: Long,
-    writeId: String) extends DataWriter[InternalRow] {
+    writeId: String,
+    conf: SerializableConfiguration) extends DataWriter[InternalRow] {
 
   private val schema = new Schema.Parser().parse(schemaJson)
   // writeId leads: files sort job-major (append order), then by partition.
   private val finalName =
     f"part-$writeId-$partitionId%05d-$taskId${AvroOcfSource.FileSuffix}"
-  private val tmpFile = new File(new File(path), s".$finalName.tmp")
+  private val tmpPath = new Path(new Path(path), s".$finalName.tmp")
   private var writer: DataFileWriter[GenericRecord] = _ // opened on first row
   private var sinceSync = 0
 
@@ -313,7 +382,7 @@ class AvroOcfDataWriter(
       case "zstd" | "zstandard" => CodecFactory.zstandardCodec(3)
       case other => throw new IllegalArgumentException(s"avro-ocf: unknown codec '$other'")
     })
-    writer.create(schema, tmpFile)
+    writer.create(schema, GraftFs.fs(tmpPath, conf.value).create(tmpPath, true))
   }
 
   override def write(record: InternalRow): Unit = {
@@ -326,12 +395,13 @@ class AvroOcfDataWriter(
   override def commit(): WriterCommitMessage = {
     if (writer == null) return AvroOcfCommit("", "") // empty partition: no file
     writer.close(); writer = null
-    AvroOcfCommit(tmpFile.getAbsolutePath, finalName)
+    AvroOcfCommit(tmpPath.toString, finalName)
   }
 
   override def abort(): Unit = {
     if (writer != null) { try writer.close() catch { case _: Throwable => () }; writer = null }
-    tmpFile.delete()
+    try GraftFs.fs(tmpPath, conf.value).delete(tmpPath, false)
+    catch { case _: Throwable => () }
   }
 
   override def close(): Unit =
@@ -345,15 +415,16 @@ class AvroOcfScan(
     splitBytes: Long,
     prunedNames: Option[Seq[String]],
     maxFilesPerTrigger: Option[Int] = None) extends Scan {
+  private val conf = GraftFs.serializableConf()
   override def readSchema(): StructType = outSchema
 
-  private def partitionsOf(files: Seq[File]): Array[InputPartition] =
-    files.toArray.flatMap { f =>
-      val len = f.length()
+  private def partitionsOf(files: Seq[FileStatus]): Array[InputPartition] =
+    files.toArray.flatMap { st =>
+      val len = st.getLen
       val ranges = 0L until math.max(1L, (len + splitBytes - 1) / splitBytes)
       ranges.map { i =>
         AvroOcfPartition(
-          f.getAbsolutePath, readerJson, prunedNames,
+          st.getPath.toString, readerJson, prunedNames,
           start = i * splitBytes,
           end = math.min((i + 1) * splitBytes, len)): InputPartition
       }
@@ -361,8 +432,9 @@ class AvroOcfScan(
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      partitionsOf(AvroOcfSource.listFiles(path).toSeq)
-    override def createReaderFactory(): PartitionReaderFactory = AvroOcfReaderFactory
+      partitionsOf(AvroOcfSource.listFiles(path, conf.value).toSeq)
+    override def createReaderFactory(): PartitionReaderFactory =
+      AvroOcfReaderFactory(conf)
   }
 
   /** Streaming tail of a growing shard directory — the training-side
@@ -382,7 +454,8 @@ class AvroOcfScan(
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MicroBatchStream with SupportsAdmissionControl {
       private def namesAfter(boundary: String): Seq[String] =
-        AvroOcfSource.listFiles(path).map(_.getName).filter(_ > boundary).toSeq
+        AvroOcfSource.listFiles(path, conf.value)
+          .map(_.getPath.getName).filter(_ > boundary).toSeq
       private def offsetAt(boundary: String, take: Option[Int]): AvroOcfStreamOffset = {
         val fresh = namesAfter(boundary)
         val admitted = take.map(fresh.take).getOrElse(fresh)
@@ -404,10 +477,11 @@ class AvroOcfScan(
         val s = start.asInstanceOf[AvroOcfStreamOffset].lastName
         val e = end.asInstanceOf[AvroOcfStreamOffset].lastName
         partitionsOf(
-          AvroOcfSource.listFiles(path)
-            .filter(f => f.getName > s && f.getName <= e).toSeq)
+          AvroOcfSource.listFiles(path, conf.value)
+            .filter(st => st.getPath.getName > s && st.getPath.getName <= e).toSeq)
       }
-      override def createReaderFactory(): PartitionReaderFactory = AvroOcfReaderFactory
+      override def createReaderFactory(): PartitionReaderFactory =
+        AvroOcfReaderFactory(conf)
       override def commit(end: Offset): Unit = ()
       override def stop(): Unit = ()
     }
@@ -432,7 +506,8 @@ case class AvroOcfPartition(
     end: Long)
     extends InputPartition
 
-object AvroOcfReaderFactory extends PartitionReaderFactory {
+case class AvroOcfReaderFactory(conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[AvroOcfPartition]
     new PartitionReader[InternalRow] {
@@ -443,8 +518,10 @@ object AvroOcfReaderFactory extends PartitionReaderFactory {
           new GenericDatumReader[GenericRecord](null, new Schema.Parser().parse(j))
         case None => new GenericDatumReader[GenericRecord]()
       }
-      private val fileReader =
-        new DataFileReader[GenericRecord](new File(p.file), datumReader)
+      private val fileReader = {
+        val path = new Path(p.file)
+        AvroOcfSource.openReader(GraftFs.fs(path, conf.value), path, datumReader)
+      }
       // Position at the first block boundary at or past the range start
       // (sync(0) lands just past the header — the header ends with the sync
       // marker), then stop at the first boundary past the range end: every

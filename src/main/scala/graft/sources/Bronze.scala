@@ -95,18 +95,27 @@ object Bronze {
     * `ARCHITECTURE.md:191-231`). Here: write the rebuilt state to a fresh
     * versioned directory, then flip a one-row pointer file; readers resolve
     * the pointer first, so they always see a complete version.
+    *
+    * IO goes through the Hadoop FileSystem API, so `basePath` may live on
+    * `file:`, `hdfs:`, or `s3a:`. The pointer swap relies on directory
+    * rename being atomic — true on POSIX and HDFS; on S3A a rename is a
+    * copy, so host the POINTER directory (tiny) on a consistent store and
+    * keep only the bulk v* state on the object store if that matters.
     */
   def reAnchor(spark: SparkSession, basePath: String, newState: DataFrame): Long = {
     val pointer = s"$basePath/_current"
     val prior = s"$basePath/_current_prior"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = GraftFs.fs(base, conf)
     // Next version = 1 + max(pointer, shelved pointer, existing v* dirs):
     // the directory scan recovers from a crash that wrote v(N) but died
     // before the pointer swap — without it, the next re-anchor would
     // recompute N and trip errorifexists on the orphan.
-    val fromDirs = Option(new java.io.File(basePath).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toLong)
+    val fromDirs =
+      (if (fs.exists(base)) fs.listStatus(base) else Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+        .map(_.getPath.getName.drop(1).toLong)
     val version = (loadWatermark(spark, pointer, "version").toSeq ++
       loadWatermark(spark, prior, "version").toSeq ++ fromDirs)
       .foldLeft(0L)(math.max) + 1L
@@ -114,30 +123,48 @@ object Bronze {
     // pointer was lost but v$version survived, fail loudly rather than
     // rewrite a directory a reader may be resolving.
     newState.write.mode("errorifexists").parquet(s"$basePath/v$version")
-    // Pointer swap via renames (each atomic on a POSIX FS), not a parquet
+    // Pointer swap via renames (each atomic on POSIX/HDFS), not a parquet
     // overwrite (delete-then-write would expose readers to a torn pointer
     // for the whole write): stage the new pointer, shelve the old one, move
     // the staged one in. readCurrent falls back to the shelved pointer, so
     // the only mid-swap observation is the PREVIOUS complete version.
+    // The shelved prior is NOT deleted here — it survives until the NEXT
+    // re-anchor's shelving step, so a reader that missed `_current`
+    // mid-swap always finds a complete pointer to fall back on (deleting it
+    // eagerly reopened exactly that race at the tail of the swap).
     val staging = s"$basePath/_current_staging"
     saveWatermark(spark, staging, "version", version)
-    val fs = java.nio.file.FileSystems.getDefault
-    def rm(p: String): Unit = {
-      val d = new java.io.File(p)
-      if (d.exists()) { Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete() }
-    }
-    rm(prior)
-    if (new java.io.File(pointer).exists())
-      java.nio.file.Files.move(fs.getPath(pointer), fs.getPath(prior))
-    java.nio.file.Files.move(fs.getPath(staging), fs.getPath(pointer))
-    rm(prior)
+    def path(p: String) = new org.apache.hadoop.fs.Path(p)
+    def mv(src: String, dst: String): Unit =
+      if (!fs.rename(path(src), path(dst)))
+        throw new java.io.IOException(s"bronze re-anchor: rename failed: $src -> $dst")
+    if (fs.exists(path(prior))) fs.delete(path(prior), true)
+    if (fs.exists(path(pointer))) mv(pointer, prior)
+    mv(staging, pointer)
     version
   }
 
-  def readCurrent(spark: SparkSession, basePath: String): Option[DataFrame] =
-    loadWatermark(spark, s"$basePath/_current", "version")
-      .orElse(loadWatermark(spark, s"$basePath/_current_prior", "version"))
+  /** Resolve the current version via the pointer, falling back to the
+    * shelved prior pointer (and then retrying the pointer once) so a reader
+    * racing [[reAnchor]]'s swap window — `_current` renamed away but the
+    * staged replacement not yet in, or `_current_prior` being reclaimed by
+    * the NEXT re-anchor — lands on a complete version instead of None or a
+    * half-deleted-directory AnalysisException.
+    */
+  def readCurrent(spark: SparkSession, basePath: String): Option[DataFrame] = {
+    val pointer = s"$basePath/_current"
+    val prior = s"$basePath/_current_prior"
+    // The prior read tolerates ANY analysis error (it may legitimately be
+    // mid-delete under the next re-anchor); the pointer reads keep
+    // loadWatermark's strict contract — only PROVABLY ABSENT maps to None.
+    def tolerant(p: String): Option[Long] =
+      try loadWatermark(spark, p, "version")
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    loadWatermark(spark, pointer, "version")
+      .orElse(tolerant(prior))
+      .orElse(loadWatermark(spark, pointer, "version"))
       .map(v => spark.read.parquet(s"$basePath/v$v"))
+  }
 
   /** K7: durable watermark (one-row parquet). */
   def saveWatermark(spark: SparkSession, path: String, key: String, valueMs: Long): Unit = {

@@ -1,8 +1,10 @@
 package graft.sources
 
-import java.io.{DataInputStream, File, FileInputStream}
+import java.io.DataInputStream
 import java.util
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -12,6 +14,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** `sbe-frames` — a real DataSource V2 source for the reference's SBE feed
   * (SURVEY §2.1 S1, `binance_sbe.py:140-191`), replacing the round-1/2
@@ -26,14 +29,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * deterministic, checkpointable offsets — restart/reconnect becomes offset
   * replay instead of bespoke backoff loops.
   *
-  * Offsets are (files, tailBytes): `files` frame files fully consumed in
-  * lexicographic order, plus `tailBytes` of the next one. The
-  * lexicographically LAST file is the live capture target and may grow;
-  * every earlier file is frozen (the capture rolls with increasing names —
-  * the reference's reconnect boundaries do exactly this). `latestOffset`
-  * walks the active file's length prefixes to the last COMPLETE frame
-  * boundary, so an in-flight append is never half-consumed: tail latency is
-  * one trigger, not one file roll.
+  * Offsets are (file, tailBytes): every file named before `file` is fully
+  * consumed, plus `tailBytes` of `file` itself. The lexicographically LAST
+  * file is the live capture target and may grow; every earlier file is
+  * frozen (the capture rolls with increasing names — the reference's
+  * reconnect boundaries do exactly this). `latestOffset` walks the active
+  * file's length prefixes to the last COMPLETE frame boundary, so an
+  * in-flight append is never half-consumed: tail latency is one trigger,
+  * not one file roll.
+  *
+  * Storage: all paths go through the Hadoop FileSystem API ([[GraftFs]]) —
+  * a capture directory can live on `file:`, `hdfs:`, or `s3a:`; executors
+  * resolve the FileSystem from a [[SerializableConfiguration]] carried by
+  * the reader factory. The journal directory contract is the same on every
+  * scheme: files appear/grow under increasing names (on object stores
+  * without append, the capture uploads closed rolls — each file is then
+  * frozen on arrival and only the tail-walk optimization is moot).
   *
   * Scale shape: one InputPartition per frame file (plus one bounded tail
   * range), so a 1000-executor cluster tails a wide capture directory with
@@ -58,26 +69,30 @@ object SbeFrameSource {
     */
   val MaxFrameBytes: Int = 16 << 20
 
-  private[sources] def listFrameFiles(dir: String): Array[File] = {
-    val d = new File(dir)
-    val fs = Option(d.listFiles()).getOrElse(Array.empty[File])
-    fs.filter(f => f.isFile && f.getName.endsWith(FileSuffix)).sortBy(_.getName)
-  }
+  private[sources] def listFrameFiles(
+      dir: String,
+      conf: Configuration = GraftFs.conf()): Array[FileStatus] =
+    GraftFs.listBySuffix(dir, FileSuffix, conf)
 
   /** Byte offset just past the last COMPLETE frame in `file` — the safe
     * consumption boundary for a file that may still be appended to. Walks
-    * length prefixes with seeks (no payload reads) starting from `from`,
+    * length prefixes with skips (no payload reads) starting from `from`,
     * which MUST be a known frame boundary (0, or a previously returned
     * boundary — the admission-control path resumes from the checkpointed
     * tail so each trigger walks only the new suffix, not the whole file).
-    * A corrupt prefix (negative or > [[MaxFrameBytes]]) ends the walk at
-    * the last good boundary — never a mis-seek or an EOF throw.
+    * The walk is bounded by the file length OBSERVED AT LIST TIME
+    * (`st.getLen`), not the stream's moving EOF, so a concurrent append
+    * cannot push the boundary past what the planner saw. A corrupt prefix
+    * (negative or > [[MaxFrameBytes]]) ends the walk at the last good
+    * boundary — never a mis-seek or an EOF throw.
     */
-  private[sources] def completeFrameBoundary(file: File, from: Long = 0L): Long = {
-    val len = file.length()
-    val in = new DataInputStream(new java.io.BufferedInputStream(new FileInputStream(file)))
+  private[sources] def completeFrameBoundary(
+      f: FileSystem, st: FileStatus, from: Long = 0L): Long = {
+    val len = st.getLen
+    val raw = f.open(st.getPath)
+    val in = try { raw.seek(from); new DataInputStream(new java.io.BufferedInputStream(raw)) }
+    catch { case e: Throwable => raw.close(); throw e }
     try {
-      in.skipNBytes(from)
       var pos = from
       var boundary = from
       var done = false
@@ -101,17 +116,19 @@ object SbeFrameSource {
   /** Capture-side writer (ingest/test fixture, not the query hot path):
     * one length-prefixed frame file.
     */
-  def writeFrameFile(file: File, frames: Seq[Array[Byte]]): Unit =
-    writeFrames(file, frames, append = false)
+  def writeFrameFile(file: java.io.File, frames: Seq[Array[Byte]]): Unit =
+    writeFrames(new Path(file.toURI), frames, append = false, GraftFs.conf())
 
   /** Capture-side APPEND to the active file (live-feed fixture). */
-  def appendFrameFile(file: File, frames: Seq[Array[Byte]]): Unit =
-    writeFrames(file, frames, append = true)
+  def appendFrameFile(file: java.io.File, frames: Seq[Array[Byte]]): Unit =
+    writeFrames(new Path(file.toURI), frames, append = true, GraftFs.conf())
 
-  private def writeFrames(file: File, frames: Seq[Array[Byte]], append: Boolean): Unit = {
-    val out = new java.io.DataOutputStream(
-      new java.io.BufferedOutputStream(new java.io.FileOutputStream(file, append)))
-    try frames.foreach { f => out.writeInt(f.length); out.write(f) }
+  private[sources] def writeFrames(
+      path: Path, frames: Seq[Array[Byte]], append: Boolean, conf: Configuration): Unit = {
+    val f = GraftFs.fs(path, conf)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      if (append && f.exists(path)) f.append(path) else f.create(path, true)))
+    try frames.foreach { fr => out.writeInt(fr.length); out.write(fr) }
     finally out.close()
   }
 }
@@ -144,15 +161,18 @@ class SbeFrameTable(path: String) extends Table with SupportsRead {
 }
 
 class SbeFrameScan(path: String, maxFilesPerTrigger: Option[Int]) extends Scan {
+  // Captured ONCE on the driver while the session is on this thread; tasks
+  // get it via the reader factory's SerializableConfiguration.
+  private val conf = GraftFs.serializableConf()
   override def readSchema(): StructType = SbeFrameSource.Schema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      SbeFrameSource.listFrameFiles(path)
-        .map(f => SbeFramePartition(f.getAbsolutePath, 0L, -1L): InputPartition)
-    override def createReaderFactory(): PartitionReaderFactory = SbeFrameReaderFactory
+      SbeFrameSource.listFrameFiles(path, conf.value)
+        .map(st => SbeFramePartition(st.getPath.toString, 0L, -1L): InputPartition)
+    override def createReaderFactory(): PartitionReaderFactory = SbeFrameReaderFactory(conf)
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SbeFrameMicroBatchStream(path, maxFilesPerTrigger)
+    new SbeFrameMicroBatchStream(path, maxFilesPerTrigger, conf)
 }
 
 /** Every file named lexicographically BEFORE `file` is fully consumed,
@@ -169,7 +189,10 @@ case class SbeFrameOffset(file: String, tailBytes: Long) extends Offset {
   * polls bounded record batches per shard iteration) — a catch-up after
   * downtime becomes N bounded batches instead of one giant one.
   */
-class SbeFrameMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int])
+class SbeFrameMicroBatchStream(
+    path: String,
+    maxFilesPerTrigger: Option[Int],
+    conf: SerializableConfiguration = GraftFs.serializableConf())
     extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = SbeFrameOffset("", 0L)
@@ -179,14 +202,16 @@ class SbeFrameMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int])
     * per-trigger cost is O(new frames), not O(file).
     */
   private def available(resume: Option[SbeFrameOffset]): SbeFrameOffset = {
-    val files = SbeFrameSource.listFrameFiles(path)
+    val files = SbeFrameSource.listFrameFiles(path, conf.value)
     if (files.isEmpty) SbeFrameOffset("", 0L)
     else {
       val active = files.last
       val from = resume
-        .filter(_.file == active.getName).map(_.tailBytes).getOrElse(0L)
+        .filter(_.file == active.getPath.getName).map(_.tailBytes).getOrElse(0L)
+      val f = GraftFs.fs(active.getPath, conf.value)
       SbeFrameOffset(
-        active.getName, SbeFrameSource.completeFrameBoundary(active, from))
+        active.getPath.getName,
+        SbeFrameSource.completeFrameBoundary(f, active, from))
     }
   }
 
@@ -203,7 +228,7 @@ class SbeFrameMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int])
         // consumed by a later trigger once all complete files are behind
         // the offset. `pending` counts from the partially-consumed start
         // file itself, matching the index-based semantics this replaces.
-        val names = SbeFrameSource.listFrameFiles(path).map(_.getName)
+        val names = SbeFrameSource.listFrameFiles(path, conf.value).map(_.getPath.getName)
         val pending =
           if (from.file.isEmpty) names.toSeq else names.filter(_ >= from.file).toSeq
         if (m.maxFiles() < pending.length) SbeFrameOffset(pending(m.maxFiles()), 0L)
@@ -233,7 +258,7 @@ class SbeFrameMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int])
         val t = tail.getOrElse(0L)
         if (n == 0 && t == 0L) SbeFrameOffset("", 0L)
         else {
-          val names = SbeFrameSource.listFrameFiles(path).map(_.getName)
+          val names = SbeFrameSource.listFrameFiles(path, conf.value).map(_.getPath.getName)
           if (n < names.length) SbeFrameOffset(names(n), t)
           else throw new IllegalStateException(
             s"sbe-frames: legacy offset index $n does not map onto the " +
@@ -249,28 +274,26 @@ class SbeFrameMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int])
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SbeFrameOffset]
     val e = end.asInstanceOf[SbeFrameOffset]
-    val files = SbeFrameSource.listFrameFiles(path)
+    val files = SbeFrameSource.listFrameFiles(path, conf.value)
+    def pathOf(name: String): Option[String] =
+      files.find(_.getPath.getName == name).map(_.getPath.toString)
     val parts = Seq.newBuilder[InputPartition]
     if (s.file == e.file) {
       if (e.tailBytes > s.tailBytes)
-        files.find(_.getName == s.file).foreach(f =>
-          parts += SbeFramePartition(f.getAbsolutePath, s.tailBytes, e.tailBytes))
+        pathOf(s.file).foreach(p => parts += SbeFramePartition(p, s.tailBytes, e.tailBytes))
     } else {
       // the rest of the file the start offset was tailing (now frozen)
-      files.find(_.getName == s.file).foreach(f =>
-        parts += SbeFramePartition(f.getAbsolutePath, s.tailBytes, -1L))
+      pathOf(s.file).foreach(p => parts += SbeFramePartition(p, s.tailBytes, -1L))
       // fully-consumed files in between (by NAME, immune to deletions)
-      files.filter(f => f.getName > s.file && f.getName < e.file).foreach { f =>
-        parts += SbeFramePartition(f.getAbsolutePath, 0L, -1L)
-      }
+      files.filter(st => st.getPath.getName > s.file && st.getPath.getName < e.file)
+        .foreach(st => parts += SbeFramePartition(st.getPath.toString, 0L, -1L))
       // the new active file's complete prefix
       if (e.tailBytes > 0)
-        files.find(_.getName == e.file).foreach(f =>
-          parts += SbeFramePartition(f.getAbsolutePath, 0L, e.tailBytes))
+        pathOf(e.file).foreach(p => parts += SbeFramePartition(p, 0L, e.tailBytes))
     }
     parts.result().toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory = SbeFrameReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = SbeFrameReaderFactory(conf)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -282,14 +305,19 @@ class SbeFrameMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int])
 case class SbeFramePartition(file: String, fromByte: Long, untilByte: Long)
     extends InputPartition
 
-object SbeFrameReaderFactory extends PartitionReaderFactory {
+case class SbeFrameReaderFactory(conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SbeFramePartition]
     new PartitionReader[InternalRow] {
-      private val in = new DataInputStream(
-        new java.io.BufferedInputStream(new FileInputStream(p.file)))
-      in.skipNBytes(p.fromByte)
-      private val fileName = UTF8String.fromString(new File(p.file).getName)
+      private val path = new Path(p.file)
+      private val in = {
+        val raw = GraftFs.fs(path, conf.value).open(path)
+        try raw.seek(p.fromByte)
+        catch { case e: Throwable => raw.close(); throw e }
+        new DataInputStream(new java.io.BufferedInputStream(raw))
+      }
+      private val fileName = UTF8String.fromString(path.getName)
       private var pos = p.fromByte
       private var row: InternalRow = _
 

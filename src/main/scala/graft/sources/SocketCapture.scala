@@ -1,8 +1,10 @@
 package graft.sources
 
-import java.io.{DataInputStream, DataOutputStream, EOFException, File, FileOutputStream}
+import java.io.{DataInputStream, DataOutputStream, EOFException}
 import java.net.Socket
 import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.Path
 
 /** Live TCP feed → rolling capture journal: the receiver half of the
   * reference's WS/Kinesis consumers (`services/sbe_ingestor`,
@@ -29,7 +31,7 @@ import java.util.concurrent.atomic.AtomicLong
 final class SocketCapture(
     host: String,
     port: Int,
-    dir: File,
+    dir: String,
     rollBytes: Long = 64L << 20,
     flushEveryFrames: Int = 1,
     maxFrameBytes: Int = 16 << 20) extends AutoCloseable {
@@ -37,24 +39,33 @@ final class SocketCapture(
   private val framesJournaled = new AtomicLong(0)
   @volatile private var failure: Option[Throwable] = None
   private val socket = new Socket(host, port)
+  // Captured on the constructing thread (where a Spark session, if any,
+  // is registered); the receiver thread must not re-resolve it.
+  private val hadoopConf = GraftFs.conf()
 
   private val thread = new Thread(() => run(), s"socket-capture-$host:$port")
   thread.setDaemon(true)
   thread.start()
 
-  private def nextFile(idx: Int): File =
-    new File(dir, f"capture_$idx%05d${SbeFrameSource.FileSuffix}")
+  private def nextFile(idx: Int): Path =
+    new Path(dir, f"capture_$idx%05d${SbeFrameSource.FileSuffix}")
 
   private def run(): Unit = {
     val in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream))
-    var fileIdx = SbeFrameSource.listFrameFiles(dir.toString).length
+    var fileIdx = SbeFrameSource.listFrameFiles(dir, hadoopConf).length
     var out: DataOutputStream = null
     var written = 0L
     var sinceFlush = 0
     def roll(): Unit = {
       if (out != null) out.close()
-      out = new DataOutputStream(
-        new java.io.BufferedOutputStream(new FileOutputStream(nextFile(fileIdx))))
+      // Journal files are written via the Hadoop FS API (file:/hdfs:; an
+      // object store without flush-visibility would journal closed rolls
+      // only — set rollBytes small there). The per-frame flush pushes
+      // complete frames toward the tailing source's boundary walk.
+      val p = nextFile(fileIdx)
+      val f = GraftFs.fs(p, hadoopConf)
+      if (fileIdx == 0) f.mkdirs(new Path(dir))
+      out = new DataOutputStream(new java.io.BufferedOutputStream(f.create(p, true)))
       fileIdx += 1
       written = 0L
     }

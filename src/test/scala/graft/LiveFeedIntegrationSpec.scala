@@ -68,7 +68,7 @@ class LiveFeedIntegrationSpec extends SparkSpec {
       .orderBy("trade_id").collect().map(_.getAs[Array[Byte]]("frame")).toSeq
     val dir = java.nio.file.Files.createTempDirectory("graft_live_sbe_").toFile
     val (port, release) = serveGated(frames, firstHalf = 120)
-    val cap = new SocketCapture("localhost", port, dir)
+    val cap = new SocketCapture("localhost", port, dir.toString)
     val q = spark.readStream.format("sbe-frames").load(dir.toString)
       .select(Sbe.decodeTrade(col("frame")).getField("trade_id").as("id"))
       .writeStream.outputMode("append").format("memory").queryName("live_sbe")
@@ -105,7 +105,7 @@ class LiveFeedIntegrationSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     val dir = java.nio.file.Files.createTempDirectory("graft_live_avro_").toFile
     val (port, release) = serveGated(frames, firstHalf = 80)
-    val cap = new SocketCapture("localhost", port, dir)
+    val cap = new SocketCapture("localhost", port, dir.toString)
     val q = spark.readStream.format("sbe-frames").load(dir.toString)
       .select(Avro.decode(col("frame"), Avro.TradeSchemaJson).as("d"))
       .select(

@@ -50,7 +50,7 @@ class SocketCaptureSpec extends SparkSpec {
     val frames = tradeFrames(300)
     val dir = java.nio.file.Files.createTempDirectory("graft_sockcap_").toFile
     val (port, _) = serve(frames)
-    val cap = new SocketCapture("localhost", port, dir, rollBytes = 4096)
+    val cap = new SocketCapture("localhost", port, dir.toString, rollBytes = 4096)
     cap.awaitCompletion()
     assert(cap.journaledCount === frames.size)
     // the journal rolled: many small files, not one blob
@@ -67,7 +67,7 @@ class SocketCaptureSpec extends SparkSpec {
     val frames = tradeFrames(50)
     val dir = java.nio.file.Files.createTempDirectory("graft_sockcap_cut_").toFile
     val (port, _) = serve(frames, truncateTail = true)
-    val cap = new SocketCapture("localhost", port, dir)
+    val cap = new SocketCapture("localhost", port, dir.toString)
     cap.awaitCompletion()
     assert(cap.journaledCount === frames.size) // the torn 51st never lands
     val n = spark.read.format("sbe-frames").load(dir.toString)
@@ -85,7 +85,7 @@ class SocketCaptureSpec extends SparkSpec {
       out.flush(); sock.close(); server.close()
     }, "corrupt-server")
     t.setDaemon(true); t.start()
-    val cap = new SocketCapture("localhost", server.getLocalPort, dir, maxFrameBytes = 1 << 20)
+    val cap = new SocketCapture("localhost", server.getLocalPort, dir.toString, maxFrameBytes = 1 << 20)
     val e = intercept[java.io.StreamCorruptedException](cap.awaitCompletion())
     assert(e.getMessage.contains("framing error"))
     assert(cap.journaledCount === 0)
@@ -97,7 +97,7 @@ class SocketCaptureSpec extends SparkSpec {
     val second = tradeFrames(40).drop(20)
     for (batch <- Seq(first, second)) {
       val (port, _) = serve(batch)
-      val cap = new SocketCapture("localhost", port, dir, rollBytes = 2048)
+      val cap = new SocketCapture("localhost", port, dir.toString, rollBytes = 2048)
       cap.awaitCompletion()
     }
     val ids = spark.read.format("sbe-frames").load(dir.toString)
