@@ -190,17 +190,20 @@ object VectorOps {
     * collect per round is the same driver traffic the final LocalRelation
     * needed anyway.
     *
-    * Determinism: the per-dimension mean is a sequential fold in id order
-    * (sorted `collect_list` + `aggregate`), NOT `avg()` — double `avg`
-    * merges partial sums in shuffle-arrival order, which is run- and
-    * engine-dependent, and a low-bit difference in a centroid can flip a
-    * nearest-cell assignment. The ordered fold is bit-reproducible anywhere,
-    * which is what lets the DuckDB oracle unroll the same iterations. (The
-    * per-(cell, dim) value list is the member count of one cell — if cells
-    * get huge and bit-reproducibility is not required, `exactMeans = false`
-    * switches to plain `avg()`: map-side partial sums, shuffle volume
-    * O(cells × dims) instead of O(rows × dims) — the production dial,
-    * recall-equivalence spec-asserted.)
+    * Determinism: BOTH mean modes are order-independent and therefore
+    * oracle-reproducible — double `avg()` would merge partial sums in
+    * shuffle-arrival order, which is run- and engine-dependent, and a
+    * low-bit difference in a centroid can flip a nearest-cell assignment.
+    * `exactMeans = true` uses a sequential fold in id order (sorted
+    * `collect_list` + `aggregate`): bit-identical to the unrolled DuckDB
+    * left fold, but the whole cell's values cross the shuffle as a list per
+    * (cell, dim) — O(rows × dims) shuffle volume. `exactMeans = false` is
+    * the production dial: sums accumulate in DECIMAL(38,12) (exact, so
+    * associative and merge-order-free — the same cross-engine primitive v8
+    * standardization uses) with map-side partials, shuffle volume
+    * O(cells × dims); the mean differs from the exact fold only by the
+    * 1e-12 decimal quantization, and recall equivalence against the exact
+    * path is spec-asserted on top of its own unrolled oracle.
     */
   def ivfAssign(
       vecs: DataFrame, // id, embedding
@@ -225,13 +228,13 @@ object VectorOps {
       // unrolled oracle's GROUP BY), so later rounds rank fewer centroids.
       val assigned = assignCids(v, cents)
         .select(col("cid"), col("id"), posexplode(col("v")).as(Seq("dim", "x")))
-      // exactMeans: id-ordered sequential fold — bit-reproducible under any
-      // partitioning (what the unrolled DuckDB oracle needs), but the whole
-      // cell's values cross the shuffle as a collect_list per (cell, dim).
-      // Fast path: plain avg() — map-side partial sums make shuffle volume
-      // O(cells × dims) instead of O(rows × dims), the production shape when
-      // cells are huge and low-bit reproducibility across partitionings is
-      // not required.
+      // exactMeans: id-ordered sequential fold — bit-identical to a DuckDB
+      // left fold over the same order, but the whole cell's values cross the
+      // shuffle as a collect_list per (cell, dim). Fast path: DECIMAL power
+      // sums — exact, so merge-order-free (deterministic under any
+      // partitioning, unlike double avg()), while keeping map-side partial
+      // aggregation: shuffle volume O(cells × dims) instead of
+      // O(rows × dims), the production shape for huge cells.
       val means =
         if (exactMeans)
           assigned
@@ -245,7 +248,11 @@ object VectorOps {
               count(lit(1)).as("n"))
             .withColumn("m", col("sx") / col("n"))
         else
-          assigned.groupBy("cid", "dim").agg(avg(col("x")).as("m"))
+          assigned.groupBy("cid", "dim")
+            .agg(
+              sum(col("x").cast("decimal(38,12)")).cast("double").as("sx"),
+              count(lit(1)).as("n"))
+            .withColumn("m", col("sx") / col("n"))
       cents = means
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))

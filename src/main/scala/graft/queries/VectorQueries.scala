@@ -45,13 +45,15 @@ object VectorQueries {
         queryIds = (0L until 10L).toSeq, k = 3, nCells = 8)
     },
     // V4-fast — the PRODUCTION IVF shape: exactMeans=false swaps the
-    // id-ordered mean fold for plain avg(), cutting centroid-update shuffle
-    // volume from O(rows × dims) to O(cells × dims) via map-side partial
-    // sums. avg()'s merge order is partitioning-dependent, so no DuckDB
-    // oracle applies (declared without oracleSql → rows-only gate); result
-    // equivalence with the exact path is spec-asserted (ExtensionOpsSpec
-    // "ivf fast-means path"). This row exists to document the production
-    // path's cost next to the oracle-reproducible exact fold in x_v4.
+    // id-ordered mean fold for order-free DECIMAL power sums, cutting
+    // centroid-update shuffle volume from O(rows × dims) to O(cells × dims)
+    // via map-side partial aggregation. Decimal addition is exact, so the
+    // result is deterministic under ANY partitioning (unlike the avg() this
+    // replaced) — which is what lets this row carry a full rows+schema+hash
+    // DuckDB oracle (the same unrolled Lloyd SQL as x_v4 with a decimal
+    // update step) instead of the previous rows-only gate. Recall
+    // equivalence with the exact fold is additionally spec-asserted
+    // (ExtensionOpsSpec "ivf fast-means path").
     "x_v4_fast" -> { (s, dir) =>
       VectorOps.annTopKIvf(
         Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding")),
@@ -124,13 +126,17 @@ object VectorQueries {
       .mkString(" + ")
 
   /** DuckDB unroll of [[VectorOps.ivfAssign]] + [[VectorOps.annTopKIvf]]:
-    * same first-k seed, the same `iterations` assign→update rounds with
-    * id-ordered sequential mean folds (`list_sum(list(x ORDER BY id))` is a
-    * left fold, verified bit-identical to Spark's `aggregate`), then the
-    * cell-probed top-k.
+    * same first-k seed, the same `iterations` assign→update rounds, then the
+    * cell-probed top-k. The mean update mirrors the Spark mode:
+    * `decimalMeans = false` (exact path) is the id-ordered sequential fold
+    * (`list_sum(list(x ORDER BY id))` is a left fold, verified bit-identical
+    * to Spark's `aggregate`); `decimalMeans = true` (the x_v4_fast
+    * production path) is the order-free DECIMAL(38,12) power sum — the same
+    * cross-engine primitive the v8 oracle uses.
     */
   private def ivfOracleSql(
-      k: Int, dim: Int, iterations: Int, nQueries: Int, topK: Int, nProbe: Int = 1): String = {
+      k: Int, dim: Int, iterations: Int, nQueries: Int, topK: Int,
+      nProbe: Int = 1, decimalMeans: Boolean = false): String = {
     def d2(v: String, c: String) =
       s"list_sum(list_transform(generate_series(1, $dim), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
     def assign(name: String, cPrev: String) =
@@ -140,10 +146,13 @@ object VectorQueries {
          |      SELECT e.id, e.v, c.cid, ${d2("e.v", "c.c")} AS d2
          |      FROM e CROSS JOIN $cPrev c) dd) rr
          |  WHERE rn = 1)""".stripMargin
+    val meanExpr =
+      if (decimalMeans) "CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*)"
+      else "list_sum(list(x ORDER BY id)) / count(*)"
     def update(name: String, aPrev: String) =
       s"""$name AS (
          |  SELECT cid, list(m ORDER BY dim) AS c FROM (
-         |    SELECT cid, dim, list_sum(list(x ORDER BY id)) / count(*) AS m FROM (
+         |    SELECT cid, dim, $meanExpr AS m FROM (
          |      SELECT a.cid, a.id, g.i AS dim, a.v[g.i] AS x
          |      FROM $aPrev a CROSS JOIN generate_series(1, $dim) g(i)) xx
          |    GROUP BY cid, dim) mm
@@ -203,6 +212,8 @@ object VectorQueries {
          |WHERE round($cos, 6) >= 0.35""".stripMargin
     },
     "x_v4_ann_ivf" -> ivfOracleSql(k = 8, dim = 64, iterations = 3, nQueries = 10, topK = 3),
+    "x_v4_fast" -> ivfOracleSql(
+      k = 8, dim = 64, iterations = 3, nQueries = 10, topK = 3, decimalMeans = true),
     "x_v5_ann_ivf_probe2" ->
       ivfOracleSql(k = 8, dim = 64, iterations = 3, nQueries = 10, topK = 3, nProbe = 2),
     "v1_ann_topk" -> {

@@ -372,7 +372,7 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(joined === exprd)
   }
 
-  test("ivf fast-means path (avg) matches exact-means results at sf0.001") {
+  test("ivf fast-means path (decimal sums) matches exact-means results at sf0.001") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("id"), col("embedding"))
     val qs = (0L until 6L).toSeq
@@ -383,8 +383,9 @@ class ExtensionOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = run(true)
     val fast = run(false)
-    // avg() differs from the ordered fold only in low-order bits; a boundary
-    // assignment can flip in principle, so assert high overlap, not identity.
+    // the decimal-sum mean differs from the ordered double fold only by the
+    // 1e-12 decimal quantization; a boundary assignment can flip in
+    // principle, so assert high overlap, not identity.
     val overlap = (exact & fast).size.toDouble / exact.size
     assert(overlap >= 0.8, s"fast-means recall vs exact collapsed: $overlap")
     assert(fast.groupBy(_._1).forall(_._2.size == 5), "k results per query")
