@@ -10,10 +10,13 @@ import org.apache.spark.sql.SparkSession
   * therefore reports BOTH:
   *   - `queries_sweep`: one timed pass in sorted order, after warmup — the
   *     historical sweep number, kept for round-over-round comparability;
-  *   - `queries`: per-query MEDIAN of `SPARK_GRAFT_RUNS` (default 3)
-  *     back-to-back runs, GC-settled (System.gc() before each query's run
-  *     group) — the trustworthy regression-detection number, with per-query
-  *     min/max spread in `spread`.
+  *   - `queries`: per-query MEDIAN across `SPARK_GRAFT_RUNS` (default 3)
+  *     INTERLEAVED full rounds over the query set (gc+settle between
+  *     rounds) — the trustworthy regression-detection number, with
+  *     per-query min/max spread in `spread`. Interleaving (r7) makes a
+  *     time-local disturbance a round effect the median discards for every
+  *     query equally, instead of a bias against whichever queries run
+  *     first.
   * `value` (the headline total) sums the medians. `SPARK_GRAFT_RUNS=1`
   * restores the legacy behavior (queries == the single sweep pass, no
   * spread). `SPARK_GRAFT_ONLY=a,b` restricts the query set for local
@@ -32,6 +35,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // 97 queries × several codegen stages far exceeds the default
+      // 100-entry generated-code cache; with interleaved rounds every query
+      // would otherwise RECOMPILE its codegen each round (measured +0.1-0.8 s
+      // per query, uniformly) — a bench-harness artifact, not a plan cost.
+      // A production job runs few queries repeatedly and never sees this.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // noop sink: materializes EVERY output column (a bare count() lets
@@ -72,18 +81,27 @@ object Bench {
     selected.foreach { case (name, fn) => runLogged(name, fn) }
     // Pass 1 — the historical sweep: one timed run per query, sorted order.
     val sweep = selected.map { case (name, fn) => name -> timed(name, fn) }
-    // Pass 2 — isolated medians: GC-settle, then `runs` back-to-back runs
-    // per query; the median discards the one-JVM GC outliers that dominate
-    // sweep variance. The sweep leaves the JVM full of dead checkpoint/
-    // broadcast blocks whose ASYNC ContextCleaner removals race the first
-    // timed runs (measured inflating the alphabetically-early queries ~2×),
-    // so drain it: gc to enqueue the cleanups, then a settle pause before
-    // the phase and a short one per query group.
+    // Pass 2 — interleaved medians: `runs` full ROUNDS over the query set
+    // (sorted order within each round), per-query median taken ACROSS
+    // rounds. Back-to-back per-query run groups (the previous shape) left a
+    // residual ~1.4× inflation of the alphabetically-early queries: the
+    // sweep's dead checkpoint/broadcast blocks drain via ASYNC
+    // ContextCleaner removals that race whatever runs first, and a settle
+    // pause can only shrink that window, not close it. Interleaving turns
+    // any time-local disturbance (cleaner drain, heap growth, a GC storm)
+    // into a ROUND effect hitting every query once — and the median across
+    // rounds discards one bad round per query uniformly, wherever it sits
+    // in the alphabet. Each round starts with its own gc+settle so
+    // cross-round state (the previous round's dead blocks) drains between
+    // rounds rather than inside the next round's first queries.
     val medians = if (runs > 1) {
       System.gc(); Thread.sleep(3000); System.gc(); Thread.sleep(1000)
-      selected.map { case (name, fn) =>
-        System.gc(); Thread.sleep(100)
-        val ts = Seq.fill(runs)(timed(name, fn)).sorted
+      val rounds = (0 until runs).map { _ =>
+        System.gc(); Thread.sleep(500)
+        selected.map { case (name, fn) => timed(name, fn) }
+      }
+      selected.zipWithIndex.map { case ((name, _), i) =>
+        val ts = rounds.map(_(i)).sorted
         (name, ts(ts.length / 2), ts.head, ts.last)
       }
     } else sweep.map { case (n, t) => (n, t, t, t) }
