@@ -59,6 +59,10 @@ object Materialize {
 
   /** RDD-level cache of `df`: compute-once, lineage-preserving (executor
     * loss → recompute, not failure), ContextCleaner-managed. See class doc.
+    * No multi-executor environment exists in-sandbox to kill a real
+    * executor; the closest analog — evicting the persisted blocks
+    * mid-consumption and asserting the result recomputes unchanged — is
+    * exercised by ExtensionOpsSpec "survives simulated block loss".
     */
   def cached(df: DataFrame, eager: Boolean): DataFrame = {
     val rdd = df.queryExecution.toRdd.map(_.copy())

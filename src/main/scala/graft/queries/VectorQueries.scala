@@ -45,12 +45,13 @@ object VectorQueries {
         queryIds = (0L until 10L).toSeq, k = 3, nCells = 8)
     },
     // V4-fast — the PRODUCTION IVF shape: exactMeans=false swaps the
-    // id-ordered mean fold for order-free DECIMAL power sums, cutting
+    // id-ordered mean fold for order-free fixed-point LONG power sums
+    // (floor(x·1e8 + 0.5), the engine-portable rounding), cutting
     // centroid-update shuffle volume from O(rows × dims) to O(cells × dims)
-    // via map-side partial aggregation. Decimal addition is exact, so the
+    // via map-side partial aggregation. Integer addition is exact, so the
     // result is deterministic under ANY partitioning (unlike the avg() this
     // replaced) — which is what lets this row carry a full rows+schema+hash
-    // DuckDB oracle (the same unrolled Lloyd SQL as x_v4 with a decimal
+    // DuckDB oracle (the same unrolled Lloyd SQL as x_v4 with a fixed-point
     // update step) instead of the previous rows-only gate. Recall
     // equivalence with the exact fold is additionally spec-asserted
     // (ExtensionOpsSpec "ivf fast-means path").
@@ -128,15 +129,16 @@ object VectorQueries {
   /** DuckDB unroll of [[VectorOps.ivfAssign]] + [[VectorOps.annTopKIvf]]:
     * same first-k seed, the same `iterations` assign→update rounds, then the
     * cell-probed top-k. The mean update mirrors the Spark mode:
-    * `decimalMeans = false` (exact path) is the id-ordered sequential fold
+    * `fixedPointMeans = false` (exact path) is the id-ordered sequential fold
     * (`list_sum(list(x ORDER BY id))` is a left fold, verified bit-identical
-    * to Spark's `aggregate`); `decimalMeans = true` (the x_v4_fast
-    * production path) is the order-free DECIMAL(38,12) power sum — the same
-    * cross-engine primitive the v8 oracle uses.
+    * to Spark's `aggregate`); `fixedPointMeans = true` (the x_v4_fast
+    * production path) is the order-free fixed-point LONG power sum
+    * (`floor(x·1e8 + 0.5)` — both engines floor in double, sum as
+    * integers, divide back identically).
     */
   private def ivfOracleSql(
       k: Int, dim: Int, iterations: Int, nQueries: Int, topK: Int,
-      nProbe: Int = 1, decimalMeans: Boolean = false): String = {
+      nProbe: Int = 1, fixedPointMeans: Boolean = false): String = {
     def d2(v: String, c: String) =
       s"list_sum(list_transform(generate_series(1, $dim), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
     def assign(name: String, cPrev: String) =
@@ -147,7 +149,8 @@ object VectorQueries {
          |      FROM e CROSS JOIN $cPrev c) dd) rr
          |  WHERE rn = 1)""".stripMargin
     val meanExpr =
-      if (decimalMeans) "CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*)"
+      if (fixedPointMeans)
+        "CAST(sum(CAST(floor(x * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0 / count(*)"
       else "list_sum(list(x ORDER BY id)) / count(*)"
     def update(name: String, aPrev: String) =
       s"""$name AS (
@@ -213,7 +216,7 @@ object VectorQueries {
     },
     "x_v4_ann_ivf" -> ivfOracleSql(k = 8, dim = 64, iterations = 3, nQueries = 10, topK = 3),
     "x_v4_fast" -> ivfOracleSql(
-      k = 8, dim = 64, iterations = 3, nQueries = 10, topK = 3, decimalMeans = true),
+      k = 8, dim = 64, iterations = 3, nQueries = 10, topK = 3, fixedPointMeans = true),
     "x_v5_ann_ivf_probe2" ->
       ivfOracleSql(k = 8, dim = 64, iterations = 3, nQueries = 10, topK = 3, nProbe = 2),
     "v1_ann_topk" -> {

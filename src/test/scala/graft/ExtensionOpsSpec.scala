@@ -120,6 +120,28 @@ class ExtensionOpsSpec extends SparkSpec {
       "lineage truncated")
   }
 
+  test("Materialize.cached survives simulated block loss (unpersist mid-use)") {
+    // Closest sandbox analog to an executor loss taking cached blocks with
+    // it: evict the persisted RDD's blocks AFTER eager computation, then
+    // keep consuming the wrapped frame. The lineage-preserving cache must
+    // RECOMPUTE the lost partitions, not fail — localCheckpoint in its
+    // place would die on the truncated lineage, which is exactly why the
+    // cluster default is this cache.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val base = Tables.trades(spark, sf)
+      .select(col("symbol"), col("trade_id"), col("price"))
+      .filter(col("trade_id") < 300)
+    val cached = graft.operators.Materialize.cached(base, eager = true)
+    val expected = cached.groupBy(col("symbol")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val added = spark.sparkContext.getPersistentRDDs.filterNot(kv => before(kv._1))
+    assert(added.nonEmpty, "materialization did not persist an RDD")
+    added.values.foreach(_.unpersist(blocking = true)) // the "block loss"
+    val after = cached.groupBy(col("symbol")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(after === expected, "recompute-from-lineage changed the result")
+  }
+
   test("neardupClusters: reliable-checkpoint and RDD-cache modes match local") {
     val pairs = Seq(
       ("a", "b"), ("b", "c"), // one component {a,b,c}
@@ -372,7 +394,7 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(joined === exprd)
   }
 
-  test("ivf fast-means path (decimal sums) matches exact-means results at sf0.001") {
+  test("ivf fast-means path (fixed-point sums) matches exact-means results at sf0.001") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("id"), col("embedding"))
     val qs = (0L until 6L).toSeq
@@ -383,8 +405,8 @@ class ExtensionOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = run(true)
     val fast = run(false)
-    // the decimal-sum mean differs from the ordered double fold only by the
-    // 1e-12 decimal quantization; a boundary assignment can flip in
+    // the fixed-point mean differs from the ordered double fold only by the
+    // 1e-8 per-element quantization; a boundary assignment can flip in
     // principle, so assert high overlap, not identity.
     val overlap = (exact & fast).size.toDouble / exact.size
     assert(overlap >= 0.8, s"fast-means recall vs exact collapsed: $overlap")
