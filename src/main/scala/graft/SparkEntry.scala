@@ -24,7 +24,8 @@ object SparkEntry {
       AnalyticsQueries.queries ++ ScalarQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++
       MicrostructureQueries.queries ++ MultimodalQueries.queries ++
-      GoldQueries.queries ++ CorpusQueries.queries ++ AvroQueries.queries
+      GoldQueries.queries ++ CorpusQueries.queries ++ AvroQueries.queries ++
+      RestQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -34,5 +35,6 @@ object SparkEntry {
       AnalyticsQueries.oracle ++ ScalarQueries.oracle ++
       TextQueries.oracle ++ VectorQueries.oracle ++
       MicrostructureQueries.oracle ++ MultimodalQueries.oracle ++
-      GoldQueries.oracle ++ CorpusQueries.oracle ++ AvroQueries.oracle
+      GoldQueries.oracle ++ CorpusQueries.oracle ++ AvroQueries.oracle ++
+      RestQueries.oracle
 }
