@@ -1,15 +1,12 @@
 package graft.queries
 
-import java.net.InetSocketAddress
-import java.nio.charset.StandardCharsets.UTF_8
-
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.sources.JsonlPageServer
 
 /** S3 — the REST paginated backfill, driven end-to-end through the
   * `rest-pages` DataSource V2 against a LIVE local HTTP server (the same
@@ -38,8 +35,10 @@ object RestQueries {
 
   /** One JVM-lifetime fixture server per (sf dir, content stamp): the bench
     * loop re-invokes the query builder, so the server and its JSONL
-    * snapshot are memoized exactly like the s1 capture fixtures. The
-    * server's dispatcher thread is non-daemon, so it is stopped on
+    * snapshot are memoized exactly like the s1 capture fixtures. The server
+    * is the shared [[JsonlPageServer]] contract implementation (the same
+    * one the connector specs drive, so the query and the tests cannot drift
+    * apart); its dispatcher thread is non-daemon, so it is stopped on
     * application end (Spark listener) — otherwise a finished Verify/Bench
     * JVM would hang waiting on it.
     */
@@ -58,7 +57,7 @@ object RestQueries {
         // order; to_json renders doubles with Java's shortest round-trip
         // representation, so from_json on the consumer side reproduces the
         // exact parquet double the oracle compares against.
-        val lines: Array[String] = Tables.events(s, sfDir)
+        val lines: IndexedSeq[String] = Tables.events(s, sfDir)
           .filter(col("event_id") < 2000)
           .select(
             col("event_id"),
@@ -66,30 +65,13 @@ object RestQueries {
               col("event_id"), col("ts_ms"), col("user_id"),
               col("event_type"), col("value"))).as("j"))
           .orderBy("event_id")
-          .collect().map(_.getString(1))
-        val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-        server.createContext("/events", (ex: HttpExchange) => {
-          val params = Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
-            .filter(_.contains("=")).map { kv =>
-              val Array(k, v) = kv.split("=", 2); k -> v
-            }.toMap
-          val off = params.getOrElse("offset", "0").toLong
-          val lim = params.getOrElse("limit", "1000").toInt
-          val from = math.min(off, lines.length.toLong).toInt
-          val until = math.min(off + lim, lines.length.toLong).toInt
-          val body = lines.slice(from, until).mkString("\n").getBytes(UTF_8)
-          ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length.toLong)
-          if (body.nonEmpty) ex.getResponseBody.write(body)
-          ex.close()
-        })
-        server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
-          r => { val t = new Thread(r, "rest-fixture"); t.setDaemon(true); t }))
-        server.start()
+          .collect().map(_.getString(1)).toIndexedSeq
+        val server = new JsonlPageServer(() => lines, contextPath = "/events")
         s.sparkContext.addSparkListener(new SparkListener {
           override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
-            server.stop(0)
+            server.stop()
         })
-        s"http://127.0.0.1:${server.getAddress.getPort}/events"
+        server.url
       })
     }
   }

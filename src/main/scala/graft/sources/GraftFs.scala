@@ -66,8 +66,15 @@ object GraftFs {
       keepEmpty: Boolean = true): Array[FileStatus] = {
     val p = new Path(dir)
     val f = fs(p, conf)
-    if (!f.exists(p)) Array.empty
-    else f.listStatus(p)
+    val statuses =
+      try f.listStatus(p)
+      catch {
+        // "not created yet" AND "deleted between exists-check and list" both
+        // mean "no data yet" — the java.io Option(listFiles) semantics this
+        // replaced never threw on either
+        case _: java.io.FileNotFoundException => Array.empty[FileStatus]
+      }
+    statuses
       .filter(s => s.isFile && s.getPath.getName.endsWith(suffix) &&
         (keepEmpty || s.getLen > 0))
       .sortBy(_.getPath.getName)

@@ -29,19 +29,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * `sbe-frames` leaves frame decode to the SBE expressions — the source's
   * job is durable, resumable transport, not schema interpretation.
   *
-  * Batch: the record space [0, maxRecords) is split into
-  * `recordsPerPartition` ranges fetched in parallel — the distributed
-  * upgrade of the reference's serial cursor loop. Each task walks its range
-  * in `pageSize` fetches and stops at the first short page, so ranges past
-  * the end of data cost ONE probe request each (bounded by the partition
-  * count, not the record bound).
+  * Batch: plan time pins the record space to `min(maxRecords, frontier)`,
+  * where the frontier (current end of the upstream sequence) is found by a
+  * galloping O(log n) one-record probe — then the pinned space is split
+  * into `recordsPerPartition` ranges fetched in parallel, the distributed
+  * upgrade of the reference's serial cursor loop. Pinning at plan time is
+  * what makes the result hole-free under concurrent appends: every range
+  * covers only records that already existed, so a range can never stop at
+  * a transient short page while a later range reads past it. (Tasks still
+  * stop early at a short page — that only happens if the upstream violates
+  * append-only, and truncating beats fabricating.)
   *
-  * Streaming: the offset is the record cursor. `latestOffset` walks pages
-  * forward on the driver (a discovery probe, like a file source's directory
-  * listing; bodies are discarded) bounded by `maxRecordsPerTrigger`; tasks
-  * then re-fetch the confirmed range [start, end) in parallel. Probed
-  * records are immutable under the append-only contract, so the re-fetch is
-  * deterministic; a restart replays from the checkpointed cursor.
+  * Streaming: the offset is the record cursor. `latestOffset` advances it
+  * to the frontier (same O(log n) probe, bounded by
+  * `maxRecordsPerTrigger`); tasks then fetch the confirmed range
+  * [start, end) in parallel, exactly once. Probed records are immutable
+  * under the append-only contract, so the fetch is deterministic; a
+  * restart replays from the checkpointed cursor.
   *
   * Politeness/resilience, per the reference's client: each fetcher enforces
   * `minRequestIntervalMs` between ITS requests (per-task scope — total rate
@@ -89,6 +93,44 @@ object RestPagesSource {
     require(cfg.pageSize > 0, s"pageSize must be positive, got ${cfg.pageSize}")
     require(cfg.retries >= 0, s"retries must be >= 0, got ${cfg.retries}")
     cfg
+  }
+
+  /** Does a record exist at `offset`? One-record probe — the building block
+    * of [[frontier]]'s O(log n) end-of-data search. Honors the politeness
+    * interval (driver-side, serial, O(log n) probes — negligible wall time).
+    */
+  private def exists(cfg: Config, offset: Long): Boolean = {
+    if (cfg.minRequestIntervalMs > 0) Thread.sleep(cfg.minRequestIntervalMs)
+    fetch(cfg, offset, 1).nonEmpty
+  }
+
+  /** The current end of the upstream sequence within [atLeast, bound]:
+    * the first offset with no record, found by galloping doubling steps +
+    * binary search over the monotone "record exists" predicate (append-only
+    * contract: an existing offset never disappears). Costs O(log n)
+    * ONE-record requests — the full-page walk it replaces downloaded every
+    * record's body on the driver just to count lines. Under concurrent
+    * appends the result is a valid snapshot frontier: everything below it
+    * existed when probed.
+    */
+  def frontier(cfg: Config, atLeast: Long, bound: Long): Long = {
+    if (atLeast >= bound || !exists(cfg, atLeast)) return atLeast
+    // gallop: lo is always a known-existing offset; overflow-safe stepping
+    var lo = atLeast
+    var step = 1L
+    while (step <= bound - lo - 1 && exists(cfg, lo + step)) {
+      lo += step
+      step = if (step > (bound - lo) / 2) bound - lo else step << 1
+    }
+    var hi = math.min(bound, if (step > bound - lo) bound else lo + step)
+    if (hi < bound || !exists(cfg, bound - 1)) {
+      // first missing offset is in (lo, hi]
+      while (lo + 1 < hi) {
+        val mid = lo + (hi - lo) / 2
+        if (exists(cfg, mid)) lo = mid else hi = mid
+      }
+      hi
+    } else bound
   }
 
   /** One paginated GET: records [from, from+limit) as JSONL lines. Retries
@@ -172,8 +214,13 @@ class RestPagesScan(
   private def ranges(from: Long, until: Long): Array[InputPartition] = {
     if (until <= from) Array.empty
     else {
-      val n = ((until - from + recordsPerPartition - 1) / recordsPerPartition).toInt
-      (0 until n).map { i =>
+      val nParts = (until - from + recordsPerPartition - 1) / recordsPerPartition
+      // a silent .toInt truncation here would turn a huge maxRecords into an
+      // arbitrary (possibly empty) partition set — fail loudly instead
+      require(nParts <= (1 << 20),
+        s"rest-pages: [$from, $until) at $recordsPerPartition records/partition " +
+          s"needs $nParts partitions; raise recordsPerPartition or lower the bound")
+      (0 until nParts.toInt).map { i =>
         RestPagesPartition(
           cfg,
           from + i * recordsPerPartition,
@@ -182,8 +229,18 @@ class RestPagesScan(
     }
   }
 
+  // The record space is pinned to the frontier probed ONCE per scan, so
+  // every partition covers only records that already existed and reads its
+  // full range: concurrent upstream appends cannot open mid-sequence holes
+  // (a range that stopped at a short page while a later range kept reading
+  // data appended afterwards). Records past the scan's frontier belong to
+  // the next query (or the streaming tail). Lazy + cached because Spark may
+  // call planInputPartitions more than once for one query execution.
+  private lazy val pinnedFrontier: Long = RestPagesSource.frontier(cfg, 0L, maxRecords)
+
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] = ranges(0L, maxRecords)
+    override def planInputPartitions(): Array[InputPartition] =
+      ranges(0L, pinnedFrontier)
     override def createReaderFactory(): PartitionReaderFactory = RestPagesReaderFactory
   }
 
@@ -191,36 +248,23 @@ class RestPagesScan(
     new MicroBatchStream with SupportsAdmissionControl {
       override def initialOffset(): Offset = RestPagesOffset(0L)
 
-      /** Driver-side discovery probe: walk forward from `from` confirming
-        * records exist (bodies discarded), up to `cap` records. Stops at
-        * the first short page — the current end of the upstream sequence.
-        */
-      private def probe(from: Long, cap: Long): Long = {
-        var cur = from
-        var remaining = cap
-        var short = false
-        while (!short && remaining > 0) {
-          if (cfg.minRequestIntervalMs > 0) Thread.sleep(cfg.minRequestIntervalMs)
-          val limit = math.min(cfg.pageSize.toLong, remaining).toInt
-          val n = RestPagesSource.fetch(cfg, cur, limit).length
-          cur += n
-          remaining -= n
-          if (n < limit) short = true
-        }
-        cur
-      }
-
       override def getDefaultReadLimit: ReadLimit =
         maxRecordsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
       override def latestOffset(): Offset =
         latestOffset(RestPagesOffset(0L), getDefaultReadLimit)
+      /** Driver-side discovery = [[RestPagesSource.frontier]]: O(log n)
+        * one-record probes instead of downloading the whole backlog's
+        * bodies just to count them (tasks fetch the data exactly once).
+        */
       override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
         val from = start.asInstanceOf[RestPagesOffset].next
-        val cap = limit match {
-          case m: ReadMaxRows => m.maxRows()
+        val bound = limit match {
+          case m: ReadMaxRows =>
+            if (m.maxRows() > Long.MaxValue - from) Long.MaxValue
+            else from + m.maxRows()
           case _ => Long.MaxValue
         }
-        RestPagesOffset(probe(from, cap))
+        RestPagesOffset(RestPagesSource.frontier(cfg, from, bound))
       }
       /** Unrecognized offset JSON fails the restart loudly — a guessed
         * cursor silently duplicates or skips upstream records.

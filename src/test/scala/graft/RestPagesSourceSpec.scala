@@ -1,58 +1,30 @@
 package graft
 
-import java.net.InetSocketAddress
-import java.nio.charset.StandardCharsets.UTF_8
-import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
-
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{RestPagesOffset, RestPagesSource}
+import graft.sources.{JsonlPageServer, RestPagesOffset, RestPagesSource}
 
-/** The `rest-pages` source against a live local HTTP server: offset
-  * pagination, parallel range fetches with early stop, retry/backoff on
-  * 5xx, fail-fast on 4xx, and the streaming cursor tail — the engine-side
+/** The `rest-pages` source against a live local HTTP server (the shared
+  * [[JsonlPageServer]] contract implementation): offset pagination with a
+  * plan-time frontier pin, parallel range fetches, retry/backoff on 5xx,
+  * fail-fast on 4xx, and the streaming cursor tail — the engine-side
   * contract of the reference's REST backfill client (retry + rate limiting
   * + fromId pagination).
   */
 class RestPagesSourceSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Serves `records` as JSONL pages under /data?offset=X&limit=N. */
-  private final class Fixture(initial: Seq[String]) extends AutoCloseable {
-    @volatile var records: Vector[String] = initial.toVector
-    val requests = new AtomicLong(0)
-    val failNext = new AtomicInteger(0) // next N requests answer 503
-    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/data", (ex: HttpExchange) => {
-      requests.incrementAndGet()
-      if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
-        ex.sendResponseHeaders(503, -1); ex.close()
-      } else {
-        val params = Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
-          .filter(_.contains("=")).map { kv =>
-            val Array(k, v) = kv.split("=", 2); k -> v
-          }.toMap
-        val off = params.getOrElse("offset", "0").toInt
-        val lim = params.getOrElse("limit", "1000").toInt
-        val slice = records.slice(off, math.min(off.toLong + lim, records.length.toLong).toInt)
-        val body = slice.mkString("\n").getBytes(UTF_8)
-        ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length.toLong)
-        if (body.nonEmpty) ex.getResponseBody.write(body)
-        ex.close()
-      }
-    })
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
-    server.start()
-    val url = s"http://127.0.0.1:${server.getAddress.getPort}/data"
-    override def close(): Unit = server.stop(0)
-  }
-
-  private def recs(n: Int, from: Int = 0): Seq[String] =
+  private def recs(n: Int, from: Int = 0): IndexedSeq[String] =
     (from until from + n).map(i => s"""{"i":$i}""")
 
+  private def fixture(initial: IndexedSeq[String]): (JsonlPageServer, () => Vector[String], Vector[String] => Unit) = {
+    @volatile var records: Vector[String] = initial.toVector
+    val server = new JsonlPageServer(() => records)
+    (server, () => records, v => records = v)
+  }
+
   test("batch: parallel range fetches reassemble the full sequence with offsets") {
-    val fx = new Fixture(recs(2500))
+    val (fx, _, _) = fixture(recs(2500))
     try {
       val df = spark.read.format("rest-pages")
         .option("url", fx.url)
@@ -67,15 +39,30 @@ class RestPagesSourceSpec extends SparkSpec {
       assert(rows.head === ((0L, 0L)) && rows.last === ((2499L, 2499L)))
       // every record's offset equals its payload index — no page misaligned
       assert(rows.forall { case (o, i) => o == i })
-      // ranges past the end of data cost one probe each, not a page walk:
-      // 100 partitions planned (100000/1000), 3 carry data (25 pages + a
-      // short one), 97 probe once
-      assert(fx.requests.get() <= 140, s"request count exploded: ${fx.requests.get()}")
+      // plan-time frontier pin: ~2·log2(2500) one-record probes find the
+      // end, then 3 partitions fetch exactly 25 full pages + 1 short one —
+      // nothing walks the record bound
+      assert(fx.requests.get() <= 60, s"request count exploded: ${fx.requests.get()}")
     } finally fx.close()
   }
 
+  test("frontier probe pins exact boundaries at awkward sizes") {
+    for (n <- Seq(0, 1, 63, 64, 65, 640)) {
+      val (fx, _, _) = fixture(recs(n))
+      try {
+        val cnt = spark.read.format("rest-pages")
+          .option("url", fx.url)
+          .option("pageSize", "64")
+          .option("recordsPerPartition", "64")
+          .option("maxRecords", "100000")
+          .load().count()
+        assert(cnt === n, s"size $n read $cnt")
+      } finally fx.close()
+    }
+  }
+
   test("retry with backoff rides out transient 5xx; fail-fast without retries") {
-    val fx = new Fixture(recs(50))
+    val (fx, _, _) = fixture(recs(50))
     try {
       fx.failNext.set(2)
       val n = spark.read.format("rest-pages")
@@ -87,7 +74,7 @@ class RestPagesSourceSpec extends SparkSpec {
         .load().count()
       assert(n === 50)
       fx.failNext.set(2)
-      val e = intercept[org.apache.spark.SparkException] {
+      val e = intercept[Exception] {
         spark.read.format("rest-pages")
           .option("url", fx.url)
           .option("pageSize", "100")
@@ -96,29 +83,32 @@ class RestPagesSourceSpec extends SparkSpec {
           .option("retries", "0")
           .load().count()
       }
-      assert(e.getMessage.contains("HTTP 503") || e.getCause != null)
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("HTTP 503")), messages(e).mkString("; "))
     } finally fx.close()
   }
 
   test("a non-retryable 4xx fails immediately (bad requests do not heal)") {
-    val fx = new Fixture(recs(10))
+    val (fx, _, _) = fixture(recs(10))
     try {
       val before = fx.requests.get()
-      val e = intercept[org.apache.spark.SparkException] {
+      val e = intercept[Exception] {
         spark.read.format("rest-pages")
           .option("url", fx.url.replace("/data", "/missing"))
           .option("recordsPerPartition", "100000")
           .option("maxRecords", "1000")
           .load().count()
       }
-      assert(e.getMessage.contains("HTTP 404") ||
-        Option(e.getCause).exists(_.getMessage.contains("HTTP 404")))
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("HTTP 404")), messages(e).mkString("; "))
       assert(fx.requests.get() === before) // /missing never reached /data's counter
     } finally fx.close()
   }
 
   test("streaming: cursor tail picks up appended records exactly once") {
-    val fx = new Fixture(recs(250))
+    val (fx, get, set) = fixture(recs(250))
     try {
       val q = spark.readStream.format("rest-pages")
         .option("url", fx.url)
@@ -131,7 +121,7 @@ class RestPagesSourceSpec extends SparkSpec {
       try {
         q.processAllAvailable()
         assert(spark.table("rest_tail").count() === 250)
-        fx.records = fx.records ++ recs(100, from = 250) // upstream appends
+        set(get() ++ recs(100, from = 250)) // upstream appends
         q.processAllAvailable()
         val ids = spark.table("rest_tail").collect().map(_.getLong(0)).sorted
         assert(ids.length === 350)
@@ -141,7 +131,7 @@ class RestPagesSourceSpec extends SparkSpec {
   }
 
   test("maxRecordsPerTrigger bounds each micro-batch (catch-up = N batches)") {
-    val fx = new Fixture(recs(500))
+    val (fx, _, _) = fixture(recs(500))
     try {
       val q = spark.readStream.format("rest-pages")
         .option("url", fx.url)
@@ -160,7 +150,7 @@ class RestPagesSourceSpec extends SparkSpec {
   }
 
   test("an unrecognized checkpoint offset fails the restart loudly") {
-    val fx = new Fixture(recs(10))
+    val (fx, _, _) = fixture(recs(10))
     try {
       val table = new graft.sources.RestPagesTable(
         new org.apache.spark.sql.util.CaseInsensitiveStringMap(
@@ -174,7 +164,7 @@ class RestPagesSourceSpec extends SparkSpec {
   }
 
   test("per-task politeness interval spaces requests") {
-    val fx = new Fixture(recs(300))
+    val (fx, _, _) = fixture(recs(300))
     try {
       val t0 = System.currentTimeMillis()
       val n = spark.read.format("rest-pages")
@@ -182,13 +172,26 @@ class RestPagesSourceSpec extends SparkSpec {
         .option("pageSize", "100")
         .option("recordsPerPartition", "100000")
         .option("maxRecords", "1000")
-        .option("minRequestIntervalMs", "50")
+        .option("minRequestIntervalMs", "20")
         .load().count()
       assert(n === 300)
-      // 4 fetches (3 full pages + the short tail) with >=50ms between
-      // successive requests from the single range task
-      assert(System.currentTimeMillis() - t0 >= 150,
+      // 3 data pages from the single range task with >=20ms between its
+      // successive requests (plus throttled frontier probes before them)
+      assert(System.currentTimeMillis() - t0 >= 60,
         "interval not enforced between page fetches")
+    } finally fx.close()
+  }
+
+  test("frontier: direct unit check at exact and off-by-one ends") {
+    val (fx, _, _) = fixture(recs(129))
+    try {
+      val cfg = RestPagesSource.config(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("url", fx.url)))
+      assert(RestPagesSource.frontier(cfg, 0L, 1000000L) === 129L)
+      assert(RestPagesSource.frontier(cfg, 129L, 1000000L) === 129L) // at the end
+      assert(RestPagesSource.frontier(cfg, 0L, 100L) === 100L) // bound clamps
+      assert(RestPagesSource.frontier(cfg, 64L, 1000000L) === 129L) // mid-start
     } finally fx.close()
   }
 }

@@ -110,6 +110,11 @@ class SbeFrameSourceSpec extends SparkSpec {
     intercept[IllegalStateException](
       stream.deserializeOffset("""{"files":7,"tailBytes":9}"""))
     intercept[IllegalArgumentException](stream.deserializeOffset("""{"wat":true}"""))
+    // a tailBytes that is NOT a frame boundary of the candidate file proves
+    // the index mapping shifted (e.g. retention deleted an earlier file) —
+    // resuming there would mis-seek mid-frame, so it must fail loudly too
+    intercept[IllegalStateException](
+      stream.deserializeOffset("""{"files":1,"tailBytes":41}"""))
   }
 
   test("full hot path on the connector: frames -> decode -> event-time windows") {
