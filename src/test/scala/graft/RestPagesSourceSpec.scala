@@ -149,6 +149,32 @@ class RestPagesSourceSpec extends SparkSpec {
     } finally fx.close()
   }
 
+  test("checkpointed restart resumes from the cursor — no duplicates, no skips") {
+    val (fx, get, set) = fixture(recs(150))
+    val ckpt = java.nio.file.Files.createTempDirectory("rest_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("rest_ckpt_out").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("rest-pages")
+        .option("url", fx.url)
+        .option("pageSize", "64")
+        .load()
+        .select(get_json_object(col("record"), "$.i").cast("long").as("i"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      run()
+      assert(spark.read.parquet(out).count() === 150)
+      set(get() ++ recs(70, from = 150)) // appended while the query is DOWN
+      run() // restart against the same checkpoint
+      val ids = spark.read.parquet(out).select("i").as[Long].collect().sorted
+      assert(ids.toSeq === (0L until 220L), "restart duplicated or skipped records")
+    } finally fx.close()
+  }
+
   test("an unrecognized checkpoint offset fails the restart loudly") {
     val (fx, _, _) = fixture(recs(10))
     try {
