@@ -25,6 +25,12 @@ object GraftSession {
       // testdata events.parquet carries TIMESTAMP(NANOS) — read as nanos long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // ~100 distinct queries x several codegen stages in one JVM (Verify,
+      // the test suite) overflow the default 100-entry generated-code
+      // cache and recompile constantly; a production job running few
+      // queries repeatedly never hits this. Static conf — applies to the
+      // first session built in the JVM.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =

@@ -180,15 +180,7 @@ object AvroQueries {
   private object OcfFeed {
     private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
     def dir(s: SparkSession, sfDir: String): String = {
-      // Same content-fingerprint memo key as S1Feed: a regenerated sf dir
-      // within one process gets a fresh capture, not a stale feed.
-      val root = new java.io.File(sfDir)
-      val src = new java.io.File(root, "events.parquet")
-      val parts = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
-      val stamp = parts.sortBy(_.getName)
-        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString(",").hashCode
-      val key = s"${root.getCanonicalPath}#$stamp"
+      val key = FixtureKey.of(sfDir, "events.parquet")
       cache.getOrElseUpdate(key, {
         val feed = java.nio.file.Files.createTempDirectory("graft_ocf_feed_").toFile
         feed.deleteOnExit()

@@ -34,13 +34,7 @@ object MicrostructureQueries {
   private object S1Feed {
     private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
     def dir(s: SparkSession, sfDir: String, kind: String): String = {
-      val root = new java.io.File(sfDir)
-      val src = new java.io.File(root, "events.parquet")
-      val parts = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
-      val stamp = parts.sortBy(_.getName)
-        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString(",").hashCode
-      val key = s"${root.getCanonicalPath}#$stamp#$kind"
+      val key = FixtureKey.of(sfDir, "events.parquet", variant = kind)
       cache.getOrElseUpdate(key, {
         val feed =
           java.nio.file.Files.createTempDirectory(s"graft_s1_${kind}_feed_").toFile

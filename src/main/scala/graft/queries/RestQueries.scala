@@ -45,13 +45,7 @@ object RestQueries {
   private object Fixture {
     private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
     def url(s: SparkSession, sfDir: String): String = {
-      val root = new java.io.File(sfDir)
-      val src = new java.io.File(root, "events.parquet")
-      val parts = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
-      val stamp = parts.sortBy(_.getName)
-        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString(",").hashCode
-      val key = s"${root.getCanonicalPath}#$stamp"
+      val key = FixtureKey.of(sfDir, "events.parquet")
       cache.getOrElseUpdate(key, {
         // Deterministic JSONL snapshot: one line per event in event_id
         // order; to_json renders doubles with Java's shortest round-trip

@@ -133,8 +133,18 @@ object RestPagesSource {
     } else bound
   }
 
+  /** A deliberately non-retryable failure (4xx other than 429): a bad
+    * request does not heal by retrying, and the broad IOException retry
+    * below must not swallow it.
+    */
+  final class NonRetryableHttpError(msg: String) extends java.io.IOException(msg)
+
   /** One paginated GET: records [from, from+limit) as JSONL lines. Retries
-    * 429/5xx/connect/timeout with doubling backoff; fails fast on other 4xx.
+    * 429/5xx and ANY transport-level IOException (connect, timeout, reset,
+    * mid-body truncation/premature EOF — all look different at the JDK
+    * level but mean the same thing operationally) with doubling backoff,
+    * capped so a long retry budget cannot overflow the shift or sleep for
+    * hours; fails fast on other 4xx.
     */
   @annotation.tailrec
   def fetch(cfg: Config, from: Long, limit: Int, attempt: Int = 0): IndexedSeq[String] = {
@@ -153,14 +163,14 @@ object RestPagesSource {
               conn.getInputStream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
             Right(body.linesIterator.filter(_.nonEmpty).toIndexedSeq)
           } else if (code >= 500 || code == 429) Left(s"HTTP $code")
-          else throw new java.io.IOException(
+          else throw new NonRetryableHttpError(
             s"rest-pages: GET $uri -> HTTP $code (not retryable)")
         } finally conn.disconnect()
       } catch {
-        // connection-level failures are retryable; anything else propagates
-        case e @ (_: java.net.ConnectException | _: java.net.SocketTimeoutException |
-            _: java.net.SocketException | _: java.net.UnknownHostException) =>
-          Left(e.getClass.getSimpleName)
+        case e: NonRetryableHttpError => throw e
+        case e: java.io.IOException =>
+          Left(e.getClass.getSimpleName +
+            Option(e.getMessage).map(m => s": $m").getOrElse(""))
       }
     result match {
       case Right(rows) => rows
@@ -168,7 +178,8 @@ object RestPagesSource {
         if (attempt >= cfg.retries)
           throw new java.io.IOException(
             s"rest-pages: GET $uri failed after ${attempt + 1} attempts ($why)")
-        Thread.sleep(cfg.retryBackoffMs << attempt)
+        Thread.sleep(
+          math.min(60000L, cfg.retryBackoffMs << math.min(attempt, 20)))
         fetch(cfg, from, limit, attempt + 1)
     }
   }
@@ -192,14 +203,21 @@ class RestPagesTable(options: CaseInsensitiveStringMap) extends Table with Suppo
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
-    val maxRecords = Option(options.get("maxRecords")).map(_.toLong).getOrElse(1L << 20)
+    val maxRecordsOpt = Option(options.get("maxRecords")).map(_.toLong)
+    val maxRecords = maxRecordsOpt.getOrElse(1L << 20)
     val recordsPerPartition = Option(options.get("recordsPerPartition")).map(_.toLong)
       .getOrElse(cfg.pageSize.toLong * 64)
     val maxRecordsPerTrigger = Option(options.get("maxRecordsPerTrigger")).map(_.toLong)
-    require(recordsPerPartition > 0, "recordsPerPartition must be positive")
+    require(recordsPerPartition > 0,
+      s"recordsPerPartition must be positive, got $recordsPerPartition")
+    require(maxRecords > 0, s"maxRecords must be positive, got $maxRecords")
+    maxRecordsPerTrigger.foreach(n => require(n > 0,
+      s"maxRecordsPerTrigger must be positive, got $n")) // 0 would stall forever
     new ScanBuilder {
       override def build(): Scan =
-        new RestPagesScan(cfg, maxRecords, recordsPerPartition, maxRecordsPerTrigger)
+        new RestPagesScan(
+          cfg, maxRecords, maxRecordsExplicit = maxRecordsOpt.isDefined,
+          recordsPerPartition, maxRecordsPerTrigger)
     }
   }
 }
@@ -207,6 +225,7 @@ class RestPagesTable(options: CaseInsensitiveStringMap) extends Table with Suppo
 class RestPagesScan(
     cfg: RestPagesSource.Config,
     maxRecords: Long,
+    maxRecordsExplicit: Boolean,
     recordsPerPartition: Long,
     maxRecordsPerTrigger: Option[Long]) extends Scan {
   override def readSchema(): StructType = RestPagesSource.Schema
@@ -236,7 +255,22 @@ class RestPagesScan(
   // data appended afterwards). Records past the scan's frontier belong to
   // the next query (or the streaming tail). Lazy + cached because Spark may
   // call planInputPartitions more than once for one query execution.
-  private lazy val pinnedFrontier: Long = RestPagesSource.frontier(cfg, 0L, maxRecords)
+  //
+  // Hitting the DEFAULT record cap with more data upstream fails loudly:
+  // a backfill silently landing 2^20 of 5M records is the exact silent-
+  // truncation failure this source is built to refuse. An EXPLICIT
+  // maxRecords is a requested bound (LIMIT semantics) and truncates as
+  // asked.
+  private lazy val pinnedFrontier: Long = {
+    val f = RestPagesSource.frontier(cfg, 0L, maxRecords)
+    if (f == maxRecords && !maxRecordsExplicit &&
+        RestPagesSource.fetch(cfg, maxRecords, 1).nonEmpty)
+      throw new IllegalStateException(
+        s"rest-pages: endpoint has more than the default maxRecords cap " +
+          s"($maxRecords) — set maxRecords explicitly (as a bound, or higher) " +
+          "so truncation is a stated choice, not an accident")
+    f
+  }
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
@@ -250,8 +284,13 @@ class RestPagesScan(
 
       override def getDefaultReadLimit: ReadLimit =
         maxRecordsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+      // The engine always calls the admission-control overload below for a
+      // SupportsAdmissionControl stream; this no-arg variant has no cursor
+      // to advance FROM, and guessing offset 0 could report an offset
+      // BEHIND the committed cursor. Refuse rather than mislead.
       override def latestOffset(): Offset =
-        latestOffset(RestPagesOffset(0L), getDefaultReadLimit)
+        throw new UnsupportedOperationException(
+          "rest-pages uses the admission-control latestOffset(start, limit)")
       /** Driver-side discovery = [[RestPagesSource.frontier]]: O(log n)
         * one-record probes instead of downloading the whole backlog's
         * bodies just to count them (tasks fetch the data exactly once).

@@ -208,6 +208,47 @@ class RestPagesSourceSpec extends SparkSpec {
     } finally fx.close()
   }
 
+  test("the DEFAULT record cap refuses silent truncation; an explicit bound truncates as asked") {
+    // a virtual sequence longer than the default 2^20 cap — O(1) memory
+    val n = (1 << 20) + 5
+    val virtual: IndexedSeq[String] = new scala.collection.immutable.IndexedSeq[String] {
+      def length: Int = n
+      def apply(i: Int): String = s"""{"i":$i}"""
+    }
+    val fx = new JsonlPageServer(() => virtual)
+    try {
+      val e = intercept[Exception] {
+        spark.read.format("rest-pages").option("url", fx.url)
+          .option("pageSize", "4096").option("recordsPerPartition", "1000000")
+          .load().count()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("maxRecords")), msgs(e).mkString("; "))
+      // explicit maxRecords = LIMIT semantics: truncation is a stated choice
+      val cnt = spark.read.format("rest-pages").option("url", fx.url)
+        .option("pageSize", "4096").option("recordsPerPartition", "1000000")
+        .option("maxRecords", "1000").load().count()
+      assert(cnt === 1000)
+    } finally fx.close()
+  }
+
+  test("zero or negative bounds are rejected at scan construction") {
+    val (fx, _, _) = fixture(recs(5))
+    try {
+      def table(opts: java.util.Map[String, String]) =
+        new graft.sources.RestPagesTable(
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+      intercept[IllegalArgumentException](
+        table(java.util.Map.of("url", fx.url, "maxRecords", "0"))
+          .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()))
+      // a zero trigger cap would make every trigger a no-op: stream stalls forever
+      intercept[IllegalArgumentException](
+        table(java.util.Map.of("url", fx.url, "maxRecordsPerTrigger", "0"))
+          .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()))
+    } finally fx.close()
+  }
+
   test("frontier: direct unit check at exact and off-by-one ends") {
     val (fx, _, _) = fixture(recs(129))
     try {
