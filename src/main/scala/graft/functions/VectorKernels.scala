@@ -47,6 +47,54 @@ object VectorKernels {
     true
   }
 
+  /** Squared euclidean distance, sequential left-to-right fold — the exact
+    * operation order of `aggregate(zip_with(a, b, (x, y) => (x-y)*(x-y)),
+    * 0.0, _+_)` and of the IVF oracle's
+    * `list_sum(list_transform(..., (v[i]-c[i])*(v[i]-c[i])))`, so results
+    * are bit-identical to both. Same contract as [[dot]]: gate on
+    * [[dotDefined]] first.
+    */
+  def d2(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Squared distance with the builtin fold's null semantics (null on
+    * length mismatch or null element) — see [[DotExpr]]. The IVF assignment
+    * evaluates this per (row × centroid) per Lloyd round; as an interpreted
+    * HOF lambda it dominated the IVF queries' runtime.
+    */
+  case class D2Expr(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      if (dotDefined(aa, bb)) java.lang.Double.valueOf(d2(aa, bb)) else null
+    }
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        if (graft.functions.VectorKernels.dotDefined($a, $b)) {
+          ${ev.value} = graft.functions.VectorKernels.d2($a, $b);
+        } else {
+          ${ev.isNull} = true;
+        }
+      """)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): D2Expr =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Dot product with the null semantics of the builtin fold it replaced:
     * `zip_with` nulls the pair result on length mismatch and `x * y`
     * null-propagates a null element, so the aggregate is null. DotExpr

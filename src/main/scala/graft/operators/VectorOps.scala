@@ -31,6 +31,19 @@ object VectorOps {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** Squared euclidean distance as the codegen kernel
+    * [[graft.functions.VectorKernels.D2Expr]] — same left-to-right fold
+    * (bit-identical to the `aggregate(zip_with(...))` form it replaced and
+    * to the unrolled DuckDB oracle). The IVF assignment evaluates this
+    * (rows × centroids × rounds) times; the interpreted HOF lambda was the
+    * dominant cost of the IVF queries.
+    */
+  def d2(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.VectorKernels.D2Expr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** sqrt of the self-dot — the same `acc + x*x` fold order as the previous
     * `aggregate` form, so norms are bit-identical.
     */
@@ -123,11 +136,7 @@ object VectorOps {
     */
   private def nearestCidExpr(cents: Seq[(Int, Seq[Double])]): Column = {
     val scored = cents.map { case (cid, c) =>
-      struct(
-        aggregate(
-          zip_with(col("v"), typedLit(c), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, z) => a + z).as("d2"),
-        lit(cid).as("cid"))
+      struct(d2(col("v"), typedLit(c)).as("d2"), lit(cid).as("cid"))
     }
     array_min(array(scored: _*)).getField("cid")
   }
@@ -276,12 +285,9 @@ object VectorOps {
     * (distance, cid)).
     */
   private def rankedCells(v: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
-    val d2 = aggregate(
-      zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, z) => acc + z)
     val w = Window.partitionBy(col("id")).orderBy(col("__d2"), col("cid"))
     v.crossJoin(broadcast(centroids))
-      .withColumn("__d2", d2)
+      .withColumn("__d2", d2(col("v"), col("c")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
       .select(col("id"), col("v"), col("cid"))

@@ -142,6 +142,19 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(after === expected, "recompute-from-lineage changed the result")
   }
 
+  test("fixed-point fast means are partition-invariant (merge-order-free)") {
+    // The claim that lets x_v4_fast carry a DuckDB oracle: integer sums
+    // merge identically under ANY partitioning, where the avg() this
+    // replaced drifted in low-order bits with shuffle arrival order.
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    def run(parts: Int): Seq[String] = VectorOps
+      .annTopKIvf(e.repartition(parts), queryIds = (0L until 6L).toSeq,
+        k = 5, nCells = 8, iterations = 2, exactMeans = false)
+      .collect().map(_.toString).sorted.toSeq
+    assert(run(3) === run(13), "fast-means result depends on partitioning")
+  }
+
   test("neardupClusters: reliable-checkpoint and RDD-cache modes match local") {
     val pairs = Seq(
       ("a", "b"), ("b", "c"), // one component {a,b,c}
