@@ -99,7 +99,7 @@ object RestPagesSource {
     * of [[frontier]]'s O(log n) end-of-data search. Honors the politeness
     * interval (driver-side, serial, O(log n) probes — negligible wall time).
     */
-  private def exists(cfg: Config, offset: Long): Boolean = {
+  private[sources] def exists(cfg: Config, offset: Long): Boolean = {
     if (cfg.minRequestIntervalMs > 0) Thread.sleep(cfg.minRequestIntervalMs)
     fetch(cfg, offset, 1).nonEmpty
   }
@@ -168,6 +168,9 @@ object RestPagesSource {
         } finally conn.disconnect()
       } catch {
         case e: NonRetryableHttpError => throw e
+        // a malformed URL is a configuration error, not a transport blip —
+        // retrying it N times with backoff would only delay the real message
+        case e: java.net.MalformedURLException => throw e
         case e: java.io.IOException =>
           Left(e.getClass.getSimpleName +
             Option(e.getMessage).map(m => s": $m").getOrElse(""))
@@ -264,7 +267,7 @@ class RestPagesScan(
   private lazy val pinnedFrontier: Long = {
     val f = RestPagesSource.frontier(cfg, 0L, maxRecords)
     if (f == maxRecords && !maxRecordsExplicit &&
-        RestPagesSource.fetch(cfg, maxRecords, 1).nonEmpty)
+        RestPagesSource.exists(cfg, maxRecords)) // throttled like every probe
       throw new IllegalStateException(
         s"rest-pages: endpoint has more than the default maxRecords cap " +
           s"($maxRecords) — set maxRecords explicitly (as a bound, or higher) " +

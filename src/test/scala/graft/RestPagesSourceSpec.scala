@@ -17,6 +17,12 @@ class RestPagesSourceSpec extends SparkSpec {
   private def recs(n: Int, from: Int = 0): IndexedSeq[String] =
     (from until from + n).map(i => s"""{"i":$i}""")
 
+  /** All messages down an exception's cause chain (Spark wraps task
+    * failures in several layers).
+    */
+  private def causeMessages(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ causeMessages(t.getCause)
+
   private def fixture(initial: IndexedSeq[String]): (JsonlPageServer, () => Vector[String], Vector[String] => Unit) = {
     @volatile var records: Vector[String] = initial.toVector
     val server = new JsonlPageServer(() => records)
@@ -83,9 +89,7 @@ class RestPagesSourceSpec extends SparkSpec {
           .option("retries", "0")
           .load().count()
       }
-      def messages(t: Throwable): Seq[String] =
-        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-      assert(messages(e).exists(_.contains("HTTP 503")), messages(e).mkString("; "))
+      assert(causeMessages(e).exists(_.contains("HTTP 503")), causeMessages(e).mkString("; "))
     } finally fx.close()
   }
 
@@ -100,9 +104,7 @@ class RestPagesSourceSpec extends SparkSpec {
           .option("maxRecords", "1000")
           .load().count()
       }
-      def messages(t: Throwable): Seq[String] =
-        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-      assert(messages(e).exists(_.contains("HTTP 404")), messages(e).mkString("; "))
+      assert(causeMessages(e).exists(_.contains("HTTP 404")), causeMessages(e).mkString("; "))
       assert(fx.requests.get() === before) // /missing never reached /data's counter
     } finally fx.close()
   }
@@ -222,9 +224,7 @@ class RestPagesSourceSpec extends SparkSpec {
           .option("pageSize", "4096").option("recordsPerPartition", "1000000")
           .load().count()
       }
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-      assert(msgs(e).exists(_.contains("maxRecords")), msgs(e).mkString("; "))
+      assert(causeMessages(e).exists(_.contains("maxRecords")), causeMessages(e).mkString("; "))
       // explicit maxRecords = LIMIT semantics: truncation is a stated choice
       val cnt = spark.read.format("rest-pages").option("url", fx.url)
         .option("pageSize", "4096").option("recordsPerPartition", "1000000")
