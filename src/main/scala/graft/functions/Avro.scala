@@ -247,14 +247,22 @@ object Avro {
   /** Avro Schema → Spark DataType (records, arrays, maps, enums, fixed,
     * nullable `["null", T]` unions; no general unions). Logical types map to
     * their Spark equivalents: decimal → DecimalType, timestamp-millis/micros
-    * → TimestampType (µs), date → DateType, uuid → StringType.
+    * → TimestampType (µs), local-timestamp-millis/micros → TimestampNTZType
+    * (the zoneless twin — Avro local-timestamp has no UTC anchor, exactly
+    * Spark's NTZ semantics), date → DateType, uuid → StringType (canonical
+    * 36-char form, whether the carrier is `string` or `fixed(16)` — Spark
+    * has no UUID type, and the reference's IDs flow as strings).
     */
   def sparkType(s: Schema): DataType = s.getLogicalType match {
     case d: org.apache.avro.LogicalTypes.Decimal =>
       DecimalType(d.getPrecision, d.getScale)
     case _: org.apache.avro.LogicalTypes.TimestampMillis => TimestampType
     case _: org.apache.avro.LogicalTypes.TimestampMicros => TimestampType
+    case _: org.apache.avro.LogicalTypes.LocalTimestampMillis => TimestampNTZType
+    case _: org.apache.avro.LogicalTypes.LocalTimestampMicros => TimestampNTZType
     case _: org.apache.avro.LogicalTypes.Date => DateType
+    // Avro models uuid as a plain named LogicalType (no dedicated class)
+    case lt if lt != null && lt.getName == "uuid" => StringType
     case _ => sparkTypeRaw(s)
   }
 
@@ -301,7 +309,18 @@ object Avro {
       case _: org.apache.avro.LogicalTypes.TimestampMillis =>
         return java.lang.Long.valueOf(v.asInstanceOf[java.lang.Long] * 1000L) // ms → µs
       case _: org.apache.avro.LogicalTypes.TimestampMicros => return v
+      case _: org.apache.avro.LogicalTypes.LocalTimestampMillis => // NTZ is µs too
+        return java.lang.Long.valueOf(v.asInstanceOf[java.lang.Long] * 1000L)
+      case _: org.apache.avro.LogicalTypes.LocalTimestampMicros => return v
       case _: org.apache.avro.LogicalTypes.Date => return v // days since epoch
+      case lt if lt != null && lt.getName == "uuid" =>
+        return s.getType match {
+          case Schema.Type.FIXED => // RFC 4122 big-endian 16 bytes → canonical
+            val b = v.asInstanceOf[org.apache.avro.generic.GenericFixed].bytes()
+            val bb = java.nio.ByteBuffer.wrap(b)
+            utf8(new java.util.UUID(bb.getLong, bb.getLong).toString)
+          case _ => utf8(v) // string-backed uuid: the text IS the value
+        }
       case _ => ()
     }
     s.getType match {
@@ -436,8 +455,21 @@ object Avro {
         return java.lang.Long.valueOf(v.asInstanceOf[Long] / 1000L) // µs → ms
       case _: org.apache.avro.LogicalTypes.TimestampMicros =>
         return java.lang.Long.valueOf(v.asInstanceOf[Long])
+      case _: org.apache.avro.LogicalTypes.LocalTimestampMillis =>
+        return java.lang.Long.valueOf(v.asInstanceOf[Long] / 1000L) // µs → ms
+      case _: org.apache.avro.LogicalTypes.LocalTimestampMicros =>
+        return java.lang.Long.valueOf(v.asInstanceOf[Long])
       case _: org.apache.avro.LogicalTypes.Date =>
         return java.lang.Integer.valueOf(v.asInstanceOf[Int])
+      case lt if lt != null && lt.getName == "uuid" =>
+        return s.getType match {
+          case Schema.Type.FIXED => // canonical string → RFC 4122 16 bytes
+            val u = java.util.UUID.fromString(v.asInstanceOf[UTF8String].toString)
+            val buf = java.nio.ByteBuffer.allocate(16)
+            buf.putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits)
+            new GenericData.Fixed(s, buf.array())
+          case _ => v.asInstanceOf[UTF8String].toString
+        }
       case _ => ()
     }
     s.getType match {
@@ -508,8 +540,11 @@ object Avro {
   /** Spark DataType → Avro Schema, the inverse of [[sparkType]]: nullable
     * fields become `["null", T]` unions with a null default (so readers can
     * evolve against the written schema), DecimalType → bytes+decimal logical
-    * type, TimestampType → timestamp-micros, DateType → date. Nested record
-    * names are derived from the field path (Avro requires unique names).
+    * type, TimestampType → timestamp-micros, TimestampNTZType →
+    * local-timestamp-micros (so an NTZ column survives a write→scan
+    * round-trip as NTZ rather than being silently anchored to UTC),
+    * DateType → date. Nested record names are derived from the field path
+    * (Avro requires unique names).
     */
   def avroSchemaFor(
       dt: StructType,
@@ -529,8 +564,11 @@ object Avro {
       case d: DecimalType =>
         org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
           .addToSchema(Schema.create(Schema.Type.BYTES))
-      case TimestampType | TimestampNTZType =>
+      case TimestampType =>
         org.apache.avro.LogicalTypes.timestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
+      case TimestampNTZType => // zoneless → local-timestamp (type-preserving)
+        org.apache.avro.LogicalTypes.localTimestampMicros()
           .addToSchema(Schema.create(Schema.Type.LONG))
       case DateType =>
         org.apache.avro.LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))

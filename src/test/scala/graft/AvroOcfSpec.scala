@@ -201,6 +201,7 @@ class AvroOcfSpec extends SparkSpec {
       "array(named_struct('p', id * 2, 'q', id * 3), named_struct('p', id, 'q', id)) AS book",
       "map('venue', concat('v', id % 3), 'tier', 'spot') AS tags",
       "timestamp_micros(1700000000000000 + id * 1000000) AS ts",
+      "make_timestamp_ntz(2024, 3, 1, 12, 34, id) AS lts",
       "date_add(DATE'2024-01-01', CAST(id AS INT)) AS d",
       "IF(id % 5 = 0, CAST(NULL AS DECIMAL(10,4)), CAST(id / 7.0 AS DECIMAL(10,4))) AS fee")
     src.coalesce(2).write.format("avro-ocf").mode("append").save(dir)
@@ -212,6 +213,10 @@ class AvroOcfSpec extends SparkSpec {
     assert(r.getAs[Seq[org.apache.spark.sql.Row]]("book").map(_.getLong(0)) === Seq(42L, 21L))
     assert(r.getAs[Map[String, String]]("tags") === Map("venue" -> "v0", "tier" -> "spot"))
     assert(r.getAs[java.sql.Timestamp]("ts").getTime === 1700000021000L)
+    // NTZ derives local-timestamp-micros and reads back as NTZ, not UTC-anchored
+    assert(back.schema("lts").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(r.getAs[java.time.LocalDateTime]("lts").toString === "2024-03-01T12:34:21")
     assert(r.getAs[java.sql.Date]("d").toString === "2024-01-22")
     assert(r.getAs[java.math.BigDecimal]("fee").doubleValue() === 3.0)
     assert(back.filter(col("fee").isNull).count() === 10) // nullable decimal union

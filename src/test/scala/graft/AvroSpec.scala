@@ -277,6 +277,64 @@ class AvroSpec extends SparkSpec {
     assert(b.getDate(5).toString === a.getDate(5).toString)
   }
 
+  test("logical types: uuid (string and fixed16) and local-timestamp map + round-trip") {
+    val schema =
+      """{"type":"record","name":"U","fields":[
+        |{"name":"id_s","type":{"type":"string","logicalType":"uuid"}},
+        |{"name":"id_f","type":{"type":"fixed","name":"UF","size":16,"logicalType":"uuid"}},
+        |{"name":"lt_ms","type":{"type":"long","logicalType":"local-timestamp-millis"}},
+        |{"name":"lt_us","type":{"type":"long","logicalType":"local-timestamp-micros"}}]}""".stripMargin
+    val s = new org.apache.avro.Schema.Parser().parse(schema)
+    val uid = "0a1b2c3d-4e5f-6071-8293-a4b5c6d7e8f9"
+    val u = java.util.UUID.fromString(uid)
+    val fixedBytes = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits)
+      bb.array()
+    }
+    val rec = new org.apache.avro.generic.GenericData.Record(s)
+    rec.put("id_s", uid)
+    rec.put("id_f", new org.apache.avro.generic.GenericData.Fixed(
+      s.getField("id_f").schema(), fixedBytes))
+    rec.put("lt_ms", 1700000000123L)     // 2023-11-14 22:13:20.123 (no zone)
+    rec.put("lt_us", 1700000000123456L)
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+    new org.apache.avro.generic.GenericDatumWriter[
+      org.apache.avro.generic.GenericRecord](s).write(rec, enc)
+    enc.flush()
+    val df = Seq(Tuple1(out.toByteArray)).toDF("frame")
+      .select(Avro.decode(col("frame"), schema).as("d"))
+      .select("d.*")
+    import org.apache.spark.sql.types._
+    assert(df.schema("id_s").dataType === StringType)
+    assert(df.schema("id_f").dataType === StringType) // canonical form, not bytes
+    assert(df.schema("lt_ms").dataType === TimestampNTZType)
+    assert(df.schema("lt_us").dataType === TimestampNTZType)
+    val r = df.selectExpr(
+      "id_s", "id_f", "CAST(lt_ms AS STRING)", "CAST(lt_us AS STRING)").head()
+    assert(r.getString(0) === uid)
+    assert(r.getString(1) === uid)
+    assert(r.getString(2) === "2023-11-14 22:13:20.123")
+    assert(r.getString(3) === "2023-11-14 22:13:20.123456")
+
+    // encode half: Spark strings/NTZ back out under the same writer schema,
+    // then through the decoder again — fixed16 packing must invert exactly
+    val rt = spark.sql(
+      s"""SELECT '$uid' AS id_s, '$uid' AS id_f,
+         |  TIMESTAMP_NTZ'2023-11-14 22:13:20.123' AS lt_ms,
+         |  TIMESTAMP_NTZ'2023-11-14 22:13:20.123456' AS lt_us""".stripMargin)
+      .select(Avro.encode(
+        struct(col("id_s"), col("id_f"), col("lt_ms"), col("lt_us")), schema).as("f"))
+      .select(Avro.decode(col("f"), schema).as("d"))
+      .selectExpr("d.id_s", "d.id_f", "CAST(d.lt_ms AS STRING)", "CAST(d.lt_us AS STRING)")
+      .head()
+    assert(rt.getString(0) === uid)
+    assert(rt.getString(1) === uid)
+    assert(rt.getString(2) === "2023-11-14 22:13:20.123")
+    assert(rt.getString(3) === "2023-11-14 22:13:20.123456")
+  }
+
   test("avro_encode SQL surface round-trips through avro_decode") {
     GraftFunctions.register(spark)
     val w = Avro.TradeSchemaJson.replace("\n", " ")
