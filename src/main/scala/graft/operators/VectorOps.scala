@@ -134,9 +134,9 @@ object VectorOps {
     * identical semantics to ranking rank-1 by (d2, cid), but zero joins,
     * zero shuffles, fully inside whole-stage codegen.
     */
-  private def nearestCidExpr(cents: Seq[(Int, Seq[Double])]): Column = {
+  private def nearestCidExpr(v: Column, cents: Seq[(Int, Seq[Double])]): Column = {
     val scored = cents.map { case (cid, c) =>
-      struct(d2(col("v"), typedLit(c)).as("d2"), lit(cid).as("cid"))
+      struct(d2(v, typedLit(c)).as("d2"), lit(cid).as("cid"))
     }
     array_min(array(scored: _*)).getField("cid")
   }
@@ -178,7 +178,7 @@ object VectorOps {
       v: DataFrame,
       cents: Seq[(Int, Seq[Double])],
       maxExprK: Int = NearestCidExprMaxK): DataFrame =
-    if (cents.size <= maxExprK) v.withColumn("cid", nearestCidExpr(cents))
+    if (cents.size <= maxExprK) v.withColumn("cid", nearestCidExpr(col("v"), cents))
     else rankedCells(v, centroidDf(v.sparkSession, cents), 1)
 
   /** IVF (inverted-file) index: deterministic Lloyd k-means (seeded by the
@@ -322,6 +322,122 @@ object VectorOps {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
+  /** Product-quantization codebooks — the compression half of IVF-PQ, the
+    * standard billion-vector ANN layout (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011). The vector splits into `m`
+    * contiguous subspaces of dim/m dims; each subspace trains its OWN
+    * ks-centroid codebook under the same deterministic discipline as
+    * [[ivfAssign]]: first-ks seed in id order, fixed iteration count,
+    * (d2, cid) tie-break, and the order-free fixed-point LONG mean sums of
+    * the `exactMeans = false` production path — so the whole training run is
+    * reproducible under any partitioning and carries a full unrolled DuckDB
+    * oracle.
+    *
+    * Scale shape: all `m` subspaces train in the SAME per-iteration job —
+    * assignment is m zero-shuffle scalar expressions over vector slices
+    * ([[nearestCidExpr]]), and the mean update is ONE
+    * groupBy(subspace, cid, subdim) whose map-side partials keep shuffle
+    * volume O(m·ks·(dim/m)) = O(ks·dim) regardless of corpus size. Driver
+    * state is m·ks subvectors (~codebook kilobytes), same as IVF's k rows.
+    *
+    * Dirty-null guard as in [[ivfAssign]]: rows whose embedding is null or
+    * contains a null element are dropped before seeding/assignment.
+    */
+  def pqTrain(
+      vecs: DataFrame, // id, embedding
+      dim: Int,
+      m: Int,
+      ks: Int,
+      iterations: Int = 2): IndexedSeq[Seq[(Int, Seq[Double])]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    val sub = dim / m
+    val v = vecs.select(col("id"), asDouble(col("embedding")).as("v"))
+      .filter(dot(col("v"), col("v")).isNotNull)
+    val seeds = v.orderBy("id").limit(ks)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    var books: IndexedSeq[Seq[(Int, Seq[Double])]] =
+      (0 until m).map(s => seeds.zipWithIndex.map { case (vec, i) =>
+        (i, vec.slice(s * sub, (s + 1) * sub))
+      }.toSeq)
+    for (_ <- 0 until iterations) {
+      val cids = array((0 until m).map(s =>
+        nearestCidExpr(slice(col("v"), s * sub + 1, sub), books(s))): _*)
+      // One wide exploded pass: subspace s = dim index div sub, sd = index
+      // mod sub; a cell that loses every member disappears (matching the
+      // oracle's GROUP BY), so later rounds score fewer candidates there.
+      val means = v
+        .select(col("id"), cids.as("cids"), posexplode(col("v")).as(Seq("d", "x")))
+        .select(
+          (col("d") / lit(sub)).cast("int").as("s"),
+          element_at(col("cids"), (col("d") / lit(sub)).cast("int") + 1).as("cid"),
+          (col("d") % lit(sub)).as("sd"),
+          col("x"))
+        .groupBy("s", "cid", "sd")
+        .agg(
+          sum(floor(col("x") * lit(1e8) + lit(0.5))).as("sx8"),
+          count(lit(1)).as("n"))
+        .withColumn("mn", col("sx8").cast("double") / lit(1e8) / col("n"))
+        .groupBy("s", "cid")
+        .agg(array_sort(collect_list(struct(col("sd"), col("mn")))).as("dm"))
+        .select(col("s"), col("cid"), transform(col("dm"), e => e.getField("mn")).as("c"))
+        .collect()
+      books = (0 until m).map(s =>
+        means.filter(_.getInt(0) == s)
+          .map(r => (r.getInt(1), r.getSeq[Double](2)))
+          .sortBy(_._1).toSeq)
+    }
+    books
+  }
+
+  /** PQ/ADC top-k: corpus rows carry only their m-code PQ encoding; each
+    * query precomputes a per-subspace ADC table (d2 from its subvector to
+    * every codebook entry, a cid→d2 map of m·ks doubles), so the scored
+    * join reads NO corpus floats — approx distance is m map lookups + adds
+    * per pair. That is the memory-bound shape that makes PQ the
+    * billion-vector layout: a 64-dim float corpus shrinks 64× to m bytes a
+    * row, and the only full-precision vectors at query time are the handful
+    * of broadcast queries. Deterministic end-to-end (training via
+    * [[pqTrain]], rounded approx_d2, (approx_d2, vec_id) rank order), so the
+    * whole pipeline hash-matches its unrolled DuckDB oracle.
+    */
+  def annTopKPq(
+      vecs: DataFrame, // id, embedding
+      queryIds: Seq[Long],
+      k: Int,
+      dim: Int,
+      m: Int,
+      ks: Int,
+      iterations: Int = 2): DataFrame = {
+    val sub = dim / m
+    val books = pqTrain(vecs, dim, m, ks, iterations)
+    val v = vecs.select(col("id"), asDouble(col("embedding")).as("v"))
+      .filter(dot(col("v"), col("v")).isNotNull)
+    val codes = array((0 until m).map(s =>
+      nearestCidExpr(slice(col("v"), s * sub + 1, sub), books(s))): _*)
+    val corpus = v.filter(!col("id").isin(queryIds: _*))
+      .select(col("id").as("vec_id"), codes.as("codes"))
+    // cid→d2 maps, not positional arrays: a codebook that lost a cell to an
+    // empty-cluster round has non-contiguous cids, so position indexing
+    // would silently misalign codes with table entries.
+    val tables = array((0 until m).map { s =>
+      val cids = typedLit(books(s).map(_._1))
+      val cents = typedLit(books(s).map(_._2))
+      map_from_arrays(
+        cids, transform(cents, c => d2(slice(col("v"), s * sub + 1, sub), c)))
+    }: _*)
+    val queries = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), tables.as("tbl"))
+    val approx = (0 until m)
+      .map(s => element_at(element_at(col("tbl"), s + 1), element_at(col("codes"), s + 1)))
+      .reduce(_ + _) // left fold, same order as the oracle's t0 + t1 + …
+    val w = Window.partitionBy(col("query_id")).orderBy(col("approx_d2"), col("vec_id"))
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("approx_d2", round(approx, 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "approx_d2", "rank")
   }
 
   /** LSH-bucketed near-dup: block by SRP bucket, then exact cosine verify

@@ -68,6 +68,17 @@ object VectorQueries {
         Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding")),
         queryIds = (0L until 10L).toSeq, k = 3, nCells = 8, nProbe = 2)
     },
+    // V9 — product-quantization ADC top-k (scale path #3, the billion-vector
+    // layout): 4 subspaces × 16 dims, 8-centroid codebooks per subspace
+    // trained by the same deterministic fixed-point Lloyd as x_v4_fast, the
+    // corpus reduced to 4 codes a row, queries carrying cid→d2 ADC tables.
+    // Fully deterministic ⇒ the oracle unrolls all 4 per-subspace Lloyd runs
+    // in DuckDB CTEs and hash-matches the ranked output.
+    "x_v9_pq_adc" -> { (s, dir) =>
+      VectorOps.annTopKPq(
+        Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding")),
+        queryIds = (0L until 10L).toSeq, k = 3, dim = 64, m = 4, ks = 8)
+    },
     // V6 — multi-probe SRP near-dup: candidates within hamming<=1 of each
     // other's bucket (the SRP recall dial, complementing x_v5's IVF nProbe).
     "x_v6_ann_lsh_multiprobe" -> { (s, dir) =>
@@ -189,7 +200,81 @@ object VectorQueries {
        |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= $topK""".stripMargin
   }
 
+  /** DuckDB unroll of [[VectorOps.pqTrain]] + [[VectorOps.annTopKPq]]: per
+    * subspace s, the sliced corpus `e_s`, the first-ks seed codebook, and
+    * `iterations` assign→update rounds with the fixed-point mean (identical
+    * to [[ivfOracleSql]]'s `fixedPointMeans = true` step); then the m-way
+    * code join reconstructs each corpus row's approx d2 as the SAME
+    * left-to-right sum of per-subspace d2 folds Spark computes through its
+    * ADC tables.
+    */
+  private def pqOracleSql(
+      dim: Int, m: Int, ks: Int, iterations: Int, nQueries: Int, topK: Int): String = {
+    val sub = dim / m
+    def d2sub(vs: String, c: String) =
+      s"list_sum(list_transform(generate_series(1, $sub), i -> ($vs[i] - $c[i]) * ($vs[i] - $c[i])))"
+    // d2 of the query's s-th subvector (offset into the FULL vector) against
+    // a codebook entry — same element order as the sliced fold above.
+    def d2off(v: String, off: Int, c: String) =
+      s"list_sum(list_transform(generate_series(1, $sub), i -> ($v[$off + i] - $c[i]) * ($v[$off + i] - $c[i])))"
+    val meanExpr =
+      "CAST(sum(CAST(floor(x * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0 / count(*)"
+    def assign(s: Int, name: String, cPrev: String) =
+      s"""$name AS (
+         |  SELECT id, vs, cid FROM (
+         |    SELECT id, vs, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM (
+         |      SELECT e.id, e.vs, c.cid, ${d2sub("e.vs", "c.c")} AS d2
+         |      FROM e$s e CROSS JOIN $cPrev c) dd) rr
+         |  WHERE rn = 1)""".stripMargin
+    def update(name: String, aPrev: String) =
+      s"""$name AS (
+         |  SELECT cid, list(mn ORDER BY sd) AS c FROM (
+         |    SELECT cid, sd, $meanExpr AS mn FROM (
+         |      SELECT a.cid, a.id, g.i AS sd, a.vs[g.i] AS x
+         |      FROM $aPrev a CROSS JOIN generate_series(1, $sub) g(i)) xx
+         |    GROUP BY cid, sd) mm
+         |  GROUP BY cid)""".stripMargin
+    val perSubspace = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      val slices =
+        s"""e$s AS (SELECT id, v[$lo:$hi] AS vs FROM e),
+           |c${s}_0 AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, v[$lo:$hi] AS c
+           |  FROM (SELECT id, v FROM e ORDER BY id LIMIT $ks) s0)""".stripMargin
+      val rounds = (1 to iterations)
+        .flatMap(i => Seq(assign(s, s"a${s}_$i", s"c${s}_${i - 1}"), update(s"c${s}_$i", s"a${s}_$i")))
+        .mkString(",\n")
+      s"$slices,\n$rounds,\n${assign(s, s"af$s", s"c${s}_$iterations")}"
+    }.mkString(",\n")
+    val codeJoin = (0 until m)
+      .map(s => s"JOIN c${s}_$iterations c$s ON c$s.cid = x.k$s")
+      .mkString("\n  ")
+    val approx = (0 until m).map(s => d2off("q.v", s * sub, s"c$s.c")).mkString(" + ")
+    s"""WITH e AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |$perSubspace,
+       |codes AS (
+       |  SELECT af0.id, ${(0 until m).map(s => s"af$s.cid AS k$s").mkString(", ")}
+       |  FROM af0 ${(1 until m).map(s => s"JOIN af$s USING (id)").mkString(" ")}),
+       |q AS (SELECT id AS query_id, v FROM e WHERE id < $nQueries),
+       |sims AS (
+       |  SELECT q.query_id, x.id AS vec_id, round($approx, 6) + 0.0 AS approx_d2
+       |  FROM codes x
+       |  $codeJoin
+       |  CROSS JOIN q
+       |  WHERE x.id >= $nQueries),
+       |r AS (
+       |  SELECT query_id, vec_id, approx_d2,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY approx_d2, vec_id) AS rank
+       |  FROM sims)
+       |SELECT query_id, vec_id, approx_d2, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= $topK""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x_v9_pq_adc" -> pqOracleSql(
+      dim = 64, m = 4, ks = 8, iterations = 2, nQueries = 10, topK = 3),
     "x_v3_ann_lsh_neardup" -> {
       val cos = duckCos("a.v", "b.v")
       s"""WITH e AS (SELECT vec_id AS id,

@@ -426,6 +426,50 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(fast.groupBy(_._1).forall(_._2.size == 5), "k results per query")
   }
 
+  test("pq codebooks: m books of <=ks entries, subvector width dim/m") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val books = VectorOps.pqTrain(e, dim = 64, m = 4, ks = 8, iterations = 2)
+    assert(books.size === 4)
+    books.foreach { b =>
+      assert(b.nonEmpty && b.size <= 8)
+      assert(b.map(_._1).distinct.size === b.size) // cids unique
+      b.foreach { case (_, c) => assert(c.size === 16) } // dim/m subvector
+    }
+  }
+
+  test("pq/adc top-k: shortlist recalls the true neighborhood at sf0.001") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val qs = (0L until 6L).toSeq
+    // ADC with a deeper shortlist must recover most of the exact top-3 by
+    // d2. PQ is lossy by design, so assert recall of the approximate
+    // shortlist against the exact ranking, not identity — and use the
+    // realistic 8×8-dim codebook shape (finer than the declared query's
+    // compact 4×16 oracle shape): on near-random synthetic embeddings the
+    // coarse shape's distortion swamps a tiny sf0.001 corpus.
+    val adc = VectorOps
+      .annTopKPq(e, queryIds = qs, k = 10, dim = 64, m = 8, ks = 8)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v = e.select(col("id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val queries = v.filter(col("id").isin(qs: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2"), col("vec_id"))
+    val exact = v.filter(!col("id").isin(qs: _*))
+      .select(col("id").as("vec_id"), col("v"))
+      .crossJoin(broadcast(queries))
+      .withColumn("d2", VectorOps.d2(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & adc).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ADC shortlist lost the true neighborhood: $recall")
+    assert(adc.groupBy(_._1).forall(_._2.size == 10), "k rows per query")
+  }
+
   test("ivf end-to-end at nCells=128 plans without codegen blowup") {
     val e = Tables.embeddings(spark, sf)
     val out = VectorOps.annTopKIvf(
