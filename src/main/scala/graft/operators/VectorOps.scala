@@ -350,11 +350,19 @@ object VectorOps {
       dim: Int,
       m: Int,
       ks: Int,
-      iterations: Int = 2): IndexedSeq[Seq[(Int, Seq[Double])]] = {
+      iterations: Int = 2,
+      trainModulus: Int = 1): IndexedSeq[Seq[(Int, Seq[Double])]] = {
     require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    require(trainModulus >= 1, s"trainModulus must be >= 1, got $trainModulus")
     val sub = dim / m
+    // Codebooks train on a deterministic 1/trainModulus corpus sample
+    // (id % trainModulus == 0 — engine-portable, unlike hash sampling): the
+    // standard PQ practice (FAISS trains on a bounded sample) and the scale
+    // lever that keeps every training round O(sample) while the encode pass
+    // stays the only full-corpus job.
     val v = vecs.select(col("id"), asDouble(col("embedding")).as("v"))
       .filter(dot(col("v"), col("v")).isNotNull)
+      .filter(col("id") % trainModulus === 0)
     val seeds = v.orderBy("id").limit(ks)
       .select(col("v")).collect().map(_.getSeq[Double](0))
     var books: IndexedSeq[Seq[(Int, Seq[Double])]] =
@@ -362,12 +370,18 @@ object VectorOps {
         (i, vec.slice(s * sub, (s + 1) * sub))
       }.toSeq)
     for (_ <- 0 until iterations) {
+      // Hoist the m subvector slices into one projection so codegen
+      // computes each slice ONCE per row — inlined in nearestCidExpr they
+      // would re-evaluate per scored centroid (m·ks slice allocations/row).
+      val sliced = v.select(
+        col("id") +: col("v") +:
+          (0 until m).map(s => slice(col("v"), s * sub + 1, sub).as(s"__v$s")): _*)
       val cids = array((0 until m).map(s =>
-        nearestCidExpr(slice(col("v"), s * sub + 1, sub), books(s))): _*)
+        nearestCidExpr(col(s"__v$s"), books(s))): _*)
       // One wide exploded pass: subspace s = dim index div sub, sd = index
       // mod sub; a cell that loses every member disappears (matching the
       // oracle's GROUP BY), so later rounds score fewer candidates there.
-      val means = v
+      val means = sliced
         .select(col("id"), cids.as("cids"), posexplode(col("v")).as(Seq("d", "x")))
         .select(
           (col("d") / lit(sub)).cast("int").as("s"),
@@ -409,14 +423,18 @@ object VectorOps {
       dim: Int,
       m: Int,
       ks: Int,
-      iterations: Int = 2): DataFrame = {
+      iterations: Int = 2,
+      trainModulus: Int = 1): DataFrame = {
     val sub = dim / m
-    val books = pqTrain(vecs, dim, m, ks, iterations)
+    val books = pqTrain(vecs, dim, m, ks, iterations, trainModulus)
     val v = vecs.select(col("id"), asDouble(col("embedding")).as("v"))
       .filter(dot(col("v"), col("v")).isNotNull)
     val codes = array((0 until m).map(s =>
-      nearestCidExpr(slice(col("v"), s * sub + 1, sub), books(s))): _*)
+      nearestCidExpr(col(s"__v$s"), books(s))): _*)
     val corpus = v.filter(!col("id").isin(queryIds: _*))
+      .select(
+        col("id") +:
+          (0 until m).map(s => slice(col("v"), s * sub + 1, sub).as(s"__v$s")): _*)
       .select(col("id").as("vec_id"), codes.as("codes"))
     // cid→d2 maps, not positional arrays: a codebook that lost a cell to an
     // empty-cluster round has non-contiguous cids, so position indexing

@@ -70,14 +70,17 @@ object VectorQueries {
     },
     // V9 — product-quantization ADC top-k (scale path #3, the billion-vector
     // layout): 4 subspaces × 16 dims, 8-centroid codebooks per subspace
-    // trained by the same deterministic fixed-point Lloyd as x_v4_fast, the
+    // trained by the same deterministic fixed-point Lloyd as x_v4_fast on a
+    // 1/4 id-modulus corpus sample (the standard bounded-sample PQ training,
+    // and the lever that keeps training O(sample) at any corpus size), the
     // corpus reduced to 4 codes a row, queries carrying cid→d2 ADC tables.
     // Fully deterministic ⇒ the oracle unrolls all 4 per-subspace Lloyd runs
     // in DuckDB CTEs and hash-matches the ranked output.
     "x_v9_pq_adc" -> { (s, dir) =>
       VectorOps.annTopKPq(
         Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding")),
-        queryIds = (0L until 10L).toSeq, k = 3, dim = 64, m = 4, ks = 8)
+        queryIds = (0L until 10L).toSeq, k = 3, dim = 64, m = 4, ks = 8,
+        trainModulus = 4)
     },
     // V6 — multi-probe SRP near-dup: candidates within hamming<=1 of each
     // other's bucket (the SRP recall dial, complementing x_v5's IVF nProbe).
@@ -209,7 +212,8 @@ object VectorQueries {
     * ADC tables.
     */
   private def pqOracleSql(
-      dim: Int, m: Int, ks: Int, iterations: Int, nQueries: Int, topK: Int): String = {
+      dim: Int, m: Int, ks: Int, iterations: Int, nQueries: Int, topK: Int,
+      trainModulus: Int = 1): String = {
     val sub = dim / m
     def d2sub(vs: String, c: String) =
       s"list_sum(list_transform(generate_series(1, $sub), i -> ($vs[i] - $c[i]) * ($vs[i] - $c[i])))"
@@ -219,12 +223,12 @@ object VectorQueries {
       s"list_sum(list_transform(generate_series(1, $sub), i -> ($v[$off + i] - $c[i]) * ($v[$off + i] - $c[i])))"
     val meanExpr =
       "CAST(sum(CAST(floor(x * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0 / count(*)"
-    def assign(s: Int, name: String, cPrev: String) =
+    def assign(src: String, name: String, cPrev: String) =
       s"""$name AS (
          |  SELECT id, vs, cid FROM (
          |    SELECT id, vs, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM (
          |      SELECT e.id, e.vs, c.cid, ${d2sub("e.vs", "c.c")} AS d2
-         |      FROM e$s e CROSS JOIN $cPrev c) dd) rr
+         |      FROM $src e CROSS JOIN $cPrev c) dd) rr
          |  WHERE rn = 1)""".stripMargin
     def update(name: String, aPrev: String) =
       s"""$name AS (
@@ -234,18 +238,25 @@ object VectorQueries {
          |      FROM $aPrev a CROSS JOIN generate_series(1, $sub) g(i)) xx
          |    GROUP BY cid, sd) mm
          |  GROUP BY cid)""".stripMargin
+    // Training reads the sampled slice tables (et_s); the final encode
+    // assign (af_s) reads the FULL slice tables — mirroring Spark, where
+    // only codebook training is sampled and every corpus row gets a code.
+    val trainWhere = if (trainModulus > 1) s" WHERE id % $trainModulus = 0" else ""
     val perSubspace = (0 until m).map { s =>
       val lo = s * sub + 1
       val hi = (s + 1) * sub
       val slices =
         s"""e$s AS (SELECT id, v[$lo:$hi] AS vs FROM e),
+           |et$s AS (SELECT id, vs FROM e$s$trainWhere),
            |c${s}_0 AS (
            |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, v[$lo:$hi] AS c
-           |  FROM (SELECT id, v FROM e ORDER BY id LIMIT $ks) s0)""".stripMargin
+           |  FROM (SELECT id, v FROM e$trainWhere ORDER BY id LIMIT $ks) s0)""".stripMargin
       val rounds = (1 to iterations)
-        .flatMap(i => Seq(assign(s, s"a${s}_$i", s"c${s}_${i - 1}"), update(s"c${s}_$i", s"a${s}_$i")))
+        .flatMap(i => Seq(
+          assign(s"et$s", s"a${s}_$i", s"c${s}_${i - 1}"),
+          update(s"c${s}_$i", s"a${s}_$i")))
         .mkString(",\n")
-      s"$slices,\n$rounds,\n${assign(s, s"af$s", s"c${s}_$iterations")}"
+      s"$slices,\n$rounds,\n${assign(s"e$s", s"af$s", s"c${s}_$iterations")}"
     }.mkString(",\n")
     val codeJoin = (0 until m)
       .map(s => s"JOIN c${s}_$iterations c$s ON c$s.cid = x.k$s")
@@ -274,7 +285,8 @@ object VectorQueries {
 
   val oracle: Map[String, String] = Map(
     "x_v9_pq_adc" -> pqOracleSql(
-      dim = 64, m = 4, ks = 8, iterations = 2, nQueries = 10, topK = 3),
+      dim = 64, m = 4, ks = 8, iterations = 2, nQueries = 10, topK = 3,
+      trainModulus = 4),
     "x_v3_ann_lsh_neardup" -> {
       val cos = duckCos("a.v", "b.v")
       s"""WITH e AS (SELECT vec_id AS id,
