@@ -458,6 +458,42 @@ object VectorOps {
       .select("query_id", "vec_id", "approx_d2", "rank")
   }
 
+  /** Two-stage PQ retrieval — the standard production ANN pipeline: a cheap
+    * ADC shortlist over codes ([[annTopKPq]], `shortlist` deep), then exact
+    * cosine re-ranked to top-k over ONLY the shortlisted rows. Full-precision
+    * vectors are touched for queries·shortlist rows total, never the corpus:
+    * the equi-join back to corpus floats broadcasts the tiny shortlist, so
+    * the corpus parquet is scanned once with no shuffle — quantization error
+    * caps recall (shortlist membership) but never final ordering precision.
+    */
+  def annTopKPqRerank(
+      vecs: DataFrame, // id, embedding
+      queryIds: Seq[Long],
+      k: Int,
+      shortlist: Int,
+      dim: Int,
+      m: Int,
+      ks: Int,
+      iterations: Int = 2,
+      trainModulus: Int = 1): DataFrame = {
+    val short = annTopKPq(vecs, queryIds, shortlist, dim, m, ks, iterations, trainModulus)
+      .select(col("query_id"), col("vec_id"))
+    val v = vecs.select(col("id"), asDouble(col("embedding")).as("v"))
+      .filter(dot(col("v"), col("v")).isNotNull)
+    val corpus = v.select(col("id").as("vec_id"), col("v").as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val queries = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    corpus.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos_sim", nz(round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
   /** LSH-bucketed near-dup: block by SRP bucket, then exact cosine verify
     * within buckets. Trades recall (hamming-0 buckets only) for linear scale.
     */

@@ -82,6 +82,16 @@ object VectorQueries {
         queryIds = (0L until 10L).toSeq, k = 3, dim = 64, m = 4, ks = 8,
         trainModulus = 4)
     },
+    // V10 — two-stage PQ retrieval: x_v9's ADC shortlist (10 deep) exact
+    // cosine re-ranked to top-3 over only the shortlisted rows — the
+    // standard production pipeline (quantized recall, exact precision on a
+    // bounded set). Same unrolled training oracle plus a re-rank CTE.
+    "x_v10_pq_rerank" -> { (s, dir) =>
+      VectorOps.annTopKPqRerank(
+        Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding")),
+        queryIds = (0L until 10L).toSeq, k = 3, shortlist = 10,
+        dim = 64, m = 4, ks = 8, trainModulus = 4)
+    },
     // V6 — multi-probe SRP near-dup: candidates within hamming<=1 of each
     // other's bucket (the SRP recall dial, complementing x_v5's IVF nProbe).
     "x_v6_ann_lsh_multiprobe" -> { (s, dir) =>
@@ -213,7 +223,7 @@ object VectorQueries {
     */
   private def pqOracleSql(
       dim: Int, m: Int, ks: Int, iterations: Int, nQueries: Int, topK: Int,
-      trainModulus: Int = 1): String = {
+      trainModulus: Int = 1, rerankTo: Int = 0): String = {
     val sub = dim / m
     def d2sub(vs: String, c: String) =
       s"list_sum(list_transform(generate_series(1, $sub), i -> ($vs[i] - $c[i]) * ($vs[i] - $c[i])))"
@@ -279,14 +289,29 @@ object VectorQueries {
        |  SELECT query_id, vec_id, approx_d2,
        |    row_number() OVER (PARTITION BY query_id ORDER BY approx_d2, vec_id) AS rank
        |  FROM sims)
-       |SELECT query_id, vec_id, approx_d2, CAST(rank AS BIGINT) AS rank
-       |FROM r WHERE rank <= $topK""".stripMargin
+       |${if (rerankTo <= 0)
+           s"""SELECT query_id, vec_id, approx_d2, CAST(rank AS BIGINT) AS rank
+              |FROM r WHERE rank <= $topK""".stripMargin
+         else
+           s""",sl AS (SELECT query_id, vec_id FROM r WHERE rank <= $topK),
+              |ex AS (
+              |  SELECT sl.query_id, sl.vec_id, round(${duckCos("q.v", "c.v")}, 6) + 0.0 AS cos_sim
+              |  FROM sl JOIN e c ON c.id = sl.vec_id JOIN q ON q.query_id = sl.query_id),
+              |rr AS (
+              |  SELECT query_id, vec_id, cos_sim,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+              |  FROM ex)
+              |SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank
+              |FROM rr WHERE rank <= $rerankTo""".stripMargin}""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
     "x_v9_pq_adc" -> pqOracleSql(
       dim = 64, m = 4, ks = 8, iterations = 2, nQueries = 10, topK = 3,
       trainModulus = 4),
+    "x_v10_pq_rerank" -> pqOracleSql(
+      dim = 64, m = 4, ks = 8, iterations = 2, nQueries = 10, topK = 10,
+      trainModulus = 4, rerankTo = 3),
     "x_v3_ann_lsh_neardup" -> {
       val cos = duckCos("a.v", "b.v")
       s"""WITH e AS (SELECT vec_id AS id,
