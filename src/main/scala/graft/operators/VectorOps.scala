@@ -494,6 +494,86 @@ object VectorOps {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
+  /** IVF-PQ top-k — the full billion-vector ANN layout (Jégou et al. 2011,
+    * the FAISS `IVFx,PQy` index): a coarse IVF quantizer partitions the
+    * corpus into cells, PQ encodes each vector's RESIDUAL (v − centroid of
+    * its cell), and a query probes its `nProbe` nearest cells scoring
+    * candidates by ADC over a per-(query, cell) residual table. Residual
+    * encoding is why the two levels compose: PQ spends its codebook
+    * resolution on the within-cell displacement instead of re-describing the
+    * cell position the coarse quantizer already captured.
+    *
+    * Scale shape: the corpus is touched by (a) the coarse Lloyd rounds —
+    * one O(cells×dims) map-side-partial shuffle each ([[ivfAssign]]'s
+    * fixed-point production path), (b) PQ training over a 1/trainModulus
+    * residual sample ([[pqTrain]]), and (c) ONE encode pass that reduces
+    * every row to (cid, m codes) — after which query-time cost is m map
+    * lookups + adds per candidate in the probed cells only, reading no
+    * corpus floats at all. Both training levels use order-free fixed-point
+    * LONG sums, so the whole pipeline is deterministic under any
+    * partitioning and carries a full unrolled DuckDB oracle.
+    */
+  def annTopKIvfPq(
+      vecs: DataFrame, // id, embedding
+      queryIds: Seq[Long],
+      k: Int,
+      nCells: Int,
+      dim: Int,
+      m: Int,
+      ks: Int,
+      coarseIterations: Int = 2,
+      pqIterations: Int = 2,
+      nProbe: Int = 1,
+      trainModulus: Int = 1): DataFrame = {
+    val sub = dim / m
+    val (assigned, centroids) = ivfAssign(vecs, nCells, coarseIterations, exactMeans = false)
+    // Residual per row w.r.t. its OWN cell: element-wise double subtraction
+    // (exact, order-free) against the broadcast k-row centroid table.
+    val res = assigned.join(broadcast(centroids), Seq("cid"))
+      .select(
+        col("id"), col("cid"),
+        zip_with(col("v"), col("c"), (a, b) => a - b).as("rv"))
+    val books = pqTrain(
+      res.select(col("id"), col("rv").as("embedding")),
+      dim, m, ks, pqIterations, trainModulus)
+    // Encode pass: every corpus row shrinks to (cid, m codes). Slices are
+    // hoisted once per row (same codegen argument as pqTrain's projection).
+    val codes = array((0 until m).map(s =>
+      nearestCidExpr(col(s"__r$s"), books(s))): _*)
+    val corpus = res.filter(!col("id").isin(queryIds: _*))
+      .select(
+        col("id") +: col("cid") +:
+          (0 until m).map(s => slice(col("rv"), s * sub + 1, sub).as(s"__r$s")): _*)
+      .select(col("id").as("vec_id"), col("cid"), codes.as("codes"))
+    // Each query probes its nProbe nearest cells; the ADC table is built
+    // from the query's residual AGAINST THAT CELL (qv − cell centroid), so a
+    // candidate's approx d2 decomposes as Σ_s d2(query residual slice,
+    // codebook entry of its code) — the standard IVFADC estimator.
+    val probes = rankedCells(
+      assigned.filter(col("id").isin(queryIds: _*)).select(col("id"), col("v")),
+      centroids, nProbe)
+      .join(broadcast(centroids), Seq("cid"))
+      .select(
+        col("id").as("query_id"), col("cid"),
+        zip_with(col("v"), col("c"), (a, b) => a - b).as("qrv"))
+    val tables = array((0 until m).map { s =>
+      val cids = typedLit(books(s).map(_._1))
+      val cents = typedLit(books(s).map(_._2))
+      map_from_arrays(
+        cids, transform(cents, c => d2(slice(col("qrv"), s * sub + 1, sub), c)))
+    }: _*)
+    val queries = probes.select(col("query_id"), col("cid"), tables.as("tbl"))
+    val approx = (0 until m)
+      .map(s => element_at(element_at(col("tbl"), s + 1), element_at(col("codes"), s + 1)))
+      .reduce(_ + _) // left fold, same order as the oracle's t0 + t1 + …
+    val w = Window.partitionBy(col("query_id")).orderBy(col("approx_d2"), col("vec_id"))
+    corpus.join(broadcast(queries), Seq("cid"))
+      .withColumn("approx_d2", round(approx, 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "approx_d2", "rank")
+  }
+
   /** LSH-bucketed near-dup: block by SRP bucket, then exact cosine verify
     * within buckets. Trades recall (hamming-0 buckets only) for linear scale.
     */

@@ -92,6 +92,19 @@ object VectorQueries {
         queryIds = (0L until 10L).toSeq, k = 3, shortlist = 10,
         dim = 64, m = 4, ks = 8, trainModulus = 4)
     },
+    // V11 — IVF-PQ (the FAISS IVFx,PQy layout, scale path #4): 8 coarse
+    // cells × (4 subspaces × 8-centroid codebooks) over RESIDUALS
+    // (v − own-cell centroid), queries probing their 2 nearest cells with
+    // per-(query, cell) ADC tables — the IVFADC estimator. Both quantizer
+    // levels train with the order-free fixed-point Lloyd, so the composed
+    // pipeline still hash-matches a fully unrolled DuckDB oracle.
+    "x_v11_ivfpq" -> { (s, dir) =>
+      VectorOps.annTopKIvfPq(
+        Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding")),
+        queryIds = (0L until 10L).toSeq, k = 3, nCells = 8,
+        dim = 64, m = 4, ks = 8, coarseIterations = 2, pqIterations = 2,
+        nProbe = 2, trainModulus = 4)
+    },
     // V6 — multi-probe SRP near-dup: candidates within hamming<=1 of each
     // other's bucket (the SRP recall dial, complementing x_v5's IVF nProbe).
     "x_v6_ann_lsh_multiprobe" -> { (s, dir) =>
@@ -305,7 +318,132 @@ object VectorQueries {
               |FROM rr WHERE rank <= $rerankTo""".stripMargin}""".stripMargin
   }
 
+  /** DuckDB unroll of [[VectorOps.annTopKIvfPq]] — the two quantization
+    * levels composed: the coarse fixed-point Lloyd of [[ivfOracleSql]]
+    * (`fixedPointMeans = true`), a residual CTE (v − own-cell centroid,
+    * exact element-wise subtraction in both engines), [[pqOracleSql]]'s
+    * per-subspace training rounds re-rooted at the residual slices, and an
+    * ADC scoring join where each query's distance table comes from its
+    * residual against the PROBED cell (qv − that cell's centroid) — the
+    * IVFADC estimator. All arithmetic is the same left-to-right double
+    * folds / exact integer sums as the Spark side, so the final ranking
+    * hash-matches.
+    */
+  private def ivfPqOracleSql(
+      nCells: Int, dim: Int, m: Int, ks: Int, coarseIterations: Int,
+      pqIterations: Int, nQueries: Int, topK: Int, nProbe: Int,
+      trainModulus: Int): String = {
+    val sub = dim / m
+    val meanExpr =
+      "CAST(sum(CAST(floor(x * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0 / count(*)"
+    // -- coarse level (full vectors, column v) --
+    def d2full(v: String, c: String) =
+      s"list_sum(list_transform(generate_series(1, $dim), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
+    def cAssign(name: String, cPrev: String) =
+      s"""$name AS (
+         |  SELECT id, v, cid FROM (
+         |    SELECT id, v, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM (
+         |      SELECT e.id, e.v, c.cid, ${d2full("e.v", "c.c")} AS d2
+         |      FROM e CROSS JOIN $cPrev c) dd) rr
+         |  WHERE rn = 1)""".stripMargin
+    def cUpdate(name: String, aPrev: String) =
+      s"""$name AS (
+         |  SELECT cid, list(m ORDER BY dim) AS c FROM (
+         |    SELECT cid, dim, $meanExpr AS m FROM (
+         |      SELECT a.cid, a.id, g.i AS dim, a.v[g.i] AS x
+         |      FROM $aPrev a CROSS JOIN generate_series(1, $dim) g(i)) xx
+         |    GROUP BY cid, dim) mm
+         |  GROUP BY cid)""".stripMargin
+    val coarse = (1 to coarseIterations)
+      .flatMap(i => Seq(cAssign(s"a$i", s"c${i - 1}"), cUpdate(s"c$i", s"a$i")))
+      .mkString(",\n")
+    val cFinal = s"c$coarseIterations"
+    // -- PQ level (residual slices, column vs) --
+    def d2sub(vs: String, c: String) =
+      s"list_sum(list_transform(generate_series(1, $sub), i -> ($vs[i] - $c[i]) * ($vs[i] - $c[i])))"
+    def d2off(v: String, off: Int, c: String) =
+      s"list_sum(list_transform(generate_series(1, $sub), i -> ($v[$off + i] - $c[i]) * ($v[$off + i] - $c[i])))"
+    def pAssign(src: String, name: String, cPrev: String) =
+      s"""$name AS (
+         |  SELECT id, vs, cid FROM (
+         |    SELECT id, vs, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM (
+         |      SELECT e.id, e.vs, c.cid, ${d2sub("e.vs", "c.c")} AS d2
+         |      FROM $src e CROSS JOIN $cPrev c) dd) rr
+         |  WHERE rn = 1)""".stripMargin
+    def pUpdate(name: String, aPrev: String) =
+      s"""$name AS (
+         |  SELECT cid, list(mn ORDER BY sd) AS c FROM (
+         |    SELECT cid, sd, $meanExpr AS mn FROM (
+         |      SELECT a.cid, a.id, g.i AS sd, a.vs[g.i] AS x
+         |      FROM $aPrev a CROSS JOIN generate_series(1, $sub) g(i)) xx
+         |    GROUP BY cid, sd) mm
+         |  GROUP BY cid)""".stripMargin
+    val trainWhere = if (trainModulus > 1) s" WHERE id % $trainModulus = 0" else ""
+    val perSubspace = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      val slices =
+        s"""rs$s AS (SELECT id, rv[$lo:$hi] AS vs FROM r),
+           |rt$s AS (SELECT id, vs FROM rs$s$trainWhere),
+           |cb${s}_0 AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, rv[$lo:$hi] AS c
+           |  FROM (SELECT id, rv FROM r$trainWhere ORDER BY id LIMIT $ks) s0)""".stripMargin
+      val rounds = (1 to pqIterations)
+        .flatMap(i => Seq(
+          pAssign(s"rt$s", s"pa${s}_$i", s"cb${s}_${i - 1}"),
+          pUpdate(s"cb${s}_$i", s"pa${s}_$i")))
+        .mkString(",\n")
+      s"$slices,\n$rounds,\n${pAssign(s"rs$s", s"paf$s", s"cb${s}_$pqIterations")}"
+    }.mkString(",\n")
+    val codeJoin = (0 until m)
+      .map(s => s"JOIN cb${s}_$pqIterations b$s ON b$s.cid = x.k$s")
+      .mkString("\n  ")
+    val approx = (0 until m).map(s => d2off("qr.qrv", s * sub, s"b$s.c")).mkString(" + ")
+    s"""WITH e AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, v AS c
+       |  FROM (SELECT id, v FROM e ORDER BY id LIMIT $nCells) s0),
+       |$coarse,
+       |${cAssign("af", cFinal)},
+       |r AS (
+       |  SELECT af.id, af.cid,
+       |    list_transform(generate_series(1, $dim), i -> af.v[i] - c.c[i]) AS rv
+       |  FROM af JOIN $cFinal c USING (cid)),
+       |$perSubspace,
+       |codes AS (
+       |  SELECT paf0.id, r.cid, ${(0 until m).map(s => s"paf$s.cid AS k$s").mkString(", ")}
+       |  FROM paf0 ${(1 until m).map(s => s"JOIN paf$s ON paf$s.id = paf0.id").mkString(" ")}
+       |  JOIN r ON r.id = paf0.id),
+       |qp AS (
+       |  SELECT id, v, cid FROM (
+       |    SELECT id, v, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM (
+       |      SELECT e.id, e.v, c.cid, ${d2full("e.v", "c.c")} AS d2
+       |      FROM e CROSS JOIN $cFinal c WHERE e.id < $nQueries) dd) rr
+       |  WHERE rn <= $nProbe),
+       |qr AS (
+       |  SELECT qp.id AS query_id, qp.cid,
+       |    list_transform(generate_series(1, $dim), i -> qp.v[i] - c.c[i]) AS qrv
+       |  FROM qp JOIN $cFinal c USING (cid)),
+       |sims AS (
+       |  SELECT qr.query_id, x.id AS vec_id, round($approx, 6) + 0.0 AS approx_d2
+       |  FROM codes x
+       |  $codeJoin
+       |  JOIN qr ON qr.cid = x.cid
+       |  WHERE x.id >= $nQueries),
+       |rk AS (
+       |  SELECT query_id, vec_id, approx_d2,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY approx_d2, vec_id) AS rank
+       |  FROM sims)
+       |SELECT query_id, vec_id, approx_d2, CAST(rank AS BIGINT) AS rank
+       |FROM rk WHERE rank <= $topK""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x_v11_ivfpq" -> ivfPqOracleSql(
+      nCells = 8, dim = 64, m = 4, ks = 8, coarseIterations = 2,
+      pqIterations = 2, nQueries = 10, topK = 3, nProbe = 2,
+      trainModulus = 4),
     "x_v9_pq_adc" -> pqOracleSql(
       dim = 64, m = 4, ks = 8, iterations = 2, nQueries = 10, topK = 3,
       trainModulus = 4),

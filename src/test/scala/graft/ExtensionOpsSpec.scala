@@ -470,6 +470,46 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(adc.groupBy(_._1).forall(_._2.size == 10), "k rows per query")
   }
 
+  test("ivf-pq: residual ADC estimates at least as well as pure ADC") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val qs = (0L until 6L).toSeq
+    // The claim residual encoding buys is ESTIMATION quality: spending the
+    // codebook on within-cell displacement should approximate true d2 at
+    // least as well as direct PQ with the same (m, ks) budget. Top-k recall
+    // is too noisy a proxy on this near-random sf0.001 corpus (the exact
+    // top-3 barely separates from the bulk), so assert on the estimator
+    // error itself over EVERY pair — probe all 4 cells so both sides score
+    // the identical candidate set (the nProbe pruning dial is IVF-spec
+    // territory).
+    val v = e.select(col("id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val queries = v.filter(col("id").isin(qs: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val exact = v.filter(!col("id").isin(qs: _*))
+      .select(col("id").as("vec_id"), col("v"))
+      .crossJoin(broadcast(queries))
+      .withColumn("d2", VectorOps.d2(col("qv"), col("v")))
+      .select("query_id", "vec_id", "d2").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def medianErr(approx: Map[(Long, Long), Double]): Double = {
+      assert(approx.keySet === exact.keySet, "both paths must score every pair")
+      val errs = approx.toSeq.map { case (k2, a) => math.abs(a - exact(k2)) }.sorted
+      errs(errs.size / 2)
+    }
+    val deep = exact.size // shortlist deeper than the corpus = keep all pairs
+    val pure = VectorOps.annTopKPq(e, qs, k = deep, dim = 64, m = 8, ks = 8)
+      .select("query_id", "vec_id", "approx_d2").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val residual = VectorOps.annTopKIvfPq(e, qs, k = deep, nCells = 4,
+        dim = 64, m = 8, ks = 8, nProbe = 4)
+      .select("query_id", "vec_id", "approx_d2").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val (pe, re) = (medianErr(pure), medianErr(residual))
+    // 5% slack: the property is "refinement, not regression", not strict
+    // dominance on one tiny corpus.
+    assert(re <= pe * 1.05, s"residual ADC estimated worse than pure: $re vs $pe")
+  }
+
   test("ivf end-to-end at nCells=128 plans without codegen blowup") {
     val e = Tables.embeddings(spark, sf)
     val out = VectorOps.annTopKIvf(
