@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-level lexical statistics — the vocabulary/collocation passes of a
+  * training-data pipeline (tokenizer vocab seeding, stopword discovery,
+  * collocation mining for phrase-aware tokenization). No reference
+  * counterpart; scale extension alongside the text-quality family.
+  *
+  * Scale shape: both ops are explode → hash-aggregate with map-side partial
+  * combine (shuffle volume O(vocab), not O(tokens)), and the final top-N is
+  * `orderBy(...).limit(n)` — Spark plans that as TakeOrderedAndProject
+  * (per-partition heap + driver merge of n·partitions rows), never a global
+  * sort of the vocabulary.
+  */
+object Vocab {
+
+  /** Token vocabulary: term frequency (total occurrences) and document
+    * frequency per token, top `n` by (tf desc, token) — a total order, so
+    * the cut is deterministic. Tokenization is the pipeline-wide whitespace
+    * [[TextFunctions.tokens]]; null-text docs contribute nothing (explode of
+    * a null array emits no rows, same as SQL unnest).
+    */
+  def vocabTopK(docs: DataFrame, docId: Column, text: Column, n: Int): DataFrame =
+    docs
+      .select(docId.as("doc_id"), explode(TextFunctions.tokens(text)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(n)
+
+  /** Adjacent-bigram collocations with pointwise mutual information:
+    * pmi = ln( p(w1 w2) / (p(w1)·p(w2)) ) with probabilities estimated from
+    * corpus counts (bigram mass over total bigrams, unigram mass over total
+    * tokens). Top `n` bigrams by (count desc, w1, w2). The two 1-row totals
+    * broadcast; the unigram join shuffles O(vocab) only. ln/round(6) parity
+    * between engines is the same contract BM25 (t16) already pins.
+    */
+  def bigramPmi(docs: DataFrame, text: Column, n: Int): DataFrame = {
+    val tk = docs.filter(text.isNotNull).select(TextFunctions.tokens(text).as("tk"))
+    val uni = tk.select(explode(col("tk")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cx"))
+    val totalUni = uni.agg(sum(col("cx")).as("tu"))
+    val bi = tk.select(explode(
+        zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
+    val totalBi = bi.agg(sum(col("c_bigram")).as("tb"))
+    bi
+      .join(uni.select(col("token").as("w1"), col("cx")), Seq("w1"))
+      .join(uni.select(col("token").as("w2"), col("cx").as("cy")), Seq("w2"))
+      .crossJoin(broadcast(totalUni))
+      .crossJoin(broadcast(totalBi))
+      .withColumn(
+        "pmi",
+        round(
+          log((col("c_bigram") / col("tb")) /
+            ((col("cx") / col("tu")) * (col("cy") / col("tu")))),
+          6))
+      .orderBy(col("c_bigram").desc, col("w1"), col("w2"))
+      .limit(n)
+      .select("w1", "w2", "c_bigram", "pmi")
+  }
+}

@@ -237,6 +237,19 @@ object TextQueries {
             .otherwise(0.0).as("top2_share"))
         .withColumn(
           "is_dominated", col("top1_share") > 0.2 || col("top2_share") > 0.18)
+    },
+    // T19 — corpus vocabulary: token tf/df, top-200 by (tf desc, token) —
+    // the tokenizer-vocab / stopword-discovery pass. Explode → one
+    // map-side-combined aggregate; the cut is a TakeOrdered, not a global
+    // sort.
+    "t19_vocab_topk" -> { (s, dir) =>
+      Vocab.vocabTopK(Tables.documents(s, dir), col("doc_id"), col("text"), 200)
+    },
+    // T20 — adjacent-bigram collocations with PMI (phrase mining for
+    // phrase-aware tokenization), top-150 by (count desc, w1, w2). ln +
+    // round(6) parity is the same cross-engine contract t16's BM25 pins.
+    "t20_bigram_pmi" -> { (s, dir) =>
+      Vocab.bigramPmi(Tables.documents(s, dir), col("text"), 150)
     }
   )
 
@@ -523,6 +536,33 @@ object TextQueries {
         |  CASE WHEN len(grams) > 0
         |    THEN round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6) > 0.2
         |    ELSE false END AS is_repetitive
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+    "t19_vocab_topk" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM tk GROUP BY token
+        |ORDER BY tf DESC, token LIMIT 200""".stripMargin,
+    "t20_bigram_pmi" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS tk FROM documents WHERE text IS NOT NULL),
+        |uni AS (SELECT unnest(tk) AS token FROM toks),
+        |cu AS (SELECT token, count(*) AS cx FROM uni GROUP BY token),
+        |tu AS (SELECT sum(cx) AS tu FROM cu),
+        |bg AS (
+        |  SELECT
+        |    unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i])) AS w1,
+        |    unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i + 1])) AS w2
+        |  FROM toks),
+        |cb AS (SELECT w1, w2, count(*) AS c_bigram FROM bg GROUP BY w1, w2),
+        |tb AS (SELECT sum(c_bigram) AS tb FROM cb)
+        |SELECT cb.w1, cb.w2, cb.c_bigram,
+        |  round(ln((cb.c_bigram / tb.tb) /
+        |    ((a.cx / tu.tu) * (b.cx / tu.tu))), 6) + 0.0 AS pmi
+        |FROM cb
+        |JOIN cu a ON a.token = cb.w1
+        |JOIN cu b ON b.token = cb.w2
+        |CROSS JOIN tu CROSS JOIN tb
+        |ORDER BY cb.c_bigram DESC, cb.w1, cb.w2 LIMIT 150""".stripMargin
   )
 }

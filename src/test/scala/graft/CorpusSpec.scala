@@ -2,10 +2,37 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, VectorOps}
+import graft.operators.{Corpus, VectorOps, Vocab}
 
 class CorpusSpec extends SparkSpec {
   import spark.implicits._
+
+  test("vocabTopK counts tf and df, cuts by (tf desc, token)") {
+    val docs = Seq(
+      (1L, "a b a"),
+      (2L, "b c"),
+      (3L, "a")
+    ).toDF("doc_id", "text")
+    val out = Vocab.vocabTopK(docs, col("doc_id"), col("text"), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // tf: a=3 (df 2), b=2 (df 2), c=1 — top-2 cut keeps a and b
+    assert(out === Set(("a", 3L, 2L), ("b", 2L, 2L)))
+  }
+
+  test("bigramPmi: hand-computed pmi on a toy corpus, single-token docs add nothing") {
+    val docs = Seq(
+      (1L, "a b"),
+      (2L, "a b"),
+      (3L, "c"), // no bigram
+      (4L, "a")
+    ).toDF("doc_id", "text")
+    val out = Vocab.bigramPmi(docs, col("text"), 10).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) === ("a", "b", 2L))
+    // p(ab)=2/2, p(a)=3/6, p(b)=2/6 → pmi = ln(1 / (0.5 * 1/3)) = ln(6)
+    assert(math.abs(r.getDouble(3) - math.log(6.0)) < 1e-6)
+  }
 
   test("deterministicSplit assigns every doc exactly one stable label at the cut proportions") {
     val docs = (0L until 2000L).toDF("doc_id")
