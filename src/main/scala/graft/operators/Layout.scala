@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.sources.GraftFs
 
 /** Z-order (Morton) data layout — multi-dimensional clustering for parquet
   * lakes. At 100 TB the scan cost of a two-predicate query is decided by
@@ -67,5 +69,42 @@ object Layout {
       .write
       .mode("overwrite")
       .parquet(path)
+  }
+
+  /** Before/after shape of a [[Layout.compactParquet]] run. */
+  case class CompactionStats(filesIn: Int, bytesIn: Long, filesOut: Int)
+
+  /** Small-file compaction — OPTIMIZE for a plain parquet directory. Long
+    * micro-batch/streaming ingestion (the bronze writer's per-trigger
+    * commits) accretes thousands of KB-scale files; at 100 TB that layout is
+    * a scan killer — task-per-file scheduling overhead, no row-group
+    * pruning leverage, and NameNode/listing pressure — so lakehouse engines
+    * all ship a compaction pass. This is that pass as plain Spark: size the
+    * output file count from the directory's actual bytes
+    * (`ceil(bytes / targetBytes)`, the same sizing OPTIMIZE uses), round-
+    * robin `repartition` for equal-sized outputs, one parquet file per
+    * partition.
+    *
+    * Listing goes through the Hadoop FS API, so `src`/`dst` may be
+    * `file:`/`hdfs:`/`s3a:` — and the rewrite is a distributed job; no
+    * bytes pass through the driver. `repartition` (round-robin) is the
+    * right shuffle here: it equalizes output sizes regardless of input
+    * skew. When a clustered layout is wanted instead, compose with
+    * [[clusteredWrite]] — compaction then comes free with the range
+    * partitioning.
+    */
+  def compactParquet(
+      spark: SparkSession,
+      src: String,
+      dst: String,
+      targetBytes: Long): CompactionStats = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val conf = GraftFs.conf()
+    val in = GraftFs.listBySuffix(src, ".parquet", conf, keepEmpty = false)
+    val bytesIn = in.map(_.getLen).sum
+    val nOut = math.max(1L, (bytesIn + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(src).repartition(nOut).write.mode("overwrite").parquet(dst)
+    val out = GraftFs.listBySuffix(dst, ".parquet", conf, keepEmpty = false)
+    CompactionStats(in.length, bytesIn, out.length)
   }
 }

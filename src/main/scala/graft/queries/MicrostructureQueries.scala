@@ -71,6 +71,31 @@ object MicrostructureQueries {
     }
   }
 
+  /** k9's fixtures: a memoized 32-small-file parquet copy of the trades
+    * view (the accreted-micro-batch input shape compaction exists to fix;
+    * built once per (process, sf dir) — setup, not measured surface) and ONE
+    * process-wide compaction output dir, overwritten per invocation so
+    * repeated bench runs pay the full rewrite without leaking temp dirs.
+    */
+  private object CompactionFixture {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def smallFilesDir(s: SparkSession, sfDir: String): String = {
+      val key = FixtureKey.of(sfDir, "events.parquet", variant = "smallfiles")
+      cache.getOrElseUpdate(key, {
+        val d = java.nio.file.Files.createTempDirectory("graft_smallfiles_").toFile
+        d.deleteOnExit()
+        Tables.trades(s, sfDir)
+          .repartition(32).write.mode("overwrite").parquet(d.toString)
+        d.toString
+      })
+    }
+    lazy val dstDir: String = {
+      val d = java.nio.file.Files.createTempDirectory("graft_compacted_").toFile
+      d.deleteOnExit()
+      d.toString
+    }
+  }
+
   private val quotesCte =
     """q AS (
       |  SELECT symbol, ts_ms, trade_id AS quote_id,
@@ -275,6 +300,20 @@ object MicrostructureQueries {
         .withColumn("zvalue", Layout.zValue16(col("zx"), col("zy")))
         .withColumn("zbucket", shiftright(col("zvalue"), 22))
     },
+    // K9 — small-file compaction round-trip: a memoized 32-small-file
+    // parquet dir (the shape per-trigger streaming commits accrete) is
+    // bin-packed by Layout.compactParquet into ~targetBytes outputs, then
+    // the COMPACTED files are read back and returned in full — the oracle
+    // (plain SELECT over the original table) proves the rewrite preserved
+    // every row and value. Each invocation pays the full compaction job;
+    // that IS the measured surface (same contract as avro7's export).
+    "k9_compaction" -> { (s, dir) =>
+      val src = CompactionFixture.smallFilesDir(s, dir)
+      val dst = CompactionFixture.dstDir
+      Layout.compactParquet(s, src, dst, targetBytes = 256L * 1024)
+      s.read.parquet(dst)
+        .select("symbol", "ts_ms", "price", "qty", "trade_id", "user_id")
+    },
     // K8 — SCD2 history assembly: per-user change stream → validity
     // intervals (the lakehouse generalization of db_writer.py's
     // latest-row-per-key upsert; RDS_SCHEMA.md:703-756).
@@ -287,6 +326,12 @@ object MicrostructureQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Content preservation through the compact rewrite: the Spark side reads
+    // the COMPACTED files; the oracle reads the ORIGINAL table. Equal hash =
+    // no row lost, duplicated, or altered by the bin-packing.
+    "k9_compaction" ->
+      s"""WITH t AS ($T)
+         |SELECT symbol, ts_ms, price, qty, trade_id, user_id FROM t""".stripMargin,
     "z1_zorder_keys" -> {
       val z = Layout.zValue16Sql("zx", "zy")
       s"""WITH t AS ($T),

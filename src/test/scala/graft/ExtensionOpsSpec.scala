@@ -369,6 +369,26 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(avgSpan < 200.0, s"x-span $avgSpan should beat the unclustered 255")
   }
 
+  test("compactParquet: bin-packs small files to the byte-sized count, content intact") {
+    val df = spark.range(20000).select(
+      col("id"), (col("id") % 97).as("k"), (col("id") * 31 % 1000).cast("double").as("v"))
+    val root = java.nio.file.Files.createTempDirectory("compact").toString
+    df.repartition(24).write.parquet(s"$root/src")
+    val srcFiles = new java.io.File(s"$root/src").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val totalBytes = srcFiles.map(_.length).sum
+    // target = half the total → exactly ceil(total / (total/2)) = 2 outputs
+    val stats = Layout.compactParquet(
+      spark, s"$root/src", s"$root/dst", targetBytes = (totalBytes + 1) / 2)
+    assert(stats.filesIn === srcFiles.length)
+    assert(stats.bytesIn === totalBytes)
+    assert(stats.filesOut === 2, s"expected 2 outputs, got ${stats.filesOut}")
+    // multiset content preserved exactly through the rewrite
+    val back = spark.read.parquet(s"$root/dst")
+    assert(back.count() === 20000)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   // --- VectorOps.perDimStandardize ---------------------------------------
 
   test("perDimStandardize: output has zero mean and unit variance per dim") {
