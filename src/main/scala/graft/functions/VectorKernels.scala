@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{codegen, BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{codegen, BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -93,6 +93,100 @@ object VectorKernels {
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): D2Expr =
       copy(left = newLeft, right = newRight)
+  }
+
+  /** True iff every element of `a` is non-null and the length is exactly
+    * `dim` — the definedness gate for [[nearestCid]].
+    */
+  def vecDefined(a: ArrayData, dim: Int): Boolean = {
+    if (a.numElements() != dim) return false
+    var i = 0
+    while (i < dim) {
+      if (a.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** argmin-by-(d2, cid) over a fixed centroid table, with monotone early
+    * exit: squared-distance partial sums only grow, so a candidate is
+    * abandoned the moment its partial reaches the current best — on average
+    * that prunes most of the k·dim multiply-adds while provably selecting
+    * the SAME cid as scoring every centroid in full:
+    *   - a pruned candidate's full d2 ≥ its partial ≥ best, so it could at
+    *     most TIE, and ties go to the earlier (smaller, `entries` are
+    *     cid-ascending) cid anyway — `>=` in both the exit and the
+    *     keep-strict-`<` update encode exactly that;
+    *   - a surviving candidate's d2 is the complete left-to-right fold,
+    *     bit-identical to [[d2]] / the `array_min(struct(d2, cid))` form
+    *     this kernel replaces.
+    * NaN vectors poison every candidate (NaN comparisons are false, nothing
+    * is ever kept); return the smallest cid then — the same row
+    * `array_min`'s NaN-equal struct ordering picked.
+    *
+    * CONTRACT: gate on [[vecDefined]]; `cids`/`cents` parallel arrays sorted
+    * ascending by cid, all subvectors of the same length as `v`.
+    */
+  def nearestCid(v: ArrayData, cids: Array[Int], cents: Array[Array[Double]]): Int = {
+    var best = Double.PositiveInfinity
+    var bestCid = -1
+    var k = 0
+    while (k < cents.length) {
+      val c = cents(k)
+      val n = c.length
+      var acc = 0.0
+      var i = 0
+      var pruned = false
+      while (i < n && !pruned) {
+        val d = v.getDouble(i) - c(i)
+        acc += d * d
+        if (acc >= best) pruned = true
+        i += 1
+      }
+      if (!pruned && acc < best) { best = acc; bestCid = cids(k) }
+      k += 1
+    }
+    if (bestCid == -1 && cids.nonEmpty) cids(0) else bestCid
+  }
+
+  /** Nearest-centroid assignment as ONE codegen expression over a
+    * plan-constant centroid table (carried as reference objects, not as an
+    * O(k·dim) literal tree — so codegen size is flat in k and the early-exit
+    * loop lives in a single JIT-friendly kernel). Null when the vector is
+    * null, has a null element, or is not exactly `dim` wide — the dirty
+    * inputs every call site already filters out (the literal-tree form's
+    * null-wins-array_min trap, made explicit).
+    */
+  case class NearestCidExpr(child: Expression, cids: Seq[Int], cents: Seq[Seq[Double]])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(cids.nonEmpty && cids.size == cents.size, "parallel non-empty cid/centroid tables")
+    require(cids == cids.sorted, "centroid table must be cid-ascending (tie order)")
+
+    @transient private lazy val cidArr: Array[Int] = cids.toArray
+    @transient private lazy val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+    private def dim: Int = cents.head.size
+
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      if (vecDefined(a, dim)) Integer.valueOf(nearestCid(a, cidArr, centArr)) else null
+    }
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+      val cidsRef = ctx.addReferenceObj("nearestCids", cidArr, "int[]")
+      val centsRef = ctx.addReferenceObj("nearestCents", centArr, "double[][]")
+      nullSafeCodeGen(ctx, ev, v => s"""
+        if (graft.functions.VectorKernels.vecDefined($v, $dim)) {
+          ${ev.value} = graft.functions.VectorKernels.nearestCid($v, $cidsRef, $centsRef);
+        } else {
+          ${ev.isNull} = true;
+        }
+      """)
+    }
+    override protected def withNewChildInternal(newChild: Expression): NearestCidExpr =
+      copy(child = newChild)
   }
 
   /** Dot product with the null semantics of the builtin fold it replaced:

@@ -127,27 +127,31 @@ object VectorOps {
       .reduce(_ + _)
   }
 
-  /** The nearest-centroid id as a per-row scalar EXPRESSION over literal
-    * centroid vectors: each centroid contributes a (d2, cid) struct (same
-    * zip_with+fold squared distance as [[rankedCells]]), `array_min`'s
-    * lexicographic struct order picks min d2 with ties to the smaller cid —
-    * identical semantics to ranking rank-1 by (d2, cid), but zero joins,
-    * zero shuffles, fully inside whole-stage codegen.
+  /** The nearest-centroid id as a per-row scalar expression — the fused
+    * argmin kernel [[graft.functions.VectorKernels.NearestCidExpr]]: the
+    * centroid table rides along as a plan reference object (flat codegen
+    * size in k) and each row runs one early-exit loop that abandons a
+    * candidate the moment its partial d2 reaches the current best. Selects
+    * the identical cid as ranking rank-1 by (d2, cid) — min d2, ties to the
+    * smaller cid (the kernel's `>=` prune + cid-ascending iteration; see
+    * its scaladoc for the proof) — with zero joins, zero shuffles.
     */
   private def nearestCidExpr(v: Column, cents: Seq[(Int, Seq[Double])]): Column = {
-    val scored = cents.map { case (cid, c) =>
-      struct(d2(v, typedLit(c)).as("d2"), lit(cid).as("cid"))
-    }
-    array_min(array(scored: _*)).getField("cid")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sorted = cents.sortBy(_._1)
+    ColumnBridge.column(graft.functions.VectorKernels.NearestCidExpr(
+      ColumnBridge.expression(v), sorted.map(_._1), sorted.map(_._2)))
   }
 
-  /** Above this k, [[nearestCidExpr]]'s O(k·dim) literal expression tree
-    * stops being the right trade: codegen/planning cost grows with k while
-    * the broadcast-join alternative stays flat. 64 cells × 64 dims ≈ 12k
-    * expression nodes — comfortably inside codegen limits; a realistic
-    * 100 TB cell count (thousands) is not.
+  /** Above this k, [[nearestCidExpr]]'s O(k·dim) per-row scalar work stops
+    * being the obvious trade against the broadcast-join + rank path. The
+    * kernel form removed the old codegen-tree-size ceiling (the table is a
+    * reference object, and early exit prunes most of the k·dim stream), so
+    * the cap sits at 1024 — past that, prefer the join if profiling ever
+    * shows the scalar loop dominating; both paths assign identically
+    * (spec-asserted).
     */
-  val NearestCidExprMaxK: Int = 64
+  val NearestCidExprMaxK: Int = 1024
 
   /** The k-row centroid state as a broadcastable local DataFrame. */
   private def centroidDf(

@@ -406,25 +406,56 @@ class ExtensionOpsSpec extends SparkSpec {
 
   // --- VectorOps IVF assignment k-threshold guard -------------------------
 
-  test("ivf assignment at k=128: join path matches the expression path bit-for-bit") {
-    // 128 centroids exceeds NearestCidExprMaxK (64), so the default path is
-    // the broadcast-join + rank; forcing the literal-expression path via the
-    // maxExprK override must give identical assignments (same d2 fold, same
-    // (d2, cid) tie order) — and the join path must plan/execute without the
-    // O(k·dim) expression tree.
-    assert(VectorOps.NearestCidExprMaxK < 128)
+  test("ivf assignment at k=128: join path matches the kernel path bit-for-bit") {
+    // At k=128 the default path is now the early-exit argmin kernel (the
+    // reference-object table removed the old codegen-tree-size ceiling);
+    // forcing the broadcast-join + rank path via maxExprK = 0 must give
+    // identical assignments — same d2 fold when computed in full, and the
+    // kernel's monotone prune can only drop candidates the (d2, cid) rank
+    // would have lost anyway.
+    assert(VectorOps.NearestCidExprMaxK >= 128)
     val dim = 8
     def vec(seed: Int): Seq[Double] =
       (0 until dim).map(d => ((seed * 31 + d * 17) % 97).toDouble / 97.0)
     val vecs = (0 until 300).map(i => (i.toLong, vec(i))).toDF("id", "embedding")
     val v = vecs.select(col("id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val cents = (0 until 128).map(c => (c, vec(c * 7 + 3)))
-    val joined = VectorOps.assignCids(v, cents)
+    val kernel = VectorOps.assignCids(v, cents)
       .select("id", "cid").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
-    val exprd = VectorOps.assignCids(v, cents, maxExprK = 1000)
+    val joined = VectorOps.assignCids(v, cents, maxExprK = 0)
       .select("id", "cid").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
-    assert(joined.size === 300)
-    assert(joined === exprd)
+    assert(kernel.size === 300)
+    assert(kernel === joined)
+  }
+
+  // The kernel's contract edges, on both eval paths: ties go to the smaller
+  // cid, dirty vectors (null element / wrong width / null array) are null,
+  // and an all-NaN scoring row falls back to the smallest cid (array_min's
+  // NaN-equal struct order, kept explicit).
+  test("nearestCid kernel: tie-break, dirty-input nulls, NaN fallback") {
+    import graft.functions.VectorKernels.NearestCidExpr
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0))
+    def expr(c: org.apache.spark.sql.Column) =
+      ColumnBridge.column(NearestCidExpr(ColumnBridge.expression(c), Seq(0, 1, 2), cents))
+    val rows = Seq(
+      (1L, Seq[java.lang.Double](1.0, 0.0)),      // exact on cids 0 AND 2 → 0
+      (2L, Seq[java.lang.Double](0.1, 0.9)),      // nearest cid 1
+      (3L, Seq[java.lang.Double](1.0, null)),     // null element → null
+      (4L, Seq[java.lang.Double](1.0)),           // wrong width → null
+      (5L, null),                                 // null array → null
+      (6L, Seq[java.lang.Double](Double.NaN, 0.0)) // NaN poisons all → cid 0
+    ).toDF("id", "v")
+    def run(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try rows.select(col("id"), expr(transform(col("v"), x => x.cast("double"))).as("cid"))
+        .orderBy("id").collect()
+        .map(r => if (r.isNullAt(1)) None else Some(r.getInt(1)))
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    val expected = Array[Option[Int]](Some(0), Some(1), None, None, None, Some(0))
+    assert(run("CODEGEN_ONLY") === expected)
+    assert(run("NO_CODEGEN") === expected)
   }
 
   test("ivf fast-means path (fixed-point sums) matches exact-means results at sf0.001") {
