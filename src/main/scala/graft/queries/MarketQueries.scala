@@ -50,6 +50,26 @@ object MarketQueries {
     // A4b — silver-bar quality fields (FIXTURES.md §5 / S3_SCHEMA.md:316-392):
     // completeness_score vs nominal cadence and gap_seconds (largest silence
     // ending inside the bar).
+    // A16 — regular-grid bar fill + interpolation (extension op,
+    // Resample.fillGrid): the 5-minute close series per symbol completed to
+    // EVERY grid step between the symbol's first and last bar — gaps
+    // flagged, close forward-filled (LOCF) and linearly interpolated
+    // between the neighboring observations. The repair pass between bar
+    // aggregation and rolling features (a silent interval otherwise reads
+    // as an instant jump downstream).
+    "a16_bar_fill" -> { (s, dir) =>
+      val bars = Bars.ohlcv(
+          Tables.trades(s, dir).filter(col("trade_id") < 2000),
+          symbol = col("symbol"), tsMs = col("ts_ms"), price = col("price"),
+          qty = col("qty"), tieBreak = col("trade_id"), barMs = 300000L)
+        .select(col("symbol"), col("open_time_ms"), col("close_price"))
+      Resample
+        .fillGrid(bars, col("symbol"), col("open_time_ms"), col("close_price"), 300000L)
+        .select(
+          col("key").as("symbol"), col("ts_ms").as("open_time_ms"),
+          col("v").as("close_price"), col("is_gap"),
+          col("v_ffill").as("close_ffill"), col("v_interp").as("close_interp"))
+    },
     "a4b_bars_quality" -> { (s, dir) =>
       val t = Tables.trades(s, dir)
       val w = org.apache.spark.sql.expressions.Window
@@ -339,6 +359,33 @@ object MarketQueries {
          |  round(high_price - low_price, 8) AS price_range,
          |  round(close_price - open_price, 8) AS price_change
          |FROM t GROUP BY 1, 2""".stripMargin,
+    "a16_bar_fill" ->
+      s"""WITH t AS ($T),
+         |b AS (SELECT symbol, (ts_ms // 300000) * 300000 AS ts,
+         |        last(price ORDER BY ts_ms, trade_id) AS v
+         |      FROM t WHERE trade_id < 2000 GROUP BY 1, 2),
+         |g AS (SELECT symbol, unnest(generate_series(mn, mx, 300000)) AS ts
+         |      FROM (SELECT symbol, min(ts) AS mn, max(ts) AS mx
+         |            FROM b GROUP BY symbol) x),
+         |j AS (SELECT g.symbol, g.ts, b.v
+         |      FROM g LEFT JOIN b ON b.symbol = g.symbol AND b.ts = g.ts),
+         |f AS (SELECT symbol, ts, v,
+         |    last_value(v IGNORE NULLS) OVER wb AS ffill,
+         |    first_value(v IGNORE NULLS) OVER wf AS bfill,
+         |    last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS) OVER wb AS pts,
+         |    first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS) OVER wf AS nts
+         |  FROM j
+         |  WINDOW wb AS (PARTITION BY symbol ORDER BY ts ROWS UNBOUNDED PRECEDING),
+         |         wf AS (PARTITION BY symbol ORDER BY ts
+         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT symbol, ts AS open_time_ms, v AS close_price, v IS NULL AS is_gap,
+         |  ffill AS close_ffill,
+         |  CASE WHEN v IS NOT NULL THEN v
+         |       WHEN ffill IS NULL THEN bfill
+         |       WHEN bfill IS NULL THEN ffill
+         |       ELSE round(ffill + (bfill - ffill) * ((ts - pts) / (nts - pts)), 6) + 0.0
+         |  END AS close_interp
+         |FROM f""".stripMargin,
     "a4b_bars_quality" ->
       s"""WITH t AS ($T),
          |ia AS (

@@ -369,6 +369,29 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(avgSpan < 200.0, s"x-span $avgSpan should beat the unclustered 255")
   }
 
+  test("fillGrid: completes the grid, flags gaps, LOCF + linear interpolation") {
+    val obs = Seq(
+      ("a", 0L, 10.0),
+      ("a", 300L, 13.0), // 2-step hole at 100, 200 → interp 11.0, 12.0
+      ("a", 400L, 20.0),
+      ("b", 50L, 5.0) // single point: grid of one, no gaps
+    ).toDF("k", "ts", "px")
+    val out = graft.operators.Resample
+      .fillGrid(obs, col("k"), col("ts"), col("px"), stepMs = 100L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (Option(r.get(2)), r.getBoolean(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out.size === 6) // a: 0,100,200,300,400; b: 50
+    assert(out(("a", 0L)) === ((Some(10.0), false, 10.0, 10.0)))
+    // linear between 10.0@0 and 13.0@300
+    assert(out(("a", 100L)) === ((None, true, 10.0, 11.0)))
+    assert(out(("a", 200L)) === ((None, true, 10.0, 12.0)))
+    assert(out(("a", 300L)) === ((Some(13.0), false, 13.0, 13.0)))
+    assert(out(("a", 400L)) === ((Some(20.0), false, 20.0, 20.0)))
+    assert(out(("b", 50L)) === ((Some(5.0), false, 5.0, 5.0)))
+  }
+
   test("compactParquet: bin-packs small files to the byte-sized count, content intact") {
     val df = spark.range(20000).select(
       col("id"), (col("id") % 97).as("k"), (col("id") * 31 % 1000).cast("double").as("v"))
