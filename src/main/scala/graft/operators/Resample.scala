@@ -26,7 +26,11 @@ object Resample {
     * last-observation-carried-forward, `v_interp` = linear interpolation
     * between the neighboring observations (exact `v` on observed rows; LOCF
     * at a trailing edge — though edges cannot be gaps here, the grid spans
-    * observed endpoints). Input contract: at most one row per (key, ts).
+    * observed endpoints). Input contract: at most one row per (key, ts),
+    * and every observation's ts must sit ON the key's min-anchored grid
+    * (`(ts − min) % step == 0`) — an off-grid observation FAILS the job
+    * (full-outer orphan check below) instead of silently vanishing from
+    * the joined series.
     */
   def fillGrid(
       df: DataFrame,
@@ -44,7 +48,21 @@ object Resample {
     val wf = Window.partitionBy("key").orderBy("ts_ms")
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val obsTs = when(col("v").isNotNull, col("ts_ms"))
-    grid.join(base, Seq("key", "ts_ms"), "left")
+    // Full outer, not left: an observation whose ts misses the grid would
+    // silently drop out of a left join (and pull the fill toward LOCF as if
+    // it never existed). Here it surfaces as a row with no grid marker and
+    // fails loudly.
+    grid.withColumn("__on_grid", lit(true))
+      .join(base, Seq("key", "ts_ms"), "full")
+      .withColumn(
+        "v",
+        when(
+          col("__on_grid").isNull,
+          raise_error(format_string(
+            "fillGrid: observation off the min-anchored step grid (key=%s, ts=%s)",
+            col("key").cast("string"), col("ts_ms").cast("string"))))
+          .otherwise(col("v")))
+      .drop("__on_grid")
       .withColumn("ffill", last(col("v"), ignoreNulls = true).over(wb))
       .withColumn("bfill", first(col("v"), ignoreNulls = true).over(wf))
       .withColumn("prev_ts", last(obsTs, ignoreNulls = true).over(wb))

@@ -269,9 +269,14 @@ object VectorOps {
               count(lit(1)).as("n"))
             .withColumn("m", col("sx") / col("n"))
         else
+          // The cast to long BEFORE the sum is load-bearing: floor() returns
+          // DOUBLE, and a double sum is only exact to 2^53 — the cast makes
+          // the accumulator a true LONG sum (exact to 2^63, like the
+          // oracle's CAST(... AS BIGINT)), which is what the
+          // order-independence argument below rests on.
           assigned.groupBy("cid", "dim")
             .agg(
-              sum(floor(col("x") * lit(1e8) + lit(0.5))).as("sx8"),
+              sum(floor(col("x") * lit(1e8) + lit(0.5)).cast("long")).as("sx8"),
               count(lit(1)).as("n"))
             .withColumn("m", col("sx8").cast("double") / lit(1e8) / col("n"))
       cents = means
@@ -394,7 +399,8 @@ object VectorOps {
           col("x"))
         .groupBy("s", "cid", "sd")
         .agg(
-          sum(floor(col("x") * lit(1e8) + lit(0.5))).as("sx8"),
+          // long BEFORE sum: see ivfAssign — exact to 2^63, not double's 2^53
+          sum(floor(col("x") * lit(1e8) + lit(0.5)).cast("long")).as("sx8"),
           count(lit(1)).as("n"))
         .withColumn("mn", col("sx8").cast("double") / lit(1e8) / col("n"))
         .groupBy("s", "cid")
@@ -533,10 +539,18 @@ object VectorOps {
     val (assigned, centroids) = ivfAssign(vecs, nCells, coarseIterations, exactMeans = false)
     // Residual per row w.r.t. its OWN cell: element-wise double subtraction
     // (exact, order-free) against the broadcast k-row centroid table.
-    val res = assigned.join(broadcast(centroids), Seq("cid"))
-      .select(
-        col("id"), col("cid"),
-        zip_with(col("v"), col("c"), (a, b) => a - b).as("rv"))
+    // Materialized once — pqTrain fires pqIterations+1 actions and the final
+    // scoring job one more; without the stage each would recompute the
+    // coarse assignment kernel + centroid join + subtraction over the whole
+    // corpus (Materialize picks localCheckpoint / lineage-preserving RDD
+    // cache per environment). Projected down to (id, cid, rv) first so
+    // nothing wider crosses the materialization point.
+    val res = Materialize.stage(
+      assigned.join(broadcast(centroids), Seq("cid"))
+        .select(
+          col("id"), col("cid"),
+          zip_with(col("v"), col("c"), (a, b) => a - b).as("rv")),
+      checkpointDir = None, eager = false)
     val books = pqTrain(
       res.select(col("id"), col("rv").as("embedding")),
       dim, m, ks, pqIterations, trainModulus)

@@ -79,6 +79,16 @@ object MicrostructureQueries {
     */
   private object CompactionFixture {
     private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    private val dstCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+    /** deleteOnExit runs LIFO and only removes EMPTY directories: register
+      * the dir first, then every file inside, so files delete before the
+      * dir (the S1Feed discipline — without the per-file pass a full trades
+      * copy leaks per JVM run).
+      */
+    private[queries] def registerTreeForExit(dir: java.io.File): Unit =
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.deleteOnExit())
+
     def smallFilesDir(s: SparkSession, sfDir: String): String = {
       val key = FixtureKey.of(sfDir, "events.parquet", variant = "smallfiles")
       cache.getOrElseUpdate(key, {
@@ -86,13 +96,24 @@ object MicrostructureQueries {
         d.deleteOnExit()
         Tables.trades(s, sfDir)
           .repartition(32).write.mode("overwrite").parquet(d.toString)
+        registerTreeForExit(d)
         d.toString
       })
     }
-    lazy val dstDir: String = {
-      val d = java.nio.file.Files.createTempDirectory("graft_compacted_").toFile
-      d.deleteOnExit()
-      d.toString
+
+    /** One output dir PER sf dir (keyed like the input): a process that
+      * interleaves sf dirs must not have B's compaction overwrite the
+      * directory a DataFrame returned for A still lazily reads. Repeat
+      * invocations for the SAME sf overwrite in place (the avro7 contract:
+      * each run pays the full job, no per-run temp-dir leak).
+      */
+    def dstDir(sfDir: String): String = {
+      val key = FixtureKey.of(sfDir, "events.parquet", variant = "compact_dst")
+      dstCache.getOrElseUpdate(key, {
+        val d = java.nio.file.Files.createTempDirectory("graft_compacted_").toFile
+        d.deleteOnExit()
+        d.toString
+      })
     }
   }
 
@@ -309,8 +330,9 @@ object MicrostructureQueries {
     // that IS the measured surface (same contract as avro7's export).
     "k9_compaction" -> { (s, dir) =>
       val src = CompactionFixture.smallFilesDir(s, dir)
-      val dst = CompactionFixture.dstDir
+      val dst = CompactionFixture.dstDir(dir)
       Layout.compactParquet(s, src, dst, targetBytes = 256L * 1024)
+      CompactionFixture.registerTreeForExit(new java.io.File(dst))
       s.read.parquet(dst)
         .select("symbol", "ts_ms", "price", "qty", "trade_id", "user_id")
     },

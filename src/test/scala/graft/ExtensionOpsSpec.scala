@@ -390,6 +390,16 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out(("a", 300L)) === ((Some(13.0), false, 13.0, 13.0)))
     assert(out(("a", 400L)) === ((Some(20.0), false, 20.0, 20.0)))
     assert(out(("b", 50L)) === ((Some(5.0), false, 5.0, 5.0)))
+    // an observation OFF the min-anchored grid must fail the job loudly,
+    // not silently vanish from the joined series
+    val offGrid = Seq(("a", 0L, 10.0), ("a", 250L, 13.0)).toDF("k", "ts", "px")
+    val e = intercept[Exception] {
+      graft.operators.Resample
+        .fillGrid(offGrid, col("k"), col("ts"), col("px"), stepMs = 100L)
+        .collect()
+    }
+    assert(e.getMessage.contains("off the min-anchored step grid") ||
+      Option(e.getCause).exists(_.getMessage.contains("off the min-anchored step grid")))
   }
 
   test("compactParquet: bin-packs small files to the byte-sized count, content intact") {
