@@ -32,6 +32,55 @@ object Vocab {
       .orderBy(col("tf").desc, col("token"))
       .limit(n)
 
+  /** Per-document bigram-LM cross-entropy — the KenLM-style quality signal:
+    * estimate `p(w2|w1)` from the corpus's own bigram counts (MLE: bigram
+    * count over continuations of w1), score each document by the average
+    * negative log-likelihood of its adjacent bigrams, and report
+    * `ppl = exp(avg_nll)`. Low-perplexity docs read like the corpus; the
+    * high tail is boilerplate/garbage — the standard LM-based filter pass.
+    *
+    * Determinism: each bigram's −ln(p) is rounded to 9 dp (the cross-engine
+    * parity point, same ln contract as BM25), then the per-doc mean runs as
+    * a DECIMAL(38,12) exact sum — double addition is order-dependent across
+    * shuffle merges, decimal addition is not. Docs with <2 tokens (no
+    * bigrams) stay in the output with n_bigrams = 0 and null scores (LEFT
+    * join, the t18 lesson).
+    *
+    * Scale shape: the count tables shuffle O(vocab); the scoring join is
+    * bigram-keyed equi-join of the exploded doc stream against them; the
+    * per-doc mean is one map-side-combined aggregate.
+    */
+  def bigramPerplexity(docs: DataFrame, docId: Column, text: Column): DataFrame = {
+    val tk = docs.filter(text.isNotNull)
+      .select(docId.as("doc_id"), TextFunctions.tokens(text).as("tk"))
+    val bi = tk.select(col("doc_id"), explode(
+        zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+    // continuations of w1 (bigram-start mass), NOT the raw unigram count —
+    // a doc-final token has no continuation and must not dilute p(w2|w1)
+    val cw = cb.groupBy("w1").agg(sum(col("cxy")).as("cx"))
+    val scored = bi.join(cb, Seq("w1", "w2")).join(cw, Seq("w1"))
+      .select(
+        col("doc_id"),
+        round(-log(col("cxy") / col("cx")), 9).as("nll"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(col("nll").cast("decimal(38,12)")).cast("double") /
+          count(lit(1))).as("raw_nll"))
+    tk.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("raw_nll"), 6).as("avg_nll"),
+        round(exp(col("raw_nll")), 6).as("ppl"))
+  }
+
   /** Adjacent-bigram collocations with pointwise mutual information:
     * pmi = ln( p(w1 w2) / (p(w1)·p(w2)) ) with probabilities estimated from
     * corpus counts (bigram mass over total bigrams, unigram mass over total

@@ -250,6 +250,13 @@ object TextQueries {
     // round(6) parity is the same cross-engine contract t16's BM25 pins.
     "t20_bigram_pmi" -> { (s, dir) =>
       Vocab.bigramPmi(Tables.documents(s, dir), col("text"), 150)
+    },
+    // T21 — bigram-LM cross-entropy per doc (the KenLM-style quality
+    // filter): corpus-estimated p(w2|w1), per-doc avg −ln(p) via 9-dp
+    // rounding + DECIMAL exact sum (order-free), ppl = exp. Docs without
+    // bigrams stay with n_bigrams = 0 and null scores.
+    "t21_bigram_ppl" -> { (s, dir) =>
+      Vocab.bigramPerplexity(Tables.documents(s, dir), col("doc_id"), col("text"))
     }
   )
 
@@ -563,6 +570,28 @@ object TextQueries {
         |JOIN cu a ON a.token = cb.w1
         |JOIN cu b ON b.token = cb.w2
         |CROSS JOIN tu CROSS JOIN tb
-        |ORDER BY cb.c_bigram DESC, cb.w1, cb.w2 LIMIT 150""".stripMargin
+        |ORDER BY cb.c_bigram DESC, cb.w1, cb.w2 LIMIT 150""".stripMargin,
+    "t21_bigram_ppl" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i])) AS w1,
+        |    unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i + 1])) AS w2
+        |  FROM toks),
+        |cb AS (SELECT w1, w2, count(*) AS cxy FROM bg GROUP BY w1, w2),
+        |cw AS (SELECT w1, sum(cxy) AS cx FROM cb GROUP BY w1),
+        |nl AS (
+        |  SELECT bg.doc_id, round(-ln(cb.cxy / cw.cx), 9) AS nll
+        |  FROM bg JOIN cb USING (w1, w2) JOIN cw USING (w1)),
+        |d AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(CAST(nll AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS raw_nll
+        |  FROM nl GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(d.n_bigrams, 0) AS n_bigrams,
+        |  round(d.raw_nll, 6) + 0.0 AS avg_nll,
+        |  round(exp(d.raw_nll), 6) + 0.0 AS ppl
+        |FROM toks t LEFT JOIN d USING (doc_id)""".stripMargin
   )
 }

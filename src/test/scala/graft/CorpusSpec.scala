@@ -34,6 +34,30 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - math.log(6.0)) < 1e-6)
   }
 
+  test("bigramPerplexity: MLE conditionals, exact-sum mean, no-bigram docs kept") {
+    val docs = Seq(
+      (1L, "a b c"),  // bigrams: (a b), (b c)
+      (2L, "a b a b"), // bigrams: (a b), (b a), (a b)
+      (3L, "x")        // no bigrams
+    ).toDF("doc_id", "text")
+    val out = Vocab.bigramPerplexity(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 3)
+    // counts: (a b)=3, (b c)=1, (b a)=1; continuations: a→3, b→2
+    // p(b|a)=1, p(c|b)=1/2, p(a|b)=1/2
+    val nllAB = BigDecimal(math.round(-math.log(1.0) * 1e9)) / 1e9
+    val nllHalf = BigDecimal(math.round(-math.log(0.5) * 1e9)) / 1e9
+    val d1 = ((nllAB + nllHalf) / 2).toDouble
+    val d2 = ((nllAB + nllHalf + nllAB) / 3).toDouble
+    assert(out(1L).getLong(1) === 2L)
+    assert(math.abs(out(1L).getDouble(2) - d1) < 1e-6)
+    assert(math.abs(out(1L).getDouble(3) - math.exp(d1)) < 1e-5)
+    assert(out(2L).getLong(1) === 3L)
+    assert(math.abs(out(2L).getDouble(2) - d2) < 1e-6)
+    assert(out(3L).getLong(1) === 0L)
+    assert(out(3L).isNullAt(2) && out(3L).isNullAt(3))
+  }
+
   test("deterministicSplit assigns every doc exactly one stable label at the cut proportions") {
     val docs = (0L until 2000L).toDF("doc_id")
     val cuts = Seq("train" -> 80, "val" -> 90, "test" -> 100)
