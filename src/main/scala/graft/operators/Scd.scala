@@ -49,4 +49,52 @@ object Scd {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__tie", "__changed")
   }
+
+  /** MERGE-style upsert — the lakehouse `MERGE INTO target USING updates`
+    * primitive as a plain full-outer reconciliation: for every key in
+    * either side the result carries the NEW state when an update exists
+    * (latest update by (ts, tie) wins within the batch), the base state
+    * otherwise, plus the `merge_op` classification (`insert` = new key,
+    * `update` = key replaced, `keep` = untouched) a writer uses to split
+    * the commit. One shuffle per side on the key; the updates side is
+    * usually the small delta — broadcast it upstream when it fits.
+    *
+    * Both sides share the (key, ts, tie, attrs) shape; `attrs` name the
+    * carried state columns identically on both.
+    */
+  def mergeUpsert(
+      base: DataFrame,
+      updates: DataFrame,
+      key: Column,
+      tsMs: Column,
+      tieBreak: Column,
+      attrs: Seq[String]): DataFrame = {
+    def latest(df: DataFrame, side: String): DataFrame = {
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("__ts").desc, col("__tie").desc)
+      df.select(
+        (key.as("key") +: tsMs.as("__ts") +: tieBreak.as("__tie") +:
+          attrs.map(col)): _*)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(
+          (col("key") +: col("__ts").as(s"${side}_ts") +:
+            attrs.map(n => col(n).as(s"${side}_$n"))): _*)
+    }
+    val b = latest(base, "base")
+    val u = latest(updates, "upd")
+    b.join(u, Seq("key"), "full")
+      .select(
+        (col("key") +:
+          coalesce(col("upd_ts"), col("base_ts")).as("ts_ms") +:
+          // side-pick on upd_ts, NOT per-attr coalesce: an update whose
+          // attr is legitimately null must null the target, not leak the
+          // stale base value through
+          attrs.map(n =>
+            when(col("upd_ts").isNotNull, col(s"upd_$n"))
+              .otherwise(col(s"base_$n")).as(n)) :+
+          when(col("base_ts").isNull, lit("insert"))
+            .when(col("upd_ts").isNull, lit("keep"))
+            .otherwise(lit("update")).as("merge_op")): _*)
+  }
 }

@@ -108,6 +108,34 @@ object TextDedup {
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
 
+  /** Edit-distance verification of candidate pairs — the character-level
+    * second stage of fuzzy dedup (LSH blocks by token shingles; Levenshtein
+    * catches the near-identical-but-retokenized edits Jaccard undercounts).
+    * Keeps pairs whose normalized similarity
+    * `1 − dist / max(len_a, len_b)` reaches `minSim`. Levenshtein is
+    * O(len_a·len_b) per pair — ONLY ever run it on blocked candidates,
+    * never all pairs; the candidate join is the scale guard.
+    */
+  def verifyEditDistance(
+      candidates: DataFrame, // doc_a, doc_b
+      docs: DataFrame, // doc_id, text
+      minSim: Double): DataFrame = {
+    val a = docs.select(col("doc_id").as("doc_a"), col("text").as("__ta"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("text").as("__tb"))
+    candidates
+      .join(a, Seq("doc_a"))
+      .join(b, Seq("doc_b"))
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .withColumn(
+        "edit_sim",
+        round(
+          lit(1.0) - col("edit_dist").cast("double") /
+            greatest(length(col("__ta")), length(col("__tb"))),
+          6))
+      .filter(col("edit_sim") >= minSim)
+      .select("doc_a", "doc_b", "edit_dist", "edit_sim")
+  }
+
   /** Full MinHash-LSH near-dup pipeline. */
   def nearDuplicates(
       docs: DataFrame,

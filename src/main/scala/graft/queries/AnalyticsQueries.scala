@@ -138,6 +138,19 @@ object AnalyticsQueries {
     },
     // A14 — fixed-vocabulary pivot: per-day per-symbol volume matrix (the
     // wide feature shape; values list fixed so the schema is deterministic).
+    // A17 — CUBE grouping sets over (symbol, user bucket) with the same
+    // grouping-id level encoding as a13's ROLLUP: all four grain
+    // combinations in one pass (the OLAP summary-table shape).
+    "a17_cube_volumes" -> { (s, dir) =>
+      Tables.trades(s, dir)
+        .select(col("symbol"), (col("user_id") % 10).as("user_bucket"), col("qty"))
+        .cube(col("symbol"), col("user_bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          graft.operators.TradeAggregates.exactSum(col("qty")).as("total_qty"),
+          (grouping(col("symbol")).cast("long") * 2 +
+            grouping(col("user_bucket")).cast("long")).as("lvl"))
+    },
     "a14_pivot_volumes" -> { (s, dir) =>
       Tables.trades(s, dir)
         .select(expr("ts_ms div 86400000").as("day_ms"), col("symbol"), col("qty"))
@@ -184,6 +197,14 @@ object AnalyticsQueries {
          |  CAST(grouping(symbol) AS BIGINT) * 2
          |    + CAST(grouping(day_ms) AS BIGINT) AS lvl
          |FROM p GROUP BY ROLLUP(symbol, day_ms)""".stripMargin,
+    "a17_cube_volumes" ->
+      s"""WITH t AS ($T),
+         |p AS (SELECT symbol, user_id % 10 AS user_bucket, qty FROM t)
+         |SELECT symbol, user_bucket, count(*) AS n,
+         |  CAST(sum(CAST(qty AS DECIMAL(27,8))) AS DOUBLE) AS total_qty,
+         |  CAST(grouping(symbol) AS BIGINT) * 2
+         |    + CAST(grouping(user_bucket) AS BIGINT) AS lvl
+         |FROM p GROUP BY CUBE(symbol, user_bucket)""".stripMargin,
     "a14_pivot_volumes" ->
       s"""WITH t AS ($T),
          |p AS (SELECT ts_ms // 86400000 AS day_ms, symbol, qty FROM t)

@@ -133,6 +133,23 @@ object MarketQueries {
           "price_change", "price_change_pct")
     },
     // W4 — sequence-gap detection (gap_detector/README.md:24-38).
+    // W8 — the full rank-function family over (symbol, time): rank /
+    // dense_rank / percent_rank / cume_dist / ntile. Ordered by the TOTAL
+    // (ts_ms, trade_id) key: ntile splits peer groups by row position, so
+    // any tie in the ordering would make the quartile assignment
+    // partitioning-dependent.
+    "w8_rank_family" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol")).orderBy(col("ts_ms"), col("trade_id"))
+      Tables.trades(s, dir).filter(col("trade_id") < 2000)
+        .select(
+          col("symbol"), col("ts_ms"), col("trade_id"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"),
+          ntile(4).over(w).cast("long").as("quartile"))
+    },
     "w4_sequence_gaps" -> { (s, dir) =>
       Windows
         .sequenceGaps(
@@ -359,6 +376,16 @@ object MarketQueries {
          |  round(high_price - low_price, 8) AS price_range,
          |  round(close_price - open_price, 8) AS price_change
          |FROM t GROUP BY 1, 2""".stripMargin,
+    "w8_rank_family" ->
+      s"""WITH t AS ($T)
+         |SELECT symbol, ts_ms, trade_id,
+         |  CAST(rank() OVER w AS BIGINT) AS rnk,
+         |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+         |  percent_rank() OVER w AS prnk,
+         |  cume_dist() OVER w AS cdist,
+         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         |FROM t WHERE trade_id < 2000
+         |WINDOW w AS (PARTITION BY symbol ORDER BY ts_ms, trade_id)""".stripMargin,
     "a16_bar_fill" ->
       s"""WITH t AS ($T),
          |b AS (SELECT symbol, (ts_ms // 300000) * 300000 AS ts,

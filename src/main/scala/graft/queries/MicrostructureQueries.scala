@@ -336,6 +336,18 @@ object MicrostructureQueries {
       s.read.parquet(dst)
         .select("symbol", "ts_ms", "price", "qty", "trade_id", "user_id")
     },
+    // K10 — MERGE-style upsert (Scd.mergeUpsert): base = latest state per
+    // user over the first id half, updates = the second half; result =
+    // reconciled latest state with the insert/update/keep classification a
+    // MERGE INTO writer splits its commit on.
+    "k10_merge_upsert" -> { (s, dir) =>
+      val t = Tables.trades(s, dir)
+      Scd.mergeUpsert(
+        base = t.filter(col("trade_id") < 5000),
+        updates = t.filter(col("trade_id") >= 5000),
+        key = col("user_id"), tsMs = col("ts_ms"), tieBreak = col("trade_id"),
+        attrs = Seq("price", "symbol"))
+    },
     // K8 — SCD2 history assembly: per-user change stream → validity
     // intervals (the lakehouse generalization of db_writer.py's
     // latest-row-per-key upsert; RDS_SCHEMA.md:703-756).
@@ -354,6 +366,29 @@ object MicrostructureQueries {
     "k9_compaction" ->
       s"""WITH t AS ($T)
          |SELECT symbol, ts_ms, price, qty, trade_id, user_id FROM t""".stripMargin,
+    "k10_merge_upsert" ->
+      s"""WITH t AS ($T),
+         |b AS (SELECT user_id AS key, ts_ms, trade_id, price, symbol
+         |      FROM t WHERE trade_id < 5000),
+         |u AS (SELECT user_id AS key, ts_ms, trade_id, price, symbol
+         |      FROM t WHERE trade_id >= 5000),
+         |bl AS (SELECT key, ts_ms AS base_ts, price AS base_price,
+         |         symbol AS base_symbol
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY key
+         |               ORDER BY ts_ms DESC, trade_id DESC) AS rn FROM b) x
+         |       WHERE rn = 1),
+         |ul AS (SELECT key, ts_ms AS upd_ts, price AS upd_price,
+         |         symbol AS upd_symbol
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY key
+         |               ORDER BY ts_ms DESC, trade_id DESC) AS rn FROM u) x
+         |       WHERE rn = 1)
+         |SELECT key, coalesce(upd_ts, base_ts) AS ts_ms,
+         |  CASE WHEN upd_ts IS NOT NULL THEN upd_price ELSE base_price END AS price,
+         |  CASE WHEN upd_ts IS NOT NULL THEN upd_symbol ELSE base_symbol END AS symbol,
+         |  CASE WHEN base_ts IS NULL THEN 'insert'
+         |       WHEN upd_ts IS NULL THEN 'keep'
+         |       ELSE 'update' END AS merge_op
+         |FROM bl FULL JOIN ul USING (key)""".stripMargin,
     "z1_zorder_keys" -> {
       val z = Layout.zValue16Sql("zx", "zy")
       s"""WITH t AS ($T),

@@ -251,6 +251,18 @@ object TextQueries {
     "t20_bigram_pmi" -> { (s, dir) =>
       Vocab.bigramPmi(Tables.documents(s, dir), col("text"), 150)
     },
+    // T22 — fuzzy dedup, character level: the SAME LSH blocking as t3, but
+    // candidates verified by Levenshtein similarity instead of shingle
+    // Jaccard (catches near-identical retokenized edits). The quadratic
+    // kernel only ever touches blocked candidate pairs.
+    "t22_fuzzy_pairs_edit" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextDedup.verifyEditDistance(
+        TextDedup.lshCandidates(
+          TextDedup.minhashSignatures(docs, col("doc_id"), col("text"), K), K, R),
+        docs.select(col("doc_id"), col("text")),
+        minSim = 0.9)
+    },
     // T21 — bigram-LM cross-entropy per doc (the KenLM-style quality
     // filter): corpus-estimated p(w2|w1), per-doc avg −ln(p) via 9-dp
     // rounding + DECIMAL exact sum (order-free), ppl = exp. Docs without
@@ -571,6 +583,26 @@ object TextQueries {
         |JOIN cu b ON b.token = cb.w2
         |CROSS JOIN tu CROSS JOIN tb
         |ORDER BY cb.c_bigram DESC, cb.w1, cb.w2 LIMIT 150""".stripMargin,
+    "t22_fuzzy_pairs_edit" ->
+      s"""WITH $shCte,
+         |sigs AS (
+         |  SELECT doc_id,
+         |    $duckSigExprs
+         |  FROM sh),
+         |bands AS ($duckBandsUnion),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+         |   AND x.doc_id < y.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+         |  round(1.0 - levenshtein(a.text, b.text) * 1.0
+         |    / greatest(len(a.text), len(b.text)), 6) + 0.0 AS edit_sim
+         |FROM cand c
+         |JOIN documents a ON a.doc_id = c.doc_a
+         |JOIN documents b ON b.doc_id = c.doc_b
+         |WHERE round(1.0 - levenshtein(a.text, b.text) * 1.0
+         |    / greatest(len(a.text), len(b.text)), 6) >= 0.9""".stripMargin,
     "t21_bigram_ppl" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Layout, Scd, Sessionize, TextRank, VectorOps}
+import graft.operators.{Layout, Scd, Sessionize, TextDedup, TextRank, VectorOps}
 
 /** Golden + property tests for the round-3 extension operators:
   * sessionization, SCD2 history, BM25, z-order layout, per-dim
@@ -75,6 +75,40 @@ class ExtensionOpsSpec extends SparkSpec {
         r.getAs[Long]("valid_from") <= 250L &&
         (r.isNullAt(r.fieldIndex("valid_to")) || 250L < r.getAs[Long]("valid_to")))
     assert(asOf.length === 1 && asOf.head.getAs[Double]("price") === 20.0)
+  }
+
+  test("mergeUpsert: insert/update/keep classification, update wins wholesale") {
+    val base = Seq(
+      ("k1", 100L, 1L, java.lang.Double.valueOf(10.0)),
+      ("k2", 100L, 2L, java.lang.Double.valueOf(20.0))
+    ).toDF("k", "ts", "id", "price")
+    val updates = Seq(
+      ("k2", 200L, 3L, null.asInstanceOf[java.lang.Double]), // null attr must WIN
+      ("k2", 150L, 4L, java.lang.Double.valueOf(99.0)), // older within batch, loses
+      ("k3", 300L, 5L, java.lang.Double.valueOf(30.0))
+    ).toDF("k", "ts", "id", "price")
+    val out = Scd.mergeUpsert(
+        base, updates, col("k"), col("ts"), col("id"), attrs = Seq("price"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), r.getString(3))).toMap
+    assert(out.size === 3)
+    assert(out("k1") === ((100L, Some(10.0), "keep")))
+    // latest update (ts 200) carries a null price — the null must replace
+    // the base value, not leak 20.0 (or the losing 99.0) through
+    assert(out("k2") === ((200L, None, "update")))
+    assert(out("k3") === ((300L, Some(30.0), "insert")))
+  }
+
+  test("verifyEditDistance: similarity filter over candidate pairs only") {
+    val docs = Seq(
+      (1L, "abcdefghij"),
+      (2L, "abcdefghiX"), // dist 1 of 10 → sim 0.9
+      (3L, "zzzzzzzzzz") // far
+    ).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out = TextDedup.verifyEditDistance(cands, docs, minSim = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 2L, 1L, 0.9)))
   }
 
   test("scd2: consecutive identical attribute tuples compress to one interval") {
