@@ -168,6 +168,19 @@ object JoinQueries {
       val rest = t.filter(pmod(col("trade_id"), lit(2)) === 1).withColumn("source", lit("rest"))
       SetOps.sourceMix(sbe, rest, symbol = "symbol", tsMs = "ts_ms", bucketMs = 3600000L)
     },
+    // U3 — schema-evolution union: two bronze generations with different
+    // column sets merged BY NAME (`unionByName(allowMissingColumns)`),
+    // missing columns null-filled — the incremental-ingest reality where an
+    // old partition predates a newly added field. Positional union would
+    // silently transpose columns here.
+    "u3_union_evolve" -> { (s, dir) =>
+      val t = Tables.trades(s, dir)
+      val v1 = t.filter(col("trade_id") < 5000)
+        .select(col("trade_id"), col("symbol"), col("price"))
+      val v2 = t.filter(col("trade_id") >= 5000)
+        .select(col("trade_id"), col("price"), col("symbol"), col("qty"))
+      v1.unionByName(v2, allowMissingColumns = true)
+    },
     // U2 — anti-join dedup shape: customers with no high-value order.
     "u2_anti_customers" -> { (s, dir) =>
       val c = Tables.customer(s, dir)
@@ -298,6 +311,12 @@ object JoinQueries {
          |  CASE WHEN n_sbe > 0 AND n_rest > 0 THEN 'mixed'
          |       WHEN n_sbe > 0 THEN 'sbe' ELSE 'rest' END AS source_mix
          |FROM m GROUP BY 1, 2""".stripMargin,
+    "u3_union_evolve" ->
+      s"""WITH t AS ($T)
+         |SELECT trade_id, symbol, price, NULL::DOUBLE AS qty
+         |FROM t WHERE trade_id < 5000
+         |UNION ALL
+         |SELECT trade_id, symbol, price, qty FROM t WHERE trade_id >= 5000""".stripMargin,
     "u2_anti_customers" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
