@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorOps.IvfPqModel
+
+/** Persistence for the IVF-PQ index — the missing half of the production
+  * ANN lifecycle: [[VectorOps.ivfPqTrain]] builds offline, this writes the
+  * index as plain parquet, and a serving job loads it and runs
+  * [[VectorOps.ivfPqSearch]] without ever retraining. Four tables under one
+  * directory: `params` (1 row), `centroids` (nCells rows), `books` (m·ks
+  * rows), `codes` (corpus-sized, the only big one — written distributed,
+  * read with full scan parallelism). Parquet round-trips DOUBLE columns
+  * bit-exactly, so a loaded index scores identically to the just-trained
+  * one — x_v12's oracle (the same unrolled SQL as x_v11) is the
+  * end-to-end losslessness proof.
+  *
+  * Paths are plain Spark parquet locations — `file:`/`hdfs:`/`s3a:` all
+  * work; the driver-sized tables are written `coalesce(1)` (one footer
+  * each), the codes keep their upstream partitioning.
+  */
+object VectorIndex {
+
+  def save(model: IvfPqModel, codes: DataFrame, dir: String): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    Seq((model.nCells, model.dim, model.m, model.ks))
+      .toDF("n_cells", "dim", "m", "ks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    // toVector: Row.getSeq hands back mutable ArraySeq, which the
+    // immutable-Seq product encoder rejects at runtime in Scala 2.13
+    model.cents.map { case (cid, c) => (cid, c.toVector) }
+      .toDF("cid", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    model.books.zipWithIndex
+      .flatMap { case (book, s) => book.map { case (cid, c) => (s, cid, c.toVector) } }
+      .toDF("s", "cid", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  def load(spark: SparkSession, dir: String): (IvfPqModel, DataFrame) = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getAs[Int]("cid"), r.getAs[Seq[Double]]("c").toVector: Seq[Double]))
+      .sortBy(_._1).toSeq
+    val bookRows = spark.read.parquet(s"$dir/books").collect()
+      .map(r => (r.getAs[Int]("s"), r.getAs[Int]("cid"),
+        r.getAs[Seq[Double]]("c").toVector: Seq[Double]))
+    val m = p.getAs[Int]("m")
+    val books = (0 until m).map(s =>
+      bookRows.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1).toSeq)
+    val model = IvfPqModel(
+      p.getAs[Int]("n_cells"), p.getAs[Int]("dim"), m, p.getAs[Int]("ks"),
+      cents, books)
+    (model, spark.read.parquet(s"$dir/codes"))
+  }
+}

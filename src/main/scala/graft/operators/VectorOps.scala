@@ -535,12 +535,50 @@ object VectorOps {
       pqIterations: Int = 2,
       nProbe: Int = 1,
       trainModulus: Int = 1): DataFrame = {
+    val (model, codes) =
+      ivfPqTrain(vecs, nCells, dim, m, ks, coarseIterations, pqIterations, trainModulus)
+    ivfPqSearch(model, codes, vecs, queryIds, k, nProbe)
+  }
+
+  /** The trained state of an IVF-PQ index — everything query-time scoring
+    * needs besides the encoded corpus: coarse centroids (cid-ascending) and
+    * the m per-subspace PQ codebooks. Driver-sized (nCells + m·ks small
+    * vectors); the corpus-sized half of the index is the codes DataFrame
+    * that travels next to it. Persistable via
+    * [[VectorIndex.save]]/[[VectorIndex.load]] — parquet round-trips
+    * doubles bit-exactly, so a loaded index searches IDENTICALLY to the
+    * just-trained one (oracle-asserted by x_v12).
+    */
+  case class IvfPqModel(
+      nCells: Int,
+      dim: Int,
+      m: Int,
+      ks: Int,
+      cents: Seq[(Int, Seq[Double])],
+      books: IndexedSeq[Seq[(Int, Seq[Double])]])
+
+  /** Train the two quantizer levels and encode the corpus ONCE — the
+    * index-build half of the production ANN lifecycle (build offline,
+    * persist, serve many searches). Every row is encoded (queries are not
+    * special at build time; [[ivfPqSearch]] excludes them from candidacy).
+    */
+  def ivfPqTrain(
+      vecs: DataFrame, // id, embedding
+      nCells: Int,
+      dim: Int,
+      m: Int,
+      ks: Int,
+      coarseIterations: Int = 2,
+      pqIterations: Int = 2,
+      trainModulus: Int = 1): (IvfPqModel, DataFrame) = {
     val sub = dim / m
     val (assigned, centroids) = ivfAssign(vecs, nCells, coarseIterations, exactMeans = false)
+    val cents = centroids.collect() // bounded: nCells rows (same as ivfAssign's per-round state)
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     // Residual per row w.r.t. its OWN cell: element-wise double subtraction
     // (exact, order-free) against the broadcast k-row centroid table.
-    // Materialized once — pqTrain fires pqIterations+1 actions and the final
-    // scoring job one more; without the stage each would recompute the
+    // Materialized once — pqTrain fires pqIterations+1 actions and the
+    // encode pass one more; without the stage each would recompute the
     // coarse assignment kernel + centroid join + subtraction over the whole
     // corpus (Materialize picks localCheckpoint / lineage-preserving RDD
     // cache per environment). Projected down to (id, cid, rv) first so
@@ -556,36 +594,54 @@ object VectorOps {
       dim, m, ks, pqIterations, trainModulus)
     // Encode pass: every corpus row shrinks to (cid, m codes). Slices are
     // hoisted once per row (same codegen argument as pqTrain's projection).
-    val codes = array((0 until m).map(s =>
+    val codeArr = array((0 until m).map(s =>
       nearestCidExpr(col(s"__r$s"), books(s))): _*)
-    val corpus = res.filter(!col("id").isin(queryIds: _*))
+    val codes = res
       .select(
         col("id") +: col("cid") +:
           (0 until m).map(s => slice(col("rv"), s * sub + 1, sub).as(s"__r$s")): _*)
-      .select(col("id").as("vec_id"), col("cid"), codes.as("codes"))
-    // Each query probes its nProbe nearest cells; the ADC table is built
-    // from the query's residual AGAINST THAT CELL (qv − cell centroid), so a
-    // candidate's approx d2 decomposes as Σ_s d2(query residual slice,
-    // codebook entry of its code) — the standard IVFADC estimator.
-    val probes = rankedCells(
-      assigned.filter(col("id").isin(queryIds: _*)).select(col("id"), col("v")),
-      centroids, nProbe)
+      .select(col("id").as("vec_id"), col("cid"), codeArr.as("codes"))
+    (IvfPqModel(nCells, dim, m, ks, cents, books), codes)
+  }
+
+  /** Query-time half: each query probes its nProbe nearest cells; the ADC
+    * table is built from the query's residual AGAINST THAT CELL (qv − cell
+    * centroid), so a candidate's approx d2 decomposes as Σ_s d2(query
+    * residual slice, codebook entry of its code) — the standard IVFADC
+    * estimator. Reads NO corpus floats: candidates come from the encoded
+    * `codes` table; only the broadcast query set touches full vectors.
+    */
+  def ivfPqSearch(
+      model: IvfPqModel,
+      codes: DataFrame, // vec_id, cid, codes
+      vecs: DataFrame, // id, embedding (query vectors fetched from here)
+      queryIds: Seq[Long],
+      k: Int,
+      nProbe: Int = 1): DataFrame = {
+    val sub = model.dim / model.m
+    val spark = vecs.sparkSession
+    val centroids = centroidDf(spark, model.cents)
+    val qv = vecs.select(col("id"), asDouble(col("embedding")).as("v"))
+      .filter(dot(col("v"), col("v")).isNotNull)
+      .filter(col("id").isin(queryIds: _*))
+    val probes = rankedCells(qv, centroids, nProbe)
       .join(broadcast(centroids), Seq("cid"))
       .select(
         col("id").as("query_id"), col("cid"),
         zip_with(col("v"), col("c"), (a, b) => a - b).as("qrv"))
-    val tables = array((0 until m).map { s =>
-      val cids = typedLit(books(s).map(_._1))
-      val cents = typedLit(books(s).map(_._2))
+    val tables = array((0 until model.m).map { s =>
+      val cids = typedLit(model.books(s).map(_._1))
+      val cents = typedLit(model.books(s).map(_._2))
       map_from_arrays(
         cids, transform(cents, c => d2(slice(col("qrv"), s * sub + 1, sub), c)))
     }: _*)
     val queries = probes.select(col("query_id"), col("cid"), tables.as("tbl"))
-    val approx = (0 until m)
+    val approx = (0 until model.m)
       .map(s => element_at(element_at(col("tbl"), s + 1), element_at(col("codes"), s + 1)))
       .reduce(_ + _) // left fold, same order as the oracle's t0 + t1 + …
     val w = Window.partitionBy(col("query_id")).orderBy(col("approx_d2"), col("vec_id"))
-    corpus.join(broadcast(queries), Seq("cid"))
+    codes.filter(!col("vec_id").isin(queryIds: _*))
+      .join(broadcast(queries), Seq("cid"))
       .withColumn("approx_d2", round(approx, 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -4,10 +4,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.VectorOps
+import graft.operators.{VectorIndex, VectorOps}
 
 /** Similarity-search queries over the embeddings table. */
 object VectorQueries {
+
+  /** x_v12's index directory: one per (process, sf dir), overwritten per
+    * invocation — each run pays the full train+save+load+search lifecycle
+    * (that IS the measured surface), without leaking a temp dir per run.
+    */
+  private object IndexDir {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def of(sfDir: String): String = {
+      val key = FixtureKey.of(sfDir, "embeddings.parquet", variant = "ivfpq_index")
+      cache.getOrElseUpdate(key, {
+        val d = java.nio.file.Files.createTempDirectory("graft_ivfpq_index_").toFile
+        d.deleteOnExit()
+        d.toString
+      })
+    }
+  }
 
   /** DuckDB cosine between two DOUBLE lists, sequential accumulation. */
   private def duckCos(a: String, b: String): String =
@@ -104,6 +120,23 @@ object VectorQueries {
         queryIds = (0L until 10L).toSeq, k = 3, nCells = 8,
         dim = 64, m = 4, ks = 8, coarseIterations = 2, pqIterations = 2,
         nProbe = 2, trainModulus = 4)
+    },
+    // V12 — the index LIFECYCLE: train the same IVF-PQ as x_v11, SAVE it as
+    // parquet (params/centroids/books/codes), LOAD it back, and search with
+    // the loaded state. Parquet round-trips doubles bit-exactly, so this
+    // must hash-match the identical oracle as x_v11 — the proof that a
+    // serving job can reuse a persisted index without retraining and lose
+    // nothing.
+    "x_v12_ivfpq_index" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
+      val (model, codes) = VectorOps.ivfPqTrain(
+        e, nCells = 8, dim = 64, m = 4, ks = 8,
+        coarseIterations = 2, pqIterations = 2, trainModulus = 4)
+      val idx = IndexDir.of(dir)
+      VectorIndex.save(model, codes, idx)
+      val (loaded, loadedCodes) = VectorIndex.load(s, idx)
+      VectorOps.ivfPqSearch(
+        loaded, loadedCodes, e, queryIds = (0L until 10L).toSeq, k = 3, nProbe = 2)
     },
     // V6 — multi-probe SRP near-dup: candidates within hamming<=1 of each
     // other's bucket (the SRP recall dial, complementing x_v5's IVF nProbe).
@@ -441,6 +474,12 @@ object VectorQueries {
 
   val oracle: Map[String, String] = Map(
     "x_v11_ivfpq" -> ivfPqOracleSql(
+      nCells = 8, dim = 64, m = 4, ks = 8, coarseIterations = 2,
+      pqIterations = 2, nQueries = 10, topK = 3, nProbe = 2,
+      trainModulus = 4),
+    // Same oracle as x_v11 BY DESIGN: the save/load round-trip must be
+    // lossless, so the persisted-index search has the same answer.
+    "x_v12_ivfpq_index" -> ivfPqOracleSql(
       nCells = 8, dim = 64, m = 4, ks = 8, coarseIterations = 2,
       pqIterations = 2, nQueries = 10, topK = 3, nProbe = 2,
       trainModulus = 4),

@@ -628,6 +628,28 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(re <= pe * 1.05, s"residual ADC estimated worse than pure: $re vs $pe")
   }
 
+  test("ivf-pq index: save/load round-trips the model exactly") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val (model, codes) = VectorOps.ivfPqTrain(
+      e, nCells = 4, dim = 64, m = 4, ks = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    graft.operators.VectorIndex.save(model, codes, dir)
+    val (loaded, loadedCodes) = graft.operators.VectorIndex.load(spark, dir)
+    // structural equality: params, every centroid double, every codebook
+    // entry — parquet round-trips doubles bit-exactly
+    assert(loaded.nCells === model.nCells && loaded.dim === model.dim &&
+      loaded.m === model.m && loaded.ks === model.ks)
+    assert(loaded.cents === model.cents)
+    assert(loaded.books === model.books)
+    // the corpus-side half: same (vec_id, cid, codes) multiset
+    val a = codes.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    val b = loadedCodes.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(a === b && a.nonEmpty)
+  }
+
   test("ivf end-to-end at nCells=128 plans without codegen blowup") {
     val e = Tables.embeddings(spark, sf)
     val out = VectorOps.annTopKIvf(
