@@ -132,14 +132,18 @@ object Bench {
          |"spread":${medians.map { case (n, _, lo, hi) =>
             "\"" + n + "\":[" + num(lo, 6) + "," + num(hi, 6) + "]" }
             .mkString("{", ",", "}")}}""".stripMargin
+    // A SPARK_GRAFT_ONLY subset run must NOT clobber the committed full-run
+    // record — it would silently replace the 100+-query regression baseline
+    // with a handful of queries (exactly that happened once in r7).
+    val fullPath = if (only.isDefined) "bench_only.json" else "bench_full.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Paths.get(fullPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The stdout line keeps the driver contract; 3-decimal values and the
     // medians map LAST so the surviving tail is the regression signal.
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,""" +
-        s""""full":"bench_full.json","errors":$errJson,"queries_sweep":${fmt(sweep, 3)},""" +
+        s""""full":"$fullPath","errors":$errJson,"queries_sweep":${fmt(sweep, 3)},""" +
         s""""queries":${fmt(medians.map { case (n, m, _, _) => n -> m }, 3)}}""")
     spark.stop()
     if (errors.size == selected.size && selected.nonEmpty) {

@@ -78,23 +78,29 @@ object Scd {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(
-          (col("key") +: col("__ts").as(s"${side}_ts") +:
+          // explicit presence flag, NOT "ts is null": a legitimate update
+          // row with a null timestamp must still count as an update — a
+          // null-ts sentinel would silently reclassify it as 'keep'
+          (col("key") +: lit(true).as(s"${side}_present") +:
+            col("__ts").as(s"${side}_ts") +:
             attrs.map(n => col(n).as(s"${side}_$n"))): _*)
     }
     val b = latest(base, "base")
     val u = latest(updates, "upd")
+    val hasUpd = col("upd_present").isNotNull // null ⇔ no updates row joined
+    val hasBase = col("base_present").isNotNull
     b.join(u, Seq("key"), "full")
       .select(
         (col("key") +:
-          coalesce(col("upd_ts"), col("base_ts")).as("ts_ms") +:
-          // side-pick on upd_ts, NOT per-attr coalesce: an update whose
+          when(hasUpd, col("upd_ts")).otherwise(col("base_ts")).as("ts_ms") +:
+          // side-pick on presence, NOT per-attr coalesce: an update whose
           // attr is legitimately null must null the target, not leak the
           // stale base value through
           attrs.map(n =>
-            when(col("upd_ts").isNotNull, col(s"upd_$n"))
+            when(hasUpd, col(s"upd_$n"))
               .otherwise(col(s"base_$n")).as(n)) :+
-          when(col("base_ts").isNull, lit("insert"))
-            .when(col("upd_ts").isNull, lit("keep"))
+          when(!hasBase, lit("insert"))
+            .when(!hasUpd, lit("keep"))
             .otherwise(lit("update")).as("merge_op")): _*)
   }
 }

@@ -136,8 +136,6 @@ object AnalyticsQueries {
           (grouping(col("symbol")).cast("long") * 2 +
             grouping(col("day_ms")).cast("long")).as("lvl"))
     },
-    // A14 — fixed-vocabulary pivot: per-day per-symbol volume matrix (the
-    // wide feature shape; values list fixed so the schema is deterministic).
     // A17 — CUBE grouping sets over (symbol, user bucket) with the same
     // grouping-id level encoding as a13's ROLLUP: all four grain
     // combinations in one pass (the OLAP summary-table shape).
@@ -151,6 +149,8 @@ object AnalyticsQueries {
           (grouping(col("symbol")).cast("long") * 2 +
             grouping(col("user_bucket")).cast("long")).as("lvl"))
     },
+    // A14 — fixed-vocabulary pivot: per-day per-symbol volume matrix (the
+    // wide feature shape; values list fixed so the schema is deterministic).
     "a14_pivot_volumes" -> { (s, dir) =>
       Tables.trades(s, dir)
         .select(expr("ts_ms div 86400000").as("day_ms"), col("symbol"), col("qty"))

@@ -8,6 +8,21 @@ package graft.queries
   * gets a fresh fixture instead of a stale one, while repeat invocations —
   * the bench loop — reuse the memoized fixture untouched.
   */
+/** `File.deleteOnExit` runs LIFO and only removes EMPTY directories —
+  * registering a populated fixture dir alone leaks the whole tree on JVM
+  * exit. Register the root first, then recurse, so children delete before
+  * parents. Re-registering after each overwrite is fine (duplicate
+  * registrations just attempt a second delete of an already-gone path).
+  */
+private[queries] object FixtureCleanup {
+  def registerTree(root: java.io.File): Unit = {
+    root.deleteOnExit()
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+      if (f.isDirectory) registerTree(f) else f.deleteOnExit()
+    }
+  }
+}
+
 private[queries] object FixtureKey {
   def of(sfDir: String, tableFile: String, variant: String = ""): String = {
     val root = new java.io.File(sfDir)

@@ -47,9 +47,6 @@ object MarketQueries {
         symbol = col("symbol"), tsMs = col("ts_ms"), price = col("price"),
         qty = col("qty"), tieBreak = col("trade_id"), barMs = 60000L)
     },
-    // A4b — silver-bar quality fields (FIXTURES.md §5 / S3_SCHEMA.md:316-392):
-    // completeness_score vs nominal cadence and gap_seconds (largest silence
-    // ending inside the bar).
     // A16 — regular-grid bar fill + interpolation (extension op,
     // Resample.fillGrid): the 5-minute close series per symbol completed to
     // EVERY grid step between the symbol's first and last bar — gaps
@@ -70,6 +67,9 @@ object MarketQueries {
           col("v").as("close_price"), col("is_gap"),
           col("v_ffill").as("close_ffill"), col("v_interp").as("close_interp"))
     },
+    // A4b — silver-bar quality fields (FIXTURES.md §5 / S3_SCHEMA.md:316-392):
+    // completeness_score vs nominal cadence and gap_seconds (largest silence
+    // ending inside the bar).
     "a4b_bars_quality" -> { (s, dir) =>
       val t = Tables.trades(s, dir)
       val w = org.apache.spark.sql.expressions.Window
@@ -132,7 +132,6 @@ object MarketQueries {
         .select("user_id", "trade_id", "ts_ms", "price", "prev_price",
           "price_change", "price_change_pct")
     },
-    // W4 — sequence-gap detection (gap_detector/README.md:24-38).
     // W8 — the full rank-function family over (symbol, time): rank /
     // dense_rank / percent_rank / cume_dist / ntile. Ordered by the TOTAL
     // (ts_ms, trade_id) key: ntile splits peer groups by row position, so
@@ -150,6 +149,7 @@ object MarketQueries {
           cume_dist().over(w).as("cdist"),
           ntile(4).over(w).cast("long").as("quartile"))
     },
+    // W4 — sequence-gap detection (gap_detector/README.md:24-38).
     "w4_sequence_gaps" -> { (s, dir) =>
       Windows
         .sequenceGaps(

@@ -81,14 +81,6 @@ object MicrostructureQueries {
     private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
     private val dstCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
-    /** deleteOnExit runs LIFO and only removes EMPTY directories: register
-      * the dir first, then every file inside, so files delete before the
-      * dir (the S1Feed discipline — without the per-file pass a full trades
-      * copy leaks per JVM run).
-      */
-    private[queries] def registerTreeForExit(dir: java.io.File): Unit =
-      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.deleteOnExit())
-
     def smallFilesDir(s: SparkSession, sfDir: String): String = {
       val key = FixtureKey.of(sfDir, "events.parquet", variant = "smallfiles")
       cache.getOrElseUpdate(key, {
@@ -96,7 +88,7 @@ object MicrostructureQueries {
         d.deleteOnExit()
         Tables.trades(s, sfDir)
           .repartition(32).write.mode("overwrite").parquet(d.toString)
-        registerTreeForExit(d)
+        FixtureCleanup.registerTree(d)
         d.toString
       })
     }
@@ -332,7 +324,7 @@ object MicrostructureQueries {
       val src = CompactionFixture.smallFilesDir(s, dir)
       val dst = CompactionFixture.dstDir(dir)
       Layout.compactParquet(s, src, dst, targetBytes = 256L * 1024)
-      CompactionFixture.registerTreeForExit(new java.io.File(dst))
+      FixtureCleanup.registerTree(new java.io.File(dst))
       s.read.parquet(dst)
         .select("symbol", "ts_ms", "price", "qty", "trade_id", "user_id")
     },

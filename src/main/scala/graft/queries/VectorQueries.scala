@@ -134,6 +134,7 @@ object VectorQueries {
         coarseIterations = 2, pqIterations = 2, trainModulus = 4)
       val idx = IndexDir.of(dir)
       VectorIndex.save(model, codes, idx)
+      FixtureCleanup.registerTree(new java.io.File(idx))
       val (loaded, loadedCodes) = VectorIndex.load(s, idx)
       VectorOps.ivfPqSearch(
         loaded, loadedCodes, e, queryIds = (0L until 10L).toSeq, k = 3, nProbe = 2)

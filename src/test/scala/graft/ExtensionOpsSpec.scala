@@ -83,20 +83,25 @@ class ExtensionOpsSpec extends SparkSpec {
       ("k2", 100L, 2L, java.lang.Double.valueOf(20.0))
     ).toDF("k", "ts", "id", "price")
     val updates = Seq(
-      ("k2", 200L, 3L, null.asInstanceOf[java.lang.Double]), // null attr must WIN
-      ("k2", 150L, 4L, java.lang.Double.valueOf(99.0)), // older within batch, loses
-      ("k3", 300L, 5L, java.lang.Double.valueOf(30.0))
+      ("k2", java.lang.Long.valueOf(200L), 3L, null.asInstanceOf[java.lang.Double]), // null attr must WIN
+      ("k2", java.lang.Long.valueOf(150L), 4L, java.lang.Double.valueOf(99.0)), // older within batch, loses
+      ("k3", java.lang.Long.valueOf(300L), 5L, java.lang.Double.valueOf(30.0)),
+      // an update row with a NULL ts must still BE an update (presence flag,
+      // not a ts-null sentinel) — its attrs win over the base
+      ("k4", null.asInstanceOf[java.lang.Long], 6L, java.lang.Double.valueOf(7.0))
     ).toDF("k", "ts", "id", "price")
     val out = Scd.mergeUpsert(
         base, updates, col("k"), col("ts"), col("id"), attrs = Seq("price"))
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), Option(r.get(2)), r.getString(3))).toMap
-    assert(out.size === 3)
-    assert(out("k1") === ((100L, Some(10.0), "keep")))
+        (Option(r.get(1)), Option(r.get(2)), r.getString(3))).toMap
+    assert(out.size === 4)
+    assert(out("k1") === ((Some(100L), Some(10.0), "keep")))
     // latest update (ts 200) carries a null price — the null must replace
     // the base value, not leak 20.0 (or the losing 99.0) through
-    assert(out("k2") === ((200L, None, "update")))
-    assert(out("k3") === ((300L, Some(30.0), "insert")))
+    assert(out("k2") === ((Some(200L), None, "update")))
+    assert(out("k3") === ((Some(300L), Some(30.0), "insert")))
+    // null-ts update row still classifies as an update-side row
+    assert(out("k4") === ((None, Some(7.0), "insert")))
   }
 
   test("verifyEditDistance: similarity filter over candidate pairs only") {
