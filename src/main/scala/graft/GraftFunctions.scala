@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.{Sbe, TextKernels}
+import graft.functions.{Sbe, TextKernels, VectorKernels}
 
 /** SQL-surface registration for graft's custom Catalyst expressions, so
   * `spark.sql("SELECT sbe_decode_trade(frame) ...")` works alongside the
@@ -60,6 +60,13 @@ object GraftFunctions {
       exprs => TextKernels.GramDominanceExpr(
         exprs.head, n = lit(exprs(1)).asInstanceOf[Number].intValue()),
       "built-in")
+    // vector kernels: the similarity primitives in pure SQL —
+    // graft_dot(a, b) / graft_d2(a, b) over array<double> (null on length
+    // mismatch or null element, same contract as the Column API)
+    registry.createOrReplaceTempFunction(
+      "graft_dot", exprs => VectorKernels.DotExpr(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_d2", exprs => VectorKernels.D2Expr(exprs.head, exprs(1)), "built-in")
     // avro_decode(frame, writerSchemaJson [, readerSchemaJson]) — the
     // from_avro SQL surface (schema JSON as literals, folded at plan time).
     registry.createOrReplaceTempFunction(

@@ -72,6 +72,25 @@ class TypedApiSpec extends SparkSpec {
     assert(viaSql === viaCol)
   }
 
+  test("SQL surface: graft_dot / graft_d2 match the Column API incl. null contract") {
+    GraftFunctions.register(spark)
+    Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (2L, Seq(1.0, 2.0), Seq(4.0, 5.0, 6.0)) // length mismatch → null
+    ).toDF("id", "a", "b").createOrReplaceTempView("vecs")
+    val viaSql = spark.sql(
+      "SELECT graft_dot(a, b) AS d, graft_d2(a, b) AS e FROM vecs ORDER BY id")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    val viaCol = spark.table("vecs").orderBy("id")
+      .select(
+        operators.VectorOps.dot($"a", $"b").as("d"),
+        operators.VectorOps.d2($"a", $"b").as("e"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(viaSql === viaCol)
+    assert(viaSql(0) === ((Some(32.0), Some(27.0))))
+    assert(viaSql(1) === ((None, None)))
+  }
+
   test("ngramRepetition kernel is bit-identical to the declarative sequence+slice form") {
     import org.apache.spark.sql.functions._
     // edge cases: empty, shorter than n, exact n, trailing spaces (Spark's
