@@ -488,6 +488,22 @@ object VectorOps {
       trainModulus: Int = 1): DataFrame = {
     val short = annTopKPq(vecs, queryIds, shortlist, dim, m, ks, iterations, trainModulus)
       .select(col("query_id"), col("vec_id"))
+    cosineRerank(short, vecs, queryIds, k)
+  }
+
+  /** Exact cosine re-rank of an approximate shortlist — the precision stage
+    * shared by every two-stage retrieval ([[annTopKPqRerank]],
+    * [[ivfPqSearchRerank]]): full-precision vectors are touched for
+    * queries·shortlist rows total, never the corpus — the equi-join back to
+    * corpus floats broadcasts the tiny shortlist, so the corpus parquet is
+    * scanned once with no shuffle. Quantization error caps recall
+    * (shortlist membership) but never final ordering precision.
+    */
+  private def cosineRerank(
+      short: DataFrame, // query_id, vec_id
+      vecs: DataFrame, // id, embedding
+      queryIds: Seq[Long],
+      k: Int): DataFrame = {
     val v = vecs.select(col("id"), asDouble(col("embedding")).as("v"))
       .filter(dot(col("v"), col("v")).isNotNull)
     val corpus = v.select(col("id").as("vec_id"), col("v").as("cv"))
@@ -502,6 +518,25 @@ object VectorOps {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
+  /** The complete production retrieval pipeline over a PERSISTED index:
+    * ADC shortlist from the loaded IVF-PQ state ([[ivfPqSearch]],
+    * `shortlist` deep over `nProbe` cells), then exact cosine re-ranked to
+    * top-k over only the shortlisted rows ([[cosineRerank]]). Composes the
+    * x_v12 lifecycle with the x_v10 precision stage.
+    */
+  def ivfPqSearchRerank(
+      model: IvfPqModel,
+      codes: DataFrame, // vec_id, cid, codes
+      vecs: DataFrame, // id, embedding
+      queryIds: Seq[Long],
+      k: Int,
+      shortlist: Int,
+      nProbe: Int = 1): DataFrame = {
+    val short = ivfPqSearch(model, codes, vecs, queryIds, shortlist, nProbe)
+      .select(col("query_id"), col("vec_id"))
+    cosineRerank(short, vecs, queryIds, k)
   }
 
   /** IVF-PQ top-k — the full billion-vector ANN layout (Jégou et al. 2011,

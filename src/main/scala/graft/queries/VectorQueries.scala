@@ -15,10 +15,13 @@ object VectorQueries {
     */
   private object IndexDir {
     private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
-    def of(sfDir: String): String = {
-      val key = FixtureKey.of(sfDir, "embeddings.parquet", variant = "ivfpq_index")
+    // one dir per (sf dir, consumer query): x_v12 and x_v13 write identical
+    // index content, but sharing a dir would let one query's overwrite race
+    // a still-lazy DataFrame the other returned (the k9 lesson)
+    def of(sfDir: String, variant: String): String = {
+      val key = FixtureKey.of(sfDir, "embeddings.parquet", variant = s"ivfpq_index_$variant")
       cache.getOrElseUpdate(key, {
-        val d = java.nio.file.Files.createTempDirectory("graft_ivfpq_index_").toFile
+        val d = java.nio.file.Files.createTempDirectory(s"graft_ivfpq_${variant}_").toFile
         d.deleteOnExit()
         d.toString
       })
@@ -132,12 +135,30 @@ object VectorQueries {
       val (model, codes) = VectorOps.ivfPqTrain(
         e, nCells = 8, dim = 64, m = 4, ks = 8,
         coarseIterations = 2, pqIterations = 2, trainModulus = 4)
-      val idx = IndexDir.of(dir)
+      val idx = IndexDir.of(dir, "v12")
       VectorIndex.save(model, codes, idx)
       FixtureCleanup.registerTree(new java.io.File(idx))
       val (loaded, loadedCodes) = VectorIndex.load(s, idx)
       VectorOps.ivfPqSearch(
         loaded, loadedCodes, e, queryIds = (0L until 10L).toSeq, k = 3, nProbe = 2)
+    },
+    // V13 — the END-TO-END production retrieval pipeline: persisted-index
+    // lifecycle (train → save → load, as x_v12) producing a 10-deep ADC
+    // shortlist over 2 probed cells, exact cosine re-ranked to top-3 over
+    // only the shortlisted rows (as x_v10). Quantized recall, exact
+    // precision, zero retraining at query time.
+    "x_v13_index_rerank" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
+      val (model, codes) = VectorOps.ivfPqTrain(
+        e, nCells = 8, dim = 64, m = 4, ks = 8,
+        coarseIterations = 2, pqIterations = 2, trainModulus = 4)
+      val idx = IndexDir.of(dir, "v13")
+      VectorIndex.save(model, codes, idx)
+      FixtureCleanup.registerTree(new java.io.File(idx))
+      val (loaded, loadedCodes) = VectorIndex.load(s, idx)
+      VectorOps.ivfPqSearchRerank(
+        loaded, loadedCodes, e, queryIds = (0L until 10L).toSeq,
+        k = 3, shortlist = 10, nProbe = 2)
     },
     // V6 — multi-probe SRP near-dup: candidates within hamming<=1 of each
     // other's bucket (the SRP recall dial, complementing x_v5's IVF nProbe).
@@ -366,7 +387,7 @@ object VectorQueries {
   private def ivfPqOracleSql(
       nCells: Int, dim: Int, m: Int, ks: Int, coarseIterations: Int,
       pqIterations: Int, nQueries: Int, topK: Int, nProbe: Int,
-      trainModulus: Int): String = {
+      trainModulus: Int, rerankTo: Int = 0): String = {
     val sub = dim / m
     val meanExpr =
       "CAST(sum(CAST(floor(x * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0 / count(*)"
@@ -469,8 +490,21 @@ object VectorQueries {
        |  SELECT query_id, vec_id, approx_d2,
        |    row_number() OVER (PARTITION BY query_id ORDER BY approx_d2, vec_id) AS rank
        |  FROM sims)
-       |SELECT query_id, vec_id, approx_d2, CAST(rank AS BIGINT) AS rank
-       |FROM rk WHERE rank <= $topK""".stripMargin
+       |${if (rerankTo <= 0)
+           s"""SELECT query_id, vec_id, approx_d2, CAST(rank AS BIGINT) AS rank
+              |FROM rk WHERE rank <= $topK""".stripMargin
+         else
+           s""",sl AS (SELECT query_id, vec_id FROM rk WHERE rank <= $topK),
+              |exq AS (SELECT id AS query_id, v FROM e WHERE id < $nQueries),
+              |ex AS (
+              |  SELECT sl.query_id, sl.vec_id, round(${duckCos("q.v", "c.v")}, 6) + 0.0 AS cos_sim
+              |  FROM sl JOIN e c ON c.id = sl.vec_id JOIN exq q ON q.query_id = sl.query_id),
+              |rr AS (
+              |  SELECT query_id, vec_id, cos_sim,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+              |  FROM ex)
+              |SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank
+              |FROM rr WHERE rank <= $rerankTo""".stripMargin}""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -484,6 +518,10 @@ object VectorQueries {
       nCells = 8, dim = 64, m = 4, ks = 8, coarseIterations = 2,
       pqIterations = 2, nQueries = 10, topK = 3, nProbe = 2,
       trainModulus = 4),
+    "x_v13_index_rerank" -> ivfPqOracleSql(
+      nCells = 8, dim = 64, m = 4, ks = 8, coarseIterations = 2,
+      pqIterations = 2, nQueries = 10, topK = 10, nProbe = 2,
+      trainModulus = 4, rerankTo = 3),
     "x_v9_pq_adc" -> pqOracleSql(
       dim = 64, m = 4, ks = 8, iterations = 2, nQueries = 10, topK = 3,
       trainModulus = 4),
