@@ -430,4 +430,70 @@ object Rolling {
         "__rn", "__cnt", "__ma_l1_local", "__ma_l2_local", "__prev1", "__prev2",
         "__ma_l1", "__ma_l2", "__chunk", "__tie", "__sym", "__ts")
   }
+
+  /** W9 (extension): bounded-lookback EWMA features — the online exponential
+    * smoothing a price-prediction feature set runs next to the plain moving
+    * averages of [[momentum]] (`S3_SCHEMA.md:569-578` specifies MA-family
+    * momentum; EWMA is its standard recency-weighted sibling, e.g. MACD).
+    *
+    * Semantics: over the last `lookback` rows per key (ordered by the TOTAL
+    * (ts, tieBreak) key), the recurrence `y₀ = x₀; yₜ = (1−α)·yₜ₋₁ + α·xₜ`
+    * — the adjust-free online form a streaming feature builder computes.
+    * Restarting the recurrence at the frame edge bounds both state and the
+    * influence horizon (at α ≥ 0.0625 a 32-row frame carries ≥ 87% of the
+    * unbounded EWMA's weight mass).
+    *
+    * Exactness: the frame is materialized with `collect_list` over the
+    * ordered window (frame order = window order, deterministic under the
+    * total order) and folded left with the `aggregate` higher-order function
+    * — the same IEEE double sequence DuckDB's `list_reduce` executes, so
+    * results are bit-identical cross-engine before the final round(6).
+    * Alphas must be exactly representable doubles with exactly representable
+    * complements (0.25/0.75, 0.0625/0.9375) so neither engine re-derives
+    * `1−α` differently.
+    *
+    * Scale shape: one shuffle on the key, one ordered scan per partition —
+    * identical to the rest of the rolling family; the per-row frame list is
+    * bounded at `lookback` doubles (32 ⇒ 256 bytes) regardless of data
+    * volume, and the fold is codegen'd per row with zero extra shuffle.
+    * The w6b boundary-band chunk stitch applies unchanged if a single key
+    * dominates (replicate the trailing `lookback−1` rows into the next
+    * chunk).
+    */
+  def ewmaFeatures(
+      rows: DataFrame,
+      symbol: Column,
+      tsMs: Column,
+      price: Column,
+      tieBreak: Column,
+      fastAlpha: Double = 0.25,
+      slowAlpha: Double = 0.0625,
+      lookback: Int = 32): DataFrame = {
+    require(lookback >= 1, s"lookback must be >= 1, got $lookback")
+    // 1−α must round-trip exactly (true for dyadic α: 1/4, 1/16, …) so a
+    // human writing the complement as a literal in oracle SQL gets the same
+    // double the fold uses. `(1−a)+a == 1` is too weak (0.3 passes it by
+    // re-rounding); the inverse subtraction is the faithful test.
+    def exactComplement(a: Double): Boolean = 1.0 - (1.0 - a) == a
+    require(
+      exactComplement(fastAlpha) && exactComplement(slowAlpha),
+      s"alphas must have exactly representable complements (got $fastAlpha, $slowAlpha)")
+    val w = Window.partitionBy(symbol).orderBy(tsMs, tieBreak)
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    def fold(alpha: Double): Column = {
+      val decay = lit(1.0 - alpha)
+      round(
+        aggregate(
+          slice(col("__xs"), 2, lookback - 1),
+          element_at(col("__xs"), 1),
+          (acc, x) => acc * decay + x * lit(alpha)),
+        6)
+    }
+    rows
+      .withColumn("__xs", collect_list(price).over(w))
+      .withColumn("ewma_fast", fold(fastAlpha))
+      .withColumn("ewma_slow", fold(slowAlpha))
+      .withColumn("macd", round(col("ewma_fast") - col("ewma_slow"), 6))
+      .drop("__xs")
+  }
 }

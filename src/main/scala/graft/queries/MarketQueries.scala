@@ -202,6 +202,22 @@ object MarketQueries {
           tieBreak = col("trade_id"), windowMs = 300000L, chunkMs = 3600000L)
         .select("symbol", "ts_ms", "trade_id", "ma_w", "momentum", "acceleration")
     },
+    // W9 — bounded-lookback EWMA / MACD features (extension op,
+    // Rolling.ewmaFeatures): the online exponential smoothing next to w6's
+    // plain moving averages. Frame materialized by an ordered collect_list
+    // and folded left with the `aggregate` HOF — the identical IEEE double
+    // sequence DuckDB's list_reduce executes, so the unrounded folds are
+    // bit-equal cross-engine (alphas 1/4 and 1/16 chosen with exactly
+    // representable complements).
+    "w9_ewma_macd" -> { (s, dir) =>
+      Rolling
+        .ewmaFeatures(
+          Tables.trades(s, dir),
+          symbol = col("symbol"), tsMs = col("ts_ms"), price = col("price"),
+          tieBreak = col("trade_id"))
+        .select("symbol", "ts_ms", "trade_id", "price", "ewma_fast",
+          "ewma_slow", "macd")
+    },
     // W7 — gaps-and-islands sessionization: per-user activity sessions split
     // at 8 h inactivity (batch twin of session_window; same island pattern as
     // transformer.py's batch windows with a gap rule instead of a fixed grid).
@@ -507,6 +523,18 @@ object MarketQueries {
          |  max(ts_ms) - min(ts_ms) AS duration_ms,
          |  CAST(sum(CAST(price AS DECIMAL(27,8))) AS DOUBLE) AS total_value
          |FROM g GROUP BY 1, 2""".stripMargin,
+    "w9_ewma_macd" ->
+      s"""WITH t AS ($T),
+         |l AS (
+         |  SELECT symbol, ts_ms, trade_id, price,
+         |    list(price) OVER (PARTITION BY symbol ORDER BY ts_ms, trade_id
+         |      ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS xs
+         |  FROM t)
+         |SELECT symbol, ts_ms, trade_id, price,
+         |  round(list_reduce(xs, (acc, x) -> acc * 0.75 + x * 0.25), 6) AS ewma_fast,
+         |  round(list_reduce(xs, (acc, x) -> acc * 0.9375 + x * 0.0625), 6) AS ewma_slow,
+         |  round(ewma_fast - ewma_slow, 6) AS macd
+         |FROM l""".stripMargin,
     "w6_momentum" -> w6OracleSql,
     // bucketed variant is output-identical by construction — same oracle
     "w6b_momentum_bucketed" -> w6OracleSql,

@@ -441,6 +441,64 @@ class ExtensionOpsSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("off the min-anchored step grid")))
   }
 
+  test("ewmaFeatures: recurrence matches the hand-rolled fold, frame bounded") {
+    val df = Seq(
+      ("a", 0L, 1L, 10.0),
+      ("a", 10L, 2L, 20.0),
+      ("a", 20L, 3L, 30.0),
+      ("b", 0L, 4L, 5.0) // separate key restarts the recurrence
+    ).toDF("k", "ts", "id", "px")
+    val out = graft.operators.Rolling
+      .ewmaFeatures(df, col("k"), col("ts"), col("px"), col("id"),
+        fastAlpha = 0.25, slowAlpha = 0.0625, lookback = 32)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("ewma_fast"), r.getAs[Double]("ewma_slow"), r.getAs[Double]("macd")))
+      .toMap
+    // y0 = x0; yt = 0.75*y(t-1) + 0.25*xt
+    assert(out(1L)._1 === 10.0)
+    assert(out(2L)._1 === 12.5) // 0.75*10 + 0.25*20
+    assert(out(3L)._1 === 16.875) // 0.75*12.5 + 0.25*30
+    assert(out(1L)._2 === 10.0)
+    assert(out(2L)._2 === 10.625) // 0.9375*10 + 0.0625*20
+    assert(out(3L)._2 === 11.835938) // round(0.9375*10.625 + 0.0625*30, 6)
+    assert(out(3L)._3 === 5.039062) // round(16.875 - 11.835938, 6)
+    assert(out(4L) === ((5.0, 5.0, 0.0)))
+    // lookback bounds the frame: with lookback=2 the third row's recurrence
+    // restarts from x1 (20.0), so ewma_fast = 0.75*20 + 0.25*30 = 22.5
+    val short = graft.operators.Rolling
+      .ewmaFeatures(df, col("k"), col("ts"), col("px"), col("id"), lookback = 2)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("ewma_fast"))
+      .toMap
+    assert(short(3L) === 22.5)
+    // EWMA is a convex combination: always inside the frame's [min, max]
+    val trades = graft.Tables.trades(spark, "/root/testdata/sf0.001")
+    val checked = graft.operators.Rolling
+      .ewmaFeatures(trades, col("symbol"), col("ts_ms"), col("price"), col("trade_id"))
+      .withColumn(
+        "__lo",
+        min(col("price")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("symbol")).orderBy(col("ts_ms"), col("trade_id"))
+            .rowsBetween(-31, 0)))
+      .withColumn(
+        "__hi",
+        max(col("price")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("symbol")).orderBy(col("ts_ms"), col("trade_id"))
+            .rowsBetween(-31, 0)))
+      .filter(
+        col("ewma_fast") < col("__lo") - 1e-6 || col("ewma_fast") > col("__hi") + 1e-6 ||
+          col("ewma_slow") < col("__lo") - 1e-6 || col("ewma_slow") > col("__hi") + 1e-6)
+    assert(checked.count() === 0)
+    // alphas whose complement is not exactly representable are rejected
+    intercept[IllegalArgumentException] {
+      graft.operators.Rolling
+        .ewmaFeatures(df, col("k"), col("ts"), col("px"), col("id"), fastAlpha = 0.3)
+    }
+  }
+
   test("compactParquet: bin-packs small files to the byte-sized count, content intact") {
     val df = spark.range(20000).select(
       col("id"), (col("id") % 97).as("k"), (col("id") * 31 % 1000).cast("double").as("v"))
