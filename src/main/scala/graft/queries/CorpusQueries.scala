@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Corpus
+import graft.operators.{Corpus, Profile}
 
 /** Corpus-assembly queries: deterministic splits, weighted sampling,
   * contamination checks, sequence packing, PII redaction. Hash constants are
@@ -49,6 +49,16 @@ object CorpusQueries {
           SampleRates, SampleDefault)
         .select("doc_id", "source", "sample_bucket", "rate_per_mille")
     },
+    // D3 — per-column profiling summary (operators/Profile.scala): the
+    // dataset-level quality report over the documents table. Unpivoted
+    // (col_name, value) layout grouped by column name — one shuffle keyed
+    // by column, exact distincts, no global scalar-agg funnel.
+    "d3_profile_columns" -> { (s, dir) =>
+      Profile.columns(
+        Tables.documents(s, dir),
+        numericCols = Seq("doc_id", "n_chars"),
+        stringCols = Seq("text", "lang", "source"))
+    },
     // C-pack — GPT-style concat-and-chunk packing at 256-token sequences via
     // the two-phase distributed prefix sum (no global window on the corpus).
     "t14_sequence_packing" -> { (s, dir) =>
@@ -86,7 +96,31 @@ object CorpusQueries {
        |              x -> ${duckBucket("x", 2147483647)}) END AS h
        |  FROM toks)""".stripMargin
 
+  /** DuckDB twin of one [[Profile.columns]] output row. */
+  private def duckProfileNum(c: String): String =
+    s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n_present,
+       |  count(DISTINCT $c) AS n_distinct,
+       |  min(CAST($c AS DOUBLE)) AS min_num, max(CAST($c AS DOUBLE)) AS max_num,
+       |  round(CAST(sum(CAST($c AS DECIMAL(27,8))) AS DOUBLE) / nullif(count($c), 0), 6) AS mean,
+       |  round(stddev_samp(CAST($c AS DOUBLE)), 4) AS std,
+       |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+       |  CAST(NULL AS DOUBLE) AS avg_len
+       |FROM documents""".stripMargin
+
+  private def duckProfileStr(c: String): String =
+    s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n_present,
+       |  count(DISTINCT $c) AS n_distinct,
+       |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       |  CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS std,
+       |  min($c) AS min_str, max($c) AS max_str,
+       |  round(CAST(sum(length($c)) AS DOUBLE) / nullif(count($c), 0), 6) AS avg_len
+       |FROM documents""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "d3_profile_columns" ->
+      (Seq("doc_id", "n_chars").map(duckProfileNum) ++
+        Seq("text", "lang", "source").map(duckProfileStr))
+        .mkString("\nUNION ALL\n"),
     "t11_train_split" -> {
       val b = duckBucket("'split:' || CAST(doc_id AS VARCHAR)", 100)
       s"""SELECT doc_id, $b AS hash_bucket,

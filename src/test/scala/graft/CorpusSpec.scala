@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, VectorOps, Vocab}
+import graft.operators.{Corpus, Profile, VectorOps, Vocab}
 
 class CorpusSpec extends SparkSpec {
   import spark.implicits._
@@ -119,6 +119,44 @@ class CorpusSpec extends SparkSpec {
       val span = (starts(i) + ns(i) - 1) / 16 - starts(i) / 16 + 1
       assert(r.getAs[Long]("n_seqs_spanned") === span)
     }
+  }
+
+  test("profileColumns: per-column stats on a toy table incl nulls") {
+    val df = Seq(
+      (Some(1.0), Some("aa")),
+      (Some(3.0), Some("b")),
+      (None, Some("aa")),
+      (Some(3.0), None)
+    ).toDF("x", "s")
+    val out = Profile.columns(df, numericCols = Seq("x"), stringCols = Seq("s"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(out.size === 2)
+    val x = out("x")
+    assert(x.getAs[Long]("n_rows") === 4L)
+    assert(x.getAs[Long]("n_present") === 3L)
+    assert(x.getAs[Long]("n_distinct") === 2L) // 1.0, 3.0
+    assert(x.getAs[Double]("min_num") === 1.0)
+    assert(x.getAs[Double]("max_num") === 3.0)
+    assert(x.getAs[Double]("mean") === math.round((1.0 + 3.0 + 3.0) / 3 * 1e6) / 1e6)
+    assert(x.isNullAt(x.fieldIndex("min_str")))
+    assert(x.isNullAt(x.fieldIndex("avg_len")))
+    val s = out("s")
+    assert(s.getAs[Long]("n_present") === 3L)
+    assert(s.getAs[Long]("n_distinct") === 2L) // "aa", "b"
+    assert(s.getAs[String]("min_str") === "aa")
+    assert(s.getAs[String]("max_str") === "b")
+    assert(s.getAs[Double]("avg_len") === math.round((2 + 1 + 2) / 3.0 * 1e6) / 1e6)
+    assert(s.isNullAt(s.fieldIndex("min_num")))
+    assert(s.isNullAt(s.fieldIndex("mean")))
+    // approx path: same shape, cardinalities within HLL tolerance on tiny sets
+    val approx = Profile
+      .columns(df, Seq("x"), Seq("s"), approxDistinct = true)
+      .collect().map(r => r.getAs[String]("col_name") -> r.getAs[Long]("n_distinct")).toMap
+    assert(approx("x") === 2L)
+    assert(approx("s") === 2L)
+    // misuse guards
+    intercept[IllegalArgumentException](Profile.columns(df, Nil, Nil))
+    intercept[IllegalArgumentException](Profile.columns(df, Seq("x"), Seq("x")))
   }
 
   test("quantizeInt8 bounds the per-element error by scale/2 and is exact on zeros") {
