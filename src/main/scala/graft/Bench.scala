@@ -10,14 +10,25 @@ import org.apache.spark.sql.SparkSession
   * therefore reports BOTH:
   *   - `queries_sweep`: one timed pass in sorted order, after warmup — the
   *     historical sweep number, kept for round-over-round comparability;
-  *   - `queries`: per-query MEDIAN across `SPARK_GRAFT_RUNS` (default 3)
+  *   - `queries`: per-query MEDIAN across `SPARK_GRAFT_RUNS` (default 5)
   *     INTERLEAVED full rounds over the query set (gc+settle between
   *     rounds) — the trustworthy regression-detection number, with
   *     per-query min/max spread in `spread`. Interleaving (r7) makes a
   *     time-local disturbance a round effect the median discards for every
   *     query equally, instead of a bias against whichever queries run
   *     first.
-  * `value` (the headline total) sums the medians. `SPARK_GRAFT_RUNS=1`
+  *   - `queries_min` (r8): per-query MIN across the same rounds — the
+  *     noise-free plan cost in a warm JVM. The r7 end-round run proved the
+  *     3-round median is NOT disturbance-proof: 2 of 3 rounds were hit
+  *     (w5b spread [0.68, 26.2] s, w6 median 4.06 s vs 0.55 s min), so the
+  *     median REPORTED the disturbance. The min cannot be inflated by a GC
+  *     storm or cleaner drain — only deflated by work not happening, which
+  *     the noop sink's materialize-everything contract rules out. Rounds
+  *     were raised 3→5 so a multi-round disturbance must now hit 3 rounds
+  *     to move the median at all.
+  * `value` (the headline total) sums the medians; `value_min` sums the
+  * mins — regression-gate on `value_min` when the two disagree, and read
+  * `round_totals` to see WHICH rounds were disturbed. `SPARK_GRAFT_RUNS=1`
   * restores the legacy behavior (queries == the single sweep pass, no
   * spread). `SPARK_GRAFT_ONLY=a,b` restricts the query set for local
   * iteration.
@@ -26,7 +37,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3).max(1)
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(5).max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -94,23 +105,25 @@ object Bench {
     // in the alphabet. Each round starts with its own gc+settle so
     // cross-round state (the previous round's dead blocks) drains between
     // rounds rather than inside the next round's first queries.
-    val medians = if (runs > 1) {
+    val (medians, roundTotals) = if (runs > 1) {
       System.gc(); Thread.sleep(3000); System.gc(); Thread.sleep(1000)
       val rounds = (0 until runs).map { _ =>
         System.gc(); Thread.sleep(500)
         selected.map { case (name, fn) => timed(name, fn) }
       }
-      selected.zipWithIndex.map { case ((name, _), i) =>
+      val stats = selected.zipWithIndex.map { case ((name, _), i) =>
         val ts = rounds.map(_(i)).sorted
         (name, ts(ts.length / 2), ts.head, ts.last)
       }
-    } else sweep.map { case (n, t) => (n, t, t, t) }
+      (stats, rounds.map(_.sum))
+    } else (sweep.map { case (n, t) => (n, t, t, t) }, sweep.map(_._2).sum :: Nil)
     def num(v: Double, dp: Int): String = // Locale.ROOT: '.' decimals always
       s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
     def fmt(pairs: Seq[(String, Double)], dp: Int): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + num(v, dp) }
         .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
+    val totalMin = medians.map(_._3).sum
     val errJson = errors
       .map { case (k, v) =>
         // exception messages routinely carry newlines/plan fragments — strip
@@ -126,8 +139,11 @@ object Bench {
     // the round artifacts are read from.
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,
+         |"value_min":${num(totalMin, 6)},
+         |"round_totals":${roundTotals.map(num(_, 3)).mkString("[", ",", "]")},
          |"errors":$errJson,
          |"queries":${fmt(medians.map { case (n, m, _, _) => n -> m }, 6)},
+         |"queries_min":${fmt(medians.map { case (n, _, lo, _) => n -> lo }, 6)},
          |"queries_sweep":${fmt(sweep, 6)},
          |"spread":${medians.map { case (n, _, lo, hi) =>
             "\"" + n + "\":[" + num(lo, 6) + "," + num(hi, 6) + "]" }
@@ -143,7 +159,10 @@ object Bench {
     // medians map LAST so the surviving tail is the regression signal.
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,""" +
+        s""""value_min":${num(totalMin, 3)},""" +
+        s""""round_totals":${roundTotals.map(num(_, 3)).mkString("[", ",", "]")},""" +
         s""""full":"$fullPath","errors":$errJson,"queries_sweep":${fmt(sweep, 3)},""" +
+        s""""queries_min":${fmt(medians.map { case (n, _, lo, _) => n -> lo }, 3)},""" +
         s""""queries":${fmt(medians.map { case (n, m, _, _) => n -> m }, 3)}}""")
     spark.stop()
     if (errors.size == selected.size && selected.nonEmpty) {

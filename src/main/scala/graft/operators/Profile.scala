@@ -44,27 +44,50 @@ object Profile {
       "at least one column to profile")
     val overlap = numericCols.toSet.intersect(stringCols.toSet)
     require(overlap.isEmpty, s"columns listed as both numeric and string: $overlap")
+    // Integer-typed columns additionally carry their EXACT value in a
+    // decimal slot: a bare double cast is only faithful to 2^53, above which
+    // distinct values collapse and sums drift — while the DuckDB oracle
+    // computes count(DISTINCT) and the decimal sum on the raw column. The
+    // double slot stays the min/max/std input because the oracle's own
+    // min/max/std explicitly CAST AS DOUBLE. decimal(38,8) holds every int64
+    // exactly (19 integer digits needed, 30 available).
+    val integralTypes: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    val integral = df.schema.fields
+      .filter(f => integralTypes.contains(f.dataType))
+      .map(_.name)
+      .toSet
+    val nullDec = lit(null).cast("decimal(38,8)")
     val entries =
       numericCols.map(c =>
         struct(
           lit(c).as("col_name"),
           col(c).cast("double").as("xd"),
+          (if (integral(c)) col(c).cast("decimal(38,8)") else nullDec).as("xe"),
           lit(null).cast("string").as("xs"))) ++
         stringCols.map(c =>
           struct(
             lit(c).as("col_name"),
             lit(null).cast("double").as("xd"),
+            nullDec.as("xe"),
             col(c).as("xs")))
-    // Per column exactly one of xd/xs is ever non-null, so the two typed
-    // distinct counts never both contribute — their sum is THE column's
-    // cardinality with no cross-type string formatting involved.
+    // Per column exactly one REPRESENTATION ever contributes to distinct:
+    // xe for integral numerics (exact), xd for fractional numerics (raw
+    // doubles — a decimal cast would collapse values beyond 8 dp), xs for
+    // strings — so the three-term sum is THE column's cardinality with no
+    // cross-type formatting and no double counting (integral rows are
+    // excluded from the xd term via the xe-null guard).
+    val xdOnly = when(col("xe").isNull, col("xd"))
     val distinctCount =
       if (approxDistinct)
-        (approx_count_distinct(col("xd")) + approx_count_distinct(col("xs"))).as("n_distinct")
+        (approx_count_distinct(col("xe")) + approx_count_distinct(xdOnly) +
+          approx_count_distinct(col("xs"))).as("n_distinct")
       else
-        (countDistinct(col("xd")) + countDistinct(col("xs"))).as("n_distinct")
+        (countDistinct(col("xe")) + countDistinct(xdOnly) +
+          countDistinct(col("xs"))).as("n_distinct")
     df.select(explode(array(entries: _*)).as("e"))
-      .select(col("e.col_name"), col("e.xd"), col("e.xs"))
+      .select(col("e.col_name"), col("e.xd"), col("e.xe"), col("e.xs"))
       .groupBy("col_name")
       .agg(
         count(lit(1)).as("n_rows"),
@@ -72,7 +95,9 @@ object Profile {
         distinctCount,
         min(col("xd")).as("min_num"),
         max(col("xd")).as("max_num"),
-        (sum(col("xd").cast("decimal(27,8)")).cast("double") /
+        // integral columns sum their exact decimal slot (int64-safe); the
+        // fractional ones take the oracle's own DECIMAL(27,8) value cast
+        (sum(coalesce(col("xe"), col("xd").cast("decimal(27,8)"))).cast("double") /
           when(count(col("xd")) > 0, count(col("xd")))).as("__mean_raw"),
         round(stddev_samp(col("xd")), 4).as("std"),
         min(col("xs")).as("min_str"),

@@ -460,40 +460,191 @@ object Rolling {
     * dominates (replicate the trailing `lookback−1` rows into the next
     * chunk).
     */
+  /** W9 default parameters. [[graft.queries.MarketQueries]] derives the
+    * oracle SQL's frame size and alpha/complement literals from these (the
+    * same way `duckBucket` shares hash params), so the query wiring and the
+    * oracle cannot silently drift apart.
+    */
+  val EwmaFastAlpha = 0.25
+  val EwmaSlowAlpha = 0.0625
+  val EwmaLookback = 32
+
+  /** 1−α must round-trip exactly (true for dyadic α: 1/4, 1/16, …) so a
+    * human writing the complement as a literal in oracle SQL gets the same
+    * double the fold uses. `(1−a)+a == 1` is too weak (0.3 passes it by
+    * re-rounding); the inverse subtraction is the faithful test.
+    */
+  private def requireExactAlphas(fastAlpha: Double, slowAlpha: Double): Unit = {
+    def exactComplement(a: Double): Boolean = 1.0 - (1.0 - a) == a
+    require(
+      exactComplement(fastAlpha) && exactComplement(slowAlpha),
+      s"alphas must have exactly representable complements (got $fastAlpha, $slowAlpha)")
+  }
+
+  /** collect_list silently DROPS nulls while DuckDB's `list()` window
+    * aggregate keeps them, so a null price would shift the Spark frame one
+    * slot and silently desync lookback alignment from the oracle. The EWMA
+    * contract is therefore non-null price, enforced loudly per row (the
+    * Corpus precondition style) instead of diverging quietly.
+    */
+  private def nonNullPrice(price: Column): Column =
+    coalesce(price, raise_error(lit("ewmaFeatures: null price")).cast("double"))
+
+  /** The EWMA left fold `y₀ = xs(1); yₜ = (1−α)·yₜ₋₁ + α·xs(t)` over an
+    * already-materialized frame array — the identical IEEE double sequence
+    * DuckDB's `list_reduce` executes.
+    */
+  private def ewmaFold(xs: Column, alpha: Double, lookback: Int): Column = {
+    val decay = lit(1.0 - alpha)
+    round(
+      aggregate(
+        slice(xs, 2, lookback - 1),
+        element_at(xs, 1),
+        (acc, x) => acc * decay + x * lit(alpha)),
+      6)
+  }
+
+  /** Output/scratch names both EWMA variants claim; an input already using
+    * one would be silently clobbered (then dropped) — fail loudly instead.
+    */
+  private def requireNoReservedEwmaColumns(rows: DataFrame): Unit = {
+    val reserved = Set(
+      "__xs", "__xs_local", "__frame", "__ctx", "__tail", "__rn", "__cnt",
+      "__sym", "__ts", "__tie", "__chunk", "ewma_fast", "ewma_slow", "macd")
+    val clash = rows.columns.toSet.intersect(reserved)
+    require(
+      clash.isEmpty,
+      s"input already defines reserved EWMA column(s): ${clash.mkString(", ")}")
+  }
+
   def ewmaFeatures(
       rows: DataFrame,
       symbol: Column,
       tsMs: Column,
       price: Column,
       tieBreak: Column,
-      fastAlpha: Double = 0.25,
-      slowAlpha: Double = 0.0625,
-      lookback: Int = 32): DataFrame = {
+      fastAlpha: Double = EwmaFastAlpha,
+      slowAlpha: Double = EwmaSlowAlpha,
+      lookback: Int = EwmaLookback): DataFrame = {
     require(lookback >= 1, s"lookback must be >= 1, got $lookback")
-    // 1−α must round-trip exactly (true for dyadic α: 1/4, 1/16, …) so a
-    // human writing the complement as a literal in oracle SQL gets the same
-    // double the fold uses. `(1−a)+a == 1` is too weak (0.3 passes it by
-    // re-rounding); the inverse subtraction is the faithful test.
-    def exactComplement(a: Double): Boolean = 1.0 - (1.0 - a) == a
-    require(
-      exactComplement(fastAlpha) && exactComplement(slowAlpha),
-      s"alphas must have exactly representable complements (got $fastAlpha, $slowAlpha)")
+    requireExactAlphas(fastAlpha, slowAlpha)
+    requireNoReservedEwmaColumns(rows)
     val w = Window.partitionBy(symbol).orderBy(tsMs, tieBreak)
       .rowsBetween(-(lookback - 1), Window.currentRow)
-    def fold(alpha: Double): Column = {
-      val decay = lit(1.0 - alpha)
-      round(
-        aggregate(
-          slice(col("__xs"), 2, lookback - 1),
-          element_at(col("__xs"), 1),
-          (acc, x) => acc * decay + x * lit(alpha)),
-        6)
-    }
     rows
-      .withColumn("__xs", collect_list(price).over(w))
-      .withColumn("ewma_fast", fold(fastAlpha))
-      .withColumn("ewma_slow", fold(slowAlpha))
+      .withColumn("__xs", collect_list(nonNullPrice(price)).over(w))
+      .withColumn("ewma_fast", ewmaFold(col("__xs"), fastAlpha, lookback))
+      .withColumn("ewma_slow", ewmaFold(col("__xs"), slowAlpha, lookback))
       .withColumn("macd", round(col("ewma_fast") - col("ewma_slow"), 6))
       .drop("__xs")
+  }
+
+  /** W9 at firehose scale: [[ewmaFeatures]]'s per-symbol ROW frame bucketed
+    * by (symbol, time-chunk), bit-identical output (same oracle). Unlike the
+    * RANGE-frame stitches (a5b/w5b/w6b), a `lookback−1`-row frame is not
+    * time-bounded — the rows preceding a sparse chunk can sit arbitrarily
+    * many chunks back — so a boundary-band replication cannot carry the
+    * context. Instead:
+    *
+    *   1. within-chunk frames: `collect_list` over the chunk-local
+    *      (ts, tieBreak)-ordered row window — already complete for every row
+    *      at chunk position ≥ lookback.
+    *   2. context: one tail row per non-empty chunk — the chunk's trailing
+    *      `lookback−1` prices, read for FREE off the last row's local frame
+    *      (no extra aggregation; the momentumBucketed tail trick). The only
+    *      per-symbol window runs over THAT tiny table: concatenating the
+    *      previous `lookback−1` non-empty chunks' tails (each carries ≥ 1
+    *      price, so `lookback−1` of them always cover the `lookback−1` rows
+    *      needed) and keeping the trailing `lookback−1` values yields each
+    *      chunk's incoming context.
+    *   3. stitch: rows in the first `lookback−1` chunk positions prepend the
+    *      context and keep the trailing `lookback` values — exactly the
+    *      global frame, because the chunk index is monotone in ts, so
+    *      (chunk, ts, tie) order IS the per-symbol (ts, tie) order.
+    *
+    * The fold then consumes identical IEEE sequences, so outputs are
+    * bit-identical to [[ewmaFeatures]]. Context state is bounded at
+    * (lookback−1)² doubles per tail row worst-case, independent of data
+    * volume. Same shared-stage materialization contract as
+    * [[momentumBucketed]] (two consumers: output rows + tails); project the
+    * input down to needed columns first for the same width reason.
+    */
+  def ewmaFeaturesBucketed(
+      rows: DataFrame,
+      symbol: Column,
+      tsMs: Column,
+      price: Column,
+      tieBreak: Column,
+      fastAlpha: Double = EwmaFastAlpha,
+      slowAlpha: Double = EwmaSlowAlpha,
+      lookback: Int = EwmaLookback,
+      chunkMs: Long = 60000L,
+      materializeSharedStage: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(
+      lookback >= 2,
+      s"lookback must be >= 2 (a 1-row frame has no cross-chunk context — " +
+        s"use ewmaFeatures), got $lookback")
+    require(chunkMs > 0, s"chunkMs must be positive, got $chunkMs")
+    requireExactAlphas(fastAlpha, slowAlpha)
+    requireNoReservedEwmaColumns(rows)
+    val ctxLen = lookback - 1
+    val emptyTails = array().cast("array<array<double>>")
+    // trailing n elements (all of them if the array is shorter)
+    def lastN(arr: Column, n: Int): Column =
+      slice(arr, greatest(size(arr) - (n - 1), lit(1)), lit(n))
+    val base = rows
+      .withColumn("__sym", symbol)
+      .withColumn("__ts", tsMs)
+      .withColumn("__tie", tieBreak)
+      .withColumn("__chunk", graft.functions.TimeUnits.bucketIndex(tsMs, chunkMs))
+    val wFrame = Window
+      .partitionBy(col("__sym"), col("__chunk"))
+      .orderBy(col("__ts"), col("__tie"))
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    val wSeqChunk = Window
+      .partitionBy(col("__sym"), col("__chunk"))
+      .orderBy(col("__ts"), col("__tie"))
+    val wholeChunk = Window.partitionBy(col("__sym"), col("__chunk"))
+    val stagePlan = base
+      .withColumn("__xs_local", collect_list(nonNullPrice(price)).over(wFrame))
+      .withColumn("__rn", row_number().over(wSeqChunk))
+      .withColumn("__cnt", count(lit(1)).over(wholeChunk))
+      // ordering scratch is consumed by the windows above; keep it out of
+      // the materialized stage
+      .drop("__ts", "__tie")
+    val stage =
+      if (!materializeSharedStage) stagePlan
+      else Materialize.stage(stagePlan, checkpointDir, eager = false)
+    // One row per non-empty chunk: the last row's local frame already holds
+    // the chunk's trailing min(cnt, lookback) prices in order — its last
+    // ctxLen values ARE the tail.
+    val tails = stage
+      .filter(col("__rn") === col("__cnt"))
+      .select(
+        col("__sym"), col("__chunk"),
+        lastN(col("__xs_local"), ctxLen).as("__tail"))
+    val wChunks = Window
+      .partitionBy(col("__sym"))
+      .orderBy(col("__chunk"))
+      .rowsBetween(-ctxLen, -1)
+    val ctx = tails
+      .withColumn(
+        "__ctx",
+        lastN(
+          flatten(coalesce(collect_list(col("__tail")).over(wChunks), emptyTails)),
+          ctxLen))
+      .select(col("__sym"), col("__chunk"), col("__ctx"))
+    stage
+      .join(ctx, Seq("__sym", "__chunk"))
+      .withColumn(
+        "__frame",
+        // deep-in-chunk rows never touch the context array
+        when(size(col("__xs_local")) >= lookback, col("__xs_local"))
+          .otherwise(lastN(concat(col("__ctx"), col("__xs_local")), lookback)))
+      .withColumn("ewma_fast", ewmaFold(col("__frame"), fastAlpha, lookback))
+      .withColumn("ewma_slow", ewmaFold(col("__frame"), slowAlpha, lookback))
+      .withColumn("macd", round(col("ewma_fast") - col("ewma_slow"), 6))
+      .drop("__xs_local", "__rn", "__cnt", "__ctx", "__frame", "__chunk", "__sym")
   }
 }

@@ -218,6 +218,20 @@ object MarketQueries {
         .select("symbol", "ts_ms", "trade_id", "price", "ewma_fast",
           "ewma_slow", "macd")
     },
+    // W9b — bucketed EWMA: per-chunk tail-context stitch (a ROW frame is not
+    // time-bounded, so no boundary band applies — see Rolling scaladoc);
+    // bit-identical to w9 (same oracle).
+    "w9b_ewma_macd_bucketed" -> { (s, dir) =>
+      Rolling
+        .ewmaFeaturesBucketed(
+          // project FIRST: the materialized shared stage carries every input
+          // column (checkpoint blocks pruning), so 4 columns in, not 11
+          Tables.trades(s, dir).select("symbol", "ts_ms", "trade_id", "price"),
+          symbol = col("symbol"), tsMs = col("ts_ms"), price = col("price"),
+          tieBreak = col("trade_id"), chunkMs = 3600000L)
+        .select("symbol", "ts_ms", "trade_id", "price", "ewma_fast",
+          "ewma_slow", "macd")
+    },
     // W7 — gaps-and-islands sessionization: per-user activity sessions split
     // at 8 h inactivity (batch twin of session_window; same island pattern as
     // transformer.py's batch windows with a gap rule instead of a fixed grid).
@@ -338,6 +352,29 @@ object MarketQueries {
        |  momentum - lag(momentum, 1) OVER ws2 AS acceleration
        |FROM d
        |WINDOW ws2 AS (PARTITION BY symbol ORDER BY ts_ms, trade_id)""".stripMargin
+
+  /** Shared by w9 and w9b. Frame size and alpha/complement literals are
+    * DERIVED from [[Rolling]]'s shared constants (the duckBucket pattern) so
+    * re-tuning fastAlpha/slowAlpha/lookback in the query wiring cannot
+    * silently desync the oracle — the interpolation only stays faithful for
+    * dyadic alphas, which `Rolling.requireExactAlphas` already enforces
+    * (dyadic doubles print exactly: 0.25 → "0.25", 0.9375 → "0.9375").
+    */
+  private val w9OracleSql: String = {
+    val fast = Rolling.EwmaFastAlpha
+    val slow = Rolling.EwmaSlowAlpha
+    s"""WITH t AS ($T),
+       |l AS (
+       |  SELECT symbol, ts_ms, trade_id, price,
+       |    list(price) OVER (PARTITION BY symbol ORDER BY ts_ms, trade_id
+       |      ROWS BETWEEN ${Rolling.EwmaLookback - 1} PRECEDING AND CURRENT ROW) AS xs
+       |  FROM t)
+       |SELECT symbol, ts_ms, trade_id, price,
+       |  round(list_reduce(xs, (acc, x) -> acc * ${1.0 - fast} + x * $fast), 6) AS ewma_fast,
+       |  round(list_reduce(xs, (acc, x) -> acc * ${1.0 - slow} + x * $slow), 6) AS ewma_slow,
+       |  round(ewma_fast - ewma_slow, 6) AS macd
+       |FROM l""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "a1_trade_batch_stats" ->
@@ -523,18 +560,9 @@ object MarketQueries {
          |  max(ts_ms) - min(ts_ms) AS duration_ms,
          |  CAST(sum(CAST(price AS DECIMAL(27,8))) AS DOUBLE) AS total_value
          |FROM g GROUP BY 1, 2""".stripMargin,
-    "w9_ewma_macd" ->
-      s"""WITH t AS ($T),
-         |l AS (
-         |  SELECT symbol, ts_ms, trade_id, price,
-         |    list(price) OVER (PARTITION BY symbol ORDER BY ts_ms, trade_id
-         |      ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS xs
-         |  FROM t)
-         |SELECT symbol, ts_ms, trade_id, price,
-         |  round(list_reduce(xs, (acc, x) -> acc * 0.75 + x * 0.25), 6) AS ewma_fast,
-         |  round(list_reduce(xs, (acc, x) -> acc * 0.9375 + x * 0.0625), 6) AS ewma_slow,
-         |  round(ewma_fast - ewma_slow, 6) AS macd
-         |FROM l""".stripMargin,
+    "w9_ewma_macd" -> w9OracleSql,
+    // bucketed variant is output-identical by construction — same oracle
+    "w9b_ewma_macd_bucketed" -> w9OracleSql,
     "w6_momentum" -> w6OracleSql,
     // bucketed variant is output-identical by construction — same oracle
     "w6b_momentum_bucketed" -> w6OracleSql,

@@ -497,6 +497,47 @@ class ExtensionOpsSpec extends SparkSpec {
       graft.operators.Rolling
         .ewmaFeatures(df, col("k"), col("ts"), col("px"), col("id"), fastAlpha = 0.3)
     }
+    // an input already using a reserved output/scratch name is rejected, not
+    // silently clobbered-then-dropped
+    intercept[IllegalArgumentException] {
+      graft.operators.Rolling.ewmaFeatures(
+        df.withColumn("ewma_fast", lit(1.0)),
+        col("k"), col("ts"), col("px"), col("id"))
+    }
+    // a null price fails loudly: collect_list would silently drop it and
+    // shift the frame against the oracle's null-preserving list()
+    val withNull = Seq(("a", 0L, 1L, Some(10.0)), ("a", 10L, 2L, None))
+      .toDF("k", "ts", "id", "px")
+    val err = intercept[Exception] {
+      graft.operators.Rolling
+        .ewmaFeatures(withNull, col("k"), col("ts"), col("px"), col("id"))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("null price")))
+  }
+
+  test("ewmaFeaturesBucketed: bit-identical to ewmaFeatures across sparse chunks") {
+    // Adversarial chunking: key "a" has exactly ONE row per chunk, so each
+    // frame's context spans up to lookback−1 PREVIOUS chunks (the case a
+    // boundary-band replication cannot serve); key "b" is dense inside a
+    // single chunk (pure local-frame path); key "c" straddles a boundary
+    // mid-frame. lookback=8 keeps the hand-checkable scale.
+    val rows =
+      (0 until 40).map(i => ("a", i * 100L, i.toLong, 100.0 + (i * 37 % 101))) ++
+        (0 until 30).map(i => ("b", 1000L + i, 100L + i, 50.0 + (i * 13 % 29))) ++
+        (0 until 12).map(i => ("c", 50L + i * 10, 200L + i, 10.0 + i))
+    val df = rows.toDF("k", "ts", "id", "px")
+    val plain = graft.operators.Rolling
+      .ewmaFeatures(df, col("k"), col("ts"), col("px"), col("id"), lookback = 8)
+    val bucketed = graft.operators.Rolling
+      .ewmaFeaturesBucketed(
+        df, col("k"), col("ts"), col("px"), col("id"),
+        lookback = 8, chunkMs = 100L)
+      .select(plain.columns.map(col): _*)
+    assert(bucketed.count() === plain.count())
+    assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
   }
 
   test("compactParquet: bin-packs small files to the byte-sized count, content intact") {

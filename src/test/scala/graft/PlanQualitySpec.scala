@@ -83,9 +83,9 @@ class PlanQualitySpec extends SparkSpec {
     assert(a5b.exceptAll(a5).isEmpty && a5.exceptAll(a5b).isEmpty)
   }
 
-  test("w5b/w6b bucketed windows partition by (symbol, chunk), not symbol alone") {
-    // w6b's default plan hides the big stage behind a localCheckpoint scan,
-    // so its shape is asserted on the materializeSharedStage=false twin
+  test("w5b/w6b/w9b bucketed windows partition by (symbol, chunk), not symbol alone") {
+    // w6b/w9b default plans hide the big stage behind a localCheckpoint scan,
+    // so their shapes are asserted on the materializeSharedStage=false twins
     // (same logical plan, no checkpoint barrier).
     val w6bPlain = graft.operators.Rolling.momentumBucketed(
       Tables.trades(spark, sf),
@@ -96,9 +96,19 @@ class PlanQualitySpec extends SparkSpec {
       windowMs = 300000L, chunkMs = 3600000L,
       materializeSharedStage = false)
       .queryExecution.executedPlan.toString
+    val w9bPlain = graft.operators.Rolling.ewmaFeaturesBucketed(
+      Tables.trades(spark, sf).select("symbol", "ts_ms", "trade_id", "price"),
+      symbol = org.apache.spark.sql.functions.col("symbol"),
+      tsMs = org.apache.spark.sql.functions.col("ts_ms"),
+      price = org.apache.spark.sql.functions.col("price"),
+      tieBreak = org.apache.spark.sql.functions.col("trade_id"),
+      chunkMs = 3600000L,
+      materializeSharedStage = false)
+      .queryExecution.executedPlan.toString
     for ((name, p) <- Seq(
         "w5b_path_stats_bucketed" -> plan("w5b_path_stats_bucketed"),
-        "w6b_momentum_bucketed(materialize=false)" -> w6bPlain)) {
+        "w6b_momentum_bucketed(materialize=false)" -> w6bPlain,
+        "w9b_ewma_macd_bucketed(materialize=false)" -> w9bPlain)) {
       assert(p.contains("__chunk"), s"$name: ${p.take(800)}")
       assert(
         "hashpartitioning\\([^)]*__chunk".r.findFirstIn(p).nonEmpty,
@@ -116,10 +126,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
-  test("w5b/w6b bucketed windows output equals the per-symbol w5/w6 windows") {
+  test("w5b/w6b/w9b bucketed windows output equals the per-symbol w5/w6/w9 windows") {
     for ((a, b) <- Seq(
         "w5_path_stats" -> "w5b_path_stats_bucketed",
-        "w6_momentum" -> "w6b_momentum_bucketed")) {
+        "w6_momentum" -> "w6b_momentum_bucketed",
+        "w9_ewma_macd" -> "w9b_ewma_macd_bucketed")) {
       val plain = SparkEntry.queries(a)(spark, sf)
       val bucketed = SparkEntry.queries(b)(spark, sf)
       assert(bucketed.count() === plain.count(), s"$a vs $b")
