@@ -28,6 +28,32 @@ object VectorQueries {
     }
   }
 
+  /** x_v14's SERVING index: trained + saved ONCE per (process, sf dir) and
+    * never overwritten (content-fingerprint key, so a regenerated sf dir
+    * still re-trains). x_v12/x_v13 deliberately pay the full
+    * train+save+load lifecycle per invocation — that is their losslessness
+    * proof — but a 100 TB serving job trains offline and only ever pays
+    * load+search, so the bench needs a row where the measured surface is
+    * exactly that. Same oracle as x_v13: the index content is identical,
+    * memoization only moves WHEN it is built.
+    */
+  private object ServeIndex {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def of(s: SparkSession, sfDir: String): String = {
+      val key = FixtureKey.of(sfDir, "embeddings.parquet", variant = "ivfpq_index_serve")
+      cache.getOrElseUpdate(key, {
+        val e = Tables.embeddings(s, sfDir).select(col("vec_id").as("id"), col("embedding"))
+        val (model, codes) = VectorOps.ivfPqTrain(
+          e, nCells = 8, dim = 64, m = 4, ks = 8,
+          coarseIterations = 2, pqIterations = 2, trainModulus = 4)
+        val d = java.nio.file.Files.createTempDirectory("graft_ivfpq_serve_").toFile
+        VectorIndex.save(model, codes, d.toString)
+        FixtureCleanup.registerTree(d)
+        d.toString
+      })
+    }
+  }
+
   /** DuckDB cosine between two DOUBLE lists, sequential accumulation. */
   private def duckCos(a: String, b: String): String =
     s"""(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))
@@ -156,6 +182,19 @@ object VectorQueries {
       VectorIndex.save(model, codes, idx)
       FixtureCleanup.registerTree(new java.io.File(idx))
       val (loaded, loadedCodes) = VectorIndex.load(s, idx)
+      VectorOps.ivfPqSearchRerank(
+        loaded, loadedCodes, e, queryIds = (0L until 10L).toSeq,
+        k = 3, shortlist = 10, nProbe = 2)
+    },
+    // V14 — the SERVING path in isolation: the same persisted-index
+    // shortlist + exact re-rank as x_v13, but against a memoized index
+    // (trained+saved once per process, like the S1Feed capture fixtures) so
+    // the measured surface is load + 2-cell ADC shortlist + re-rank ONLY —
+    // the per-query cost a 100 TB operator actually serves, with training
+    // amortized offline where it belongs. Hash-matches x_v13's oracle.
+    "x_v14_index_serve" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
+      val (loaded, loadedCodes) = VectorIndex.load(s, ServeIndex.of(s, dir))
       VectorOps.ivfPqSearchRerank(
         loaded, loadedCodes, e, queryIds = (0L until 10L).toSeq,
         k = 3, shortlist = 10, nProbe = 2)
@@ -519,6 +558,12 @@ object VectorQueries {
       pqIterations = 2, nQueries = 10, topK = 3, nProbe = 2,
       trainModulus = 4),
     "x_v13_index_rerank" -> ivfPqOracleSql(
+      nCells = 8, dim = 64, m = 4, ks = 8, coarseIterations = 2,
+      pqIterations = 2, nQueries = 10, topK = 10, nProbe = 2,
+      trainModulus = 4, rerankTo = 3),
+    // Same oracle as x_v13 BY DESIGN: memoizing the trained index changes
+    // when training runs, not what the search answers.
+    "x_v14_index_serve" -> ivfPqOracleSql(
       nCells = 8, dim = 64, m = 4, ks = 8, coarseIterations = 2,
       pqIterations = 2, nQueries = 10, topK = 10, nProbe = 2,
       trainModulus = 4, rerankTo = 3),
