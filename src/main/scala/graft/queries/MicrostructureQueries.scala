@@ -109,6 +109,44 @@ object MicrostructureQueries {
     }
   }
 
+  /** b1's synthetic DepthDelta log: floor-grid prices force genuine level
+    * collisions (several updates to one price), trade_id is the total
+    * update order, every 17th delta is a qty-0 deletion. `floor` (not
+    * `round`) because Spark rounds HALF_UP while DuckDB rounds half-even —
+    * floor is identical in both.
+    */
+  private def bookDeltas(s: SparkSession, dir: String): DataFrame =
+    Tables.trades(s, dir).select(
+      col("symbol"),
+      col("trade_id").as("uid"),
+      when(pmod(col("trade_id"), lit(2)) === 0, "bid").otherwise("ask").as("side"),
+      // cast back: Spark's floor returns BIGINT, DuckDB's returns DOUBLE
+      floor(col("price")).cast("double").as("price"),
+      when(pmod(col("trade_id"), lit(17)) === 0, 0.0).otherwise(col("qty")).as("qty"))
+
+  /** DuckDB twin of [[bookDeltas]] + the last-write-wins live-level CTEs. */
+  private val bookCte =
+    s"""d AS (
+       |  SELECT symbol, trade_id AS uid,
+       |    CASE WHEN trade_id % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
+       |    floor(price) AS price,
+       |    CASE WHEN trade_id % 17 = 0 THEN 0.0 ELSE qty END AS qty
+       |  FROM t),
+       |lastw AS (
+       |  SELECT symbol, side, price, qty,
+       |    row_number() OVER (PARTITION BY symbol, side, price
+       |      ORDER BY uid DESC, qty DESC) AS rn
+       |  FROM d),
+       |rk AS (
+       |  SELECT symbol, side, price, qty,
+       |    row_number() OVER (PARTITION BY symbol, side
+       |      ORDER BY CASE WHEN side = 'bid' THEN -price ELSE price END) AS level
+       |  FROM lastw WHERE rn = 1 AND qty > 0),
+       |lv AS (
+       |  SELECT symbol, side, CAST(level AS BIGINT) AS level, price, qty,
+       |    price * qty AS value
+       |  FROM rk WHERE level <= 10)""".stripMargin
+
   private val quotesCte =
     """q AS (
       |  SELECT symbol, ts_ms, trade_id AS quote_id,
@@ -158,6 +196,27 @@ object MicrostructureQueries {
         .withColumn("ts_ms", col("day") * 86400000L)
         .withColumn("snap_id", col("day"))
       QuoteAggregates.depthSnapshotStats(books, Seq(col("symbol")), topN = 5)
+    },
+    // B1 — order-book delta replay (BookReplay.levels): the book's surviving
+    // top-10 levels after applying a DepthDelta log (last write per level
+    // wins, qty=0 deletes — DATA_PIPELINE.md:84-95). The delta log is
+    // derived deterministically from trades (floor-grid price levels so
+    // updates genuinely collide, every 17th delta a deletion); the streaming
+    // twin is streaming/BookState (spec-asserted end-state identical).
+    "b1_book_replay" -> { (s, dir) =>
+      BookReplay.levels(
+        bookDeltas(s, dir),
+        symbol = col("symbol"), updateId = col("uid"), side = col("side"),
+        price = col("price"), qty = col("qty"), depth = 10)
+    },
+    // B1b — the ob:{symbol} metric row over the replayed book: best bid/ask,
+    // spread (+bp), top-10 value sums, value imbalance, size-weighted mid
+    // (DATA_PIPELINE.md:96-120).
+    "b1b_book_metrics" -> { (s, dir) =>
+      BookReplay.metrics(
+        bookDeltas(s, dir),
+        symbol = col("symbol"), updateId = col("uid"), side = col("side"),
+        price = col("price"), qty = col("qty"), depth = 10)
     },
     // S1 — the real connector: frames captured to rolling `.sbef` files are
     // read back through the `sbe-frames` DataSource V2 source (batch side of
@@ -468,6 +527,32 @@ object MicrostructureQueries {
          |  len(bids) AS bid_levels,
          |  len(asks) AS ask_levels
          |FROM latest WHERE rn = 1""".stripMargin,
+    "b1_book_replay" ->
+      s"""WITH t AS ($T),
+         |$bookCte
+         |SELECT symbol, side, level, price, qty, value FROM lv""".stripMargin,
+    "b1b_book_metrics" ->
+      s"""WITH t AS ($T),
+         |$bookCte,
+         |agg AS (
+         |  SELECT symbol,
+         |    max(CASE WHEN side = 'bid' AND level = 1 THEN price END) AS best_bid,
+         |    max(CASE WHEN side = 'ask' AND level = 1 THEN price END) AS best_ask,
+         |    max(CASE WHEN side = 'bid' AND level = 1 THEN qty END) AS bbq,
+         |    max(CASE WHEN side = 'ask' AND level = 1 THEN qty END) AS baq,
+         |    CAST(sum(CASE WHEN side = 'bid' THEN CAST(value AS DECIMAL(27,8)) ELSE 0 END) AS DOUBLE) AS bid_value_sum,
+         |    CAST(sum(CASE WHEN side = 'ask' THEN CAST(value AS DECIMAL(27,8)) ELSE 0 END) AS DOUBLE) AS ask_value_sum,
+         |    count(CASE WHEN side = 'bid' THEN 1 END) AS bid_levels,
+         |    count(CASE WHEN side = 'ask' THEN 1 END) AS ask_levels
+         |  FROM lv GROUP BY 1)
+         |SELECT symbol, best_bid, best_ask, bid_value_sum, ask_value_sum,
+         |  bid_levels, ask_levels,
+         |  best_ask - best_bid AS spread,
+         |  round((best_ask - best_bid) / ((best_ask + best_bid) / 2.0) * 10000.0, 4) AS spread_bp,
+         |  round((bid_value_sum - ask_value_sum)
+         |    / nullif(bid_value_sum + ask_value_sum, 0.0), 6) AS ob_imbalance,
+         |  round((best_bid * baq + best_ask * bbq) / nullif(bbq + baq, 0.0), 6) AS weighted_mid
+         |FROM agg""".stripMargin,
     "s1_sbe_frame_source" ->
       s"""WITH t AS ($T)
          |SELECT trade_id, ts_ms,

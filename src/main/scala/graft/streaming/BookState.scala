@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.{col, timestamp_millis}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming order-book maintenance from depth deltas — the reference's hot
+  * path applies `DepthDelta` updates to a per-symbol book and serves the
+  * top-10 levels + metrics from the `ob:{symbol}` Redis hash
+  * (`docs/architecture/DATA_PIPELINE.md:84-120`; ingest validates
+  * `last_update_id` monotonicity). Implemented with
+  * `flatMapGroupsWithState`: keyed state is the live level map (price→qty
+  * per side) plus the last applied update id, so state is O(live levels per
+  * symbol) — the exchange's price grid, not the event count — and stale or
+  * replayed deltas (update id ≤ last applied) are dropped exactly as the
+  * reference's sequence validation does. One snapshot row is emitted per
+  * (symbol, micro-batch) that touched the book — the streaming analog of a
+  * Redis HSET per batch, idempotent under at-least-once replay because a
+  * replayed delta is a no-op on the id guard.
+  *
+  * The batch replay twin ([[graft.operators.BookReplay]]) produces the
+  * identical end state from the same delta log (spec-asserted), which is
+  * the audit path: state can be rebuilt from bronze at any time.
+  */
+object BookState {
+
+  final case class Delta(
+      symbol: String,
+      update_id: Long,
+      ts_ms: Long,
+      side: String, // "bid" | "ask"
+      price: Double,
+      qty: Double) // replaces the level; 0 deletes it
+
+  final case class Book(
+      bids: Map[Double, Double],
+      asks: Map[Double, Double],
+      lastUpdateId: Long,
+      lastTsMs: Long)
+
+  final case class Snapshot(
+      symbol: String,
+      ts_ms: Long,
+      last_update_id: Long,
+      best_bid: Option[Double],
+      best_ask: Option[Double],
+      spread: Option[Double],
+      bid_levels: Int,
+      ask_levels: Int,
+      bids: Seq[(Double, Double)], // top-N best-first (price, qty)
+      asks: Seq[(Double, Double)])
+
+  def maintain(
+      deltas: Dataset[Delta],
+      depth: Int = 10,
+      watermarkDelay: String = "10 minutes",
+      idleTimeoutMs: Long = 3600000L): Dataset[Snapshot] = {
+    import deltas.sparkSession.implicits._
+    deltas
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[Delta]
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (symbol: String, it: Iterator[Delta], state: GroupState[Book]) => {
+          if (state.hasTimedOut) {
+            // an idle symbol's book is dead weight; a later delta restarts
+            // from an empty book exactly like a first-seen symbol
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(Book(Map.empty, Map.empty, Long.MinValue, 0L))
+            var bids = prev.bids
+            var asks = prev.asks
+            var lastId = prev.lastUpdateId
+            var lastTs = prev.lastTsMs
+            var touched = false
+            // total update-id order WITHIN the batch; ids at or below the
+            // already-applied frontier are replays/stale — dropped, so a
+            // re-delivered micro-batch cannot corrupt the book
+            it.toSeq.sortBy(_.update_id).foreach { d =>
+              if (d.update_id > lastId) {
+                val applied =
+                  if (d.side == "bid")
+                    { bids = if (d.qty > 0) bids.updated(d.price, d.qty) else bids - d.price; true }
+                  else if (d.side == "ask")
+                    { asks = if (d.qty > 0) asks.updated(d.price, d.qty) else asks - d.price; true }
+                  else false
+                if (applied) {
+                  lastId = d.update_id
+                  lastTs = math.max(lastTs, d.ts_ms)
+                  touched = true
+                }
+              }
+            }
+            if (touched) {
+              state.update(Book(bids, asks, lastId, lastTs))
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, lastTs + idleTimeoutMs))
+              val topBids = bids.toSeq.sortBy(-_._1).take(depth)
+              val topAsks = asks.toSeq.sortBy(_._1).take(depth)
+              val bb = topBids.headOption.map(_._1)
+              val ba = topAsks.headOption.map(_._1)
+              Iterator.single(Snapshot(
+                symbol, lastTs, lastId, bb, ba,
+                for (b <- bb; a <- ba) yield a - b,
+                bids.size, asks.size, topBids, topAsks))
+            } else Iterator.empty
+          }
+        })
+  }
+}
