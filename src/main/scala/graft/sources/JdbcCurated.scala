@@ -57,8 +57,11 @@ object JdbcCurated {
   /** Append `batch` to `table` at `url`, skipping rows whose `keys` already
     * exist in the table. Creates the table from the batch schema on first
     * write (Spark's dialect type mapping — DecimalType(20,8) maps to the
-    * DECIMAL(20,8) the reference's DDL declares). Returns the number of rows
-    * actually inserted.
+    * DECIMAL(20,8) the reference's DDL declares, and string columns are
+    * pinned to `VARCHAR(stringWidth)` like the reference's `VARCHAR(20)`
+    * columns: Derby's dialect default is CLOB, which cannot be COMPARED —
+    * a pushed-down key predicate then fails server-side). Returns the
+    * number of rows actually inserted.
     *
     * `writeParallelism` caps the insert connections (coalesce, not
     * repartition: no shuffle just to write).
@@ -68,7 +71,8 @@ object JdbcCurated {
       url: String,
       table: String,
       keys: Seq[String],
-      writeParallelism: Int = 8): Long = {
+      writeParallelism: Int = 8,
+      stringWidth: Int = 256): Long = {
     require(keys.nonEmpty, "at least one key column")
     val spark = batch.sparkSession
     val props = new java.util.Properties()
@@ -85,7 +89,16 @@ object JdbcCurated {
     val staged = graft.operators.Materialize.stage(
       toWrite, checkpointDir = None, eager = true)
     val n = staged.count()
-    if (n > 0) staged.write.mode("append").jdbc(url, table, props)
+    if (n > 0) {
+      val stringCols = batch.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.StringType)
+        .map(f => s"${f.name} VARCHAR($stringWidth)")
+      val writer = staged.write.mode("append")
+      val withTypes =
+        if (stringCols.isEmpty) writer
+        else writer.option("createTableColumnTypes", stringCols.mkString(", "))
+      withTypes.jdbc(url, table, props)
+    }
     n
   }
 }

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.{col, timestamp_millis}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Fixed-cadence tick emission with LOCF — the reference's hot path emits a
+  * feature vector every 2 s per symbol whether or not trades arrived
+  * (`README.md:7` "every 2 s"; `feat:{symbol}` refresh in
+  * `DATA_PIPELINE.md:124-161`), carrying the last known values through
+  * quiet periods. The batch twin is [[graft.operators.Resample.fillGrid]]
+  * (grid + LOCF over a closed span); this is the STREAMING form: per key,
+  * emit one tick per `stepMs` boundary once the watermark has passed it —
+  * watermark-finalized, so a tick is emitted exactly once with all
+  * admissible observations applied, regardless of micro-batch boundaries.
+  *
+  * Grid anchor = the key's first observed ts (the same min-anchored
+  * convention as fillGrid). A tick's value is the newest observation at or
+  * before the tick instant (LOCF); `fresh` distinguishes ticks backed by an
+  * observation in their own step from pure carries.
+  *
+  * Mechanics worth naming: quiet keys still tick. Emission is driven by
+  * EventTimeTimeout — each invocation re-arms the timeout at the next
+  * pending grid instant, so when the GLOBAL watermark advances past it
+  * (other keys' traffic), the key wakes with no input and drains its due
+  * ticks. State is the pending-observation buffer above the last emitted
+  * tick, bounded by rate × watermark delay, plus one (price, anchor)
+  * pair — O(in-flight window), not O(history).
+  */
+object GridTicker {
+
+  final case class Obs(symbol: String, ts_ms: Long, price: Double)
+  final case class TickerState(
+      anchorTs: Long,
+      nextGridTs: Long,
+      lastPrice: Option[Double],
+      pending: List[Obs])
+  final case class Tick(
+      symbol: String,
+      grid_ts: Long,
+      price: Double,
+      fresh: Boolean)
+
+  def ticks(
+      obs: Dataset[Obs],
+      stepMs: Long = 2000L,
+      watermarkDelay: String = "10 seconds"): Dataset[Tick] = {
+    require(stepMs > 0, s"stepMs must be positive, got $stepMs")
+    import obs.sparkSession.implicits._
+    obs
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[Obs]
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (symbol: String, it: Iterator[Obs], state: GroupState[TickerState]) => {
+          val wm = state.getCurrentWatermarkMs()
+          val incoming = it.toList
+          val prev = state.getOption match {
+            case Some(s) => s.copy(pending = (s.pending ++ incoming).sortBy(o => (o.ts_ms, o.price)))
+            case None =>
+              val sorted = incoming.sortBy(o => (o.ts_ms, o.price))
+              // anchor at the first observation ever seen for the key
+              val anchor = sorted.head.ts_ms
+              TickerState(anchor, anchor, None, sorted)
+          }
+          var nextGrid = prev.nextGridTs
+          var lastPrice = prev.lastPrice
+          var pending = prev.pending
+          val out = scala.collection.mutable.ArrayBuffer.empty[Tick]
+          // drain every grid instant the watermark has finalized: no
+          // admissible observation at or before it can still arrive
+          while (nextGrid <= wm) {
+            var fresh = false
+            while (pending.nonEmpty && pending.head.ts_ms <= nextGrid) {
+              lastPrice = Some(pending.head.price)
+              if (pending.head.ts_ms > nextGrid - stepMs) fresh = true
+              pending = pending.tail
+            }
+            lastPrice.foreach(p => out += Tick(symbol, nextGrid, p, fresh))
+            nextGrid += stepMs
+          }
+          state.update(TickerState(prev.anchorTs, nextGrid, lastPrice, pending))
+          // wake when the watermark passes the next due tick, even if this
+          // key sees no further input (timeout must sit above the watermark)
+          state.setTimeoutTimestamp(math.max(nextGrid, wm + 1))
+          out.iterator
+        })
+  }
+}

@@ -64,6 +64,41 @@ class JdbcCuratedSpec extends SparkSpec {
     assert(back.select("timestamp").distinct.count() === 100)
   }
 
+  test("foreachBatch streaming sink into Derby is idempotent under replay") {
+    // K1+K5+T4 composed: micro-batches land through the same dup-skip path,
+    // so an at-least-once REPLAY of a whole micro-batch (the failure mode
+    // foreachBatch actually has) inserts zero rows — exactly-once results
+    // from a real database without two-phase commit.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val url = freshUrl("streaming")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val q = mem.toDS().toDF("trade_id", "price")
+      .select(
+        lit("BTCUSDT").as("symbol"),
+        (lit(1700000000000L) + col("trade_id") * 1000L).as("timestamp"),
+        col("price").cast("decimal(20,8)").as("price"),
+        lit(java.math.BigDecimal.ONE).cast("decimal(20,8)").as("volume"),
+        col("trade_id"), lit("ws").as("source"), lit("trade").as("data_type"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sources.JdbcCurated.writeDedup(batch, url, "market_data", keys): Unit
+      }
+      .start()
+    try {
+      mem.addData((0L until 30L).map(i => (i, 100.0 + i)): _*)
+      q.processAllAvailable()
+      // replay: the SAME records delivered again in a later micro-batch
+      mem.addData((0L until 30L).map(i => (i, 100.0 + i)): _*)
+      // plus genuinely new ones interleaved
+      mem.addData((30L until 40L).map(i => (i, 100.0 + i)): _*)
+      q.processAllAvailable()
+      val back = spark.read.jdbc(url, "market_data", new java.util.Properties())
+      assert(back.count() === 40)
+      assert(back.select("trade_id").distinct.count() === 40)
+    } finally q.stop()
+  }
+
   test("within-batch duplicates compose with SetOps.dedupFirst (first wins)") {
     val url = freshUrl("withinbatch")
     // the same key delivered twice in one batch — arrival order encoded in
