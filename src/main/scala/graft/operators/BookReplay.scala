@@ -63,6 +63,165 @@ object BookReplay {
       .select("symbol", "side", "level", "price", "qty", "value")
   }
 
+  /** The book's top-`depth` levels at the END of EVERY time chunk — the
+    * replay-at-grid audit: "what did the book look like at each hour/day
+    * boundary of a month-long delta log", computed WITHOUT a sequential
+    * fold over the log. Three phases, each a narrower table than the last:
+    *
+    *   1. last write per (symbol, side, price, chunk) — one shuffle over
+    *      the distinct level-touch set (far smaller than the delta count);
+    *   2. level VALIDITY intervals: a level's chunk-end value holds from
+    *      its touch chunk until the chunk before its next touch
+    *      (`lead(chunk)` per level — deletions bound the previous interval
+    *      and then emit nothing), clipped to the symbol's last chunk;
+    *      `sequence`-explode materializes exactly the (level, live-chunk)
+    *      pairs — which IS the answer's domain, so no exact algorithm does
+    *      asymptotically better;
+    *   3. per-(symbol, side, chunk) rank keeps the top `depth`.
+    *
+    * The explode is the scale knob: a level written once and never touched
+    * again spans the rest of the log, so its validity is O(remaining
+    * chunks). `maxSpanChunks` fails loudly past the bound (the Interval
+    * op's convention); the 100 TB answer is periodic snapshot compaction —
+    * splitting the log at snapshot boundaries bounds every span by the
+    * compaction period, and this same operator then runs per segment.
+    */
+  def timeline(
+      deltas: DataFrame,
+      symbol: Column,
+      updateId: Column,
+      tsMs: Column,
+      side: Column,
+      price: Column,
+      qty: Column,
+      chunkMs: Long = 3600000L,
+      depth: Int = 10,
+      maxSpanChunks: Int = 100000): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    require(chunkMs > 0, s"chunkMs must be positive, got $chunkMs")
+    val keyed = deltas.select(
+      symbol.as("symbol"), updateId.as("__uid"), side.as("side"),
+      price.as("price"), qty.as("qty"),
+      graft.functions.TimeUnits.bucketIndex(tsMs, chunkMs).as("__chunk"))
+    val wLevelChunk = Window
+      .partitionBy(col("symbol"), col("side"), col("price"), col("__chunk"))
+      .orderBy(col("__uid").desc, col("qty").desc)
+    val wLevel = Window
+      .partitionBy(col("symbol"), col("side"), col("price"))
+      .orderBy(col("__chunk"))
+    val wSym = Window.partitionBy(col("symbol"))
+    val intervals = keyed
+      .withColumn("__rn", row_number().over(wLevelChunk))
+      .filter(col("__rn") === 1)
+      // lead BEFORE dropping deletions: a qty-0 write must terminate the
+      // previous value's validity even though it emits no live level itself
+      .withColumn("__next", lead(col("__chunk"), 1).over(wLevel))
+      .withColumn("__max_chunk", max(col("__chunk")).over(wSym))
+      .filter(col("qty") > 0)
+      .withColumn(
+        "__valid_to",
+        coalesce(col("__next") - 1, col("__max_chunk")))
+      .withColumn(
+        "__span",
+        col("__valid_to") - col("__chunk") + 1)
+      .withColumn(
+        "__chunk_g",
+        explode(sequence(
+          col("__chunk"),
+          when(
+            col("__span") > maxSpanChunks,
+            raise_error(concat(
+              lit(s"BookReplay.timeline: level validity spans more than $maxSpanChunks chunks ("),
+              col("__span"), lit(") — compact the log with periodic snapshots first")))
+              .cast("long"))
+            .otherwise(col("__valid_to")))))
+    val wRank = Window
+      .partitionBy(col("symbol"), col("side"), col("__chunk_g"))
+      .orderBy(
+        when(col("side") === "bid", -col("price")).otherwise(col("price")))
+    intervals
+      .withColumn("level", row_number().over(wRank).cast("long"))
+      .filter(col("level") <= depth)
+      .withColumn("snapshot_ts", (col("__chunk_g") + 1) * chunkMs)
+      .select("symbol", "snapshot_ts", "side", "level", "price", "qty")
+  }
+
+  /** Periodic snapshot COMPACTION of a delta log — the companion that makes
+    * [[timeline]] unconditionally scale-safe. Every `everyChunks`-th chunk
+    * boundary B re-asserts the whole then-live book (the state at the end
+    * of chunk B−1) as synthetic deltas inside chunk B, stamped
+    * `updateId = -1` so every REAL write in that chunk still wins
+    * last-write-per-level (real ids are non-negative). Replaying the
+    * compacted log therefore yields byte-identical books, while every
+    * level-validity span is ≤ `everyChunks` by construction: any suffix
+    * segment starting at a boundary replays standalone, and [[timeline]]
+    * runs per segment with its explode bounded.
+    *
+    * Not a sequential fold either: a level valid over chunks [c, v] is
+    * re-asserted at exactly the boundaries in [c+1, v+1] — a per-level
+    * `sequence` of O(span/everyChunks) rows, K× cheaper than the timeline
+    * it bounds. This one pass over the unbounded-span log is the price of
+    * admission; thereafter all replays are segment-local (the same
+    * economics as the k9 parquet compactor).
+    */
+  def compact(
+      deltas: DataFrame,
+      symbol: Column,
+      updateId: Column,
+      tsMs: Column,
+      side: Column,
+      price: Column,
+      qty: Column,
+      chunkMs: Long = 3600000L,
+      everyChunks: Int = 24): DataFrame = {
+    require(chunkMs > 0, s"chunkMs must be positive, got $chunkMs")
+    require(everyChunks >= 1, s"everyChunks must be >= 1, got $everyChunks")
+    val k = everyChunks
+    val keyed = deltas.select(
+      symbol.as("symbol"), updateId.as("uid"), tsMs.as("ts_ms"),
+      side.as("side"), price.as("price"), qty.as("qty"),
+      graft.functions.TimeUnits.bucketIndex(tsMs, chunkMs).as("__chunk"))
+    require(
+      keyed.schema("uid").dataType == org.apache.spark.sql.types.LongType,
+      "updateId must be a LONG (synthetic snapshot deltas use -1)")
+    val wLevelChunk = Window
+      .partitionBy(col("symbol"), col("side"), col("price"), col("__chunk"))
+      .orderBy(col("uid").desc, col("qty").desc)
+    val wLevel = Window
+      .partitionBy(col("symbol"), col("side"), col("price"))
+      .orderBy(col("__chunk"))
+    val wSym = Window.partitionBy(col("symbol"))
+    // validity per level write (lead BEFORE dropping deletions — a qty-0
+    // write bounds the previous value, then re-asserts nothing)
+    val snapshots = keyed
+      .withColumn("__rn", row_number().over(wLevelChunk))
+      .filter(col("__rn") === 1)
+      .withColumn("__next", lead(col("__chunk"), 1).over(wLevel))
+      .withColumn("__max_chunk", max(col("__chunk")).over(wSym))
+      .filter(col("qty") > 0)
+      .withColumn("__valid_to", coalesce(col("__next") - 1, col("__max_chunk")))
+      // boundaries B ≡ 0 (mod k) with c+1 <= B <= valid_to+1: the level is
+      // live at the end of chunk B−1, so boundary B re-asserts it
+      // ceil((c+1)/k)·k = floor((c+k)/k)·k; double division + floor is exact
+      // while chunk indices stay below 2^52 (epoch-ms/chunkMs always does)
+      .withColumn("__first_b", floor((col("__chunk") + k) / k) * k)
+      .withColumn("__last_b", floor((col("__valid_to") + 1) / k) * k)
+      .filter(col("__first_b") <= col("__last_b"))
+      .withColumn("__b", explode(sequence(col("__first_b"), col("__last_b"), lit(k.toLong))))
+      // a boundary at max_chunk+1 would EXTEND the log by one chunk and
+      // shift every max-chunk-derived validity — re-asserting past the last
+      // real chunk serves no segment, so drop it
+      .filter(col("__b") <= col("__max_chunk"))
+      .select(
+        col("symbol"), lit(-1L).as("uid"),
+        // the synthetic delta lives at the first instant of chunk B
+        (col("__b") * chunkMs).as("ts_ms"),
+        col("side"), col("price"), col("qty"))
+    keyed
+      .select("symbol", "uid", "ts_ms", "side", "price", "qty")
+      .unionAll(snapshots)
+  }
+
   /** The `ob:{symbol}` metric row derived from [[levels]]: best bid/ask,
     * spread (+ basis points), top-`depth` value sums, value imbalance, and
     * the size-weighted mid (microprice) — the fields the reference's Redis

@@ -124,6 +124,16 @@ object MicrostructureQueries {
       floor(col("price")).cast("double").as("price"),
       when(pmod(col("trade_id"), lit(17)) === 0, 0.0).otherwise(col("qty")).as("qty"))
 
+  /** [[bookDeltas]] plus the event time, for the chunked timeline (b2). */
+  private def bookDeltasTs(s: SparkSession, dir: String): DataFrame =
+    Tables.trades(s, dir).select(
+      col("symbol"),
+      col("trade_id").as("uid"),
+      col("ts_ms"),
+      when(pmod(col("trade_id"), lit(2)) === 0, "bid").otherwise("ask").as("side"),
+      floor(col("price")).cast("double").as("price"),
+      when(pmod(col("trade_id"), lit(17)) === 0, 0.0).otherwise(col("qty")).as("qty"))
+
   /** DuckDB twin of [[bookDeltas]] + the last-write-wins live-level CTEs. */
   private val bookCte =
     s"""d AS (
@@ -217,6 +227,17 @@ object MicrostructureQueries {
         bookDeltas(s, dir),
         symbol = col("symbol"), updateId = col("uid"), side = col("side"),
         price = col("price"), qty = col("qty"), depth = 10)
+    },
+    // B2 — book TIMELINE (BookReplay.timeline): top-10 levels at the end of
+    // every day-chunk of the delta log, via level-validity intervals + rank
+    // — the replay-at-grid audit with no sequential fold. Same synthetic
+    // delta log as b1, plus the event ts for chunking.
+    "b2_book_timeline" -> { (s, dir) =>
+      BookReplay.timeline(
+        bookDeltasTs(s, dir),
+        symbol = col("symbol"), updateId = col("uid"), tsMs = col("ts_ms"),
+        side = col("side"), price = col("price"), qty = col("qty"),
+        chunkMs = 86400000L, depth = 10)
     },
     // S1 — the real connector: frames captured to rolling `.sbef` files are
     // read back through the `sbe-frames` DataSource V2 source (batch side of
@@ -527,6 +548,36 @@ object MicrostructureQueries {
          |  len(bids) AS bid_levels,
          |  len(asks) AS ask_levels
          |FROM latest WHERE rn = 1""".stripMargin,
+    "b2_book_timeline" ->
+      s"""WITH t AS ($T),
+         |d AS (
+         |  SELECT symbol, trade_id AS uid, ts_ms // 86400000 AS chunk,
+         |    CASE WHEN trade_id % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
+         |    floor(price) AS price,
+         |    CASE WHEN trade_id % 17 = 0 THEN 0.0 ELSE qty END AS qty
+         |  FROM t),
+         |lw AS (
+         |  SELECT symbol, side, price, chunk, qty,
+         |    row_number() OVER (PARTITION BY symbol, side, price, chunk
+         |      ORDER BY uid DESC, qty DESC) AS rn
+         |  FROM d),
+         |iv AS (
+         |  SELECT symbol, side, price, chunk, qty,
+         |    lead(chunk) OVER (PARTITION BY symbol, side, price ORDER BY chunk) AS next_chunk,
+         |    max(chunk) OVER (PARTITION BY symbol) AS max_chunk
+         |  FROM lw WHERE rn = 1),
+         |g AS (
+         |  SELECT symbol, side, price, qty,
+         |    unnest(generate_series(chunk, coalesce(next_chunk - 1, max_chunk))) AS gc
+         |  FROM iv WHERE qty > 0),
+         |rk AS (
+         |  SELECT symbol, gc, side, price, qty,
+         |    row_number() OVER (PARTITION BY symbol, side, gc
+         |      ORDER BY CASE WHEN side = 'bid' THEN -price ELSE price END) AS level
+         |  FROM g)
+         |SELECT symbol, (gc + 1) * 86400000 AS snapshot_ts, side,
+         |  CAST(level AS BIGINT) AS level, price, qty
+         |FROM rk WHERE level <= 10""".stripMargin,
     "b1_book_replay" ->
       s"""WITH t AS ($T),
          |$bookCte

@@ -67,6 +67,71 @@ class BookStateSpec extends SparkSpec {
     q.stop()
   }
 
+  test("book timeline: validity carries levels across quiet chunks, deletions terminate") {
+    val deltas = Seq(
+      ("S", 1L, 10L, "bid", 100.0, 5.0), // chunk 0: set 100 → 5
+      ("S", 2L, 150L, "bid", 99.0, 2.0), // chunk 1: set 99 → 2
+      ("S", 3L, 320L, "bid", 100.0, 0.0), // chunk 3: DELETE 100
+      ("S", 4L, 550L, "ask", 101.0, 1.0) // chunk 5: set ask (also the max chunk)
+    ).toDF("symbol", "uid", "ts_ms", "side", "price", "qty")
+    val out = graft.operators.BookReplay.timeline(
+      deltas, symbol = col("symbol"), updateId = col("uid"), tsMs = col("ts_ms"),
+      side = col("side"), price = col("price"), qty = col("qty"),
+      chunkMs = 100L, depth = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("snapshot_ts") / 100 - 1, r.getAs[String]("side"),
+        r.getAs[Double]("price"), r.getAs[Double]("qty")))
+      .toSet
+    val expected: Set[(Long, String, Double, Double)] =
+      // bid 100@5: live at chunk ends 0,1,2 — the chunk-3 deletion ends it
+      (0L to 2L).map(c => (c, "bid", 100.0, 5.0)).toSet ++
+        // bid 99@2: set in chunk 1, never touched again → carries to max chunk 5
+        (1L to 5L).map(c => (c, "bid", 99.0, 2.0)).toSet +
+        ((5L, "ask", 101.0, 1.0))
+    assert(out === expected)
+  }
+
+  test("snapshot compaction: identical replay, validity spans bounded by K") {
+    // a long sparse log: levels written once early, then silence for many
+    // chunks — exactly the shape whose validity spans blow up untreated
+    val log = Seq(
+      ("S", 0L, 10L, "bid", 100.0, 5.0), // chunk 0
+      ("S", 1L, 120L, "ask", 101.0, 1.0), // chunk 1
+      ("S", 2L, 1510L, "bid", 99.0, 2.0), // chunk 15
+      ("S", 3L, 2020L, "bid", 100.0, 0.0), // chunk 20: delete 100
+      ("S", 4L, 3170L, "ask", 101.0, 3.0) // chunk 31: update ask (max chunk)
+    ).toDF("symbol", "uid", "ts_ms", "side", "price", "qty")
+    def args = (col("symbol"), col("uid"), col("ts_ms"), col("side"), col("price"), col("qty"))
+    val (s, u, t, sd, p, q) = args
+    val compacted = graft.operators.BookReplay.compact(
+      log, s, u, t, sd, p, q, chunkMs = 100L, everyChunks = 8)
+    // 1 — the timeline over the compacted log is byte-identical
+    val tlA = graft.operators.BookReplay.timeline(
+      log, s, u, t, sd, p, q, chunkMs = 100L, depth = 10)
+    val tlB = graft.operators.BookReplay.timeline(
+      compacted, s, u, t, sd, p, q, chunkMs = 100L, depth = 10)
+    assert(tlB.count() === tlA.count())
+    assert(tlB.exceptAll(tlA).isEmpty && tlA.exceptAll(tlB).isEmpty)
+    // 2 — end-state levels are byte-identical too
+    val lvA = graft.operators.BookReplay.levels(log, s, u, sd, p, q)
+    val lvB = graft.operators.BookReplay.levels(compacted, s, u, sd, p, q)
+    assert(lvB.exceptAll(lvA).isEmpty && lvA.exceptAll(lvB).isEmpty)
+    // 3 — every level's gap between consecutive touches is now <= K, so a
+    // segment-local timeline never explodes more than K chunks per level
+    val gaps = compacted
+      .withColumn("__chunk", (col("ts_ms") / 100).cast("long"))
+      .select(col("symbol"), col("side"), col("price"), col("__chunk"))
+      .distinct()
+      .withColumn(
+        "__gap",
+        col("__chunk") - lag(col("__chunk"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("symbol", "side", "price").orderBy("__chunk")))
+    assert(gaps.filter(col("__gap") > 8).count() === 0)
+    // 4 — and the untreated log genuinely had the pathology (sanity)
+    assert(log.count() === 5 && compacted.count() > 5)
+  }
+
   test("streaming end state equals the batch replay of the same delta log") {
     // a generated log with genuine collisions, deletions and two symbols,
     // split across three micro-batches at awkward boundaries
