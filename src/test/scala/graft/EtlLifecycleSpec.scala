@@ -79,6 +79,65 @@ class EtlLifecycleSpec extends SparkSpec {
     assert(wms.filter($"key" === "ETH").select("n_records").as[Long].collect()(0) === 2L)
   }
 
+  test("gap detection triggers the atomic hot-state re-anchor (reliability path composed)") {
+    // The reference's reliability path as ONE flow (gap_detector/README.md +
+    // re_anchor_service/README.md, ARCHITECTURE.md:191-231): the hot path's
+    // KV state was built from a feed that dropped a seq range; the streaming
+    // gap detector surfaces it; recovery replays the AUTHORITATIVE bronze
+    // into a rebuilt latest-per-key state and atomically re-anchors; readers
+    // then resolve the rebuilt version. A gap-free feed re-anchors nothing.
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("reanchor_flow").toString
+    val statePath = s"$root/hot_state"
+    val day0 = 1704067200000L
+    // authoritative bronze: seqs 1..100 for two symbols
+    val bronze = (1 to 100).flatMap(i => Seq(
+      ("BTC", day0 + i * 1000L, 100.0 + i, i.toLong),
+      ("ETH", day0 + i * 1000L, 10.0 + i, i.toLong)))
+      .toDF("symbol", "ts_ms", "price", "seq")
+    // the hot feed DROPPED seqs 41..60 — its latest-per-key state is built
+    // from what arrived, and the drop is invisible to the state itself
+    val corruptFeed = bronze.filter(!$"seq".between(41, 60))
+    val v1 = Bronze.reAnchor(
+      spark, statePath,
+      Windows.latestPerKey(corruptFeed, $"symbol", $"ts_ms", $"seq"))
+    // streaming gap detection over the same corrupt feed
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.GapDetector.SeqEvent]
+    val q = graft.streaming.GapDetector.detect(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("reanchor_gaps")
+      .start()
+    try {
+      mem.addData(corruptFeed.orderBy("seq", "symbol").collect().map(r =>
+        graft.streaming.GapDetector.SeqEvent(
+          r.getAs[String]("symbol"), r.getAs[Long]("seq"), r.getAs[Long]("ts_ms"))): _*)
+      q.processAllAvailable()
+      val gaps = spark.table("reanchor_gaps")
+        .as[graft.streaming.GapDetector.GapEvent].collect()
+      // both symbols report the 41..60 hole exactly once: prev 40 → next 61
+      assert(gaps.length === 2)
+      assert(gaps.forall(g => g.prev_seq === 40L && g.seq === 61L && g.kind === "gap"))
+
+      // recovery: rebuild from authoritative bronze, atomic pointer swap
+      val v2 = Bronze.reAnchor(
+        spark, statePath,
+        Windows.latestPerKey(bronze, $"symbol", $"ts_ms", $"seq"))
+      assert(v2 === v1 + 1)
+      val cur = Bronze.readCurrent(spark, statePath).get
+      assert(cur.count() === 2)
+      assert(cur.filter($"symbol" === "BTC").select("seq").as[Long].head() === 100L)
+
+      // a gap-free continuation produces NO gap events → nothing re-anchors
+      val before = spark.table("reanchor_gaps").count()
+      mem.addData((101 to 120).flatMap(i => Seq(
+        graft.streaming.GapDetector.SeqEvent("BTC", i.toLong, day0 + i * 1000L),
+        graft.streaming.GapDetector.SeqEvent("ETH", i.toLong, day0 + i * 1000L))): _*)
+      q.processAllAvailable()
+      assert(spark.table("reanchor_gaps").count() === before)
+      assert(Bronze.readCurrent(spark, statePath).isDefined) // pointer untouched
+    } finally q.stop()
+  }
+
   test("rest-pages connector feeds the backfill lifecycle across two cycles") {
     // SURVEY §3.2 composed end-to-end (reference `scheduler.py:62-129`):
     // live REST connector → bronze partitioned landing → watermark advance →
