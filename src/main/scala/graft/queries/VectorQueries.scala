@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{VectorIndex, VectorOps}
+import graft.operators.{TextDedup, VectorIndex, VectorOps}
 
 /** Similarity-search queries over the embeddings table. */
 object VectorQueries {
@@ -206,6 +206,25 @@ object VectorQueries {
         Tables.embeddings(s, dir)
           .select(col("vec_id").as("id"), col("embedding")),
         dim = 64, threshold = 0.35, nBits = 8)
+    },
+    // V15 — SEMANTIC dedup (SemDeDup-style), the modern training-data pass
+    // this engine exists for: embedding near-dup PAIRS (x_v3's SRP-LSH
+    // blocking — no all-pairs) → connected CLUSTERS (t10's bounded
+    // min-label BSP) → keep ONE representative per cluster (the min id,
+    // which IS the converged cluster label). Output: every corpus vector
+    // with its cluster id and the keep decision — `filter(keep)` is the
+    // deduplicated corpus. All three stages are the already-proven
+    // scale shapes; the composition adds zero new shuffles beyond them.
+    "v15_semantic_dedup" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
+      val pairs = VectorOps.nearDupLsh(e, dim = 64, threshold = 0.35, nBits = 8)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val labels = TextDedup.neardupClusters(pairs, iterations = 3)
+        .withColumnRenamed("doc_id", "vec_id")
+      e.select(col("id").as("vec_id"))
+        .join(labels, Seq("vec_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+        .withColumn("keep", col("cluster_id") === col("vec_id"))
     },
     // V2 — embedding-cosine near-dup pairs blocked by label.
     "v2_cosine_neardup" -> { (s, dir) =>
@@ -581,6 +600,36 @@ object VectorQueries {
          |SELECT a.block, a.id AS id_a, b.id AS id_b, round($cos, 6) + 0.0 AS cos_sim
          |FROM bk a JOIN bk b ON a.block = b.block AND a.id < b.id
          |WHERE round($cos, 6) >= 0.35""".stripMargin
+    },
+    // x_v3's pair CTEs composed with t10's 3-round min-label propagation —
+    // the same bounded-BSP unroll, over embedding-space edges.
+    "v15_semantic_dedup" -> {
+      val cos = duckCos("a.v", "b.v")
+      val rounds = (1 to 3).map { j =>
+        s"""l$j AS (
+           |  SELECT doc_id, min(cluster_id) AS cluster_id FROM (
+           |    SELECT doc_id, cluster_id FROM l${j - 1}
+           |    UNION ALL
+           |    SELECT ed.src AS doc_id, l.cluster_id
+           |    FROM edges ed JOIN l${j - 1} l ON l.doc_id = ed.dst)
+           |  GROUP BY doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |bk AS (SELECT id, v, CAST(${srpBucketSql("v", 64, 8)} AS BIGINT) AS block FROM e),
+         |pairs AS (
+         |  SELECT a.id AS doc_a, b.id AS doc_b
+         |  FROM bk a JOIN bk b ON a.block = b.block AND a.id < b.id
+         |  WHERE round($cos, 6) >= 0.35),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS doc_id, src AS cluster_id FROM edges),
+         |$rounds
+         |SELECT e.id AS vec_id,
+         |  coalesce(l3.cluster_id, e.id) AS cluster_id,
+         |  coalesce(l3.cluster_id, e.id) = e.id AS keep
+         |FROM e LEFT JOIN l3 ON l3.doc_id = e.id""".stripMargin
     },
     "x_v6_ann_lsh_multiprobe" -> {
       val cos = duckCos("a.v", "b.v")

@@ -45,8 +45,13 @@ object BookState {
       best_bid: Option[Double],
       best_ask: Option[Double],
       spread: Option[Double],
+      spread_bp: Option[Double], // vs the simple mid, 4 dp
       bid_levels: Int,
       ask_levels: Int,
+      bid_value_sum: Double, // Σ price·qty over the emitted top-N
+      ask_value_sum: Double,
+      ob_imbalance: Option[Double], // value imbalance over the top-N, 6 dp
+      weighted_mid: Option[Double], // size-weighted mid (microprice), 6 dp
       bids: Seq[(Double, Double)], // top-N best-first (price, qty)
       asks: Seq[(Double, Double)])
 
@@ -101,10 +106,33 @@ object BookState {
               val topAsks = asks.toSeq.sortBy(_._1).take(depth)
               val bb = topBids.headOption.map(_._1)
               val ba = topAsks.headOption.map(_._1)
+              // the ob:{symbol} metric fields (DATA_PIPELINE.md:96-120),
+              // same formulas + rounding as the batch BookReplay.metrics so
+              // the two surfaces are comparable row-for-row
+              def rnd(x: Double, dp: Int): Double =
+                BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+              // per-element 8-dp decimal rounding then exact decimal sum —
+              // the same value DECIMAL(27,8) accumulation produces in batch,
+              // so sums are order-free and bit-comparable across surfaces
+              def valueSum(side: Seq[(Double, Double)]): Double =
+                side.iterator.map { case (p, v) =>
+                  BigDecimal(p * v).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+                }.foldLeft(BigDecimal(0))(_ + _).toDouble
+              val bv = valueSum(topBids)
+              val av = valueSum(topAsks)
+              val spread = for (b <- bb; a <- ba) yield a - b
+              val spreadBp = for (b <- bb; a <- ba)
+                yield rnd((a - b) / ((a + b) / 2.0) * 10000.0, 4)
+              val imb =
+                if (bv + av == 0.0) None else Some(rnd((bv - av) / (bv + av), 6))
+              val wMid = for {
+                (bp, bq) <- topBids.headOption
+                (ap, aq) <- topAsks.headOption
+                if bq + aq != 0.0
+              } yield rnd((bp * aq + ap * bq) / (bq + aq), 6)
               Iterator.single(Snapshot(
-                symbol, lastTs, lastId, bb, ba,
-                for (b <- bb; a <- ba) yield a - b,
-                bids.size, asks.size, topBids, topAsks))
+                symbol, lastTs, lastId, bb, ba, spread, spreadBp,
+                bids.size, asks.size, bv, av, imb, wMid, topBids, topAsks))
             } else Iterator.empty
           }
         })

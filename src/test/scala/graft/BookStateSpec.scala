@@ -163,5 +163,21 @@ class BookStateSpec extends SparkSpec {
         s.asks.zipWithIndex.map { case ((p, v), i) => (s.symbol, "ask", (i + 1).toLong, p, v) }
     }.toSet
     assert(streamedLevels === batch)
+
+    // the ob:{symbol} metric fields agree bit-for-bit across the surfaces
+    val batchMetrics = graft.operators.BookReplay.metrics(
+      log.toDF(), symbol = col("symbol"), updateId = col("update_id"),
+      side = col("side"), price = col("price"), qty = col("qty"), depth = 10)
+      .collect().map(r => r.getAs[String]("symbol") -> r).toMap
+    streamed.foreach { case (sym, s) =>
+      val m = batchMetrics(sym)
+      assert(s.best_bid.contains(m.getAs[Double]("best_bid")), sym)
+      assert(s.best_ask.contains(m.getAs[Double]("best_ask")), sym)
+      assert(s.spread_bp.contains(m.getAs[Double]("spread_bp")), sym)
+      assert(s.bid_value_sum === m.getAs[Double]("bid_value_sum"), sym)
+      assert(s.ask_value_sum === m.getAs[Double]("ask_value_sum"), sym)
+      assert(s.ob_imbalance.contains(m.getAs[Double]("ob_imbalance")), sym)
+      assert(s.weighted_mid.contains(m.getAs[Double]("weighted_mid")), sym)
+    }
   }
 }
