@@ -39,6 +39,19 @@ object VectorIndex {
     codes.write.mode("overwrite").parquet(s"$dir/codes")
   }
 
+  /** Incremental growth: encode `newVecs` with the persisted model's frozen
+    * quantizers ([[VectorOps.ivfPqEncode]]) and APPEND their codes — the
+    * between-retrains arrival path. The model tables are untouched; only
+    * the distributed codes table grows, and a search over the appended
+    * index scores the new rows exactly as if they had been present at
+    * train time (the encode is training-state-free).
+    */
+  def append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+    val (model, _) = load(spark, dir)
+    VectorOps.ivfPqEncode(model, newVecs)
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
   def load(spark: SparkSession, dir: String): (IvfPqModel, DataFrame) = {
     val p = spark.read.parquet(s"$dir/params").head()
     val cents = spark.read.parquet(s"$dir/centroids").collect()

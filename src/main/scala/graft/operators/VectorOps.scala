@@ -639,6 +639,38 @@ object VectorOps {
     (IvfPqModel(nCells, dim, m, ks, cents, books), codes)
   }
 
+  /** Encode vectors with an EXISTING model — no training: coarse-assign to
+    * the frozen centroids, residual against the own-cell centroid, PQ-code
+    * with the frozen books. This is the INCREMENTAL INDEX growth path (new
+    * corpus arrivals between retrains): by construction it produces the
+    * exact codes [[ivfPqTrain]]'s own encode pass would — training state is
+    * all in the model — so appending these codes to a persisted index is
+    * indistinguishable from having trained with the rows present
+    * (spec-asserted). Quantization error drifts only as far as the data
+    * does; the retrain cadence is the operator's dial, as in any IVF-PQ
+    * serving deployment.
+    */
+  def ivfPqEncode(model: IvfPqModel, vecs: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val sub = model.dim / model.m
+    val centroids = model.cents
+      .map { case (cid, c) => (cid, c.toVector) }.toDF("cid", "c")
+    val codeArr = array((0 until model.m).map(s =>
+      nearestCidExpr(col(s"__r$s"), model.books(s))): _*)
+    vecs
+      .select(col("id"), asDouble(col("embedding")).as("v"))
+      .withColumn("cid", nearestCidExpr(col("v"), model.cents))
+      .join(broadcast(centroids), Seq("cid"))
+      .select(
+        col("id"), col("cid"),
+        zip_with(col("v"), col("c"), (a, b) => a - b).as("rv"))
+      .select(
+        col("id") +: col("cid") +:
+          (0 until model.m).map(s => slice(col("rv"), s * sub + 1, sub).as(s"__r$s")): _*)
+      .select(col("id").as("vec_id"), col("cid"), codeArr.as("codes"))
+  }
+
   /** Query-time half: each query probes its nProbe nearest cells; the ADC
     * table is built from the query's residual AGAINST THAT CELL (qv − cell
     * centroid), so a candidate's approx d2 decomposes as Σ_s d2(query

@@ -754,6 +754,32 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  test("ivf-pq incremental append: frozen-quantizer encode, lossless index growth") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val evens = e.filter(col("id") % 2 === 0)
+    val odds = e.filter(col("id") % 2 === 1)
+    // index built on the evens only
+    val (model, codesA) = VectorOps.ivfPqTrain(evens, nCells = 4, dim = 64, m = 4, ks = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_append").toString
+    graft.operators.VectorIndex.save(model, codesA, dir)
+    // the odds arrive later: encode with the persisted frozen quantizers
+    graft.operators.VectorIndex.append(spark, dir, odds)
+    val (loaded, grown) = graft.operators.VectorIndex.load(spark, dir)
+    // growth is lossless: appended codes are EXACTLY what the model's own
+    // encode pass produces — training state lives entirely in the model
+    val expected = codesA.unionByName(VectorOps.ivfPqEncode(model, odds))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    val got = grown.collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(got === expected)
+    assert(got.size === e.count())
+    // and the appended rows are genuinely searchable: an odd query probing
+    // the grown index gets odd candidates ranked alongside the originals
+    val hits = VectorOps.ivfPqSearch(
+      loaded, grown, e, queryIds = Seq(1L), k = 5, nProbe = 2)
+    assert(hits.filter(col("vec_id") % 2 === 1).count() > 0)
+  }
+
   test("ivf end-to-end at nCells=128 plans without codegen blowup") {
     val e = Tables.embeddings(spark, sf)
     val out = VectorOps.annTopKIvf(
