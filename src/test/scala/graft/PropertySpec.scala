@@ -76,6 +76,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  for (seed <- Seq(7, 23))
+    test(s"book replay invariants on random delta logs, seed $seed") {
+      // ts monotone in uid (a real feed's property): chunk order then agrees
+      // with application order, which the timeline's validity logic assumes
+      val rnd = new scala.util.Random(seed)
+      val log = (1 to 400).map { i =>
+        val sym = "S" + rnd.nextInt(3)
+        val side = if (rnd.nextBoolean()) "bid" else "ask"
+        val price = (90 + rnd.nextInt(25)).toDouble
+        val qty = if (rnd.nextInt(6) == 0) 0.0 else (1 + rnd.nextInt(9)).toDouble
+        (sym, i.toLong, i.toLong * 10, side, price, qty)
+      }.toDF("symbol", "uid", "ts_ms", "side", "price", "qty")
+      def timeline(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.BookReplay.timeline(
+          df, symbol = col("symbol"), updateId = col("uid"), tsMs = col("ts_ms"),
+          side = col("side"), price = col("price"), qty = col("qty"),
+          chunkMs = 250L, depth = 10)
+      val tl = timeline(log)
+      // 1 — the timeline's LAST snapshot per symbol IS the end-state book
+      val lastSnap = tl
+        .withColumn("__mx", max(col("snapshot_ts")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("symbol")))
+        .filter(col("snapshot_ts") === col("__mx"))
+        .select("symbol", "side", "level", "price", "qty")
+      val levels = graft.operators.BookReplay.levels(
+        log, symbol = col("symbol"), updateId = col("uid"),
+        side = col("side"), price = col("price"), qty = col("qty"), depth = 10)
+        .select("symbol", "side", "level", "price", "qty")
+      assert(lastSnap.exceptAll(levels).isEmpty && levels.exceptAll(lastSnap).isEmpty)
+      // 2 — snapshot compaction never changes any snapshot anywhere
+      val compacted = graft.operators.BookReplay.compact(
+        log, symbol = col("symbol"), updateId = col("uid"), tsMs = col("ts_ms"),
+        side = col("side"), price = col("price"), qty = col("qty"),
+        chunkMs = 250L, everyChunks = 4)
+      val tlc = timeline(compacted)
+      assert(tlc.exceptAll(tl).isEmpty && tl.exceptAll(tlc).isEmpty)
+    }
+
   test("AsOf.backward never returns a right row after the left ts, nearest always within tolerance") {
     val rnd = new scala.util.Random(11L)
     val left = (0 until 200).map(i => ("K", rnd.nextInt(100000).toLong, i.toLong))
