@@ -26,14 +26,22 @@ import org.apache.hadoop.fs.Path
   *   - a control frame over 125 bytes or a fragmented control frame aborts;
   *   - payloads above `maxMessageBytes` abort before allocation (untrusted
   *     wire length, same guard as [[SocketCapture]]).
+  *
+  * `wss:` = the same state machine over a TLS socket: pass
+  * `SSLContext.getDefault.getSocketFactory` (or a pinned-trust context) as
+  * `socketFactory` — JSSE handshakes before the first HTTP byte, nothing
+  * else changes. Spec-proven against a live TLS fixture with a
+  * test-generated certificate.
   */
 final class WsClient(
     host: String,
     port: Int,
     path: String = "/",
-    maxMessageBytes: Int = 16 << 20) extends AutoCloseable {
+    maxMessageBytes: Int = 16 << 20,
+    socketFactory: javax.net.SocketFactory = javax.net.SocketFactory.getDefault)
+  extends AutoCloseable {
 
-  private val socket = new Socket(host, port)
+  private val socket: Socket = socketFactory.createSocket(host, port)
   private val in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream))
   private val out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream))
   private val rnd = new java.security.SecureRandom()
@@ -197,11 +205,13 @@ final class WebSocketCapture(
     path: String,
     dir: String,
     rollBytes: Long = 64L << 20,
-    flushEveryFrames: Int = 1) extends AutoCloseable {
+    flushEveryFrames: Int = 1,
+    socketFactory: javax.net.SocketFactory = javax.net.SocketFactory.getDefault)
+  extends AutoCloseable {
 
   private val framesJournaled = new AtomicLong(0)
   @volatile private var failure: Option[Throwable] = None
-  private val client = new WsClient(host, port, path)
+  private val client = new WsClient(host, port, path, socketFactory = socketFactory)
   private val hadoopConf = GraftFs.conf()
 
   private val thread = new Thread(() => run(), s"ws-capture-$host:$port$path")

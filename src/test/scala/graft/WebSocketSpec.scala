@@ -26,8 +26,11 @@ class WebSocketSpec extends SparkSpec {
       messages: Seq[(Int, Array[Byte])], // (opcode, payload) data messages
       fragmentFirstInto: Int = 0,
       pingAfter: Int = -1,
-      badAccept: Boolean = false) extends AutoCloseable {
-    private val server = new ServerSocket(0)
+      badAccept: Boolean = false,
+      serverSocketFactory: Option[javax.net.ServerSocketFactory] = None)
+    extends AutoCloseable {
+    private val server = serverSocketFactory
+      .map(_.createServerSocket(0)).getOrElse(new ServerSocket(0))
     def port: Int = server.getLocalPort
     @volatile var unmaskedClientFrames = 0
     @volatile var pongPayload: Option[String] = None
@@ -148,6 +151,62 @@ class WebSocketSpec extends SparkSpec {
         .select(Sbe.decodeTrade(col("frame")).getField("trade_id").as("id"))
         .as[Long].collect().sorted
       assert(ids.toSeq === (0L until 60L), "frames lost, torn, or re-fragmented")
+    } finally { cap.close(); srv.close() }
+  }
+
+  test("wss: the identical protocol over TLS (test-generated certificate)") {
+    // JSSE is the TLS layer — generate a keypair with the JDK's own
+    // keytool, serve over an SSLServerSocket, and hand the client a
+    // trust-pinned SSLSocketFactory; every protocol byte above the socket
+    // is unchanged.
+    val dir = java.nio.file.Files.createTempDirectory("graft_wss_pki")
+    val ks = s"$dir/ks.p12"; val ts = s"$dir/ts.p12"; val cert = s"$dir/ws.cer"
+    def keytool(args: String*): Unit = {
+      val p = new ProcessBuilder(("keytool" +: args): _*).redirectErrorStream(true).start()
+      assert(p.waitFor() === 0, s"keytool ${args.mkString(" ")}")
+    }
+    keytool("-genkeypair", "-alias", "ws", "-keyalg", "RSA", "-keysize", "2048",
+      "-storetype", "PKCS12", "-keystore", ks, "-storepass", "changeit",
+      "-dname", "CN=localhost", "-validity", "1")
+    keytool("-exportcert", "-alias", "ws", "-keystore", ks,
+      "-storepass", "changeit", "-file", cert)
+    keytool("-importcert", "-alias", "ws", "-file", cert, "-keystore", ts,
+      "-storepass", "changeit", "-storetype", "PKCS12", "-noprompt")
+    def sslCtx(storePath: String, asKey: Boolean): javax.net.ssl.SSLContext = {
+      val store = java.security.KeyStore.getInstance("PKCS12")
+      val in = new java.io.FileInputStream(storePath)
+      try store.load(in, "changeit".toCharArray) finally in.close()
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      if (asKey) {
+        val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+          javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+        kmf.init(store, "changeit".toCharArray)
+        ctx.init(kmf.getKeyManagers, null, null)
+      } else {
+        val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+          javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(store)
+        ctx.init(null, tmf.getTrustManagers, null)
+      }
+      ctx
+    }
+    val frames = sbeFrames(20)
+    val srv = new TestWsServer(
+      frames.map(f => (2, f)),
+      serverSocketFactory = Some(sslCtx(ks, asKey = true).getServerSocketFactory))
+    val capDir = java.nio.file.Files.createTempDirectory("graft_wss_cap_").toFile
+    val cap = new graft.sources.WebSocketCapture(
+      "localhost", srv.port, "/tls", capDir.toString,
+      socketFactory = sslCtx(ts, asKey = false).getSocketFactory)
+    try {
+      cap.awaitCompletion()
+      srv.done.await()
+      assert(cap.journaledCount === 20)
+      assert(srv.unmaskedClientFrames === 0 && srv.gotCloseEcho)
+      val ids = spark.read.format("sbe-frames").load(capDir.toString)
+        .select(Sbe.decodeTrade(col("frame")).getField("trade_id").as("id"))
+        .as[Long].collect().sorted
+      assert(ids.toSeq === (0L until 20L))
     } finally { cap.close(); srv.close() }
   }
 
