@@ -26,6 +26,59 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Pairwise Pearson correlation matrix over `cols` — the feature-selection
+    * pass before training (drop one of each highly-correlated pair). ONE
+    * aggregate computes every moment the k·(k−1)/2 pairs need — n, Σxᵢ,
+    * Σxᵢ², Σxᵢxⱼ — with map-side partial aggregation, so the shuffle carries
+    * a single row of k·(k+3)/2 sums regardless of input size; the matrix
+    * assembles driver-side from that one row (k is a column count, never
+    * data-sized). Sums accumulate in DECIMAL (exact under any partial-agg
+    * order), and the correlation arithmetic then runs in deterministic
+    * doubles — the same engine-portability discipline as the interarrival
+    * variance (rounded to 6 dp at the edge).
+    *
+    * Null contract: rows with a null in ANY of `cols` are excluded from
+    * every moment (listwise deletion), so each pair sees the same n and the
+    * matrix is positive-semidefinite-consistent; per-pair deletion would
+    * mix incomparable populations silently.
+    */
+  def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val complete = df
+      .filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(cols.map(c => col(c).cast("double").as(c)): _*)
+    def dsum(e: org.apache.spark.sql.Column) =
+      sum(e.cast("decimal(38,12)")).cast("double")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (i, j)
+    val aggs =
+      cols.map(c => dsum(col(c)).as(s"s_$c")) ++
+        cols.map(c => dsum(col(c) * col(c)).as(s"ss_$c")) ++
+        pairs.map { case (i, j) =>
+          dsum(col(cols(i)) * col(cols(j))).as(s"sp_${cols(i)}_${cols(j)}")
+        }
+    val row = complete
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .head()
+    val n = row.getAs[Long]("n").toDouble
+    val out = pairs.map { case (i, j) =>
+      val (a, b) = (cols(i), cols(j))
+      val (sa, sb) = (row.getAs[Double](s"s_$a"), row.getAs[Double](s"s_$b"))
+      val cov = n * row.getAs[Double](s"sp_${a}_$b") - sa * sb
+      val va = n * row.getAs[Double](s"ss_$a") - sa * sa
+      val vb = n * row.getAs[Double](s"ss_$b") - sb * sb
+      val r =
+        if (va <= 0.0 || vb <= 0.0) None // a constant column has no correlation
+        else Some(BigDecimal(cov / math.sqrt(va) / math.sqrt(vb))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (a, b, r, n.toLong)
+    }
+    out.toDF("col_a", "col_b", "corr_r", "n_rows")
+      .select(col("col_a"), col("col_b"), col("corr_r").as("corr_r"), col("n_rows"))
+  }
+
   /** One output row per profiled column:
     * `col_name, n_rows, n_present, n_distinct` for every column;
     * `min_num, max_num, mean, std` for numeric columns (null on string

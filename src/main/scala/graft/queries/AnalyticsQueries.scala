@@ -14,6 +14,16 @@ object AnalyticsQueries {
     // A7 — prediction-performance rollup: MAE/RMSE/directional accuracy/
     // exact p95/p99 (RDS_SCHEMA.md:610-628). l_discount stands in for the
     // prediction error, l_extendedprice for latency.
+    // D4 — pairwise Pearson correlation matrix (Profile.correlations): the
+    // feature-selection pass. One exact-DECIMAL moment aggregate (map-side
+    // partials, a single k·(k+3)/2-sum row over the wire), matrix assembled
+    // from that row; listwise null deletion so every pair sees the same n.
+    "d4_feature_corr" -> { (s, dir) =>
+      Profile.correlations(
+        Tables.trades(s, dir)
+          .withColumn("notional", col("price") * col("qty")),
+        Seq("price", "qty", "notional"))
+    },
     "a7_prediction_rollup" -> { (s, dir) =>
       Analytics.predictionRollup(
         Tables.lineitem(s, dir),
@@ -188,6 +198,36 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "d4_feature_corr" -> {
+      // exact-decimal moments, double arithmetic in the SAME operation
+      // order as the operator (cov / sqrt(va) / sqrt(vb)), round(6)
+      def ds(e: String) = s"CAST(sum(CAST($e AS DECIMAL(38,12))) AS DOUBLE)"
+      def pair(a: String, b: String) =
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |  round((n * sp_${a}_$b - s_$a * s_$b)
+           |    / sqrt(n * ss_$a - s_$a * s_$a)
+           |    / sqrt(n * ss_$b - s_$b * s_$b), 6) AS corr_r,
+           |  n AS n_rows FROM m""".stripMargin
+      s"""WITH t AS ($T),
+         |c AS (
+         |  SELECT price, qty, price * qty AS notional FROM t
+         |  WHERE price IS NOT NULL AND qty IS NOT NULL),
+         |m AS (
+         |  SELECT count(*) AS n,
+         |    ${ds("price")} AS s_price, ${ds("qty")} AS s_qty,
+         |    ${ds("notional")} AS s_notional,
+         |    ${ds("price * price")} AS ss_price, ${ds("qty * qty")} AS ss_qty,
+         |    ${ds("notional * notional")} AS ss_notional,
+         |    ${ds("price * qty")} AS sp_price_qty,
+         |    ${ds("price * notional")} AS sp_price_notional,
+         |    ${ds("qty * notional")} AS sp_qty_notional
+         |  FROM c)
+         |${pair("price", "qty")}
+         |UNION ALL
+         |${pair("price", "notional")}
+         |UNION ALL
+         |${pair("qty", "notional")}""".stripMargin
+    },
     "a13_rollup_multigrain" ->
       s"""WITH t AS ($T),
          |p AS (SELECT symbol, ts_ms // 86400000 AS day_ms, qty, price FROM t)
