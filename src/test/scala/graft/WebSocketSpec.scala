@@ -210,6 +210,29 @@ class WebSocketSpec extends SparkSpec {
     } finally { cap.close(); srv.close() }
   }
 
+  test("extended payload lengths: 126 (16-bit) and 127 (64-bit) frames round-trip") {
+    // RFC 6455 §5.2 has three length encodings; the basic tests only ever
+    // exercise <=125. A 300-byte and a 70,000-byte message force the 16-bit
+    // and 64-bit paths through BOTH the server writer and the client reader,
+    // and journal byte-identically.
+    val mid = Array.tabulate[Byte](300)(i => (i % 251).toByte)
+    val big = Array.tabulate[Byte](70000)(i => ((i * 31) % 251).toByte)
+    val srv = new TestWsServer(Seq((2, mid), (2, big)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ws_big_").toFile
+    val cap = new graft.sources.WebSocketCapture("localhost", srv.port, "/big", dir.toString)
+    try {
+      cap.awaitCompletion()
+      srv.done.await()
+      assert(cap.journaledCount === 2)
+      val frames = spark.read.format("sbe-frames").load(dir.toString)
+        .select(col("frame")).collect().map(_.getAs[Array[Byte]](0))
+        .sortBy(_.length)
+      assert(frames.length === 2)
+      assert(java.util.Arrays.equals(frames(0), mid), "16-bit-length frame corrupted")
+      assert(java.util.Arrays.equals(frames(1), big), "64-bit-length frame corrupted")
+    } finally { cap.close(); srv.close() }
+  }
+
   test("a wrong Sec-WebSocket-Accept aborts the handshake loudly") {
     val srv = new TestWsServer(Seq.empty, badAccept = true)
     try {
