@@ -63,6 +63,31 @@ object BookReplay {
       .select("symbol", "side", "level", "price", "qty", "value")
   }
 
+  /** Shared validity derivation for [[timeline]] and [[compact]]: last
+    * write per (symbol, side, price, chunk) — `lead` taken BEFORE dropping
+    * deletions, so a qty-0 write terminates the previous value's validity
+    * while emitting no live level itself — then each surviving value's
+    * chunk-validity interval [__chunk, __valid_to], clipped to the
+    * symbol's last chunk. Input columns:
+    * symbol/side/price/qty/__uid/__chunk (+ passthrough).
+    */
+  private def levelValidity(keyed: DataFrame): DataFrame = {
+    val wLevelChunk = Window
+      .partitionBy(col("symbol"), col("side"), col("price"), col("__chunk"))
+      .orderBy(col("__uid").desc, col("qty").desc)
+    val wLevel = Window
+      .partitionBy(col("symbol"), col("side"), col("price"))
+      .orderBy(col("__chunk"))
+    val wSym = Window.partitionBy(col("symbol"))
+    keyed
+      .withColumn("__rn", row_number().over(wLevelChunk))
+      .filter(col("__rn") === 1)
+      .withColumn("__next", lead(col("__chunk"), 1).over(wLevel))
+      .withColumn("__max_chunk", max(col("__chunk")).over(wSym))
+      .filter(col("qty") > 0)
+      .withColumn("__valid_to", coalesce(col("__next") - 1, col("__max_chunk")))
+  }
+
   /** The book's top-`depth` levels at the END of EVERY time chunk — the
     * replay-at-grid audit: "what did the book look like at each hour/day
     * boundary of a month-long delta log", computed WITHOUT a sequential
@@ -103,24 +128,7 @@ object BookReplay {
       symbol.as("symbol"), updateId.as("__uid"), side.as("side"),
       price.as("price"), qty.as("qty"),
       graft.functions.TimeUnits.bucketIndex(tsMs, chunkMs).as("__chunk"))
-    val wLevelChunk = Window
-      .partitionBy(col("symbol"), col("side"), col("price"), col("__chunk"))
-      .orderBy(col("__uid").desc, col("qty").desc)
-    val wLevel = Window
-      .partitionBy(col("symbol"), col("side"), col("price"))
-      .orderBy(col("__chunk"))
-    val wSym = Window.partitionBy(col("symbol"))
-    val intervals = keyed
-      .withColumn("__rn", row_number().over(wLevelChunk))
-      .filter(col("__rn") === 1)
-      // lead BEFORE dropping deletions: a qty-0 write must terminate the
-      // previous value's validity even though it emits no live level itself
-      .withColumn("__next", lead(col("__chunk"), 1).over(wLevel))
-      .withColumn("__max_chunk", max(col("__chunk")).over(wSym))
-      .filter(col("qty") > 0)
-      .withColumn(
-        "__valid_to",
-        coalesce(col("__next") - 1, col("__max_chunk")))
+    val intervals = levelValidity(keyed)
       .withColumn(
         "__span",
         col("__valid_to") - col("__chunk") + 1)
@@ -178,28 +186,13 @@ object BookReplay {
     require(everyChunks >= 1, s"everyChunks must be >= 1, got $everyChunks")
     val k = everyChunks
     val keyed = deltas.select(
-      symbol.as("symbol"), updateId.as("uid"), tsMs.as("ts_ms"),
+      symbol.as("symbol"), updateId.as("__uid"), tsMs.as("ts_ms"),
       side.as("side"), price.as("price"), qty.as("qty"),
       graft.functions.TimeUnits.bucketIndex(tsMs, chunkMs).as("__chunk"))
     require(
-      keyed.schema("uid").dataType == org.apache.spark.sql.types.LongType,
+      keyed.schema("__uid").dataType == org.apache.spark.sql.types.LongType,
       "updateId must be a LONG (synthetic snapshot deltas use -1)")
-    val wLevelChunk = Window
-      .partitionBy(col("symbol"), col("side"), col("price"), col("__chunk"))
-      .orderBy(col("uid").desc, col("qty").desc)
-    val wLevel = Window
-      .partitionBy(col("symbol"), col("side"), col("price"))
-      .orderBy(col("__chunk"))
-    val wSym = Window.partitionBy(col("symbol"))
-    // validity per level write (lead BEFORE dropping deletions — a qty-0
-    // write bounds the previous value, then re-asserts nothing)
-    val snapshots = keyed
-      .withColumn("__rn", row_number().over(wLevelChunk))
-      .filter(col("__rn") === 1)
-      .withColumn("__next", lead(col("__chunk"), 1).over(wLevel))
-      .withColumn("__max_chunk", max(col("__chunk")).over(wSym))
-      .filter(col("qty") > 0)
-      .withColumn("__valid_to", coalesce(col("__next") - 1, col("__max_chunk")))
+    val snapshots = levelValidity(keyed)
       // boundaries B ≡ 0 (mod k) with c+1 <= B <= valid_to+1: the level is
       // live at the end of chunk B−1, so boundary B re-asserts it
       // ceil((c+1)/k)·k = floor((c+k)/k)·k; double division + floor is exact
@@ -218,7 +211,9 @@ object BookReplay {
         (col("__b") * chunkMs).as("ts_ms"),
         col("side"), col("price"), col("qty"))
     keyed
-      .select("symbol", "uid", "ts_ms", "side", "price", "qty")
+      .select(
+        col("symbol"), col("__uid").as("uid"), col("ts_ms"),
+        col("side"), col("price"), col("qty"))
       .unionAll(snapshots)
   }
 

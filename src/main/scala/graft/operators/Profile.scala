@@ -53,30 +53,32 @@ object Profile {
     def dsum(e: org.apache.spark.sql.Column) =
       sum(e.cast("decimal(38,12)")).cast("double")
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (i, j)
+    // moment aliases by POSITION, not name: name-derived aliases like
+    // sp_${a}_${b} collide for underscore-bearing columns (("a","b_c") and
+    // ("a_b","c") both yield sp_a_b_c) and getAs would then silently read
+    // one pair's cross-moment for another
     val aggs =
-      cols.map(c => dsum(col(c)).as(s"s_$c")) ++
-        cols.map(c => dsum(col(c) * col(c)).as(s"ss_$c")) ++
+      cols.indices.map(i => dsum(col(cols(i))).as(s"s_$i")) ++
+        cols.indices.map(i => dsum(col(cols(i)) * col(cols(i))).as(s"ss_$i")) ++
         pairs.map { case (i, j) =>
-          dsum(col(cols(i)) * col(cols(j))).as(s"sp_${cols(i)}_${cols(j)}")
+          dsum(col(cols(i)) * col(cols(j))).as(s"sp_${i}_$j")
         }
     val row = complete
       .agg(count(lit(1)).as("n"), aggs: _*)
       .head()
     val n = row.getAs[Long]("n").toDouble
     val out = pairs.map { case (i, j) =>
-      val (a, b) = (cols(i), cols(j))
-      val (sa, sb) = (row.getAs[Double](s"s_$a"), row.getAs[Double](s"s_$b"))
-      val cov = n * row.getAs[Double](s"sp_${a}_$b") - sa * sb
-      val va = n * row.getAs[Double](s"ss_$a") - sa * sa
-      val vb = n * row.getAs[Double](s"ss_$b") - sb * sb
+      val (sa, sb) = (row.getAs[Double](s"s_$i"), row.getAs[Double](s"s_$j"))
+      val cov = n * row.getAs[Double](s"sp_${i}_$j") - sa * sb
+      val va = n * row.getAs[Double](s"ss_$i") - sa * sa
+      val vb = n * row.getAs[Double](s"ss_$j") - sb * sb
       val r =
         if (va <= 0.0 || vb <= 0.0) None // a constant column has no correlation
         else Some(BigDecimal(cov / math.sqrt(va) / math.sqrt(vb))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      (a, b, r, n.toLong)
+      (cols(i), cols(j), r, n.toLong)
     }
     out.toDF("col_a", "col_b", "corr_r", "n_rows")
-      .select(col("col_a"), col("col_b"), col("corr_r").as("corr_r"), col("n_rows"))
   }
 
   /** One output row per profiled column:

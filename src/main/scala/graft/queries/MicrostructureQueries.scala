@@ -109,30 +109,26 @@ object MicrostructureQueries {
     }
   }
 
-  /** b1's synthetic DepthDelta log: floor-grid prices force genuine level
-    * collisions (several updates to one price), trade_id is the total
+  /** b1/b2's synthetic DepthDelta log: floor-grid prices force genuine
+    * level collisions (several updates to one price), trade_id is the total
     * update order, every 17th delta is a qty-0 deletion. `floor` (not
     * `round`) because Spark rounds HALF_UP while DuckDB rounds half-even —
-    * floor is identical in both.
+    * floor is identical in both. ONE recipe — the DuckDB CTEs mirror it,
+    * so it must not fork.
     */
-  private def bookDeltas(s: SparkSession, dir: String): DataFrame =
-    Tables.trades(s, dir).select(
-      col("symbol"),
-      col("trade_id").as("uid"),
-      when(pmod(col("trade_id"), lit(2)) === 0, "bid").otherwise("ask").as("side"),
-      // cast back: Spark's floor returns BIGINT, DuckDB's returns DOUBLE
-      floor(col("price")).cast("double").as("price"),
-      when(pmod(col("trade_id"), lit(17)) === 0, 0.0).otherwise(col("qty")).as("qty"))
-
-  /** [[bookDeltas]] plus the event time, for the chunked timeline (b2). */
   private def bookDeltasTs(s: SparkSession, dir: String): DataFrame =
     Tables.trades(s, dir).select(
       col("symbol"),
       col("trade_id").as("uid"),
       col("ts_ms"),
       when(pmod(col("trade_id"), lit(2)) === 0, "bid").otherwise("ask").as("side"),
+      // cast back: Spark's floor returns BIGINT, DuckDB's returns DOUBLE
       floor(col("price")).cast("double").as("price"),
       when(pmod(col("trade_id"), lit(17)) === 0, 0.0).otherwise(col("qty")).as("qty"))
+
+  /** The time-free view for b1/b1b (end-state replay needs no chunking). */
+  private def bookDeltas(s: SparkSession, dir: String): DataFrame =
+    bookDeltasTs(s, dir).drop("ts_ms")
 
   /** DuckDB twin of [[bookDeltas]] + the last-write-wins live-level CTEs. */
   private val bookCte =

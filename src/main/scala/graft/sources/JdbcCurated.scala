@@ -60,11 +60,24 @@ object JdbcCurated {
     * DECIMAL(20,8) the reference's DDL declares, and string columns are
     * pinned to `VARCHAR(stringWidth)` like the reference's `VARCHAR(20)`
     * columns: Derby's dialect default is CLOB, which cannot be COMPARED —
-    * a pushed-down key predicate then fails server-side). Returns the
-    * number of rows actually inserted.
+    * a pushed-down key predicate then fails server-side), then backs the
+    * keys with a UNIQUE INDEX — the same constraint the reference's DDL
+    * declares, and the line of defense the anti-join alone cannot be:
+    * a RETRIED write task (its inserts committed, its success report lost)
+    * or a concurrent writer re-inserts keys the pre-insert anti-join could
+    * not see. With the index those duplicates BOUNCE LOUDLY (the job
+    * fails; a writeDedup re-run then converges via the anti-join) instead
+    * of corrupting the table silently. Returns the number of rows actually
+    * inserted.
     *
     * `writeParallelism` caps the insert connections (coalesce, not
-    * repartition: no shuffle just to write).
+    * repartition: no shuffle just to write). The existing-key scan is a
+    * single JDBC stream (Spark's partitioned JDBC read needs a numeric
+    * split column + bounds the caller would have to provide); it reads
+    * ONLY the key columns, and the curated tables this sink mirrors are
+    * the reference's Postgres layer — far smaller than bronze. For a
+    * genuinely huge target, export its key projection to parquet and
+    * anti-join against that instead.
     */
   def writeDedup(
       batch: DataFrame,
@@ -76,8 +89,9 @@ object JdbcCurated {
     require(keys.nonEmpty, "at least one key column")
     val spark = batch.sparkSession
     val props = new java.util.Properties()
+    val creating = !tableExists(url, table)
     val fresh =
-      if (!tableExists(url, table)) batch
+      if (creating) batch
       else {
         val existing = spark.read.jdbc(url, table, props)
           .select(keys.map(col): _*)
@@ -98,6 +112,18 @@ object JdbcCurated {
         if (stringCols.isEmpty) writer
         else writer.option("createTableColumnTypes", stringCols.mkString(", "))
       withTypes.jdbc(url, table, props)
+      if (creating) {
+        // Spark quotes column identifiers at CREATE TABLE, so the index DDL
+        // must too (unquoted names would upper-case and miss them)
+        val cols = keys.map(k => "\"" + k + "\"").mkString(", ")
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          try st.executeUpdate(
+            s"""CREATE UNIQUE INDEX "${table}_dedup_key" ON $table ($cols)""")
+          finally st.close()
+        } finally conn.close()
+      }
     }
     n
   }

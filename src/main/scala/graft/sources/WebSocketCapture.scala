@@ -47,7 +47,12 @@ final class WsClient(
   private val rnd = new java.security.SecureRandom()
   @volatile private var closeSent = false
 
-  handshake()
+  // a refused handshake throws out of the CONSTRUCTOR — the caller never
+  // receives a reference to close(), so the connected socket must not
+  // outlive the failure (a reconnect loop against a misconfigured endpoint
+  // would otherwise leak one fd per attempt)
+  try handshake()
+  catch { case e: Throwable => socket.close(); throw e }
 
   private def handshake(): Unit = {
     val keyBytes = new Array[Byte](16)

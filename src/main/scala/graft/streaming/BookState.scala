@@ -69,9 +69,18 @@ object BookState {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (symbol: String, it: Iterator[Delta], state: GroupState[Book]) => {
           if (state.hasTimedOut) {
-            // an idle symbol's book is dead weight; a later delta restarts
-            // from an empty book exactly like a first-seen symbol
-            state.remove()
+            // evict the BULK of an idle symbol's state (the level maps) but
+            // keep the update-id frontier as a ~32-byte tombstone — a full
+            // remove() would reset the frontier and let an at-least-once
+            // source REPLAY pre-eviction deltas into the empty book,
+            // breaking the documented no-op guard. No new timeout is armed,
+            // so the tombstone costs nothing further. NOTE a post-eviction
+            // book rebuilt from deltas alone is PARTIAL until a snapshot
+            // re-anchor (the reference's re_anchor_service flow, composed
+            // in EtlLifecycleSpec) — deltas cannot reconstruct levels they
+            // never touch, which is true of any delta-feed consumer.
+            state.getOption.foreach(prev =>
+              state.update(Book(Map.empty, Map.empty, prev.lastUpdateId, prev.lastTsMs)))
             Iterator.empty
           } else {
             val prev = state.getOption.getOrElse(Book(Map.empty, Map.empty, Long.MinValue, 0L))

@@ -34,6 +34,7 @@ object GridTicker {
       anchorTs: Long,
       nextGridTs: Long,
       lastPrice: Option[Double],
+      lastObsTs: Long,
       pending: List[Obs])
   final case class Tick(
       symbol: String,
@@ -41,11 +42,20 @@ object GridTicker {
       price: Double,
       fresh: Boolean)
 
+  /** @param idleTimeoutMs a key with no NEW observation for this long (event
+    *                       time) stops ticking and drops its state — without
+    *                       the cap, a delisted symbol would carry its stale
+    *                       LOCF price forever and state would grow with
+    *                       every key ever seen. A later observation restarts
+    *                       the key with a fresh anchor.
+    */
   def ticks(
       obs: Dataset[Obs],
       stepMs: Long = 2000L,
-      watermarkDelay: String = "10 seconds"): Dataset[Tick] = {
+      watermarkDelay: String = "10 seconds",
+      idleTimeoutMs: Long = 3600000L): Dataset[Tick] = {
     require(stepMs > 0, s"stepMs must be positive, got $stepMs")
+    require(idleTimeoutMs > 0, s"idleTimeoutMs must be positive, got $idleTimeoutMs")
     import obs.sparkSession.implicits._
     obs
       .withColumn("event_time", timestamp_millis(col("ts_ms")))
@@ -57,20 +67,26 @@ object GridTicker {
           val wm = state.getCurrentWatermarkMs()
           val incoming = it.toList
           val prev = state.getOption match {
-            case Some(s) => s.copy(pending = (s.pending ++ incoming).sortBy(o => (o.ts_ms, o.price)))
+            case Some(s) => s.copy(
+              lastObsTs = (s.lastObsTs +: incoming.map(_.ts_ms)).max,
+              pending = (s.pending ++ incoming).sortBy(o => (o.ts_ms, o.price)))
             case None =>
               val sorted = incoming.sortBy(o => (o.ts_ms, o.price))
               // anchor at the first observation ever seen for the key
               val anchor = sorted.head.ts_ms
-              TickerState(anchor, anchor, None, sorted)
+              TickerState(anchor, anchor, None, sorted.map(_.ts_ms).max, sorted)
           }
+          // the idle cap bounds BOTH state and carry output: no tick is
+          // ever emitted past lastObs + idleTimeout, and once the watermark
+          // confirms nothing newer can arrive, the key's state drops
+          val tickCeiling = math.min(wm, prev.lastObsTs + idleTimeoutMs)
           var nextGrid = prev.nextGridTs
           var lastPrice = prev.lastPrice
           var pending = prev.pending
           val out = scala.collection.mutable.ArrayBuffer.empty[Tick]
           // drain every grid instant the watermark has finalized: no
           // admissible observation at or before it can still arrive
-          while (nextGrid <= wm) {
+          while (nextGrid <= tickCeiling) {
             var fresh = false
             while (pending.nonEmpty && pending.head.ts_ms <= nextGrid) {
               lastPrice = Some(pending.head.price)
@@ -80,10 +96,19 @@ object GridTicker {
             lastPrice.foreach(p => out += Tick(symbol, nextGrid, p, fresh))
             nextGrid += stepMs
           }
-          state.update(TickerState(prev.anchorTs, nextGrid, lastPrice, pending))
-          // wake when the watermark passes the next due tick, even if this
-          // key sees no further input (timeout must sit above the watermark)
-          state.setTimeoutTimestamp(math.max(nextGrid, wm + 1))
+          if (wm > prev.lastObsTs + idleTimeoutMs) {
+            // idle past the cap and fully drained: a later observation
+            // restarts the key like a first-seen one (fresh anchor)
+            state.remove()
+          } else {
+            state.update(TickerState(
+              prev.anchorTs, nextGrid, lastPrice, prev.lastObsTs, pending))
+            // wake when the watermark passes the next due tick (or the idle
+            // cap), even if this key sees no further input (timeout must
+            // sit above the watermark)
+            state.setTimeoutTimestamp(
+              math.max(math.min(nextGrid, prev.lastObsTs + idleTimeoutMs + 1), wm + 1))
+          }
           out.iterator
         })
   }

@@ -64,6 +64,24 @@ class JdbcCuratedSpec extends SparkSpec {
     assert(back.select("timestamp").distinct.count() === 100)
   }
 
+  test("the unique key index bounces writes that bypass the dedup path") {
+    // the anti-join cannot see a RETRIED task's already-committed inserts
+    // (or a concurrent writer); the key index is that line of defense —
+    // duplicates bounce loudly instead of corrupting the table silently
+    val url = freshUrl("constraint")
+    assert(graft.sources.JdbcCurated.writeDedup(curatedBatch(0 until 20), url, "market_data", keys) === 20)
+    val e = intercept[Exception] {
+      curatedBatch(5 until 6).write.mode("append")
+        .jdbc(url, "market_data", new java.util.Properties())
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.toLowerCase.contains("duplicate key")), msgs(e).mkString(" | "))
+    // the table is uncorrupted and the idempotent path still converges
+    assert(graft.sources.JdbcCurated.writeDedup(curatedBatch(0 until 25), url, "market_data", keys) === 5)
+    assert(spark.read.jdbc(url, "market_data", new java.util.Properties()).count() === 25)
+  }
+
   test("foreachBatch streaming sink into Derby is idempotent under replay") {
     // K1+K5+T4 composed: micro-batches land through the same dup-skip path,
     // so an at-least-once REPLAY of a whole micro-batch (the failure mode
