@@ -110,6 +110,17 @@ object BookReplay {
     * op's convention); the 100 TB answer is periodic snapshot compaction —
     * splitting the log at snapshot boundaries bounds every span by the
     * compaction period, and this same operator then runs per segment.
+    *
+    * PRECONDITION — `tsMs` monotone in `updateId` per (symbol, side,
+    * price): conflicts WITHIN a chunk resolve by max `updateId`, but
+    * validity ACROSS chunks orders by chunk index (i.e. by ts). A feed
+    * whose ts runs backwards relative to update-id for the same level can
+    * place a newer write in an earlier chunk, and the final chunk's
+    * snapshot then disagrees with [[levels]] (which orders purely by
+    * update-id). Exchange book feeds satisfy this by construction — both
+    * fields are assigned by the matching engine in sequence
+    * (`binance_sbe.py` depth events carry monotone (E, U) pairs); property
+    * coverage in PropertySpec. Same precondition for [[compact]].
     */
   def timeline(
       deltas: DataFrame,

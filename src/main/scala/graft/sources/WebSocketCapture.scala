@@ -144,10 +144,19 @@ final class WsClient(
 
   /** Next DATA message (opcode, full reassembled payload), answering pings
     * and echoing the close handshake transparently; None after close/EOF.
+    * `maxMessageBytes` bounds the REASSEMBLED total, not just each frame:
+    * an endless stream of non-FIN continuations must not grow `acc` past
+    * the same ceiling a single oversized frame would hit.
     */
   def readMessage(): Option[(Int, Array[Byte])] = {
     var msgOpcode = -1
     val acc = new java.io.ByteArrayOutputStream()
+    def accumulate(payload: Array[Byte]): Unit = {
+      if (acc.size().toLong + payload.length > maxMessageBytes)
+        throw new java.io.StreamCorruptedException(
+          s"reassembled message exceeds $maxMessageBytes bytes across continuation frames")
+      acc.write(payload)
+    }
     try {
       while (true) {
         val (fin, opcode, payload) = readFrame()
@@ -160,14 +169,14 @@ final class WsClient(
           case 0 =>
             if (msgOpcode < 0)
               throw new java.io.StreamCorruptedException("continuation without a message")
-            acc.write(payload)
+            accumulate(payload)
             if (fin) return Some((msgOpcode, acc.toByteArray))
           case 1 | 2 =>
             if (msgOpcode >= 0)
               throw new java.io.StreamCorruptedException("new data frame inside a fragmented message")
             if (fin) return Some((opcode, payload))
             msgOpcode = opcode
-            acc.write(payload)
+            accumulate(payload)
           case other =>
             throw new java.io.StreamCorruptedException(s"unknown opcode $other")
         }
@@ -268,7 +277,9 @@ final class WebSocketCapture(
 
   def journaledCount: Long = framesJournaled.get()
 
-  def checkFailure(): Unit = failure.foreach(throw _)
+  @volatile private var failureObserved = false
+
+  def checkFailure(): Unit = failure.foreach { e => failureObserved = true; throw e }
 
   /** Blocks until the feed closes and the journal is fully flushed. */
   def awaitCompletion(timeoutMs: Long = 30000): Unit = {
@@ -277,8 +288,20 @@ final class WebSocketCapture(
     checkFailure()
   }
 
+  /** Closes the socket and joins the capture thread. A capture that died
+    * mid-run must not close SILENTLY: a stored failure the caller never saw
+    * (via [[checkFailure]]/[[awaitCompletion]]) is rethrown here; a thread
+    * still alive after the join gets a loud stderr warning (close() is
+    * usually in a `finally`, so throwing for mere slowness would mask the
+    * primary exception — a failure the caller already observed likewise
+    * stays rethrown-once).
+    */
   override def close(): Unit = {
     client.close()
     thread.join(5000)
+    if (thread.isAlive)
+      System.err.println(s"[WebSocketCapture] WARNING: capture thread ${thread.getName} " +
+        "still running 5s after close; journal tail may be unflushed")
+    if (!failureObserved) checkFailure()
   }
 }

@@ -46,8 +46,14 @@ object BookState {
       best_ask: Option[Double],
       spread: Option[Double],
       spread_bp: Option[Double], // vs the simple mid, 4 dp
-      bid_levels: Int,
-      ask_levels: Int,
+      // INTENTIONAL divergence from the batch surface: these count the FULL
+      // live map (state-size observability — how much book a symbol holds),
+      // while BookReplay.metrics' bid_levels/ask_levels count only levels
+      // within top-`depth`. The `live_` prefix marks the difference; the
+      // batch-comparable value is min(live_*_levels, depth), asserted in
+      // BookStateSpec's parity test.
+      live_bid_levels: Int,
+      live_ask_levels: Int,
       bid_value_sum: Double, // Σ price·qty over the emitted top-N
       ask_value_sum: Double,
       ob_imbalance: Option[Double], // value imbalance over the top-N, 6 dp
@@ -117,7 +123,8 @@ object BookState {
               val ba = topAsks.headOption.map(_._1)
               // the ob:{symbol} metric fields (DATA_PIPELINE.md:96-120),
               // same formulas + rounding as the batch BookReplay.metrics so
-              // the two surfaces are comparable row-for-row
+              // the two surfaces are comparable row-for-row (except the
+              // live_*_levels pair — full-map counts by design, see Snapshot)
               def rnd(x: Double, dp: Int): Double =
                 BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
               // per-element 8-dp decimal rounding then exact decimal sum —

@@ -63,7 +63,7 @@ class BookStateSpec extends SparkSpec {
     q.processAllAvailable()
     val s = spark.table("book_depth").as[Snapshot].collect().last
     assert(s.bids === Seq((99.0, 1.0), (98.0, 1.0))) // best two only
-    assert(s.bid_levels === 5) // but the live map keeps all levels
+    assert(s.live_bid_levels === 5) // but the live map keeps all levels
     q.stop()
   }
 
@@ -178,6 +178,10 @@ class BookStateSpec extends SparkSpec {
       assert(s.ask_value_sum === m.getAs[Double]("ask_value_sum"), sym)
       assert(s.ob_imbalance.contains(m.getAs[Double]("ob_imbalance")), sym)
       assert(s.weighted_mid.contains(m.getAs[Double]("weighted_mid")), sym)
+      // level counts: batch counts within top-depth; live counts the full
+      // map — min(live, depth) is the declared batch-comparable projection
+      assert(math.min(s.live_bid_levels, 10).toLong === m.getAs[Long]("bid_levels"), sym)
+      assert(math.min(s.live_ask_levels, 10).toLong === m.getAs[Long]("ask_levels"), sym)
     }
   }
 }

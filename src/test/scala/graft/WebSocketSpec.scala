@@ -243,6 +243,21 @@ class WebSocketSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("reassembled continuation total above maxMessageBytes aborts (per-frame cap is not enough)") {
+    // each fragment is small enough to pass the per-FRAME length guard; the
+    // cap must bite on the REASSEMBLED total or a malicious server could
+    // stream non-FIN continuations until the heap dies
+    val big = Array.tabulate[Byte](3000)(i => (i % 113).toByte)
+    val srv = new TestWsServer(Seq((2, big)), fragmentFirstInto = 10) // 10 × 300-byte frames
+    try {
+      val c = new WsClient("localhost", srv.port, "/frag", maxMessageBytes = 1000)
+      try {
+        val e = intercept[java.io.StreamCorruptedException](c.readMessage())
+        assert(e.getMessage.contains("reassembled message exceeds 1000 bytes"))
+      } finally c.close()
+    } finally srv.close()
+  }
+
   test("accept-key derivation matches the RFC 6455 §1.3 worked example") {
     // the spec's own test vector: key "dGhlIHNhbXBsZSBub25jZQ==" →
     // accept "s3pPLMBiTxaQ9kYGzzhZRbK+xOo="
