@@ -35,4 +35,65 @@ object GraftSession {
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
     builder(s"local[$cores]", math.max(cores, 8)).getOrCreate()
+
+  /** FQN of Spark's RocksDB state store provider (ships in spark-sql with
+    * the rocksdbjni native lib on the default classpath).
+    */
+  val RocksDbStateStoreProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Move stateful-streaming state (the `(flat)mapGroupsWithState` /
+    * windowed-agg / dedup stores behind [[graft.streaming.BookState]],
+    * [[graft.streaming.EwmaStream]], [[graft.streaming.GridTicker]],
+    * [[graft.streaming.GapDetector]]) from the default on-heap
+    * HDFSBackedStateStoreProvider into RocksDB.
+    *
+    * Why this is the 100 TB setting: the on-heap provider keeps EVERY key's
+    * state as JVM objects in the executor heap — careful logical bounding
+    * (top-N level maps, ≤lookback frames, watermark-drained buffers) still
+    * multiplies by key cardinality, and at millions of live symbols/users
+    * the heap, not the state, is the ceiling (the reference holds the same
+    * hot state off-heap in Redis hashes, `DATA_PIPELINE.md:61-213`).
+    * RocksDB keeps state in native memory + local SST files, so per-key
+    * cost leaves the heap entirely; `boundedMemoryUsage` caps the native
+    * block cache + memtables across ALL store instances on an executor so
+    * a 1000-executor deployment budgets memory deterministically; changelog
+    * checkpointing uploads per-batch deltas instead of full SST snapshots,
+    * keeping the checkpoint cost proportional to the batch's writes (the
+    * same incremental-not-full economics as the k7 watermark store).
+    *
+    * Budget at 1 M live keys (BookState shape, the largest state row —
+    * ~10+10 levels × 16 B + frontier ≈ 400 B serialized): ~400 MB of
+    * native state per executor-worth of keys, amortized across the
+    * cluster by the groupByKey hash partitioning; a 512 MB cache bound
+    * holds it with room, vs the same state as boxed JVM maps costing
+    * 3-5× that in heap plus GC pressure. Set `maxMemoryMB` to the
+    * executor's off-heap allowance.
+    *
+    * Runtime confs — callable on a LIVE session (`configureRocksDbState`)
+    * before `.start()`, or baked into the builder here; each streaming
+    * query reads the provider class when it starts.
+    */
+  def withRocksDbStateStore(
+      b: SparkSession.Builder,
+      maxMemoryMB: Long = 512): SparkSession.Builder = {
+    rocksDbConfs(maxMemoryMB).foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+  }
+
+  /** Same confs applied to an already-built session (they are runtime
+    * confs; queries started AFTER this call use RocksDB, running queries
+    * keep the provider recorded in their checkpoint).
+    */
+  def configureRocksDbState(spark: SparkSession, maxMemoryMB: Long = 512): Unit =
+    rocksDbConfs(maxMemoryMB).foreach { case (k, v) => spark.conf.set(k, v) }
+
+  private def rocksDbConfs(maxMemoryMB: Long): Seq[(String, String)] = Seq(
+    "spark.sql.streaming.stateStore.providerClass" -> RocksDbStateStoreProvider,
+    // one native-memory budget shared by every store instance on the node,
+    // instead of per-instance caches that multiply by operator x partition
+    "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" -> "true",
+    "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" -> maxMemoryMB.toString,
+    // per-batch changelog upload, full snapshot only periodically — the
+    // checkpoint write is O(batch writes), not O(total state)
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
 }
