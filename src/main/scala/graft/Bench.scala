@@ -1,43 +1,74 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main. Prints ONE JSON line.
   *
-  * Measurement modes (r6): one-JVM sweep timings carry multi-second GC
+  * Measurement modes (r6-r9): one-JVM sweep timings carry multi-second GC
   * outliers (observed: d2 0.65 s isolated vs 8.3 s in one sweep), so a
-  * single sweep pass cannot distinguish a regression from noise. The bench
-  * therefore reports BOTH:
-  *   - `queries_sweep`: one timed pass in sorted order, after warmup — the
-  *     historical sweep number, kept for round-over-round comparability;
-  *   - `queries`: per-query MEDIAN across `SPARK_GRAFT_RUNS` (default 5)
-  *     INTERLEAVED full rounds over the query set (gc+settle between
-  *     rounds) — the trustworthy regression-detection number, with
-  *     per-query min/max spread in `spread`. Interleaving (r7) makes a
-  *     time-local disturbance a round effect the median discards for every
-  *     query equally, instead of a bias against whichever queries run
-  *     first.
-  *   - `queries_min` (r8): per-query MIN across the same rounds — the
-  *     noise-free plan cost in a warm JVM. The r7 end-round run proved the
-  *     3-round median is NOT disturbance-proof: 2 of 3 rounds were hit
-  *     (w5b spread [0.68, 26.2] s, w6 median 4.06 s vs 0.55 s min), so the
-  *     median REPORTED the disturbance. The min cannot be inflated by a GC
-  *     storm or cleaner drain — only deflated by work not happening, which
-  *     the noop sink's materialize-everything contract rules out. Rounds
-  *     were raised 3→5 so a multi-round disturbance must now hit 3 rounds
-  *     to move the median at all.
-  * `value` (the headline total) sums the medians; `value_min` sums the
-  * mins — regression-gate on `value_min` when the two disagree, and read
-  * `round_totals` to see WHICH rounds were disturbed. `SPARK_GRAFT_RUNS=1`
-  * restores the legacy behavior (queries == the single sweep pass, no
-  * spread). `SPARK_GRAFT_ONLY=a,b` restricts the query set for local
-  * iteration.
+  * single sweep pass cannot distinguish a regression from noise. r7
+  * interleaved the rounds so a time-local disturbance becomes a ROUND
+  * effect the per-query median discards; r8 added the per-query MIN (the
+  * noise-free warm-plan cost — a GC storm can inflate but never deflate
+  * it) and `round_totals` so a disturbed round is visible. That absorbed
+  * the disturbance; r9 removes its source: JVM AGING. 30/122 queries still
+  * showed >2x max/min spread across rounds in ONE JVM — heap growth, dead
+  * broadcast/checkpoint blocks, cleaner drains, and codegen-cache pressure
+  * all accumulate monotonically, so later rounds run in a measurably
+  * different JVM than round 1.
+  *
+  * FORKED MODE (default when runs > 1): each round is a FRESH child JVM —
+  * same classpath and JVM flags as this one (taken from the running JVM, so
+  * sbt's -Xmx/--add-opens carry over), running warmup over the full query
+  * set then exactly one timed round. Aging cannot leak across rounds
+  * because nothing survives a round but the stdout record. The parent
+  * holds no SparkSession at all.
+  *   - `queries`/`value`: per-query median / summed medians across the
+  *     child rounds — the regression signal;
+  *   - `queries_min`/`value_min`: per-query min / summed mins;
+  *   - `queries_sweep`: round 1's times (each child IS warmup + one timed
+  *     pass — the historical sweep shape — so round 1 doubles as the
+  *     sweep; kept for round-over-round comparability);
+  *   - `queries_exec` (r9): round 1 additionally re-writes each query's
+  *     SAME DataFrame once more after its timed pass — Catalyst analysis
+  *     and the DataFrame build amortized — isolating EXECUTION from
+  *     planning overhead (~0.1-0.4 s/query of the suite total is planning,
+  *     which a production job paying it once per long-running query never
+  *     sees at 100x data);
+  *   - `round_totals`: per-child totals (dispersion across FRESH JVMs is
+  *     genuine machine noise, not aging).
+  * `SPARK_GRAFT_FORK=0` restores the r8 in-process interleaved rounds;
+  * `SPARK_GRAFT_RUNS=1` restores the legacy single sweep (both also
+  * measure `queries_exec` off the sweep pass). `SPARK_GRAFT_ONLY=a,b`
+  * restricts the query set for local iteration.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(5).max(1)
+
+  def main(args: Array[String]): Unit =
+    if (sys.env.get("SPARK_GRAFT_CHILD").contains("1")) childMain() else parentMain()
+
+  // ---------------------------------------------------------------- shared
+
+  private def sfDir: String = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  private def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  private def num(v: Double, dp: Int): String = // Locale.ROOT: '.' decimals always
+    s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
+  private def fmt(pairs: Seq[(String, Double)], dp: Int): String =
+    pairs.map { case (k, v) => "\"" + k + "\":" + num(v, dp) }.mkString("{", ",", "}")
+
+  private def selectedQueries(): Seq[(String, (SparkSession, String) => DataFrame)] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    (only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }).toSeq.sortBy(_._1)
+  }
+
+  private def buildSession(): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -46,84 +77,218 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
-      // 97 queries × several codegen stages far exceeds the default
-      // 100-entry generated-code cache; with interleaved rounds every query
-      // would otherwise RECOMPILE its codegen each round (measured +0.1-0.8 s
-      // per query, uniformly) — a bench-harness artifact, not a plan cost.
-      // A production job runs few queries repeatedly and never sees this.
+      // 97+ queries x several codegen stages far exceed the default
+      // 100-entry generated-code cache; every query would otherwise
+      // RECOMPILE its codegen each pass (measured +0.1-0.8 s per query,
+      // uniformly) — a bench-harness artifact, not a plan cost. A
+      // production job runs few queries repeatedly and never sees this.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // noop sink: materializes EVERY output column (a bare count() lets
-    // Catalyst prune projections, silently benchmarking just the scan).
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
-    // A query that throws must be VISIBLE, not a silently-fast row: a
-    // swallowed failure once produced a plausible-looking 0.14 s "total"
-    // for a 55 s suite (stale classpath). First error per query is recorded
-    // and reported in the JSON; an all-queries-failed run exits nonzero.
+    spark
+  }
+
+  // ----------------------------------------------------------- child round
+
+  /** One fresh-JVM round: warmup over the full set, gc+settle, one timed
+    * pass (keeping each DataFrame), then — when `SPARK_GRAFT_EXEC=1` — one
+    * more timed write of the SAME DataFrame per query. Results go to
+    * stdout as `#GRAFT`-prefixed lines (Spark logs go to stderr, so stdout
+    * is ours); the parent parses them. The noop sink materializes EVERY
+    * output column (a bare count() lets Catalyst prune projections,
+    * silently benchmarking just the scan).
+    */
+  private def childMain(): Unit = {
+    val spark = buildSession()
+    val selected = selectedQueries()
+    val withExec = sys.env.get("SPARK_GRAFT_EXEC").contains("1")
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def runLogged(
-        name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try run(fn, sfDir)
-      catch {
+    def record(name: String, e: Throwable): Unit =
+      errors.getOrElseUpdate(
+        name, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+    // Warmup on the TARGET dir: AQE re-plans per data size, so warming on a
+    // smaller SF compiles different physical plans and the timed pass would
+    // still pay janino/JIT for every query (~2 s/query observed).
+    selected.foreach { case (name, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => record(name, e) }
+    }
+    System.gc(); Thread.sleep(1000)
+    val dfs = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+    selected.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        if (withExec) dfs(name) = df
+      } catch { case e: Throwable => record(name, e) }
+      println(s"#GRAFT Q $name ${num((System.nanoTime() - t0) / 1e9, 6)}")
+    }
+    if (withExec) selected.foreach { case (name, _) =>
+      dfs.get(name).foreach { df =>
+        val t0 = System.nanoTime()
+        try df.write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => record(name, e) }
+        println(s"#GRAFT E $name ${num((System.nanoTime() - t0) / 1e9, 6)}")
+      }
+    }
+    errors.foreach { case (name, msg) =>
+      println(s"#GRAFT ERR $name\t${msg.replaceAll("[\\x00-\\x1f]", " ")}")
+    }
+    println("#GRAFT DONE")
+    spark.stop()
+  }
+
+  // ---------------------------------------------------------------- parent
+
+  private def parentMain(): Unit = {
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(5).max(1)
+    val fork = sys.env.getOrElse("SPARK_GRAFT_FORK", "1") != "0"
+    if (runs > 1 && fork) forkedMain(runs) else inProcessMain(runs)
+  }
+
+  /** Spawn `runs` child JVMs sequentially, each a fresh round. The child
+    * command line mirrors THIS JVM (same java, input arguments, classpath)
+    * so sbt's javaOptions (--add-opens, -Xmx) apply identically.
+    */
+  private def forkedMain(runs: Int): Unit = {
+    val selected = selectedQueries().map(_._1)
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val cp = sys.props("java.class.path")
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var execTimes = Seq.empty[(String, Double)]
+
+    val rounds: Seq[Seq[(String, Double)]] = (0 until runs).map { r =>
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_EXEC", if (r == 0) "1" else "0")
+      val p = pb.start()
+      // child stderr (Spark logs) streams through so a hung round is
+      // diagnosable from the driver's capture
+      val drainer = new Thread(() => {
+        val buf = new Array[Byte](8192)
+        val in = p.getErrorStream
+        var n = in.read(buf)
+        while (n >= 0) { System.err.write(buf, 0, n); n = in.read(buf) }
+      }, s"bench-child-$r-stderr")
+      drainer.setDaemon(true)
+      drainer.start()
+      val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val exec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+      var done = false
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.startsWith("#GRAFT ")) {
+          val body = line.drop(7)
+          if (body.startsWith("Q ")) {
+            val Array(n, t) = body.drop(2).split(" ", 2)
+            times(n) = t.toDouble
+          } else if (body.startsWith("E ")) {
+            val Array(n, t) = body.drop(2).split(" ", 2)
+            exec(n) = t.toDouble
+          } else if (body.startsWith("ERR ")) {
+            val Array(n, msg) = body.drop(4).split("\t", 2)
+            errors.getOrElseUpdate(n, msg)
+          } else if (body == "DONE") done = true
+        }
+        line = reader.readLine()
+      }
+      val exited = p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+      if (!exited) p.destroyForcibly()
+      // a round that died mid-pass poisons the medians — fail LOUDLY, a
+      // partial bench record is worse than none (r6's silent-failure lesson)
+      require(done && exited && p.exitValue() == 0 && times.size == selected.size,
+        s"bench child round $r incomplete: done=$done exited=$exited " +
+          s"times=${times.size}/${selected.size} (see stderr above)")
+      if (r == 0) execTimes = exec.toSeq
+      System.err.println(s"[bench] round $r: ${num(times.values.sum, 1)} s over ${times.size} queries")
+      times.toSeq
+    }
+
+    val stats = selected.zipWithIndex.map { case (name, i) =>
+      val ts = rounds.map(_(i)._2).sorted
+      (name, ts(ts.length / 2), ts.head, ts.last)
+    }
+    emit(runs, mode = "forked-jvm", sweep = rounds.head, stats = stats,
+      roundTotals = rounds.map(_.map(_._2).sum), execTimes = execTimes,
+      errors = errors, selectedCount = selected.size)
+  }
+
+  /** r8 behavior: interleaved rounds inside this one JVM (`SPARK_GRAFT_FORK=0`),
+    * or the legacy single sweep (`SPARK_GRAFT_RUNS=1`). Kept as the
+    * fallback and for quick `SPARK_GRAFT_ONLY` iteration where JVM spawn
+    * overhead would dominate.
+    */
+  private def inProcessMain(runs: Int): Unit = {
+    val spark = buildSession()
+    val selected = selectedQueries()
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def runLogged(name: String, fn: (SparkSession, String) => DataFrame): Option[DataFrame] =
+      try {
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        Some(df)
+      } catch {
         case e: Throwable =>
           errors.getOrElseUpdate(
             name, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+          None
       }
-    def timed(
-        name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timed(name: String, fn: (SparkSession, String) => DataFrame): (Double, Option[DataFrame]) = {
       val t0 = System.nanoTime()
-      runLogged(name, fn)
-      (System.nanoTime() - t0) / 1e9
+      val df = runLogged(name, fn)
+      ((System.nanoTime() - t0) / 1e9, df)
     }
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = (only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None => SparkEntry.queries
-    }).toSeq.sortBy(_._1)
-    // Warmup on the TARGET dir: AQE re-plans per data size, so warming on a
-    // smaller SF compiles different physical plans and the timed pass would
-    // still pay janino/JIT for every query (~2 s/query observed). One full
-    // pass at the bench SF puts the timed pass in steady state.
-    selected.foreach { case (name, fn) => runLogged(name, fn) }
-    // Pass 1 — the historical sweep: one timed run per query, sorted order.
-    val sweep = selected.map { case (name, fn) => name -> timed(name, fn) }
-    // Pass 2 — interleaved medians: `runs` full ROUNDS over the query set
-    // (sorted order within each round), per-query median taken ACROSS
-    // rounds. Back-to-back per-query run groups (the previous shape) left a
-    // residual ~1.4× inflation of the alphabetically-early queries: the
-    // sweep's dead checkpoint/broadcast blocks drain via ASYNC
-    // ContextCleaner removals that race whatever runs first, and a settle
-    // pause can only shrink that window, not close it. Interleaving turns
-    // any time-local disturbance (cleaner drain, heap growth, a GC storm)
-    // into a ROUND effect hitting every query once — and the median across
-    // rounds discards one bad round per query uniformly, wherever it sits
-    // in the alphabet. Each round starts with its own gc+settle so
-    // cross-round state (the previous round's dead blocks) drains between
-    // rounds rather than inside the next round's first queries.
-    val (medians, roundTotals) = if (runs > 1) {
+    selected.foreach { case (name, fn) => runLogged(name, fn) } // warmup
+    // sweep pass, keeping each DataFrame for the exec-only re-write
+    val sweepFull = selected.map { case (name, fn) => name -> timed(name, fn) }
+    val sweep = sweepFull.map { case (n, (t, _)) => n -> t }
+    val execTimes = sweepFull.flatMap { case (n, (_, dfOpt)) =>
+      dfOpt.map { df =>
+        val t0 = System.nanoTime()
+        try df.write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        n -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val (stats, roundTotals) = if (runs > 1) {
       System.gc(); Thread.sleep(3000); System.gc(); Thread.sleep(1000)
       val rounds = (0 until runs).map { _ =>
         System.gc(); Thread.sleep(500)
-        selected.map { case (name, fn) => timed(name, fn) }
+        selected.map { case (name, fn) => timed(name, fn)._1 }
       }
-      val stats = selected.zipWithIndex.map { case ((name, _), i) =>
+      val st = selected.zipWithIndex.map { case ((name, _), i) =>
         val ts = rounds.map(_(i)).sorted
         (name, ts(ts.length / 2), ts.head, ts.last)
       }
-      (stats, rounds.map(_.sum))
-    } else (sweep.map { case (n, t) => (n, t, t, t) }, sweep.map(_._2).sum :: Nil)
-    def num(v: Double, dp: Int): String = // Locale.ROOT: '.' decimals always
-      s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
-    def fmt(pairs: Seq[(String, Double)], dp: Int): String =
-      pairs.map { case (k, v) => "\"" + k + "\":" + num(v, dp) }
-        .mkString("{", ",", "}")
-    val total = medians.map(_._2).sum
-    val totalMin = medians.map(_._3).sum
+      (st, rounds.map(_.sum))
+    } else (sweep.map { case (n, t) => (n, t, t, t) }, Seq(sweep.map(_._2).sum))
+    emit(runs, mode = if (runs > 1) "in-process" else "sweep", sweep = sweep,
+      stats = stats, roundTotals = roundTotals, execTimes = execTimes,
+      errors = errors, selectedCount = selected.size)
+    spark.stop()
+  }
+
+  // ------------------------------------------------------------- reporting
+
+  private def emit(
+      runs: Int,
+      mode: String,
+      sweep: Seq[(String, Double)],
+      stats: Seq[(String, Double, Double, Double)],
+      roundTotals: Seq[Double],
+      execTimes: Seq[(String, Double)],
+      errors: scala.collection.Map[String, String],
+      selectedCount: Int): Unit = {
+    val total = stats.map(_._2).sum
+    val totalMin = stats.map(_._3).sum
+    val totalExec = execTimes.map(_._2).sum
     val errJson = errors
       .map { case (k, v) =>
         // exception messages routinely carry newlines/plan fragments — strip
@@ -139,19 +304,23 @@ object Bench {
     // the round artifacts are read from.
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,
+         |"mode":"$mode",
          |"value_min":${num(totalMin, 6)},
+         |"value_exec":${num(totalExec, 6)},
          |"round_totals":${roundTotals.map(num(_, 3)).mkString("[", ",", "]")},
          |"errors":$errJson,
-         |"queries":${fmt(medians.map { case (n, m, _, _) => n -> m }, 6)},
-         |"queries_min":${fmt(medians.map { case (n, _, lo, _) => n -> lo }, 6)},
+         |"queries":${fmt(stats.map { case (n, m, _, _) => n -> m }, 6)},
+         |"queries_min":${fmt(stats.map { case (n, _, lo, _) => n -> lo }, 6)},
+         |"queries_exec":${fmt(execTimes, 6)},
          |"queries_sweep":${fmt(sweep, 6)},
-         |"spread":${medians.map { case (n, _, lo, hi) =>
+         |"spread":${stats.map { case (n, _, lo, hi) =>
             "\"" + n + "\":[" + num(lo, 6) + "," + num(hi, 6) + "]" }
             .mkString("{", ",", "}")}}""".stripMargin
     // A SPARK_GRAFT_ONLY subset run must NOT clobber the committed full-run
     // record — it would silently replace the 100+-query regression baseline
     // with a handful of queries (exactly that happened once in r7).
-    val fullPath = if (only.isDefined) "bench_only.json" else "bench_full.json"
+    val fullPath =
+      if (sys.env.get("SPARK_GRAFT_ONLY").isDefined) "bench_only.json" else "bench_full.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -159,14 +328,17 @@ object Bench {
     // medians map LAST so the surviving tail is the regression signal.
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,""" +
-        s""""value_min":${num(totalMin, 3)},""" +
+        s""""mode":"$mode","value_min":${num(totalMin, 3)},"value_exec":${num(totalExec, 3)},""" +
         s""""round_totals":${roundTotals.map(num(_, 3)).mkString("[", ",", "]")},""" +
         s""""full":"$fullPath","errors":$errJson,"queries_sweep":${fmt(sweep, 3)},""" +
-        s""""queries_min":${fmt(medians.map { case (n, _, lo, _) => n -> lo }, 3)},""" +
-        s""""queries":${fmt(medians.map { case (n, m, _, _) => n -> m }, 3)}}""")
-    spark.stop()
-    if (errors.size == selected.size && selected.nonEmpty) {
-      System.err.println(s"graft.Bench: ALL ${selected.size} queries failed — " +
+        s""""queries_min":${fmt(stats.map { case (n, _, lo, _) => n -> lo }, 3)},""" +
+        s""""queries":${fmt(stats.map { case (n, m, _, _) => n -> m }, 3)}}""")
+    // A query that throws must be VISIBLE, not a silently-fast row: a
+    // swallowed failure once produced a plausible-looking 0.14 s "total"
+    // for a 55 s suite (stale classpath). An all-queries-failed run exits
+    // nonzero.
+    if (errors.size == selectedCount && selectedCount > 0) {
+      System.err.println(s"graft.Bench: ALL $selectedCount queries failed — " +
         "timings above are meaningless (broken build/classpath?)")
       sys.exit(2)
     }
