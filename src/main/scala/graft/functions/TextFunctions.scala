@@ -53,6 +53,16 @@ object TextFunctions {
         TextKernels.ShingleHashesExpr(ColumnBridge.expression(text), n, MinhashP)),
       typedLit(Seq.empty[Long]))
 
+  /** Shingle hashes at EVERY token position in order, NOT deduplicated —
+    * `posexplode` downstream recovers (position, hash); the positioned
+    * input of span-level dedup ([[graft.operators.Corpus.repeatedSpans]]).
+    */
+  def shingleHashSeq(text: Column, n: Int = 3): Column =
+    coalesce(
+      ColumnBridge.column(
+        TextKernels.ShingleHashSeqExpr(ColumnBridge.expression(text), n, MinhashP)),
+      typedLit(Seq.empty[Long]))
+
   /** One-pass (n_grams, n_distinct) struct over word n-grams — the
     * repetition-ratio kernel ([[TextKernels.NgramRepetitionExpr]]).
     */

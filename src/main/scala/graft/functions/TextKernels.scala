@@ -62,6 +62,33 @@ object TextKernels {
         .toArray)
   }
 
+  /** Shingle hash at EVERY token position, in order and NOT deduplicated —
+    * element i is the hash of the n-gram starting at token i (0-based; a
+    * downstream `posexplode` recovers the position). The positioned form
+    * span-level dedup needs: [[shingleHashes]]' distinct set loses WHERE a
+    * repeat sits, which is the whole point of a span.
+    */
+  def shingleHashSeq(t: UTF8String, n: Int, p: Long): GenericArrayData = {
+    val tk = t.toString.split(' ')
+    if (tk.length < n) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](tk.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= tk.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tk(i + j))
+        j += 1
+      }
+      out(i) = java.lang.Long.valueOf(md5Prefix(sb.toString, md) % p)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def simhash32(t: UTF8String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val votes = new Array[Int](32)
@@ -139,6 +166,17 @@ object TextKernels {
         ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
       defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingleHashes($c, $n, ${p}L)")
     override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+      copy(child = newChild)
+  }
+
+  case class ShingleHashSeqExpr(child: Expression, n: Int, p: Long) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      shingleHashSeq(input.asInstanceOf[UTF8String], n, p)
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingleHashSeq($c, $n, ${p}L)")
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashSeqExpr =
       copy(child = newChild)
   }
 

@@ -160,4 +160,75 @@ object Corpus {
               expr(s"start_offset div $seqLen") + 1L)
           .as("n_seqs_spanned"))
   }
+
+  /** Cross-document repeated-SPAN detection — the train-set memorization
+    * pass (the dedup family member between doc-level near-dup and
+    * benchmark contamination): find every maximal token span of a document
+    * that is covered by `n`-token shingles occurring in at least `minDocs`
+    * DISTINCT documents, as merged 1-based [span_start, span_end] token
+    * intervals per doc. Downstream redaction drops exactly these spans
+    * (boilerplate headers, license blocks, templated passages) without
+    * discarding the documents that carry them.
+    *
+    * Shape per stage (the t12 machinery extended with span merge):
+    *   1. positioned shingles: `posexplode` of the in-order hash kernel —
+    *      per-row, zero shuffle;
+    *   2. repeated-shingle set: groupBy(hash) → distinct-doc count — ONE
+    *      shuffle of (hash, doc) pairs, map-side partials; `n` is the
+    *      span resolution AND the frequency damper (an 8-gram repeats far
+    *      less than a 3-gram, so the repeated set is sparse);
+    *   3. hits: equi-join positions back on the 8-byte hash — blocked by
+    *      construction (never all-pairs; AQE broadcasts the repeated set
+    *      when it is small);
+    *   4. span merge: per-doc island detection over sorted positions —
+    *      interval [pos, pos+n-1], a new island where pos exceeds the
+    *      running max end + 1 (strictly-after-adjacent ⇒ overlapping and
+    *      back-to-back intervals fuse into one redaction span). The only
+    *      window partitions by doc_id: parallelism = documents, window
+    *      width = positions IN one document — bounded by doc length, never
+    *      by corpus size.
+    *
+    * Repeats are judged on the md5-prefix shingle HASH (mod [[graft
+    * .functions.TextFunctions.MinhashP]]), the t2/t3/t12 convention: a
+    * cross-doc collision (p ≈ 2^-31 per pair) can mark a span spuriously;
+    * acceptable for redaction, and the DuckDB oracle reproduces the same
+    * hashes bit-for-bit.
+    */
+  def repeatedSpans(
+      docs: DataFrame, // id, text
+      id: Column,
+      text: Column,
+      n: Int = 8,
+      minDocs: Long = 2L): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs < 2 would mark every in-doc shingle repeated, got $minDocs")
+    val positioned = docs
+      .select(id.as("doc_id"), posexplode(TextFunctions.shingleHashSeq(text, n)))
+      // 1-based token positions (the DuckDB generate_series convention)
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+    val repeated = positioned
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val hits = positioned
+      .join(repeated, Seq("h"))
+      .select(col("doc_id"), col("pos"), (col("pos") + (n - 1)).as("e"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn(
+        "brk",
+        when(col("pos") > coalesce(max(col("e")).over(wPrev), lit(-1L)) + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        max(col("e")).cast("long").as("span_end"))
+      .select(
+        col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+  }
 }

@@ -19,6 +19,12 @@ object CorpusQueries {
   private val SampleRates = Map("src0" -> 800, "src1" -> 500, "src2" -> 300)
   private val SampleDefault = 200
 
+  /** t23 shingle width — the span resolution: a repeated region shorter
+    * than SpanN tokens is below the memorization-pass radar (and the
+    * repeated-shingle set shrinks fast as SpanN grows).
+    */
+  private val SpanN = 5
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C-split — deterministic 80/10/10 train/val/test assignment by salted
     // content-id hash: re-runs and cluster resizes can never move a document
@@ -65,6 +71,15 @@ object CorpusQueries {
       Corpus.packSequences(
         Tables.documents(s, dir),
         col("doc_id"), size(split(col("text"), " ")), seqLen = 256)
+    },
+    // C-spans — cross-document repeated n-gram SPAN dedup (the train-set
+    // memorization pass): merged token intervals per doc covered by
+    // shingles that occur in >= 2 distinct docs. The t12 shingle machinery
+    // extended with per-doc island merge; blocked equi-join on the shingle
+    // hash, never all-pairs.
+    "t23_repeated_spans" -> { (s, dir) =>
+      Corpus.repeatedSpans(
+        Tables.documents(s, dir), col("doc_id"), col("text"), n = SpanN, minDocs = 2L)
     },
     // C-pii — email/phone redaction with match counts. The synthetic docs
     // carry no PII, so each row gets a deterministic injected contact tail;
@@ -165,6 +180,27 @@ object CorpusQueries {
         |       ELSE (start_offset + n_tokens - 1) // 256 - start_offset // 256 + 1
         |  END AS n_seqs_spanned
         |FROM o""".stripMargin,
+    "t23_repeated_spans" -> {
+      val sh = (0 until SpanN).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |psh AS (SELECT doc_id,
+         |  unnest(list_transform(generate_series(1, greatest(len(tk) - ${SpanN - 1}, 0)),
+         |    i -> {'pos': i, 'h': ${duckBucket(sh, 2147483647)}})) AS u
+         |  FROM toks),
+         |ph AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM psh),
+         |rep AS (SELECT h FROM ph GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT doc_id, pos, pos + ${SpanN - 1} AS e FROM ph JOIN rep USING (h)),
+         |isl AS (SELECT doc_id, pos, e,
+         |  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         |       THEN 1 ELSE 0 END AS brk FROM hits),
+         |g AS (SELECT doc_id, pos, e,
+         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(e) AS BIGINT) AS span_end,
+         |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens
+         |FROM g GROUP BY doc_id, island""".stripMargin
+    },
     "t15_pii_redaction" ->
       """WITH d AS (
         |  SELECT doc_id,

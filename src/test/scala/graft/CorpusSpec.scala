@@ -99,6 +99,43 @@ class CorpusSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_overlap") === 3L)
   }
 
+  test("repeatedSpans merges overlapping and adjacent cross-doc shingle hits into maximal spans") {
+    // docs 1 and 2 share "one two three four five six" (tokens 1-6 of each):
+    // with n=3 that is four repeated shingles at positions 1-4, overlapping
+    // pairwise -> ONE merged span [1, 6] in both docs. doc 3 shares nothing.
+    val docs = Seq(
+      (1L, "one two three four five six aaa bbb ccc"),
+      (2L, "one two three four five six ddd eee fff"),
+      (3L, "totally different words with no shared trigram anywhere at all")
+    ).toDF("doc_id", "text")
+    val out = Corpus.repeatedSpans(docs, $"doc_id", $"text", n = 3, minDocs = 2L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens")))
+      .sortBy(x => (x._1, x._2))
+    assert(out.toSeq === Seq((1L, 1L, 6L, 6L), (2L, 1L, 6L, 6L)))
+  }
+
+  test("repeatedSpans keeps genuinely separate repeats as separate spans") {
+    // shared trigram at the START and at the END of doc 1 with a unique
+    // middle: hits at pos 1 (end 3) and pos 7 (end 9) do not touch
+    // (7 > 3 + 1) -> two islands; doc 2 carries them contiguously -> check
+    // its own merge behavior independently
+    val docs = Seq(
+      (1L, "red green blue unique1 unique2 unique3 cyan magenta yellow"),
+      (2L, "red green blue cyan magenta yellow other tokens here")
+    ).toDF("doc_id", "text")
+    val out = Corpus.repeatedSpans(docs, $"doc_id", $"text", n = 3, minDocs = 2L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens")))
+      .sortBy(x => (x._1, x._2))
+    // doc 1: spans [1,3] and [7,9]; doc 2: "red green blue" at 1-3 and
+    // "cyan magenta yellow" at 4-6 are ADJACENT (4 = 3 + 1) -> one span [1,6]
+    assert(out.toSeq === Seq(
+      (1L, 1L, 3L, 3L), (1L, 7L, 9L, 3L), (2L, 1L, 6L, 6L)))
+  }
+
   test("packSequences matches the single-window prefix sum for any bucket width") {
     val docs = (0L until 100L).map(i => (i, s"d$i", (i % 17 + 1).toInt)).toDF("doc_id", "t", "n")
     def run(w: Long) = Corpus
