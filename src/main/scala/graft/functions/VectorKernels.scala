@@ -95,6 +95,74 @@ object VectorKernels {
       copy(left = newLeft, right = newRight)
   }
 
+  /** IVFADC estimator sum: Σ_s tables[s][codes[s]] in subspace order — the
+    * FUSED form of the per-subspace
+    * `element_at(element_at(tbl, s+1), element_at(codes, s+1))` chain. The
+    * unfused chain evaluates m nested generic map probes per candidate
+    * pair, each with its own null gate, boxed key, and re-read of the
+    * ArrayData; this is ONE static call scanning the ≤ks-entry primitive
+    * key/value arrays in a register loop. The add order is the same
+    * left-to-right subspace fold, so the result is bit-identical
+    * (oracle-gated on x_v9/x_v11/x_v12/x_v13/x_v14).
+    *
+    * Returns null when a code has no entry in its table — the unfused
+    * chain's `element_at` miss semantics (cannot occur for codes produced
+    * by the same books, but the contract is preserved).
+    */
+  def adcSum(tables: ArrayData, codes: ArrayData): java.lang.Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val map = tables.getMap(s)
+      val code = codes.getInt(s)
+      val keys = map.keyArray()
+      val vals = map.valueArray()
+      val n = keys.numElements()
+      var i = 0
+      var found = false
+      while (i < n && !found) {
+        if (keys.getInt(i) == code) {
+          if (vals.isNullAt(i)) return null // a null d2 entry: propagate like element_at
+          acc += vals.getDouble(i)
+          found = true
+        }
+        i += 1
+      }
+      if (!found) return null
+      s += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** [[adcSum]] as a codegen expression: `left` = the per-query ADC tables
+    * (array of cid→d2 maps, one per subspace), `right` = the candidate's
+    * codes (one cid per subspace). Evaluated once per (candidate, query)
+    * pair — the inner loop of every PQ-family search.
+    */
+  case class AdcSumExpr(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(t: Any, c: Any): Any =
+      adcSum(t.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (t, c) => {
+        val r = ctx.freshName("adcSum")
+        s"""
+        java.lang.Double $r = graft.functions.VectorKernels.adcSum($t, $c);
+        if ($r == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $r.doubleValue();
+        }
+        """
+      })
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): AdcSumExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** True iff every element of `a` is non-null and the length is exactly
     * `dim` — the definedness gate for [[nearestCid]].
     */

@@ -44,6 +44,18 @@ object VectorOps {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** Fused IVFADC estimator ([[graft.functions.VectorKernels.AdcSumExpr]]):
+    * Σ_s tables[s][codes[s]] as ONE codegen call per candidate pair —
+    * replaces the m-deep `element_at(element_at(...))` chain whose nested
+    * generic map probes dominated the PQ search inner loop. Same subspace
+    * add order, bit-identical result (oracle-gated).
+    */
+  private def adcSum(tables: Column, codes: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.VectorKernels.AdcSumExpr(
+      ColumnBridge.expression(tables), ColumnBridge.expression(codes)))
+  }
+
   /** sqrt of the self-dot — the same `acc + x*x` fold order as the previous
     * `aggregate` form, so norms are bit-identical.
     */
@@ -457,9 +469,9 @@ object VectorOps {
     }: _*)
     val queries = v.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), tables.as("tbl"))
-    val approx = (0 until m)
-      .map(s => element_at(element_at(col("tbl"), s + 1), element_at(col("codes"), s + 1)))
-      .reduce(_ + _) // left fold, same order as the oracle's t0 + t1 + …
+    // fused kernel = the same left subspace fold as the previous
+    // element_at chain (t0 + t1 + …, the oracle's order), one call per pair
+    val approx = adcSum(col("tbl"), col("codes"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("approx_d2"), col("vec_id"))
     corpus.crossJoin(broadcast(queries))
       .withColumn("approx_d2", round(approx, 6))
@@ -703,9 +715,9 @@ object VectorOps {
         cids, transform(cents, c => d2(slice(col("qrv"), s * sub + 1, sub), c)))
     }: _*)
     val queries = probes.select(col("query_id"), col("cid"), tables.as("tbl"))
-    val approx = (0 until model.m)
-      .map(s => element_at(element_at(col("tbl"), s + 1), element_at(col("codes"), s + 1)))
-      .reduce(_ + _) // left fold, same order as the oracle's t0 + t1 + …
+    // fused kernel = the same left subspace fold as the previous
+    // element_at chain (t0 + t1 + …, the oracle's order), one call per pair
+    val approx = adcSum(col("tbl"), col("codes"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("approx_d2"), col("vec_id"))
     codes.filter(!col("vec_id").isin(queryIds: _*))
       .join(broadcast(queries), Seq("cid"))

@@ -629,6 +629,39 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(run("NO_CODEGEN") === expected)
   }
 
+  // The fused ADC kernel must be bit-identical to the m-deep element_at
+  // chain it replaced (same left subspace add order) on BOTH eval paths,
+  // and reproduce the chain's null-on-miss semantics.
+  test("adcSum kernel: bit-equal to the element_at chain, null on a missing code") {
+    import graft.functions.VectorKernels.AdcSumExpr
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val m = 3
+    val rows = Seq(
+      (1L, Seq(Map(0 -> 0.125, 2 -> 1.75), Map(1 -> 2.5, 3 -> 0.0625), Map(0 -> 3.25)),
+        Seq(0, 3, 0)), // all present
+      (2L, Seq(Map(0 -> 0.125, 2 -> 1.75), Map(1 -> 2.5), Map(0 -> 3.25)),
+        Seq(2, 1, 0)), // all present, different picks
+      (3L, Seq(Map(0 -> 0.125), Map(1 -> 2.5), Map(0 -> 3.25)),
+        Seq(5, 1, 0)) // code 5 missing from table 0 -> null
+    ).toDF("id", "tbl", "codes")
+    val fused = ColumnBridge.column(AdcSumExpr(
+      ColumnBridge.expression(col("tbl")), ColumnBridge.expression(col("codes"))))
+    val chain = (0 until m)
+      .map(s => element_at(element_at(col("tbl"), s + 1), element_at(col("codes"), s + 1)))
+      .reduce(_ + _)
+    def run(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try rows.select(col("id"), fused.as("f"), chain.as("c")).orderBy("id").collect()
+        .map(r => (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN"); (f, c) <- run(mode)) {
+      assert(f === c, s"fused vs chain diverged under $mode")
+    }
+    assert(run("NO_CODEGEN").last._1 === None) // the missing-code row
+  }
+
   test("ivf fast-means path (fixed-point sums) matches exact-means results at sf0.001") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("id"), col("embedding"))
