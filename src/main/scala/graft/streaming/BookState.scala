@@ -61,6 +61,39 @@ object BookState {
       bids: Seq[(Double, Double)], // top-N best-first (price, qty)
       asks: Seq[(Double, Double)])
 
+  /** A depth SNAPSHOT — the re-anchor service's REST fetch
+    * (`re_anchor_service/README.md:36-60`: on a gap, fetch the full book +
+    * its lastUpdateId, then resume applying deltas newer than it) — as
+    * synthetic deltas feedable through [[maintain]]: level i carries
+    * `update_id = asOfUpdateId - n + 1 + i`, so the whole snapshot applies
+    * in order and leaves the frontier EXACTLY at `asOfUpdateId`; real
+    * deltas with id > asOfUpdateId then apply on top, and replayed older
+    * ones stay no-ops. This is how a post-eviction PARTIAL book (the
+    * documented delta-feed limitation: deltas cannot reconstruct levels
+    * they never touch) becomes provably complete again — composed
+    * end-to-end in BookStateSpec against [[graft.operators.BookReplay]].
+    *
+    * Preconditions (both from the Binance contract, both loud in the spec):
+    * `asOfUpdateId - (bids.size + asks.size)` ≥ the already-applied
+    * frontier (the snapshot must be newer than everything applied), and
+    * any level the partial book holds must appear in the snapshot (sets
+    * cannot delete; on a feed where post-gap deltas may touch levels the
+    * snapshot no longer has, re-anchor into a FRESH query instead).
+    */
+  def snapshotDeltas(
+      symbol: String,
+      bids: Seq[(Double, Double)],
+      asks: Seq[(Double, Double)],
+      asOfUpdateId: Long,
+      tsMs: Long): Seq[Delta] = {
+    val all = bids.map(l => ("bid", l)) ++ asks.map(l => ("ask", l))
+    require(all.nonEmpty, "empty snapshot")
+    val base = asOfUpdateId - all.size
+    all.zipWithIndex.map { case ((side, (price, qty)), i) =>
+      Delta(symbol, base + 1 + i, tsMs, side, price, qty)
+    }
+  }
+
   def maintain(
       deltas: Dataset[Delta],
       depth: Int = 10,

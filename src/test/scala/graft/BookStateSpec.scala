@@ -132,6 +132,90 @@ class BookStateSpec extends SparkSpec {
     assert(log.count() === 5 && compacted.count() > 5)
   }
 
+  test("eviction -> partial replay -> snapshot re-anchor -> book bit-equal to full batch replay") {
+    // The full re-anchor lifecycle (re_anchor_service/README.md:36-60):
+    // an idle symbol's book is EVICTED to a frontier tombstone; deltas
+    // arriving after eviction rebuild only the levels they touch (PARTIAL
+    // by the delta-feed contract); a REST-style snapshot re-anchors it;
+    // the final streamed book must equal BookReplay.levels of the whole
+    // log as if eviction never happened.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Delta]
+    // watermark 1 s + idle timeout 1 s so "A" evicts as soon as another
+    // symbol's event time advances the global watermark past it
+    val q = BookState.maintain(
+      mem.toDS(), depth = 10, watermarkDelay = "1 second", idleTimeoutMs = 1000L)
+      .writeStream.outputMode("append").format("memory").queryName("book_anchor").start()
+    try {
+      // phase 1: A's initial book (4 levels) + a B heartbeat
+      val p1 = Seq(
+        Delta("A", 1L, 1000L, "bid", 100.0, 1.0),
+        Delta("A", 2L, 1000L, "bid", 99.0, 2.0),
+        Delta("A", 3L, 1500L, "ask", 101.0, 3.0),
+        Delta("A", 4L, 2000L, "ask", 102.0, 4.0),
+        Delta("B", 1L, 1000L, "bid", 50.0, 1.0))
+      mem.addData(p1: _*)
+      q.processAllAvailable()
+      // phase 2: B jumps far ahead in event time -> watermark passes A's
+      // idle timeout; the NEXT batch fires A's timeout (eviction)
+      mem.addData(Delta("B", 2L, 5000000L, "bid", 50.0, 2.0))
+      q.processAllAvailable()
+      mem.addData(Delta("B", 3L, 5000100L, "bid", 50.0, 3.0)) // trigger the timeout sweep
+      q.processAllAvailable()
+      // phase 3: post-eviction deltas touch ONE level -> snapshot is
+      // PARTIAL (the documented limitation this lifecycle exists to fix)
+      val p3 = Seq(Delta("A", 20L, 5000200L, "bid", 100.0, 5.0))
+      mem.addData(p3: _*)
+      q.processAllAvailable()
+      val partial = spark.table("book_anchor").as[Snapshot].collect()
+        .filter(_.symbol == "A").maxBy(_.last_update_id)
+      assert(partial.bids === Seq((100.0, 5.0)), "expected a PARTIAL rebuilt book")
+      assert(partial.asks.isEmpty && partial.last_update_id === 20L)
+
+      // phase 4: re-anchor — the snapshot the REST fetch would return IS
+      // the batch replay of everything so far (the audit-path identity)
+      val soFar = (p1.filter(_.symbol == "A") ++ p3).toDF()
+      val snap = graft.operators.BookReplay.levels(
+        soFar, symbol = col("symbol"), updateId = col("update_id"),
+        side = col("side"), price = col("price"), qty = col("qty"), depth = 10)
+        .collect()
+        .map(r => (r.getAs[String]("side"), r.getAs[Long]("level"),
+          r.getAs[Double]("price"), r.getAs[Double]("qty")))
+      def side(s: String) = snap.filter(_._1 == s).sortBy(_._2).map(x => (x._3, x._4)).toSeq
+      val anchor = BookState.snapshotDeltas(
+        "A", bids = side("bid"), asks = side("ask"), asOfUpdateId = 30L, tsMs = 5000300L)
+      mem.addData(anchor: _*)
+      q.processAllAvailable()
+      // phase 5: live deltas continue past the snapshot
+      val tail = Seq(
+        Delta("A", 40L, 5000400L, "ask", 101.0, 7.0), // update a snapshot level
+        Delta("A", 41L, 5000400L, "bid", 99.0, 0.0), // delete one
+        Delta("A", 42L, 5000500L, "bid", 98.0, 9.0)) // add a new one
+      mem.addData(tail: _*)
+      q.processAllAvailable()
+
+      val end = spark.table("book_anchor").as[Snapshot].collect()
+        .filter(_.symbol == "A").maxBy(_.last_update_id)
+      val streamedLevels = (end.bids.zipWithIndex.map { case ((p, v), i) =>
+        ("bid", (i + 1).toLong, p, v)
+      } ++ end.asks.zipWithIndex.map { case ((p, v), i) =>
+        ("ask", (i + 1).toLong, p, v)
+      }).toSet
+      // ground truth: batch replay of the FULL log with NO eviction and NO
+      // snapshot rows — the book as if state had never been dropped
+      val truth = graft.operators.BookReplay.levels(
+        (p1.filter(_.symbol == "A") ++ p3 ++ tail).toDF(),
+        symbol = col("symbol"), updateId = col("update_id"),
+        side = col("side"), price = col("price"), qty = col("qty"), depth = 10)
+        .collect()
+        .map(r => (r.getAs[String]("side"), r.getAs[Long]("level"),
+          r.getAs[Double]("price"), r.getAs[Double]("qty")))
+        .toSet
+      assert(streamedLevels === truth, "re-anchored book diverges from the full batch replay")
+      assert(end.last_update_id === 42L)
+    } finally q.stop()
+  }
+
   test("streaming end state equals the batch replay of the same delta log") {
     // a generated log with genuine collisions, deletions and two symbols,
     // split across three micro-batches at awkward boundaries
