@@ -49,14 +49,14 @@ span = con.execute(
 
 scaled(
     "events",
-    lambda c: f"""SELECT event_id + {c}*1000000000 AS event_id,
+    lambda c: f"""SELECT event_id + {c*1000000000} AS event_id,
         ts + {c} * INTERVAL '{span.total_seconds()}' SECOND AS ts,
-        user_id + {c}*1000000000 AS user_id, event_type, value, props
+        user_id + {c*1000000000} AS user_id, event_type, value, props
       FROM '{SRC}/events.parquet'""",
 )
 scaled(
     "documents",
-    lambda c: f"""SELECT doc_id + {c}*100000000 AS doc_id,
+    lambda c: f"""SELECT doc_id + {c*100000000} AS doc_id,
         text || ' cp{c}tok' AS text, lang, source,
         n_chars + {len(' cpXtok')} AS n_chars
       FROM '{SRC}/documents.parquet'""" if c else
@@ -64,19 +64,19 @@ scaled(
 )
 scaled(
     "embeddings",
-    lambda c: f"""SELECT vec_id + {c}*1000000000 AS vec_id, embedding, label
+    lambda c: f"""SELECT vec_id + {c*1000000000} AS vec_id, embedding, label
       FROM '{SRC}/embeddings.parquet'""",
 )
 scaled(
     "lineitem",
-    lambda c: f"""SELECT l_orderkey + {c}*1000000000 AS l_orderkey, l_partkey,
+    lambda c: f"""SELECT l_orderkey + {c*1000000000} AS l_orderkey, l_partkey,
         l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
         l_tax, l_returnflag, l_linestatus, l_shipdate
       FROM '{SRC}/lineitem.parquet'""",
 )
 scaled(
     "orders",
-    lambda c: f"""SELECT o_orderkey + {c}*1000000000 AS o_orderkey, o_custkey,
+    lambda c: f"""SELECT o_orderkey + {c*1000000000} AS o_orderkey, o_custkey,
         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
       FROM '{SRC}/orders.parquet'""",
 )

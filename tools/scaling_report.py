@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Compose SCALING_r{N}.json from three subset bench records at 1x/3x/10x
+data (tools/make_scale.py slices of sf0.1).
+
+Slope model: t(k) ~ t1 * k^slope, least-squares in log-log space over the
+measured sizes, on the per-query MIN across the forked rounds — the
+noise-free warm-plan cost (a disturbance can inflate but never deflate a
+round's time, so min is the only per-size statistic a single GC storm
+cannot poison; medians are recorded alongside). The min still INCLUDES
+Catalyst planning (~0.2-0.5 s/query, size-independent), which biases every
+slope DOWNWARD on these small absolutes — so a slope near 1.0 here is
+genuinely at-most-linear execution, and the bias direction is conservative
+only for claims of superlinearity, which is what the gate checks:
+slope > 1.15 ⇒ named cause required.
+
+`exec_sec` (cached-plan re-execution, single sample from round 1) is
+recorded for reference but NOT used for slopes: one sample absorbs round-1
+disturbances undamped, and the persisted-index queries (x_v12/13) memoize
+training within a process so their re-execution measures serving only.
+
+Usage: scaling_report.py <out.json> <k:file> <k:file> ...
+"""
+import json
+import math
+import sys
+
+out_path = sys.argv[1]
+points = []  # (k, record)
+for arg in sys.argv[2:]:
+    k, path = arg.split(":", 1)
+    points.append((float(k), json.load(open(path))))
+points.sort()
+
+names = sorted(points[0][1]["queries"])
+ks = [k for k, _ in points]
+
+rows = {}
+for n in names:
+    mins = [rec["queries_min"][n] for _, rec in points]
+    med = [rec["queries"][n] for _, rec in points]
+    exe = [rec.get("queries_exec", {}).get(n) for _, rec in points]
+    lx = [math.log(k) for k in ks]
+    ly = [math.log(y) for y in mins]
+    mx, my = sum(lx) / len(lx), sum(ly) / len(ly)
+    denom = sum((x - mx) ** 2 for x in lx)
+    slope = sum((x - mx) * (y - my) for x, y in zip(lx, ly)) / denom
+    rows[n] = {
+        "min_sec": {str(k): round(t, 3) for k, t in zip(ks, mins)},
+        "median_sec": {str(k): round(t, 3) for k, t in zip(ks, med)},
+        "exec_sec": {str(k): (round(t, 3) if t is not None else None) for k, t in zip(ks, exe)},
+        "slope": round(slope, 3),
+    }
+
+summary = {
+    "sizes": {str(k): rec["sf"] for k, rec in points},
+    "rows_at_1x": "sf0.1 (~600k lineitem / 100k events / 5k documents / 2k embeddings)",
+    "runs_per_size": points[0][1].get("runs"),
+    "mode": points[0][1].get("mode"),
+    "basis": "min across forked rounds (see tools/scaling_report.py docstring)",
+    "queries": rows,
+    "superlinear": sorted(
+        [n for n, r in rows.items() if r["slope"] > 1.15],
+        key=lambda n: -rows[n]["slope"]),
+}
+json.dump(summary, open(out_path, "w"), indent=1)
+for n in sorted(rows, key=lambda n: -rows[n]["slope"]):
+    r = rows[n]
+    print(f"{n:30s} slope={r['slope']:6.3f}  " +
+          " ".join(f"{k:g}x:{r['min_sec'][str(k)]:.2f}s" for k in ks))
