@@ -116,45 +116,57 @@ object StreamBench {
       q.stop()
     }
 
-    // ------------------------------------------------------------ hot_path
-    {
-      val mem = MemoryStream[TradeEvent]
-      val out = streaming.HotPath.windowedTradeStats(
-        mem.toDF(), "ts", "symbol", "price", "qty",
-        windowDuration = "1 second", watermark = "2 seconds")
-      runChunked("hot_path", mem, out, c => tradeChunk(c, n / chunks), n)
-    }
+    // The three stateful rows run under BOTH state-store providers: the
+    // on-heap default, then (suffix `_rocksdb`) under
+    // [[GraftSession.configureRocksDbState]] — runtime confs, so queries
+    // started after the call pick up RocksDB. Same data, same micro-batch
+    // shape: the delta between the pairs IS the provider cost, the number
+    // that justifies (or prices) the 100×-key-cardinality setting.
+    def statefulRows(suffix: String): Unit = {
+      // ---------------------------------------------------------- hot_path
+      {
+        val mem = MemoryStream[TradeEvent]
+        val out = streaming.HotPath.windowedTradeStats(
+          mem.toDF(), "ts", "symbol", "price", "qty",
+          windowDuration = "1 second", watermark = "2 seconds")
+        runChunked(s"hot_path$suffix", mem, out, c => tradeChunk(c, n / chunks), n)
+      }
 
-    // ---------------------------------------------------------- book_state
-    {
-      val mem = MemoryStream[streaming.BookState.Delta]
-      val out = streaming.BookState.maintain(mem.toDS(), depth = 10).toDF()
-      def deltas(c: Int): Seq[streaming.BookState.Delta] = {
-        val perChunk = n / chunks
-        (0 until perChunk).map { i =>
-          val id = c.toLong * perChunk + i
-          streaming.BookState.Delta(
-            s"SYM${id % symbols}", id, 1700000000000L + (id / symbols) * 50L,
-            if (id % 2 == 0) "bid" else "ask",
-            // ~200-level grid per side per symbol; qty 0 every 11th = delete
-            100.0 + (id % 200) * 0.05 * (if (id % 2 == 0) -1 else 1),
-            if (id % 11 == 0) 0.0 else 1.0 + (id % 5))
+      // -------------------------------------------------------- book_state
+      {
+        val mem = MemoryStream[streaming.BookState.Delta]
+        val out = streaming.BookState.maintain(mem.toDS(), depth = 10).toDF()
+        def deltas(c: Int): Seq[streaming.BookState.Delta] = {
+          val perChunk = n / chunks
+          (0 until perChunk).map { i =>
+            val id = c.toLong * perChunk + i
+            streaming.BookState.Delta(
+              s"SYM${id % symbols}", id, 1700000000000L + (id / symbols) * 50L,
+              if (id % 2 == 0) "bid" else "ask",
+              // ~200-level grid per side per symbol; qty 0 every 11th = delete
+              100.0 + (id % 200) * 0.05 * (if (id % 2 == 0) -1 else 1),
+              if (id % 11 == 0) 0.0 else 1.0 + (id % 5))
+          }
         }
+        runChunked(s"book_state$suffix", mem, out, deltas, n)
       }
-      runChunked("book_state", mem, out, deltas, n)
+
+      // ------------------------------------------------------------- dedup
+      {
+        val mem = MemoryStream[TradeEvent]
+        val out = streaming.HotPath.dedupStream(
+          mem.toDF(), "ts", Seq("symbol", "trade_id"), watermark = "10 seconds")
+        // 10% duplicates: every 10th event repeats the previous id
+        def dup(c: Int): Seq[TradeEvent] = tradeChunk(c, n / chunks).map { t =>
+          if (t.trade_id % 10 == 9) t.copy(trade_id = t.trade_id - 1) else t
+        }
+        runChunked(s"dedup$suffix", mem, out, dup, n)
+      }
     }
 
-    // --------------------------------------------------------------- dedup
-    {
-      val mem = MemoryStream[TradeEvent]
-      val out = streaming.HotPath.dedupStream(
-        mem.toDF(), "ts", Seq("symbol", "trade_id"), watermark = "10 seconds")
-      // 10% duplicates: every 10th event repeats the previous id
-      def dup(c: Int): Seq[TradeEvent] = tradeChunk(c, n / chunks).map { t =>
-        if (t.trade_id % 10 == 9) t.copy(trade_id = t.trade_id - 1) else t
-      }
-      runChunked("dedup", mem, out, dup, n)
-    }
+    statefulRows("")
+    GraftSession.configureRocksDbState(spark)
+    statefulRows("_rocksdb")
 
     val rows = results.map { case (k, (sec, events)) =>
       k -> (events / sec)
