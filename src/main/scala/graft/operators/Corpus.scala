@@ -231,4 +231,63 @@ object Corpus {
         col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_tokens"))
   }
+
+  /** The REMOVAL half of the memorization pass: apply [[repeatedSpans]] to
+    * the corpus itself — every token inside a repeated span is dropped, the
+    * survivors are re-joined in original order. Returns one row per input
+    * document (including fully-redacted ones): (doc_id, n_tokens,
+    * n_redacted, redacted_text). Detection finds the spans; THIS produces
+    * the train-ready corpus.
+    *
+    * Scale shape on top of [[repeatedSpans]]' stages:
+    *   - token positions: `posexplode(split)` — per-row, zero shuffle;
+    *   - coverage test: LEFT ANTI join tokens against spans on the doc_id
+    *     EQUI key with the `pos BETWEEN span_start AND span_end` range
+    *     residual — both sides hash-partition by doc_id, each task matches
+    *     a doc's tokens against that doc's few merged spans (merge in
+    *     [[repeatedSpans]] guarantees spans per doc ≤ tokens/2 and in
+    *     practice a handful), never a cross-doc comparison;
+    *   - reassembly: groupBy(doc_id) over surviving (pos, tok) pairs with
+    *     an `array_sort(collect_list(struct(pos, tok)))` — state bounded
+    *     by ONE document's length (the same bound the explode created),
+    *     not by corpus size; parallelism = documents.
+    *
+    * Tokenization is `split(text, " ")`, the t14/t23 convention, so
+    * `n_tokens` here equals t14's and span positions line up with t23's
+    * 1-based indices.
+    */
+  def redactSpans(
+      docs: DataFrame, // id, text
+      id: Column,
+      text: Column,
+      n: Int = 8,
+      minDocs: Long = 2L): DataFrame = {
+    val spans = repeatedSpans(docs, id, text, n, minDocs)
+      .select(col("doc_id"), col("span_start"), col("span_end")).alias("s")
+    val toks = docs
+      .select(id.as("doc_id"), posexplode(split(text, " ")))
+      .select(col("doc_id"), (col("pos") + 1L).as("pos"), col("col").as("tok"))
+      .alias("t")
+    val kept = toks.join(
+      spans,
+      col("t.doc_id") === col("s.doc_id") &&
+        col("t.pos").between(col("s.span_start"), col("s.span_end")),
+      "left_anti")
+    val reassembled = kept
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok"))).as("rt"))
+    docs
+      .select(id.as("doc_id"), size(split(text, " ")).cast("long").as("n_tokens"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_redacted"),
+        coalesce(col("rt"), lit("")).as("redacted_text"))
+  }
 }

@@ -81,6 +81,14 @@ object CorpusQueries {
       Corpus.repeatedSpans(
         Tables.documents(s, dir), col("doc_id"), col("text"), n = SpanN, minDocs = 2L)
     },
+    // C-redact — the removal half of the memorization pass: t23's spans
+    // applied back onto the corpus (tokens inside any repeated span drop,
+    // survivors re-join in order). One row per input document, so corpus
+    // accounting (n_tokens vs n_redacted) is closed over the whole table.
+    "t24_span_redaction" -> { (s, dir) =>
+      Corpus.redactSpans(
+        Tables.documents(s, dir), col("doc_id"), col("text"), n = SpanN, minDocs = 2L)
+    },
     // C-pii — email/phone redaction with match counts. The synthetic docs
     // carry no PII, so each row gets a deterministic injected contact tail;
     // patterns are simple character classes that behave identically under
@@ -100,6 +108,31 @@ object CorpusQueries {
           regexp_replace(t, email, "<EMAIL>"), phone, "<PHONE>").as("redacted"))
     }
   )
+
+  /** The t23 span pipeline as a CTE chain ending in
+    * `sp(doc_id, span_start, span_end)` — shared by the t23 (detection)
+    * and t24 (redaction) oracles so both judge spans identically.
+    */
+  private val spanCtes: String = {
+    val sh = (0 until SpanN).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |psh AS (SELECT doc_id,
+       |  unnest(list_transform(generate_series(1, greatest(len(tk) - ${SpanN - 1}, 0)),
+       |    i -> {'pos': i, 'h': ${duckBucket(sh, 2147483647)}})) AS u
+       |  FROM toks),
+       |ph AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM psh),
+       |rep AS (SELECT h FROM ph GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |hits AS (SELECT doc_id, pos, pos + ${SpanN - 1} AS e FROM ph JOIN rep USING (h)),
+       |isl AS (SELECT doc_id, pos, e,
+       |  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       |       THEN 1 ELSE 0 END AS brk FROM hits),
+       |g AS (SELECT doc_id, pos, e,
+       |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+       |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(e) AS BIGINT) AS span_end
+       |FROM g GROUP BY doc_id, island)""".stripMargin
+  }
 
   private val shCte = // distinct 3-gram word shingle hashes per doc
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -180,27 +213,28 @@ object CorpusQueries {
         |       ELSE (start_offset + n_tokens - 1) // 256 - start_offset // 256 + 1
         |  END AS n_seqs_spanned
         |FROM o""".stripMargin,
-    "t23_repeated_spans" -> {
-      val sh = (0 until SpanN).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-         |psh AS (SELECT doc_id,
-         |  unnest(list_transform(generate_series(1, greatest(len(tk) - ${SpanN - 1}, 0)),
-         |    i -> {'pos': i, 'h': ${duckBucket(sh, 2147483647)}})) AS u
-         |  FROM toks),
-         |ph AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM psh),
-         |rep AS (SELECT h FROM ph GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-         |hits AS (SELECT doc_id, pos, pos + ${SpanN - 1} AS e FROM ph JOIN rep USING (h)),
-         |isl AS (SELECT doc_id, pos, e,
-         |  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
-         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-         |       THEN 1 ELSE 0 END AS brk FROM hits),
-         |g AS (SELECT doc_id, pos, e,
-         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl)
-         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-         |  CAST(max(e) AS BIGINT) AS span_end,
-         |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens
-         |FROM g GROUP BY doc_id, island""".stripMargin
-    },
+    "t23_repeated_spans" ->
+      s"""WITH $spanCtes
+         |SELECT doc_id, span_start, span_end,
+         |  span_end - span_start + 1 AS span_tokens
+         |FROM sp""".stripMargin,
+    "t24_span_redaction" ->
+      s"""WITH $spanCtes,
+         |tt AS (SELECT doc_id, u2.pos AS pos, u2.tok AS tok FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+         |    i -> {'pos': i, 'tok': tk[i]})) AS u2 FROM toks)),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tt t
+         |  WHERE NOT EXISTS (SELECT 1 FROM sp s
+         |    WHERE s.doc_id = t.doc_id
+         |      AND t.pos BETWEEN s.span_start AND s.span_end)),
+         |ka AS (SELECT doc_id, count(*) AS n_kept,
+         |  string_agg(tok, ' ' ORDER BY pos) AS rt FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(string_split(d.text, ' ')) - coalesce(ka.n_kept, 0) AS BIGINT)
+         |    AS n_redacted,
+         |  coalesce(ka.rt, '') AS redacted_text
+         |FROM documents d LEFT JOIN ka USING (doc_id)""".stripMargin,
     "t15_pii_redaction" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -136,6 +136,50 @@ class CorpusSpec extends SparkSpec {
       (1L, 1L, 3L, 3L), (1L, 7L, 9L, 3L), (2L, 1L, 6L, 6L)))
   }
 
+  test("redactSpans drops exactly the repeated spans and keeps every doc's accounting row") {
+    // same fixture as the merge test: docs 1/2 share tokens 1-6, doc 3 is
+    // clean -> redaction removes tokens 1-6 from docs 1/2, keeps doc 3
+    // verbatim, and STILL returns a row for every input document
+    val docs = Seq(
+      (1L, "one two three four five six aaa bbb ccc"),
+      (2L, "one two three four five six ddd eee fff"),
+      (3L, "totally different words with no shared trigram anywhere at all")
+    ).toDF("doc_id", "text")
+    val out = Corpus.redactSpans(docs, $"doc_id", $"text", n = 3, minDocs = 2L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_redacted"), r.getAs[String]("redacted_text")))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 9L, 6L, "aaa bbb ccc"),
+      (2L, 9L, 6L, "ddd eee fff"),
+      (3L, 10L, 0L, "totally different words with no shared trigram anywhere at all")))
+  }
+
+  test("redactSpans fully-redacted documents survive as empty rows, and re-running finds nothing") {
+    // docs 1 and 2 are IDENTICAL -> the whole text is one repeated span in
+    // both; redaction empties them but the accounting rows remain. The
+    // redacted corpus then has no cross-doc repeats left at all (both
+    // empties tokenize to [''] < n), so a second pass is a fixed point.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "something else entirely here now")
+    ).toDF("doc_id", "text")
+    val first = Corpus.redactSpans(docs, $"doc_id", $"text", n = 3, minDocs = 2L)
+    val rows = first.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_redacted"),
+        r.getAs[String]("redacted_text")))
+      .sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      (1L, 4L, ""), (2L, 4L, ""),
+      (3L, 0L, "something else entirely here now")))
+    val again = Corpus.redactSpans(
+      first.select($"doc_id", $"redacted_text".as("text")),
+      $"doc_id", $"text", n = 3, minDocs = 2L).collect()
+    assert(again.forall(_.getAs[Long]("n_redacted") === 0L))
+  }
+
   test("packSequences matches the single-window prefix sum for any bucket width") {
     val docs = (0L until 100L).map(i => (i, s"d$i", (i % 17 + 1).toInt)).toDF("doc_id", "t", "n")
     def run(w: Long) = Corpus

@@ -27,6 +27,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("t24 span-redaction anti-join is doc_id-equi-keyed, never a nested loop") {
+    val p = plan("t24_span_redaction")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
   test("j1c merge-exec as-of shuffles each side once, no bucket fan-out or rank window") {
     val p = plan("j1c_asof_merge_exec")
     // SparkPlan.nodeName strips the Exec suffix in plan strings
