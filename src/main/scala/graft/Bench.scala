@@ -181,6 +181,16 @@ object Bench {
       val exec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(p.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+      // The hang guard must fire BEFORE the stdout read loop, not after:
+      // a wedged child that never closes stdout keeps readLine() blocked
+      // forever, so a post-loop waitFor(timeout) is unreachable. The
+      // watchdog kills the child at the deadline, which EOFs stdout and
+      // lets the loop fall through to the loud require below.
+      val watchdog = new Thread(() => {
+        if (!p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)) p.destroyForcibly()
+      }, s"bench-child-$r-watchdog")
+      watchdog.setDaemon(true)
+      watchdog.start()
       var done = false
       var line = reader.readLine()
       while (line != null) {
@@ -199,7 +209,9 @@ object Bench {
         }
         line = reader.readLine()
       }
-      val exited = p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+      // stdout already EOF'd here (loop above ended), so the child is done
+      // or the watchdog killed it — this wait only reaps the exit code
+      val exited = p.waitFor(1, java.util.concurrent.TimeUnit.MINUTES)
       if (!exited) p.destroyForcibly()
       // a round that died mid-pass poisons the medians — fail LOUDLY, a
       // partial bench record is worse than none (r6's silent-failure lesson)

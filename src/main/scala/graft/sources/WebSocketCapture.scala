@@ -295,6 +295,14 @@ final class WebSocketCapture(
     * usually in a `finally`, so throwing for mere slowness would mask the
     * primary exception — a failure the caller already observed likewise
     * stays rethrown-once).
+    *
+    * Because close() can throw, hold the capture with
+    * `scala.util.Using.resource` (or Java try-with-resources) rather than a
+    * manual `finally { cap.close() }`: resource scoping attaches a close()
+    * failure to a primary exception as SUPPRESSED, while a bare finally
+    * REPLACES the primary with it (JVM semantics), losing the error that
+    * actually aborted the run. Callers that `awaitCompletion()` before
+    * closing have always observed the failure and close() never throws.
     */
   override def close(): Unit = {
     client.close()

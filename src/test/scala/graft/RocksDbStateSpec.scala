@@ -85,6 +85,57 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("restart from checkpoint under RocksDB recovers the book AND the replay frontier") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_rocks_restart_").toString
+      val mem = MemoryStream[Delta]
+      // the memory sink refuses checkpoint recovery; foreachBatch supports
+      // it, and a shared buffer observes exactly what each incarnation emits
+      val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Snapshot]()
+      def start() = BookState.maintain(mem.toDS(), depth = 3)
+        .writeStream.outputMode("append")
+        .foreachBatch((batch: org.apache.spark.sql.Dataset[Snapshot], _: Long) =>
+          batch.collect().foreach(emitted.add))
+        .option("checkpointLocation", ckpt).start()
+
+      val q1 = start()
+      try {
+        mem.addData(
+          Delta("BTC", 1L, 1000L, "bid", 100.0, 1.5),
+          Delta("BTC", 2L, 1000L, "bid", 99.0, 2.0),
+          Delta("BTC", 3L, 1001L, "ask", 101.0, 1.0))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      emitted.clear()
+
+      // A NEW query instance on the SAME checkpoint: state must come back
+      // from the RocksDB snapshot + changelog, not from anything in-heap.
+      val q2 = start()
+      try {
+        mem.addData(
+          Delta("BTC", 4L, 2000L, "bid", 100.0, 0.0), // deletes a level only a RECOVERED book has
+          Delta("BTC", 5L, 2000L, "ask", 100.5, 0.7))
+        q2.processAllAvailable()
+        val snaps = emitted.iterator().asScala.toSeq
+        assert(snaps.nonEmpty, "restarted query emitted nothing")
+        val s = snaps.last
+        assert(s.bids === Seq((99.0, 2.0)), "pre-restart bid level lost across recovery")
+        assert(s.asks === Seq((100.5, 0.7), (101.0, 1.0)))
+        assert(s.last_update_id === 5L)
+
+        // the update-id frontier must survive recovery too: a replay of a
+        // PRE-restart id through the restarted query is a no-op
+        val before = emitted.size()
+        mem.addData(Delta("BTC", 2L, 2500L, "bid", 98.0, 9.9))
+        q2.processAllAvailable()
+        assert(emitted.size() === before,
+          "stale pre-restart update id was re-applied after recovery")
+        assertRocksDbServed(q2)
+      } finally q2.stop()
+    }
+  }
+
   test("ewma features under RocksDB match the default-provider sequence bit-for-bit") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext

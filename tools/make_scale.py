@@ -8,10 +8,28 @@ region) are copied as-is — the realistic growth shape: facts grow,
 dims don't.
 
 Key shifts keep copies disjoint where identity matters; ts shifts extend
-the TIME RANGE (a feed growing 3x is 3 months, not 3x density); document
-text gets a per-copy suffix token so exact-dup dedup does not collapse
-the copies (cross-copy pairs stay LINEAR in k for the near-dup family:
-each original contributes k-1 clone pairs, not a quadratic blowup).
+the TIME RANGE (a feed growing 3x is 3 months, not 3x density).
+
+Text copies substitute every 4th TOKEN with a copy-tagged token (not just
+an appended suffix): every word trigram and 5-gram then straddles at
+least one substituted position, so a copy shares no shingles with its
+original or with other copies — exact dedup cannot collapse copies AND
+the near-dup / repeated-span families see each copy as genuinely new
+text whose only matches are the WITHIN-copy pairs the original already
+had. Pair counts therefore grow exactly k-fold (a bare suffix leaves
+copies mutually near-identical, planting C(k,2) cross-copy pairs per
+original — a quadratic term that poisons the slope measurement).
+n_chars is recomputed from the substituted text.
+
+Embedding copies go through a per-copy SIGNED PERMUTATION of the 64
+dims (an orthogonal transform): every within-copy pairwise angle is
+preserved exactly — each copy reproduces the original slice's planted
+near-dup structure, so semantic-dedup work grows k-fold — while a
+vector and its cross-copy image decorrelate to cos ~ N(0, 1/64)
+(sigma ~ 0.125), below the suite's 0.35 near-dup threshold for all but
+a ~0.5% tail (measured max ~0.39 at sf0.1 — a handful of stray cross
+pairs, noise next to the k-fold within-copy structure); k exact clones
+per vector would instead plant C(k,2) cross-copy pairs.
 
 Usage: make_scale.py <src_sf_dir> <dst_dir> <k>
 """
@@ -54,18 +72,36 @@ scaled(
         user_id + {c*1000000000} AS user_id, event_type, value, props
       FROM '{SRC}/events.parquet'""",
 )
+def subst_text(c: int) -> str:
+    # every 4th token -> a copy-tagged token (varied by position mod 13 so
+    # the substitutes themselves don't form new cross-doc repeated shingles)
+    return (
+        "array_to_string(list_transform(string_split(text, ' '), "
+        f"(t, i) -> CASE WHEN i % 4 = 0 THEN 'cp{c}q' || CAST(i % 13 AS VARCHAR) "
+        "ELSE t END), ' ')"
+    )
+
+
 scaled(
     "documents",
     lambda c: f"""SELECT doc_id + {c*100000000} AS doc_id,
-        text || ' cp{c}tok' AS text, lang, source,
-        n_chars + {len(' cpXtok')} AS n_chars
+        {subst_text(c)} AS text, lang, source,
+        CAST(length({subst_text(c)}) AS BIGINT) AS n_chars
       FROM '{SRC}/documents.parquet'""" if c else
     f"SELECT doc_id, text, lang, source, n_chars FROM '{SRC}/documents.parquet'",
 )
 scaled(
     "embeddings",
-    lambda c: f"""SELECT vec_id + {c*1000000000} AS vec_id, embedding, label
-      FROM '{SRC}/embeddings.parquet'""",
+    # per-copy signed permutation (orthogonal: angles preserved within a
+    # copy, decorrelated across copies): dim i reads dim (a*i + b) mod 64
+    # with a = 2c+1 (odd => bijective mod 64), sign flipped by hash(c, i)
+    lambda c: f"""SELECT vec_id + {c*1000000000} AS vec_id,
+        list_transform(generate_series(1, 64), i -> CAST(
+          (CASE WHEN (hash({c} * 1337 + i) & 1) = 0 THEN -1 ELSE 1 END) *
+          embedding[(({2*c+1} * (i - 1) + {c*7}) % 64) + 1] AS FLOAT))
+          AS embedding, label
+      FROM '{SRC}/embeddings.parquet'""" if c else
+    f"SELECT vec_id, embedding, label FROM '{SRC}/embeddings.parquet'",
 )
 scaled(
     "lineitem",
