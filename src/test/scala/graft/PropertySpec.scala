@@ -242,6 +242,67 @@ class PropertySpec extends SparkSpec {
     assert(out === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (6L, 6L), (7L, 6L)))
   }
 
+  for (seed <- Seq(11L, 29L)) {
+    test(s"t23/t24 invariants on a random repetitive corpus, seed $seed") {
+      // small vocab + planted shared passages => plenty of genuine repeats
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 40).map(i => s"w$i")
+      val passage = (0 until 12).map(i => s"shared$i")
+      def doc(): String = {
+        val len = 20 + rnd.nextInt(40)
+        val base = (0 until len).map(_ => vocab(rnd.nextInt(vocab.length)))
+        // ~half the docs embed the shared passage at a random offset
+        if (rnd.nextBoolean()) {
+          val at = rnd.nextInt(base.length)
+          (base.take(at) ++ passage ++ base.drop(at)).mkString(" ")
+        } else base.mkString(" ")
+      }
+      val docs = (1L to 60L).map(i => (i, doc())).toDF("doc_id", "text")
+      val n = 4
+
+      val spans = Corpus.repeatedSpans(docs, $"doc_id", $"text", n = n, minDocs = 2L)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+          r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens")))
+      val nTokens = docs.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ").length.toLong)
+        .toMap
+
+      // spans sit inside their doc, are maximal-merged (non-adjacent), and
+      // span_tokens is the interval length
+      spans.groupBy(_._1).foreach { case (id, ss) =>
+        ss.foreach { case (_, s, e, t) =>
+          assert(s >= 1L && e <= nTokens(id) && t === e - s + 1)
+        }
+        ss.sortBy(_._2).sliding(2).foreach {
+          case Array((_, _, e1, _), (_, s2, _, _)) =>
+            assert(s2 > e1 + 1, s"adjacent spans unmerged in doc $id")
+          case _ => ()
+        }
+      }
+
+      // t24 accounting closes over t23's spans exactly: per doc,
+      // n_redacted == total covered positions, the redacted text is the
+      // original minus exactly those positions, and every doc has a row
+      val spanMap = spans.groupBy(_._1)
+      val red = Corpus.redactSpans(docs, $"doc_id", $"text", n = n, minDocs = 2L).collect()
+      assert(red.length === 60)
+      red.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        val covered = spanMap.getOrElse(id, Array.empty).map { case (_, s, e, _) => e - s + 1 }.sum
+        assert(r.getAs[Long]("n_tokens") === nTokens(id))
+        assert(r.getAs[Long]("n_redacted") === covered, s"doc $id accounting drift")
+        val cut = spanMap.getOrElse(id, Array.empty)
+          .flatMap { case (_, s, e, _) => s to e }.toSet
+        val expect = docs.filter($"doc_id" === id).collect().head.getAs[String]("text")
+          .split(" ").zipWithIndex
+          .collect { case (tok, i) if !cut(i + 1L) => tok }
+          .mkString(" ")
+        assert(r.getAs[String]("redacted_text") === expect, s"doc $id redaction drift")
+      }
+    }
+  }
+
   test("TimeUnits: micros->millis->timestamp roundtrips and bucket index is floor-consistent") {
     val rnd = new scala.util.Random(3L)
     val ts = (0 until 500).map(_ => math.abs(rnd.nextLong()) % 4102444800000L).toDF("ms")
