@@ -45,7 +45,101 @@ object StreamBench {
   private def num(v: Double, dp: Int): String =
     s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
 
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit =
+    if (sys.env.get("SPARK_GRAFT_STATE_SWEEP").contains("1")) stateSweep()
+    else throughput()
+
+  /** Key-cardinality sweep: the BookState path at 64 / 4096 / 32768 live
+    * symbols under BOTH providers, recording events/s AND the state
+    * store's own accounting (rows, bytes, bytes/key) from the query's
+    * final progress — the measured version of the "RocksDB removes the
+    * key-cardinality heap ceiling" claim: on-heap bytes/key prices what
+    * every additional million keys costs the executor HEAP, the RocksDB
+    * row prices the same state held in native memory + SSTs, and the
+    * throughput column shows the swap's cost staying flat as keys grow.
+    * Emits ONE JSON line and writes `statesweep.json`.
+    */
+  private def stateSweep(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val n = sys.env.get("SPARK_GRAFT_STREAM_N").map(_.toInt).getOrElse(1000000)
+    val chunks = 20
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    import graft.streaming.BookState
+    import graft.streaming.BookState.Delta
+
+    val OnHeapProvider =
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    val rows = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    for (syms <- Seq(64, 4096, 32768); rocks <- Seq(false, true)) {
+      if (rocks) GraftSession.configureRocksDbState(spark)
+      else spark.conf.set("spark.sql.streaming.stateStore.providerClass", OnHeapProvider)
+      val mem = MemoryStream[Delta]
+      val out = BookState.maintain(mem.toDS(), depth = 10).toDF()
+      val ckpt = java.nio.file.Files.createTempDirectory("sb_sweep")
+      val q = out.writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt.toString).start()
+      val name = s"book_${syms}${if (rocks) "_rocksdb" else ""}"
+      try {
+        def deltas(c: Int): Seq[Delta] = {
+          val perChunk = n / chunks
+          (0 until perChunk).map { i =>
+            val id = c.toLong * perChunk + i
+            Delta(
+              s"SYM${id % syms}", id, 1700000000000L + (id / syms) * 50L,
+              if (id % 2 == 0) "bid" else "ask",
+              100.0 + (id % 200) * 0.05 * (if (id % 2 == 0) -1 else 1),
+              if (id % 11 == 0) 0.0 else 1.0 + (id % 5))
+          }
+        }
+        mem.addData((0 until 1000).map(i =>
+          Delta(s"PRIME${i % 8}", i.toLong, 1700000000000L, "bid", 100.0, 1.0)))
+        q.processAllAvailable()
+        val t0 = System.nanoTime()
+        (0 until chunks).foreach { c => mem.addData(deltas(c)); q.processAllAvailable() }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val so = q.lastProgress.stateOperators.apply(0)
+        val custom = so.customMetrics.entrySet().asScala
+          .filter { e =>
+            val k = e.getKey.toLowerCase
+            k.contains("memory") || k.contains("sstfilesize") || k.contains("pinned")
+          }
+          .map(e => s""""${e.getKey}":${e.getValue}""").mkString(",")
+        rows(name) =
+          s"""{"symbols":$syms,"rate":${num(n / sec, 0)},""" +
+            s""""state_rows":${so.numRowsTotal},""" +
+            s""""state_bytes":${so.memoryUsedBytes},""" +
+            s""""bytes_per_key":${num(so.memoryUsedBytes.toDouble / math.max(so.numRowsTotal, 1), 1)}""" +
+            (if (custom.nonEmpty) s",$custom}" else "}")
+        System.err.println(s"[sweep] $name: ${rows(name)}")
+      } finally {
+        q.stop()
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    val json =
+      s"""{"metric":"book_state_cardinality_sweep","unit":"events/sec","cpus":$cpus,""" +
+        s""""events_per_run":$n,""" +
+        rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("\"runs\":{", ",", "}}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("statesweep.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+
+  private def throughput(): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val n = sys.env.get("SPARK_GRAFT_STREAM_N").map(_.toInt).getOrElse(1000000)
     val chunks = 20
