@@ -24,6 +24,10 @@ import org.apache.spark.sql.functions._
   *   - `book_state`: [[streaming.BookState.maintain]] — per-symbol order-book
   *     delta replay in `flatMapGroupsWithState` (typed state, update-id
   *     replay guard), the reference's depth-cache path.
+  *   - `ewma`: [[streaming.EwmaStream.features]] — per-EVENT feature
+  *     emission (one output row per input tick through
+  *     `flatMapGroupsWithState`), the reference's per-tick feature path;
+  *     unlike hot_path there is no window compaction to amortize into.
   *   - `dedup`: `dropDuplicatesWithinWatermark` over a 10%-duplicated trade
   *     stream — the reference's seen-set dedup (T3).
   *
@@ -269,6 +273,26 @@ object StreamBench {
             s"PRIME${i % 8}", i.toLong, 1700000000000L, "bid", 100.0, 1.0)
         }
         runChunked(s"book_state$suffix", mem, out, primeDeltas, deltas, n)
+      }
+
+      // -------------------------------------------------------------- ewma
+      // per-EVENT emission (one output row per input tick) — the per-tick
+      // feature path, unlike hot_path's window-per-second compaction
+      {
+        val mem = MemoryStream[streaming.EwmaStream.Px]
+        val out = streaming.EwmaStream.features(mem.toDS()).toDF()
+        def ticks(c: Int): Seq[streaming.EwmaStream.Px] = {
+          val perChunk = n / chunks
+          (0 until perChunk).map { i =>
+            val id = c.toLong * perChunk + i
+            streaming.EwmaStream.Px(
+              s"SYM${id % symbols}", 1700000000000L + (id / symbols) * 50L,
+              id, 100.0 + (id % 1000) * 0.01)
+          }
+        }
+        val prime = (0 until 1000).map(i => streaming.EwmaStream.Px(
+          s"PRIME${i % 8}", 1700000000000L, i.toLong, 100.0))
+        runChunked(s"ewma$suffix", mem, out, prime, ticks, n)
       }
 
       // ------------------------------------------------------------- dedup

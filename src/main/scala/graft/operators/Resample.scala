@@ -73,11 +73,16 @@ object Resample {
         when(col("v").isNotNull, col("v"))
           .when(col("ffill").isNull, col("bfill"))
           .when(col("bfill").isNull, col("ffill"))
-          .otherwise(round(
-            col("ffill") + (col("bfill") - col("ffill")) *
+          .otherwise {
+            // engine-portable 6-dp rounding: floor(x*1e6 + 0.5)/1e6 in
+            // DOUBLE on both engines — round(x, 6) disagrees by one ulp at
+            // representation boundaries (Spark rounds the exact binary
+            // value via BigDecimal HALF_UP, DuckDB rounds the *1e6 double)
+            val x = col("ffill") + (col("bfill") - col("ffill")) *
               ((col("ts_ms") - col("prev_ts")).cast("double") /
-                (col("next_ts") - col("prev_ts")).cast("double")),
-            6)))
+                (col("next_ts") - col("prev_ts")).cast("double"))
+            floor(x * 1e6 + 0.5) / 1e6
+          })
       .select(
         col("key"), col("ts_ms"), col("v"), col("is_gap"),
         col("ffill").as("v_ffill"), col("v_interp"))

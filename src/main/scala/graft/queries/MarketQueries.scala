@@ -463,7 +463,7 @@ object MarketQueries {
          |  CASE WHEN v IS NOT NULL THEN v
          |       WHEN ffill IS NULL THEN bfill
          |       WHEN bfill IS NULL THEN ffill
-         |       ELSE round(ffill + (bfill - ffill) * ((ts - pts) / (nts - pts)), 6) + 0.0
+         |       ELSE floor((ffill + (bfill - ffill) * ((ts - pts) * 1.0 / (nts - pts))) * 1e6 + 0.5) / 1e6 + 0.0
          |  END AS close_interp
          |FROM f""".stripMargin,
     "a4b_bars_quality" ->
