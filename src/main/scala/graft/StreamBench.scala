@@ -4,6 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+import graft.streaming.BookState.Delta
+
 /** Streaming / ingest throughput benchmark — the measured counterpart of the
   * reference's published service targets (BASELINE.md): SBE decode 1,000
   * events/s target / 5,000 peak, Kinesis 5,000 rec/s target / 25,000 peak
@@ -11,7 +13,7 @@ import org.apache.spark.sql.functions._
   * user of the reference holds this engine to, so they get measured, not
   * argued.
   *
-  * Four rows, each events-per-second of sustained processing on local[N]:
+  * Five rows, each events-per-second of sustained processing on local[N]:
   *   - `sbe_decode`: the ingest-edge decode — SBE trade frames (binary)
   *     through the codegen [[graft.functions.Sbe.decodeTrade]] Expression,
   *     batch shape (the per-row kernel is identical under streaming; batch
@@ -49,6 +51,35 @@ object StreamBench {
   private def num(v: Double, dp: Int): String =
     s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
 
+  /** Book delta for the `id`-th event over `syms` live symbols. Side and
+    * price level derive from the symbol's own SEQUENCE number (id / syms),
+    * NOT from id: with an even symbol count, id's parity fixes the side
+    * per symbol (every book one-sided) and gcd(syms, 200) collapses the
+    * price grid to a handful of residues — the first cut measured books
+    * ~16x sparser and half-sided vs what it claimed. seq-based derivation
+    * alternates sides within each symbol and walks the full ~200-level
+    * grid per side as the book fills; qty 0 every 11th = delete.
+    */
+  private def bookDelta(id: Long, syms: Int): Delta = {
+    val seq = id / syms
+    Delta(
+      s"SYM${id % syms}", id, 1700000000000L + seq * 50L,
+      if (seq % 2 == 0) "bid" else "ask",
+      100.0 + (seq % 200) * 0.05 * (if (seq % 2 == 0) -1 else 1),
+      if (seq % 11 == 0) 0.0 else 1.0 + (seq % 5))
+  }
+
+  private def primeDeltas: Seq[Delta] = (0 until 1000).map(i =>
+    Delta(s"PRIME${i % 8}", i.toLong, 1700000000000L, "bid", 100.0, 1.0))
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(root)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
   def main(args: Array[String]): Unit =
     if (sys.env.get("SPARK_GRAFT_STATE_SWEEP").contains("1")) stateSweep()
     else throughput()
@@ -79,8 +110,9 @@ object StreamBench {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
     import graft.streaming.BookState
-    import graft.streaming.BookState.Delta
 
+    val perChunk = n / chunks
+    val fed = perChunk * chunks // events actually sent (n may not divide)
     val OnHeapProvider =
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -95,22 +127,13 @@ object StreamBench {
         .option("checkpointLocation", ckpt.toString).start()
       val name = s"book_${syms}${if (rocks) "_rocksdb" else ""}"
       try {
-        def deltas(c: Int): Seq[Delta] = {
-          val perChunk = n / chunks
-          (0 until perChunk).map { i =>
-            val id = c.toLong * perChunk + i
-            Delta(
-              s"SYM${id % syms}", id, 1700000000000L + (id / syms) * 50L,
-              if (id % 2 == 0) "bid" else "ask",
-              100.0 + (id % 200) * 0.05 * (if (id % 2 == 0) -1 else 1),
-              if (id % 11 == 0) 0.0 else 1.0 + (id % 5))
-          }
-        }
-        mem.addData((0 until 1000).map(i =>
-          Delta(s"PRIME${i % 8}", i.toLong, 1700000000000L, "bid", 100.0, 1.0)))
+        mem.addData(primeDeltas)
         q.processAllAvailable()
         val t0 = System.nanoTime()
-        (0 until chunks).foreach { c => mem.addData(deltas(c)); q.processAllAvailable() }
+        (0 until chunks).foreach { c =>
+          mem.addData((0 until perChunk).map(i => bookDelta(c.toLong * perChunk + i, syms)))
+          q.processAllAvailable()
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         val so = q.lastProgress.stateOperators.apply(0)
         val custom = so.customMetrics.entrySet().asScala
@@ -120,7 +143,7 @@ object StreamBench {
           }
           .map(e => s""""${e.getKey}":${e.getValue}""").mkString(",")
         rows(name) =
-          s"""{"symbols":$syms,"rate":${num(n / sec, 0)},""" +
+          s"""{"symbols":$syms,"rate":${num(fed / sec, 0)},""" +
             s""""state_rows":${so.numRowsTotal},""" +
             s""""state_bytes":${so.memoryUsedBytes},""" +
             s""""bytes_per_key":${num(so.memoryUsedBytes.toDouble / math.max(so.numRowsTotal, 1), 1)}""" +
@@ -128,13 +151,12 @@ object StreamBench {
         System.err.println(s"[sweep] $name: ${rows(name)}")
       } finally {
         q.stop()
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        deleteRecursively(ckpt)
       }
     }
     val json =
       s"""{"metric":"book_state_cardinality_sweep","unit":"events/sec","cpus":$cpus,""" +
-        s""""events_per_run":$n,""" +
+        s""""events_per_run":$fed,""" +
         rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("\"runs\":{", ",", "}}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("statesweep.json"),
@@ -229,11 +251,12 @@ object StreamBench {
         // stop even when a batch throws — a survivor query would contend
         // with every subsequent row for the same local[N] cores
         q.stop()
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        deleteRecursively(ckpt)
       }
     }
+    // events actually fed per row: chunks * floor(n / chunks), NOT n (rate
+    // would overstate whenever n is not a chunk multiple)
+    val fed = (n / chunks) * chunks
 
     // The three stateful rows run under BOTH state-store providers: the
     // on-heap default, then (suffix `_rocksdb`) under
@@ -249,30 +272,18 @@ object StreamBench {
           mem.toDF(), "ts", "symbol", "price", "qty",
           windowDuration = "1 second", watermark = "2 seconds")
         runChunked(s"hot_path$suffix", mem, out, primeTrades,
-          c => tradeChunk(c, n / chunks), n)
+          c => tradeChunk(c, n / chunks), fed)
       }
 
       // -------------------------------------------------------- book_state
       {
-        val mem = MemoryStream[streaming.BookState.Delta]
+        val mem = MemoryStream[Delta]
         val out = streaming.BookState.maintain(mem.toDS(), depth = 10).toDF()
-        def deltas(c: Int): Seq[streaming.BookState.Delta] = {
+        def deltas(c: Int): Seq[Delta] = {
           val perChunk = n / chunks
-          (0 until perChunk).map { i =>
-            val id = c.toLong * perChunk + i
-            streaming.BookState.Delta(
-              s"SYM${id % symbols}", id, 1700000000000L + (id / symbols) * 50L,
-              if (id % 2 == 0) "bid" else "ask",
-              // ~200-level grid per side per symbol; qty 0 every 11th = delete
-              100.0 + (id % 200) * 0.05 * (if (id % 2 == 0) -1 else 1),
-              if (id % 11 == 0) 0.0 else 1.0 + (id % 5))
-          }
+          (0 until perChunk).map(i => bookDelta(c.toLong * perChunk + i, symbols))
         }
-        val primeDeltas = (0 until 1000).map { i =>
-          streaming.BookState.Delta(
-            s"PRIME${i % 8}", i.toLong, 1700000000000L, "bid", 100.0, 1.0)
-        }
-        runChunked(s"book_state$suffix", mem, out, primeDeltas, deltas, n)
+        runChunked(s"book_state$suffix", mem, out, primeDeltas, deltas, fed)
       }
 
       // -------------------------------------------------------------- ewma
@@ -292,7 +303,7 @@ object StreamBench {
         }
         val prime = (0 until 1000).map(i => streaming.EwmaStream.Px(
           s"PRIME${i % 8}", 1700000000000L, i.toLong, 100.0))
-        runChunked(s"ewma$suffix", mem, out, prime, ticks, n)
+        runChunked(s"ewma$suffix", mem, out, prime, ticks, fed)
       }
 
       // ------------------------------------------------------------- dedup
@@ -310,7 +321,7 @@ object StreamBench {
             eventFor(if (id % 10 == 9) id - 1 else id)
           }
         }
-        runChunked(s"dedup$suffix", mem, out, primeTrades, dup, n)
+        runChunked(s"dedup$suffix", mem, out, primeTrades, dup, fed)
       }
     }
 

@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   * per key, no driver involvement; the fill pass is two ordered windows per
   * key (the same per-key-window shape as the rolling family — keys
   * partition the work, no global window). Interpolation arithmetic is
-  * plain doubles + round(6), oracle-reproducible.
+  * plain doubles with engine-portable 6-dp rounding —
+  * `floor(x*1e6 + 0.5)/1e6` computed in double on both engines (see the
+  * note at the interpolation site): half-ties round toward +infinity, so
+  * a NEGATIVE value exactly on a tie rounds differently from BigDecimal
+  * HALF_UP (away from zero) — the price of bit-identical cross-engine
+  * results, and only observable at exact 0.5e-6 ties.
   */
 object Resample {
 

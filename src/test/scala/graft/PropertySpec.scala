@@ -264,9 +264,9 @@ class PropertySpec extends SparkSpec {
         .collect()
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
           r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens")))
-      val nTokens = docs.collect()
-        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ").length.toLong)
-        .toMap
+      val texts = docs.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      val nTokens = texts.map { case (id, t) => id -> t.split(" ").length.toLong }
 
       // spans sit inside their doc, are maximal-merged (non-adjacent), and
       // span_tokens is the interval length
@@ -294,7 +294,7 @@ class PropertySpec extends SparkSpec {
         assert(r.getAs[Long]("n_redacted") === covered, s"doc $id accounting drift")
         val cut = spanMap.getOrElse(id, Array.empty)
           .flatMap { case (_, s, e, _) => s to e }.toSet
-        val expect = docs.filter($"doc_id" === id).collect().head.getAs[String]("text")
+        val expect = texts(id)
           .split(" ").zipWithIndex
           .collect { case (tok, i) if !cut(i + 1L) => tok }
           .mkString(" ")
