@@ -329,13 +329,38 @@ object StreamBench {
     GraftSession.configureRocksDbState(spark)
     statefulRows("_rocksdb")
 
+    // ------------------------------------------------------------ reanchor
+    // The reference's recovery target: re-anchor in <60 s
+    // (`ARCHITECTURE.md:258-263`). The engine's analog is the full T6 flow
+    // at the hot-state size — rebuild latest-per-key state from the
+    // journaled events and atomically swap the version pointer
+    // (Bronze.reAnchor: versioned parquet write + pointer rename). Timed
+    // end-to-end; the rebuild is the data-proportional part, the swap
+    // itself is two renames.
+    {
+      val dir = java.nio.file.Files.createTempDirectory("sb_reanchor")
+      try {
+        val events = spark.range(fed.toLong).select(
+          concat(lit("SYM"), col("id") % symbols).as("symbol"),
+          (lit(1700000000000L) + (col("id") / symbols) * 50L).as("ts_ms"),
+          (lit(100.0) + (col("id") % 1000) * 0.01).as("price"),
+          (lit(1.0) + (col("id") % 7)).as("qty"),
+          col("id").as("trade_id"))
+        val t0 = System.nanoTime()
+        val rebuilt = streaming.HotPath.latestPerKeyBatch(
+          events, col("symbol"), col("ts_ms"), col("trade_id"))
+        sources.Bronze.reAnchor(spark, dir.toString, rebuilt)
+        results("reanchor") = ((System.nanoTime() - t0) / 1e9, fed)
+      } finally deleteRecursively(dir)
+    }
+
     val rows = results.map { case (k, (sec, events)) =>
       k -> (events / sec)
     }
     val json =
       s"""{"metric":"stream_events_per_sec","unit":"events/sec","cpus":$cpus,""" +
         s""""events_per_row":$n,"chunks":$chunks,"symbols":$symbols,""" +
-        s""""baseline_ref":{"sbe_target":1000,"sbe_peak":5000,"kinesis_target":5000,"kinesis_peak":25000},""" +
+        s""""baseline_ref":{"sbe_target":1000,"sbe_peak":5000,"kinesis_target":5000,"kinesis_peak":25000,"reanchor_seconds":60},""" +
         s""""rates":${rows.map { case (k, v) => "\"" + k + "\":" + num(v, 0) }.mkString("{", ",", "}")},""" +
         s""""seconds":${results.map { case (k, (s, _)) => "\"" + k + "\":" + num(s, 3) }.mkString("{", ",", "}")}}"""
     java.nio.file.Files.write(
