@@ -63,6 +63,16 @@ object TextFunctions {
         TextKernels.ShingleHashSeqExpr(ColumnBridge.expression(text), n, MinhashP)),
       typedLit(Seq.empty[Long]))
 
+  /** L-char window hash at every char position in order — the character-
+    * granularity positioned input of span dedup
+    * ([[graft.operators.Corpus.repeatedCharSpans]]).
+    */
+  def charWindowHashSeq(text: Column, l: Int): Column =
+    coalesce(
+      ColumnBridge.column(
+        TextKernels.CharWindowHashSeqExpr(ColumnBridge.expression(text), l, MinhashP)),
+      typedLit(Seq.empty[Long]))
+
   /** One-pass (n_grams, n_distinct) struct over word n-grams — the
     * repetition-ratio kernel ([[TextKernels.NgramRepetitionExpr]]).
     */

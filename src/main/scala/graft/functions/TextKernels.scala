@@ -180,6 +180,41 @@ object TextKernels {
       copy(child = newChild)
   }
 
+  /** Hash of the L-CHAR window at every char position, in order — element i
+    * is md5-prefix(substring(i, i+L)) % p, the character-granularity
+    * analog of [[shingleHashSeq]] (the ExactSubstr memorization pass works
+    * on raw character runs, not token boundaries — a repeat shifted by
+    * punctuation or spacing still aligns at some char offset). O(n·L) md5
+    * work per doc; windows are Java-char (UTF-16) indexed, which equals
+    * DuckDB's codepoint-indexed substr on BMP text (supplementary-plane
+    * chars would shift positions by one per surrogate pair — acceptable
+    * for a dedup signal, and the fixtures are ASCII).
+    */
+  def charWindowHashSeq(t: UTF8String, l: Int, p: Long): GenericArrayData = {
+    val s = t.toString
+    val total = s.length - l + 1
+    if (total <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](total)
+    var i = 0
+    while (i < total) {
+      out(i) = java.lang.Long.valueOf(md5Prefix(s.substring(i, i + l), md) % p)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class CharWindowHashSeqExpr(child: Expression, l: Int, p: Long) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      charWindowHashSeq(input.asInstanceOf[UTF8String], l, p)
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.charWindowHashSeq($c, $l, ${p}L)")
+    override protected def withNewChildInternal(newChild: Expression): CharWindowHashSeqExpr =
+      copy(child = newChild)
+  }
+
   /** (n_grams, n_distinct) over word n-grams of `split(text, " ")` in ONE
     * pass — no per-row gram-array materialization, no `array_distinct`
     * second scan. Windows are exactly those of

@@ -201,10 +201,50 @@ object Corpus {
       n: Int = 8,
       minDocs: Long = 2L): DataFrame = {
     require(n >= 1, s"shingle width must be >= 1, got $n")
-    require(minDocs >= 2, s"minDocs < 2 would mark every in-doc shingle repeated, got $minDocs")
-    val positioned = docs
-      .select(id.as("doc_id"), posexplode(TextFunctions.shingleHashSeq(text, n)))
-      // 1-based token positions (the DuckDB generate_series convention)
+    spansFromPositioned(
+      docs.select(id.as("doc_id"), posexplode(TextFunctions.shingleHashSeq(text, n))),
+      width = n, minDocs = minDocs, lengthCol = "span_tokens")
+  }
+
+  /** [[repeatedSpans]] at CHARACTER granularity — the ExactSubstr-style
+    * memorization pass (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): every maximal CHAR span covered by L-char
+    * windows occurring in >= `minDocs` distinct documents, as merged
+    * 1-based [span_start, span_end] char intervals per doc. Character
+    * windows catch repeats the token form misses — the same passage
+    * re-spaced, re-punctuated, or shifted off token boundaries still
+    * aligns at some char offset; `l` plays ExactSubstr's minimum-match
+    * length (their 50 bytes). Identical scale shape to the token form:
+    * the positioned kernel is per-row (O(chars·L) md5s), the repeated
+    * set is one (hash, doc) shuffle, hits are a blocked equi-join, and
+    * the only window partitions by doc_id.
+    */
+  def repeatedCharSpans(
+      docs: DataFrame, // id, text
+      id: Column,
+      text: Column,
+      l: Int = 50,
+      minDocs: Long = 2L): DataFrame = {
+    require(l >= 2, s"window length must be >= 2 chars, got $l")
+    spansFromPositioned(
+      docs.select(id.as("doc_id"), posexplode(TextFunctions.charWindowHashSeq(text, l))),
+      width = l, minDocs = minDocs, lengthCol = "span_chars")
+  }
+
+  /** Shared span machinery over a positioned-hash explode (`pos` 0-based
+    * from posexplode, `col` = window hash; `width` = window span in
+    * position units): repeated-set groupBy → blocked equi-join → per-doc
+    * island merge. See [[repeatedSpans]] for the stage-by-stage scale
+    * rationale.
+    */
+  private def spansFromPositioned(
+      exploded: DataFrame,
+      width: Int,
+      minDocs: Long,
+      lengthCol: String): DataFrame = {
+    require(minDocs >= 2, s"minDocs < 2 would mark every in-doc window repeated, got $minDocs")
+    // 1-based positions (the DuckDB generate_series convention)
+    val positioned = exploded
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
     val repeated = positioned
       .groupBy(col("h"))
@@ -213,7 +253,7 @@ object Corpus {
       .select("h")
     val hits = positioned
       .join(repeated, Seq("h"))
-      .select(col("doc_id"), col("pos"), (col("pos") + (n - 1)).as("e"))
+      .select(col("doc_id"), col("pos"), (col("pos") + (width - 1)).as("e"))
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -229,7 +269,7 @@ object Corpus {
         max(col("e")).cast("long").as("span_end"))
       .select(
         col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+        (col("span_end") - col("span_start") + 1L).as(lengthCol))
   }
 
   /** The REMOVAL half of the memorization pass: apply [[repeatedSpans]] to

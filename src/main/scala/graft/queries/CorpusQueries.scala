@@ -25,6 +25,12 @@ object CorpusQueries {
     */
   private val SpanN = 5
 
+  /** t25 char-window length — ExactSubstr's minimum-match length (their
+    * 50 bytes), sized to the synthetic docs' ~5-char tokens so a SpanN-
+    * token repeat is also caught at char granularity.
+    */
+  private val CharL = 25
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C-split — deterministic 80/10/10 train/val/test assignment by salted
     // content-id hash: re-runs and cluster resizes can never move a document
@@ -88,6 +94,14 @@ object CorpusQueries {
     "t24_span_redaction" -> { (s, dir) =>
       Corpus.redactSpans(
         Tables.documents(s, dir), col("doc_id"), col("text"), n = SpanN, minDocs = 2L)
+    },
+    // C-charspans — the ExactSubstr-style pass at CHARACTER granularity:
+    // maximal char spans covered by 25-char windows repeated across >= 2
+    // docs. Catches repeats the token form misses (re-spaced/re-punctuated
+    // passages align at char offsets, not token boundaries).
+    "t25_char_spans" -> { (s, dir) =>
+      Corpus.repeatedCharSpans(
+        Tables.documents(s, dir), col("doc_id"), col("text"), l = CharL, minDocs = 2L)
     },
     // C-pii — email/phone redaction with match counts. The synthetic docs
     // carry no PII, so each row gets a deterministic injected contact tail;
@@ -218,6 +232,26 @@ object CorpusQueries {
          |SELECT doc_id, span_start, span_end,
          |  span_end - span_start + 1 AS span_tokens
          |FROM sp""".stripMargin,
+    "t25_char_spans" -> {
+      val L = CharL
+      s"""WITH cps AS (SELECT doc_id,
+         |  unnest(list_transform(generate_series(1, greatest(length(text) - ${L - 1}, 0)),
+         |    i -> {'pos': i, 'h': ${duckBucket(s"substr(text, i, $L)", 2147483647)}})) AS u
+         |  FROM documents),
+         |cph AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM cps),
+         |crep AS (SELECT h FROM cph GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |chits AS (SELECT doc_id, pos, pos + ${L - 1} AS e FROM cph JOIN crep USING (h)),
+         |cisl AS (SELECT doc_id, pos, e,
+         |  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         |       THEN 1 ELSE 0 END AS brk FROM chits),
+         |cg AS (SELECT doc_id, pos, e,
+         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM cisl)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(e) AS BIGINT) AS span_end,
+         |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_chars
+         |FROM cg GROUP BY doc_id, island""".stripMargin
+    },
     "t24_span_redaction" ->
       s"""WITH $spanCtes,
          |tt AS (SELECT doc_id, u2.pos AS pos, u2.tok AS tok FROM (

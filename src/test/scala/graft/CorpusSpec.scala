@@ -136,6 +136,26 @@ class CorpusSpec extends SparkSpec {
       (1L, 1L, 3L, 3L), (1L, 7L, 9L, 3L), (2L, 1L, 6L, 6L)))
   }
 
+  test("repeatedCharSpans catches a shared char run the token form misses") {
+    // docs share the 35-char run "alpha beta gamma delta epsilon zeta"
+    // (6 tokens); with n=7 the TOKEN form finds nothing, while 25-char
+    // windows align on the run at its (different) char offset in each doc
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta trailing words here"),
+      (2L, "leadin, alpha beta gamma delta epsilon zeta"),
+      (3L, "nothing shared with the others at all in this one")
+    ).toDF("doc_id", "text")
+    assert(Corpus.repeatedSpans(docs, $"doc_id", $"text", n = 7, minDocs = 2L).count() === 0)
+    val out = Corpus.repeatedCharSpans(docs, $"doc_id", $"text", l = 25, minDocs = 2L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_chars")))
+      .sortBy(_._1)
+    // doc 1: run starts at char 1, doc 2: after "leadin, " (8 chars) at 9;
+    // both spans cover the full 35-char repeat
+    assert(out.toSeq === Seq((1L, 1L, 35L, 35L), (2L, 9L, 43L, 35L)))
+  }
+
   test("redactSpans drops exactly the repeated spans and keeps every doc's accounting row") {
     // same fixture as the merge test: docs 1/2 share tokens 1-6, doc 3 is
     // clean -> redaction removes tokens 1-6 from docs 1/2, keeps doc 3
