@@ -62,13 +62,15 @@ object GraftSession {
     * keeping the checkpoint cost proportional to the batch's writes (the
     * same incremental-not-full economics as the k7 watermark store).
     *
-    * Budget at 1 M live keys (BookState shape, the largest state row —
-    * ~10+10 levels × 16 B + frontier ≈ 400 B serialized): ~400 MB of
-    * native state per executor-worth of keys, amortized across the
-    * cluster by the groupByKey hash partitioning; a 512 MB cache bound
-    * holds it with room, vs the same state as boxed JVM maps costing
-    * 3-5× that in heap plus GC pressure. Set `maxMemoryMB` to the
-    * executor's off-heap allowance.
+    * Budget at 1 M live keys (BookState shape, the largest state row):
+    * MEASURED by the statesweep (statesweep.json, SCALE.md table) — full
+    * two-sided ~200-level books cost ~3.0 KB/key as on-heap objects vs
+    * ~700 B/key durable in RocksDB SSTs, with native memory (memtables +
+    * pinned blocks) growing with the live write set but capped by
+    * `maxMemoryMB` across every store instance on the node. 1 M such
+    * keys ≈ 3 GB of heap (plus GC scan) vs ~0.7 GB of local disk under
+    * a fixed native budget. Set `maxMemoryMB` to the executor's
+    * off-heap allowance.
     *
     * Runtime confs — callable on a LIVE session (`configureRocksDbState`)
     * before `.start()`, or baked into the builder here; each streaming

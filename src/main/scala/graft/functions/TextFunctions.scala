@@ -73,6 +73,16 @@ object TextFunctions {
         TextKernels.CharWindowHashSeqExpr(ColumnBridge.expression(text), l, MinhashP)),
       typedLit(Seq.empty[Long]))
 
+  /** Winnowed fingerprints of the L-char window hashes, packed
+    * `h * 2^32 + pos` — the MOSS-sampled positioned input of span dedup
+    * ([[graft.operators.Corpus.winnowedCharSpans]]).
+    */
+  def winnowedPackSeq(text: Column, l: Int, w: Int): Column =
+    coalesce(
+      ColumnBridge.column(
+        TextKernels.WinnowedPackSeqExpr(ColumnBridge.expression(text), l, w, MinhashP)),
+      typedLit(Seq.empty[Long]))
+
   /** One-pass (n_grams, n_distinct) struct over word n-grams — the
     * repetition-ratio kernel ([[TextKernels.NgramRepetitionExpr]]).
     */

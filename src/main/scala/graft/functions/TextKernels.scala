@@ -204,6 +204,66 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Winnowed fingerprint selection over the L-char window hashes — the
+    * MOSS algorithm (Schleimer, Wilkerson, Aiken: "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD 2003): slide a
+    * w-position window over the per-position hashes and keep each
+    * window's minimum. GUARANTEE: any shared substring of length >=
+    * L + w - 1 yields at least one identical selected fingerprint in
+    * both documents (a full hash window fits inside the run, and its
+    * minimum is content-determined), while only ~2/(w+1) of positions
+    * survive selection — the sampled form of the every-position pass
+    * with a provable recall floor instead of striding's alignment hole.
+    *
+    * Returns packed longs `h * 2^32 + pos` (pos 1-based; h < 2^31 so the
+    * pack is collision-free and orders by (h, pos) — the deterministic
+    * tie-break BOTH engines reproduce: an in-window hash tie selects the
+    * leftmost position). Consecutive windows sharing a minimum emit it
+    * once. Selection runs IN-ROW via a monotone deque (O(n) total), so
+    * only the ~2n/(w+1) survivors ever reach the explode.
+    */
+  def winnowedPackSeq(t: UTF8String, l: Int, w: Int, p: Long): GenericArrayData = {
+    val s = t.toString
+    val total = s.length - l + 1
+    if (total < w) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val packs = new Array[Long](total)
+    var i = 0
+    while (i < total) {
+      // pos is 1-based; min-by pack == min-by (h, pos)
+      packs(i) = (md5Prefix(s.substring(i, i + l), md) % p) * 4294967296L + (i + 1)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](2 * total / (w + 1) + 1)
+    // monotone deque of indices with increasing pack values
+    val deque = new java.util.ArrayDeque[Int](w + 1)
+    var last = -1L
+    i = 0
+    while (i < total) {
+      while (!deque.isEmpty && packs(deque.peekLast) >= packs(i)) deque.pollLast()
+      deque.addLast(i)
+      if (deque.peekFirst <= i - w) deque.pollFirst()
+      if (i >= w - 1) { // first FULL window ends at w-1
+        val m = packs(deque.peekFirst)
+        if (m != last) { out += java.lang.Long.valueOf(m); last = m }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  case class WinnowedPackSeqExpr(child: Expression, l: Int, w: Int, p: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      winnowedPackSeq(input.asInstanceOf[UTF8String], l, w, p)
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.winnowedPackSeq($c, $l, $w, ${p}L)")
+    override protected def withNewChildInternal(newChild: Expression): WinnowedPackSeqExpr =
+      copy(child = newChild)
+  }
+
   case class CharWindowHashSeqExpr(child: Expression, l: Int, p: Long) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =

@@ -231,6 +231,38 @@ object Corpus {
       width = l, minDocs = minDocs, lengthCol = "span_chars")
   }
 
+  /** [[repeatedCharSpans]] on WINNOWED fingerprints — the MOSS sampling
+    * (Schleimer/Wilkerson/Aiken, SIGMOD 2003) in front of the same span
+    * machinery: only each w-window's minimum hash survives to the
+    * explode (~2/(w+1) of positions), with the winnowing guarantee that
+    * any shared run of length >= l + w - 1 still produces at least one
+    * identical fingerprint in both docs. The 100 TB dial for char-level
+    * dedup: the every-position form's explode is the corpus in rows;
+    * this cuts it ~2.5x at w=4 while keeping a PROVABLE recall floor
+    * (striding instead has an alignment hole — two docs whose shared run
+    * starts at different offsets mod the stride share no sampled window
+    * at all). Spans clip by up to w-1 chars at the edges vs the
+    * every-position form — the sampling resolution.
+    */
+  def winnowedCharSpans(
+      docs: DataFrame, // id, text
+      id: Column,
+      text: Column,
+      l: Int = 50,
+      w: Int = 4,
+      minDocs: Long = 2L): DataFrame = {
+    require(l >= 2, s"window length must be >= 2 chars, got $l")
+    require(w >= 1, s"winnow window must be >= 1, got $w")
+    val hits = docs
+      .select(id.as("doc_id"), explode(TextFunctions.winnowedPackSeq(text, l, w)).as("v"))
+      .select(
+        col("doc_id"),
+        pmod(col("v"), lit(4294967296L)).as("pos"), // 1-based, packed low bits
+        // integer div, NOT `/` (double division loses bits above 2^53)
+        expr("v div 4294967296").as("h"))
+    spansFromHits(hits, width = l, minDocs = minDocs, lengthCol = "span_chars")
+  }
+
   /** Shared span machinery over a positioned-hash explode (`pos` 0-based
     * from posexplode, `col` = window hash; `width` = window span in
     * position units): repeated-set groupBy → blocked equi-join → per-doc
@@ -241,11 +273,22 @@ object Corpus {
       exploded: DataFrame,
       width: Int,
       minDocs: Long,
+      lengthCol: String): DataFrame =
+    // 1-based positions (the DuckDB generate_series convention)
+    spansFromHits(
+      exploded.select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h")),
+      width, minDocs, lengthCol)
+
+  /** [[spansFromPositioned]] after position normalization: `positioned` =
+    * (doc_id, pos 1-based, h).
+    */
+  private def spansFromHits(
+      positioned0: DataFrame,
+      width: Int,
+      minDocs: Long,
       lengthCol: String): DataFrame = {
     require(minDocs >= 2, s"minDocs < 2 would mark every in-doc window repeated, got $minDocs")
-    // 1-based positions (the DuckDB generate_series convention)
-    val positioned = exploded
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+    val positioned = positioned0
     val repeated = positioned
       .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))

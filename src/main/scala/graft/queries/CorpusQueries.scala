@@ -31,6 +31,11 @@ object CorpusQueries {
     */
   private val CharL = 25
 
+  /** t26 winnow window — shared runs >= CharL + WinnowW - 1 chars are
+    * guaranteed caught; ~2/(w+1) of positions survive selection.
+    */
+  private val WinnowW = 4
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C-split — deterministic 80/10/10 train/val/test assignment by salted
     // content-id hash: re-runs and cluster resizes can never move a document
@@ -102,6 +107,15 @@ object CorpusQueries {
     "t25_char_spans" -> { (s, dir) =>
       Corpus.repeatedCharSpans(
         Tables.documents(s, dir), col("doc_id"), col("text"), l = CharL, minDocs = 2L)
+    },
+    // C-winnow — t25's char-span pass behind MOSS winnowing (w=4): only
+    // each 4-window's minimum hash survives to the explode (~2.5x less
+    // volume), with the winnowing guarantee that shared runs >= L+w-1
+    // chars still collide. The 100 TB form of char-level dedup.
+    "t26_winnowed_spans" -> { (s, dir) =>
+      Corpus.winnowedCharSpans(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        l = CharL, w = WinnowW, minDocs = 2L)
     },
     // C-pii — email/phone redaction with match counts. The synthetic docs
     // carry no PII, so each row gets a deterministic injected contact tail;
@@ -251,6 +265,34 @@ object CorpusQueries {
          |  CAST(max(e) AS BIGINT) AS span_end,
          |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_chars
          |FROM cg GROUP BY doc_id, island""".stripMargin
+    },
+    "t26_winnowed_spans" -> {
+      val L = CharL
+      val w = WinnowW
+      s"""WITH pv AS (SELECT doc_id, u.pos AS pos, u.v AS v FROM (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(length(text) - ${L - 1}, 0)),
+         |      i -> {'pos': i,
+         |            'v': ${duckBucket(s"substr(text, i, $L)", 2147483647)} * 4294967296 + i}))
+         |    AS u FROM documents)),
+         |wmin AS (SELECT doc_id, pos,
+         |    min(v) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS mv
+         |  FROM pv),
+         |sel AS (SELECT DISTINCT doc_id, mv FROM wmin WHERE pos >= $w),
+         |wph AS (SELECT doc_id, mv % 4294967296 AS pos, mv // 4294967296 AS h FROM sel),
+         |wrep AS (SELECT h FROM wph GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |whits AS (SELECT doc_id, pos, pos + ${L - 1} AS e FROM wph JOIN wrep USING (h)),
+         |wisl AS (SELECT doc_id, pos, e,
+         |  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         |       THEN 1 ELSE 0 END AS brk FROM whits),
+         |wg AS (SELECT doc_id, pos, e,
+         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM wisl)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(e) AS BIGINT) AS span_end,
+         |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_chars
+         |FROM wg GROUP BY doc_id, island""".stripMargin
     },
     "t24_span_redaction" ->
       s"""WITH $spanCtes,

@@ -156,6 +156,37 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 1L, 35L, 35L), (2L, 9L, 43L, 35L)))
   }
 
+  test("winnowedCharSpans keeps the detection guarantee at ~2.5x fewer fingerprints") {
+    // same planted 35-char run as the t25 spec: >= L + w - 1 = 28 chars,
+    // so the winnowing guarantee applies regardless of each doc's offset
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta trailing words here"),
+      (2L, "leadin, alpha beta gamma delta epsilon zeta"),
+      (3L, "nothing shared with the others at all in this one")
+    ).toDF("doc_id", "text")
+    val out = Corpus.winnowedCharSpans(docs, $"doc_id", $"text", l = 25, w = 4, minDocs = 2L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"), r.getAs[Long]("span_end")))
+      .sortBy(_._1)
+    // both docs report ONE span covering (most of) the shared run —
+    // winnowing may clip up to w-1 = 3 chars at each edge vs t25's exact
+    // [1,35] / [9,43]
+    assert(out.length === 2 && out.map(_._1).toSeq === Seq(1L, 2L))
+    val Seq((_, s1, e1), (_, s2, e2)) = out.toSeq
+    assert(s1 >= 1L && s1 <= 4L && e1 >= 32L && e1 <= 35L, s"doc1 span [$s1,$e1]")
+    assert(s2 >= 9L && s2 <= 12L && e2 >= 40L && e2 <= 43L, s"doc2 span [$s2,$e2]")
+
+    // sampling really is sparse: selected fingerprints << positions
+    import graft.functions.TextFunctions
+    val counts = docs.select(
+      size(TextFunctions.winnowedPackSeq($"text", 25, 4)).as("sel"),
+      size(TextFunctions.charWindowHashSeq($"text", 25)).as("all")).collect()
+    counts.foreach { r =>
+      assert(r.getAs[Int]("sel") < r.getAs[Int]("all"),
+        s"winnowed ${r.getAs[Int]("sel")} not sparser than ${r.getAs[Int]("all")}")
+    }
+  }
+
   test("redactSpans drops exactly the repeated spans and keeps every doc's accounting row") {
     // same fixture as the merge test: docs 1/2 share tokens 1-6, doc 3 is
     // clean -> redaction removes tokens 1-6 from docs 1/2, keeps doc 3
