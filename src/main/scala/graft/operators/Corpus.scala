@@ -283,12 +283,11 @@ object Corpus {
     * (doc_id, pos 1-based, h).
     */
   private def spansFromHits(
-      positioned0: DataFrame,
+      positioned: DataFrame,
       width: Int,
       minDocs: Long,
       lengthCol: String): DataFrame = {
     require(minDocs >= 2, s"minDocs < 2 would mark every in-doc window repeated, got $minDocs")
-    val positioned = positioned0
     val repeated = positioned
       .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))

@@ -137,6 +137,26 @@ object CorpusQueries {
     }
   )
 
+  /** The repeated-set → hits → island-merge CTE chain over a positioned
+    * CTE `src(doc_id, pos, h)`, ending in `${pre}sp(doc_id, span_start,
+    * span_end)` — the SQL twin of the Scala side's shared
+    * `Corpus.spansFromHits`, parameterized the same way so a fix to the
+    * island/break logic lands ONCE for every span oracle (t23/t24 token,
+    * t25 char, t26 winnowed).
+    */
+  private def islandCtes(src: String, pre: String, width: Int): String =
+    s"""${pre}rep AS (SELECT h FROM $src GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |${pre}hits AS (SELECT doc_id, pos, pos + ${width - 1} AS e FROM $src JOIN ${pre}rep USING (h)),
+       |${pre}isl AS (SELECT doc_id, pos, e,
+       |  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       |       THEN 1 ELSE 0 END AS brk FROM ${pre}hits),
+       |${pre}g AS (SELECT doc_id, pos, e,
+       |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM ${pre}isl),
+       |${pre}sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(e) AS BIGINT) AS span_end
+       |FROM ${pre}g GROUP BY doc_id, island)""".stripMargin
+
   /** The t23 span pipeline as a CTE chain ending in
     * `sp(doc_id, span_start, span_end)` — shared by the t23 (detection)
     * and t24 (redaction) oracles so both judge spans identically.
@@ -149,17 +169,7 @@ object CorpusQueries {
        |    i -> {'pos': i, 'h': ${duckBucket(sh, 2147483647)}})) AS u
        |  FROM toks),
        |ph AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM psh),
-       |rep AS (SELECT h FROM ph GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-       |hits AS (SELECT doc_id, pos, pos + ${SpanN - 1} AS e FROM ph JOIN rep USING (h)),
-       |isl AS (SELECT doc_id, pos, e,
-       |  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
-       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-       |       THEN 1 ELSE 0 END AS brk FROM hits),
-       |g AS (SELECT doc_id, pos, e,
-       |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
-       |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-       |  CAST(max(e) AS BIGINT) AS span_end
-       |FROM g GROUP BY doc_id, island)""".stripMargin
+       |${islandCtes("ph", "", SpanN)}""".stripMargin
   }
 
   private val shCte = // distinct 3-gram word shingle hashes per doc
@@ -253,18 +263,10 @@ object CorpusQueries {
          |    i -> {'pos': i, 'h': ${duckBucket(s"substr(text, i, $L)", 2147483647)}})) AS u
          |  FROM documents),
          |cph AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM cps),
-         |crep AS (SELECT h FROM cph GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-         |chits AS (SELECT doc_id, pos, pos + ${L - 1} AS e FROM cph JOIN crep USING (h)),
-         |cisl AS (SELECT doc_id, pos, e,
-         |  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
-         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-         |       THEN 1 ELSE 0 END AS brk FROM chits),
-         |cg AS (SELECT doc_id, pos, e,
-         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM cisl)
-         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-         |  CAST(max(e) AS BIGINT) AS span_end,
-         |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_chars
-         |FROM cg GROUP BY doc_id, island""".stripMargin
+         |${islandCtes("cph", "c", CharL)}
+         |SELECT doc_id, span_start, span_end,
+         |  span_end - span_start + 1 AS span_chars
+         |FROM csp""".stripMargin
     },
     "t26_winnowed_spans" -> {
       val L = CharL
@@ -281,18 +283,10 @@ object CorpusQueries {
          |  FROM pv),
          |sel AS (SELECT DISTINCT doc_id, mv FROM wmin WHERE pos >= $w),
          |wph AS (SELECT doc_id, mv % 4294967296 AS pos, mv // 4294967296 AS h FROM sel),
-         |wrep AS (SELECT h FROM wph GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-         |whits AS (SELECT doc_id, pos, pos + ${L - 1} AS e FROM wph JOIN wrep USING (h)),
-         |wisl AS (SELECT doc_id, pos, e,
-         |  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
-         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-         |       THEN 1 ELSE 0 END AS brk FROM whits),
-         |wg AS (SELECT doc_id, pos, e,
-         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM wisl)
-         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-         |  CAST(max(e) AS BIGINT) AS span_end,
-         |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_chars
-         |FROM wg GROUP BY doc_id, island""".stripMargin
+         |${islandCtes("wph", "w", CharL)}
+         |SELECT doc_id, span_start, span_end,
+         |  span_end - span_start + 1 AS span_chars
+         |FROM wsp""".stripMargin
     },
     "t24_span_redaction" ->
       s"""WITH $spanCtes,
