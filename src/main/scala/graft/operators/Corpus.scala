@@ -263,6 +263,57 @@ object Corpus {
     spansFromHits(hits, width = l, minDocs = minDocs, lengthCol = "span_chars")
   }
 
+  /** The removal half at CHARACTER granularity — [[redactSpans]]' twin
+    * over [[repeatedCharSpans]] (the EXACT every-position spans, not the
+    * winnowed ones: redaction wants precise edges, detection-at-scale
+    * can afford the w-1 clip). Chars inside any repeated span drop,
+    * survivors re-join in order; one accounting row per input document.
+    * Same shape as the token form: doc_id-equi anti-join with the
+    * position-range residual, per-doc `array_sort(collect_list)` bounded
+    * by ONE document's length.
+    */
+  def redactCharSpans(
+      docs: DataFrame, // id, text
+      id: Column,
+      text: Column,
+      l: Int = 50,
+      minDocs: Long = 2L): DataFrame = {
+    val spans = repeatedCharSpans(docs, id, text, l, minDocs)
+      .select(col("doc_id"), col("span_start"), col("span_end")).alias("s")
+    val chars = docs
+      .select(id.as("doc_id"), text.as("txt"))
+      // sequence(1, 0) would generate DESCENDING [1, 0] — gate empty texts
+      // out here; the final left join restores their accounting rows
+      .filter(length(col("txt")) >= 1)
+      .select(col("doc_id"), col("txt"),
+        explode(sequence(lit(1), length(col("txt")))).as("p"))
+      .select(
+        col("doc_id"), col("p").cast("long").as("pos"),
+        expr("substring(txt, p, 1)").as("ch"))
+      .alias("t")
+    val kept = chars.join(
+      spans,
+      col("t.doc_id") === col("s.doc_id") &&
+        col("t.pos").between(col("s.span_start"), col("s.span_end")),
+      "left_anti")
+    val reassembled = kept
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(
+          "",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("ch")))),
+            s => s.getField("ch"))).as("rt"))
+    docs
+      .select(id.as("doc_id"), length(text).cast("long").as("n_chars"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_chars"),
+        (col("n_chars") - coalesce(col("n_kept"), lit(0L))).as("n_redacted"),
+        coalesce(col("rt"), lit("")).as("redacted_text"))
+  }
+
   /** Shared span machinery over a positioned-hash explode (`pos` 0-based
     * from posexplode, `col` = window hash; `width` = window span in
     * position units): repeated-set groupBy → blocked equi-join → per-doc

@@ -117,6 +117,13 @@ object CorpusQueries {
         Tables.documents(s, dir), col("doc_id"), col("text"),
         l = CharL, w = WinnowW, minDocs = 2L)
     },
+    // C-charredact — t24's twin at char granularity: t25's exact spans
+    // applied back onto the corpus (chars inside any repeated span drop),
+    // closing the char family detect -> remove like the token family.
+    "t27_char_redaction" -> { (s, dir) =>
+      Corpus.redactCharSpans(
+        Tables.documents(s, dir), col("doc_id"), col("text"), l = CharL, minDocs = 2L)
+    },
     // C-pii — email/phone redaction with match counts. The synthetic docs
     // carry no PII, so each row gets a deterministic injected contact tail;
     // patterns are simple character classes that behave identically under
@@ -267,6 +274,28 @@ object CorpusQueries {
          |SELECT doc_id, span_start, span_end,
          |  span_end - span_start + 1 AS span_chars
          |FROM csp""".stripMargin
+    },
+    "t27_char_redaction" -> {
+      val L = CharL
+      s"""WITH cps AS (SELECT doc_id,
+         |  unnest(list_transform(generate_series(1, greatest(length(text) - ${L - 1}, 0)),
+         |    i -> {'pos': i, 'h': ${duckBucket(s"substr(text, i, $L)", 2147483647)}})) AS u
+         |  FROM documents),
+         |cph AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM cps),
+         |${islandCtes("cph", "c", CharL)},
+         |tch AS (SELECT doc_id, gs.i AS pos, substr(text, gs.i, 1) AS ch
+         |  FROM documents, unnest(generate_series(1, length(text))) AS gs(i)),
+         |kept AS (SELECT t.doc_id, t.pos, t.ch FROM tch t
+         |  WHERE NOT EXISTS (SELECT 1 FROM csp s
+         |    WHERE s.doc_id = t.doc_id
+         |      AND t.pos BETWEEN s.span_start AND s.span_end)),
+         |ka AS (SELECT doc_id, count(*) AS n_kept,
+         |  string_agg(ch, '' ORDER BY pos) AS rt FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(length(d.text) AS BIGINT) AS n_chars,
+         |  CAST(length(d.text) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_redacted,
+         |  coalesce(ka.rt, '') AS redacted_text
+         |FROM documents d LEFT JOIN ka USING (doc_id)""".stripMargin
     },
     "t26_winnowed_spans" -> {
       val L = CharL

@@ -187,6 +187,25 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("redactCharSpans removes exactly the repeated char runs, chars elsewhere survive") {
+    // the t25 fixture: docs 1/2 share chars [1,35] / [9,43]; removal must
+    // cut exactly those ranges and keep doc 3 verbatim with a row each
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta trailing words here"),
+      (2L, "leadin, alpha beta gamma delta epsilon zeta"),
+      (3L, "nothing shared with the others at all in this one")
+    ).toDF("doc_id", "text")
+    val out = Corpus.redactCharSpans(docs, $"doc_id", $"text", l = 25, minDocs = 2L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_redacted"), r.getAs[String]("redacted_text")))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 55L, 35L, " trailing words here"),
+      (2L, 43L, 35L, "leadin, "),
+      (3L, 49L, 0L, "nothing shared with the others at all in this one")))
+  }
+
   test("redactSpans drops exactly the repeated spans and keeps every doc's accounting row") {
     // same fixture as the merge test: docs 1/2 share tokens 1-6, doc 3 is
     // clean -> redaction removes tokens 1-6 from docs 1/2, keeps doc 3

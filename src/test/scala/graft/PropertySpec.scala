@@ -303,6 +303,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  for (seed <- Seq(13L, 37L)) {
+    test(s"winnowing guarantee holds on random corpora, seed $seed") {
+      // a shared run of length >= L + w - 1 must ALWAYS be detected, at
+      // any per-doc offset (the winnowing theorem); selections must be a
+      // subset of the full fingerprint set and strictly sparser
+      val rnd = new scala.util.Random(seed)
+      val (l, w) = (12, 4)
+      val planted = "SHAREDRUNXYZQWE" // 15 = l + w - 1 chars
+      def randChars(n: Int): String =
+        (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val docs = (1L to 20L).map { i =>
+        // every doc embeds the planted run at a random offset in random noise
+        (i, randChars(5 + rnd.nextInt(40)) + planted + randChars(5 + rnd.nextInt(40)))
+      }.toDF("doc_id", "text")
+
+      val spans = Corpus.winnowedCharSpans(docs, $"doc_id", $"text", l = l, w = w, minDocs = 2L)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("span_start"), r.getAs[Long]("span_end")))
+      val texts = docs.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      texts.foreach { case (id, t) =>
+        val at = t.indexOf(planted) + 1 // 1-based
+        val covering = spans.filter { case (d, s, e) =>
+          d == id && s <= at + (w - 1) && e >= at + planted.length - 1 - (w - 1)
+        }
+        assert(covering.nonEmpty,
+          s"doc $id: planted run at $at not covered (spans: ${spans.filter(_._1 == id).toSeq})")
+      }
+
+      // selection is a subset of the full per-position fingerprints
+      import graft.functions.TextFunctions
+      val rows = docs.select(
+        $"doc_id",
+        TextFunctions.winnowedPackSeq($"text", l, w).as("sel"),
+        TextFunctions.charWindowHashSeq($"text", l).as("all")).collect()
+      rows.foreach { r =>
+        val sel = r.getAs[scala.collection.Seq[Long]]("sel")
+        val all = r.getAs[scala.collection.Seq[Long]]("all")
+        assert(sel.size < all.size)
+        sel.foreach { v =>
+          val pos = (v % 4294967296L).toInt // 1-based
+          val h = v / 4294967296L
+          assert(pos >= 1 && pos <= all.size && all(pos - 1) == h,
+            s"selected pack $v does not decode to a real fingerprint")
+        }
+      }
+    }
+  }
+
   test("TimeUnits: micros->millis->timestamp roundtrips and bucket index is floor-consistent") {
     val rnd = new scala.util.Random(3L)
     val ts = (0 until 500).map(_ => math.abs(rnd.nextLong()) % 4102444800000L).toDF("ms")
