@@ -180,28 +180,67 @@ object TextKernels {
       copy(child = newChild)
   }
 
-  /** Hash of the L-CHAR window at every char position, in order — element i
-    * is md5-prefix(substring(i, i+L)) % p, the character-granularity
-    * analog of [[shingleHashSeq]] (the ExactSubstr memorization pass works
-    * on raw character runs, not token boundaries — a repeat shifted by
-    * punctuation or spacing still aligns at some char offset). O(n·L) md5
-    * work per doc; windows are Java-char (UTF-16) indexed, which equals
-    * DuckDB's codepoint-indexed substr on BMP text (supplementary-plane
-    * chars would shift positions by one per surrogate pair — acceptable
-    * for a dedup signal, and the fixtures are ASCII).
+  /** Karp-Rabin base for the char-window family — a fixed literal (like the
+    * minhash a/b constants) so the DuckDB oracle inlines the identical
+    * polynomial: `h = (h*131 + codepoint) % p` folded left-to-right over
+    * each window's codepoints.
+    */
+  val CharWindowBase: Long = 131L
+
+  /** Polynomial hash of the L-codepoint window at every position, computed
+    * with the Karp-Rabin ROLLING recurrence — O(n) total digest work
+    * instead of the O(n·L) per-window md5 this replaces (the actual MOSS
+    * construction: h_i = (h_{i-1} - cp_{i-1}·base^{L-1})·base + cp_{i+L-1}
+    * mod p). Windows and positions are CODEPOINT-indexed, which is exactly
+    * Spark's own `length`/`substring` indexing AND DuckDB's `substr` — so
+    * detection positions, SQL oracles, and redaction splicing all agree
+    * even on supplementary-plane text (the UTF-16 drift caveat of the md5
+    * form is gone).
+    *
+    * Overflow-safe in signed 64-bit: h < p <= 2^31, base = 131 < 2^8, and
+    * codepoints < 2^21, so every intermediate product stays below 2^52.
     */
   def charWindowHashSeq(t: UTF8String, l: Int, p: Long): GenericArrayData = {
-    val s = t.toString
-    val total = s.length - l + 1
-    if (total <= 0) return new GenericArrayData(Array.empty[Any])
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val out = new Array[Any](total)
+    val hs = windowPolyHashes(t.toString, l, p)
+    val out = new Array[Any](hs.length)
     var i = 0
+    while (i < hs.length) { out(i) = java.lang.Long.valueOf(hs(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Rolling Karp-Rabin window hashes over the codepoint stream; element i
+    * (0-based) is the hash of codepoints [i, i+l). Empty when the text has
+    * fewer than l codepoints.
+    */
+  private def windowPolyHashes(s: String, l: Int, p: Long): Array[Long] = {
+    val nCp = s.codePointCount(0, s.length)
+    if (nCp < l) return Array.emptyLongArray
+    val cps = new Array[Int](nCp)
+    var ci = 0
+    var k = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      cps(k) = cp
+      k += 1
+      ci += Character.charCount(cp)
+    }
+    val total = nCp - l + 1
+    val out = new Array[Long](total)
+    var h = 0L
+    var i = 0
+    while (i < l) { h = (h * CharWindowBase + cps(i)) % p; i += 1 }
+    out(0) = h
+    var powL = 1L // base^(l-1) mod p — the leading coefficient to retire
+    i = 0
+    while (i < l - 1) { powL = (powL * CharWindowBase) % p; i += 1 }
+    i = 1
     while (i < total) {
-      out(i) = java.lang.Long.valueOf(md5Prefix(s.substring(i, i + l), md) % p)
+      h = (h - (cps(i - 1) * powL) % p + p) % p
+      h = (h * CharWindowBase + cps(i + l - 1)) % p
+      out(i) = h
       i += 1
     }
-    new GenericArrayData(out)
+    out
   }
 
   /** Winnowed fingerprint selection over the L-char window hashes — the
@@ -223,15 +262,14 @@ object TextKernels {
     * only the ~2n/(w+1) survivors ever reach the explode.
     */
   def winnowedPackSeq(t: UTF8String, l: Int, w: Int, p: Long): GenericArrayData = {
-    val s = t.toString
-    val total = s.length - l + 1
+    val hs = windowPolyHashes(t.toString, l, p)
+    val total = hs.length
     if (total < w) return new GenericArrayData(Array.empty[Any])
-    val md = java.security.MessageDigest.getInstance("MD5")
     val packs = new Array[Long](total)
     var i = 0
     while (i < total) {
       // pos is 1-based; min-by pack == min-by (h, pos)
-      packs(i) = (md5Prefix(s.substring(i, i + l), md) % p) * 4294967296L + (i + 1)
+      packs(i) = hs(i) * 4294967296L + (i + 1)
       i += 1
     }
     val out = new scala.collection.mutable.ArrayBuffer[Any](2 * total / (w + 1) + 1)

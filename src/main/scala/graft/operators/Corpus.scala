@@ -215,9 +215,11 @@ object Corpus {
     * re-spaced, re-punctuated, or shifted off token boundaries still
     * aligns at some char offset; `l` plays ExactSubstr's minimum-match
     * length (their 50 bytes). Identical scale shape to the token form:
-    * the positioned kernel is per-row (O(chars·L) md5s), the repeated
-    * set is one (hash, doc) shuffle, hits are a blocked equi-join, and
-    * the only window partitions by doc_id.
+    * the positioned kernel is per-row (O(chars) total — Karp-Rabin
+    * rolling window hashes over codepoints), the repeated set is one
+    * (hash, doc) shuffle, hits are a blocked equi-join, and the only
+    * window partitions by doc_id. Positions are codepoint indices, the
+    * same indexing as Spark's `substring`/`length` and DuckDB's `substr`.
     */
   def repeatedCharSpans(
       docs: DataFrame, // id, text
@@ -268,9 +270,17 @@ object Corpus {
     * winnowed ones: redaction wants precise edges, detection-at-scale
     * can afford the w-1 clip). Chars inside any repeated span drop,
     * survivors re-join in order; one accounting row per input document.
-    * Same shape as the token form: doc_id-equi anti-join with the
-    * position-range residual, per-doc `array_sort(collect_list)` bounded
-    * by ONE document's length.
+    *
+    * Splices by SPAN ARRAY, not per-char rows: the spans per doc are few
+    * and already merged/disjoint ([[spansFromHits]] guarantees it), so
+    * they collect into one bounded array per doc, join back to the corpus
+    * on doc_id, and a higher-order `aggregate` walks the sorted spans
+    * copying the inter-span gaps with `substr` — rows stay = documents
+    * (the previous form re-derived the corpus as one row per character,
+    * a ~50x row blowup that made this the suite's heaviest query).
+    * Positions are codepoint-indexed end to end (the kernel, Spark's
+    * `substring`/`length`, and DuckDB's `substr` all count codepoints),
+    * so splicing cannot drift from detection on supplementary-plane text.
     */
   def redactCharSpans(
       docs: DataFrame, // id, text
@@ -278,40 +288,35 @@ object Corpus {
       text: Column,
       l: Int = 50,
       minDocs: Long = 2L): DataFrame = {
-    val spans = repeatedCharSpans(docs, id, text, l, minDocs)
-      .select(col("doc_id"), col("span_start"), col("span_end")).alias("s")
-    val chars = docs
-      .select(id.as("doc_id"), text.as("txt"))
-      // sequence(1, 0) would generate DESCENDING [1, 0] — gate empty texts
-      // out here; the final left join restores their accounting rows
-      .filter(length(col("txt")) >= 1)
-      .select(col("doc_id"), col("txt"),
-        explode(sequence(lit(1), length(col("txt")))).as("p"))
-      .select(
-        col("doc_id"), col("p").cast("long").as("pos"),
-        expr("substring(txt, p, 1)").as("ch"))
-      .alias("t")
-    val kept = chars.join(
-      spans,
-      col("t.doc_id") === col("s.doc_id") &&
-        col("t.pos").between(col("s.span_start"), col("s.span_end")),
-      "left_anti")
-    val reassembled = kept
+    val spanArrs = repeatedCharSpans(docs, id, text, l, minDocs)
       .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_kept"),
-        concat_ws(
-          "",
-          transform(
-            array_sort(collect_list(struct(col("pos"), col("ch")))),
-            s => s.getField("ch"))).as("rt"))
+      .agg(array_sort(collect_list(struct(col("span_start"), col("span_end")))).as("sp"))
+    val spliced = aggregate(
+      col("sp"),
+      struct(lit("").as("acc"), lit(0L).as("done")),
+      (a, s) => struct(
+        concat(
+          a.getField("acc"),
+          col("txt").substr(
+            (a.getField("done") + 1L).cast("int"),
+            (s.getField("span_start") - a.getField("done") - 1L).cast("int"))).as("acc"),
+        s.getField("span_end").as("done")),
+      a => concat(
+        a.getField("acc"),
+        col("txt").substr(
+          (a.getField("done") + 1L).cast("int"),
+          (col("n_chars") - a.getField("done")).cast("int"))))
+    val redactedLen = aggregate(
+      col("sp"), lit(0L),
+      (a, s) => a + (s.getField("span_end") - s.getField("span_start") + 1L))
     docs
-      .select(id.as("doc_id"), length(text).cast("long").as("n_chars"))
-      .join(reassembled, Seq("doc_id"), "left")
+      .select(id.as("doc_id"), text.as("txt"), length(text).cast("long").as("n_chars"))
+      .join(spanArrs, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("n_chars"),
-        (col("n_chars") - coalesce(col("n_kept"), lit(0L))).as("n_redacted"),
-        coalesce(col("rt"), lit("")).as("redacted_text"))
+        coalesce(redactedLen, lit(0L)).as("n_redacted"),
+        // null span array = nothing repeated in this doc: text passes through
+        coalesce(spliced, col("txt")).as("redacted_text"))
   }
 
   /** Shared span machinery over a positioned-hash explode (`pos` 0-based
@@ -372,18 +377,16 @@ object Corpus {
     * n_redacted, redacted_text). Detection finds the spans; THIS produces
     * the train-ready corpus.
     *
-    * Scale shape on top of [[repeatedSpans]]' stages:
-    *   - token positions: `posexplode(split)` — per-row, zero shuffle;
-    *   - coverage test: LEFT ANTI join tokens against spans on the doc_id
-    *     EQUI key with the `pos BETWEEN span_start AND span_end` range
-    *     residual — both sides hash-partition by doc_id, each task matches
-    *     a doc's tokens against that doc's few merged spans (merge in
-    *     [[repeatedSpans]] guarantees spans per doc ≤ tokens/2 and in
-    *     practice a handful), never a cross-doc comparison;
-    *   - reassembly: groupBy(doc_id) over surviving (pos, tok) pairs with
-    *     an `array_sort(collect_list(struct(pos, tok)))` — state bounded
-    *     by ONE document's length (the same bound the explode created),
-    *     not by corpus size; parallelism = documents.
+    * Scale shape on top of [[repeatedSpans]]' stages — spans splice as
+    * per-doc ARRAYS, never as per-token rows:
+    *   - span collection: groupBy(doc_id) over the detected spans — state
+    *     bounded by spans per doc (merge in [[repeatedSpans]] guarantees
+    *     ≤ tokens/2 and in practice a handful), the array sorts in-row;
+    *   - splice: one doc_id equi-join of the corpus to its span array,
+    *     then a higher-order `aggregate` over the sorted spans `slice`s
+    *     the token array between consecutive spans — rows = documents
+    *     throughout (the previous anti-join form re-derived the corpus as
+    *     one row per token before grouping it straight back).
     *
     * Tokenization is `split(text, " ")`, the t14/t23 convention, so
     * `n_tokens` here equals t14's and span positions line up with t23's
@@ -395,32 +398,38 @@ object Corpus {
       text: Column,
       n: Int = 8,
       minDocs: Long = 2L): DataFrame = {
-    val spans = repeatedSpans(docs, id, text, n, minDocs)
-      .select(col("doc_id"), col("span_start"), col("span_end")).alias("s")
-    val toks = docs
-      .select(id.as("doc_id"), posexplode(split(text, " ")))
-      .select(col("doc_id"), (col("pos") + 1L).as("pos"), col("col").as("tok"))
-      .alias("t")
-    val kept = toks.join(
-      spans,
-      col("t.doc_id") === col("s.doc_id") &&
-        col("t.pos").between(col("s.span_start"), col("s.span_end")),
-      "left_anti")
-    val reassembled = kept
+    val spanArrs = repeatedSpans(docs, id, text, n, minDocs)
       .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_kept"),
-        concat_ws(
-          " ",
-          transform(
-            array_sort(collect_list(struct(col("pos"), col("tok")))),
-            s => s.getField("tok"))).as("rt"))
+      .agg(array_sort(collect_list(struct(col("span_start"), col("span_end")))).as("sp"))
+    val spliced = aggregate(
+      col("sp"),
+      struct(array().cast("array<string>").as("acc"), lit(0L).as("done")),
+      (a, s) => struct(
+        concat(
+          a.getField("acc"),
+          slice(
+            col("tk"),
+            (a.getField("done") + 1L).cast("int"),
+            (s.getField("span_start") - a.getField("done") - 1L).cast("int"))).as("acc"),
+        s.getField("span_end").as("done")),
+      a => concat_ws(" ", concat(
+        a.getField("acc"),
+        slice(
+          col("tk"),
+          (a.getField("done") + 1L).cast("int"),
+          (col("n_tokens") - a.getField("done")).cast("int")))))
+    val redactedLen = aggregate(
+      col("sp"), lit(0L),
+      (a, s) => a + (s.getField("span_end") - s.getField("span_start") + 1L))
     docs
-      .select(id.as("doc_id"), size(split(text, " ")).cast("long").as("n_tokens"))
-      .join(reassembled, Seq("doc_id"), "left")
+      .select(
+        id.as("doc_id"), split(text, " ").as("tk"),
+        size(split(text, " ")).cast("long").as("n_tokens"))
+      .join(spanArrs, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_redacted"),
-        coalesce(col("rt"), lit("")).as("redacted_text"))
+        coalesce(redactedLen, lit(0L)).as("n_redacted"),
+        // null span array = nothing repeated in this doc: text passes through
+        coalesce(spliced, concat_ws(" ", col("tk"))).as("redacted_text"))
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.{TextFunctions, TextKernels}
 import graft.operators.{Corpus, Profile}
 
 /** Corpus-assembly queries: deterministic splits, weighted sampling,
@@ -15,6 +16,18 @@ object CorpusQueries {
   /** DuckDB twin of [[Corpus.hashBucket]]. */
   private def duckBucket(saltedExpr: String, buckets: Int): String =
     s"(CAST(concat('0x', substr(md5($saltedExpr), 1, 8)) AS BIGINT) % $buckets)"
+
+  /** DuckDB twin of ONE window of [[graft.functions.TextKernels
+    * .charWindowHashSeq]]: the Karp-Rabin polynomial
+    * `h = (h*base + codepoint) % p` folded over the L codepoints starting
+    * at `$startVar` (the Spark side computes the same values with the O(n)
+    * rolling recurrence; the oracle re-derives each window directly).
+    * Constants mirror `TextFunctions.CharWindowBase` / `MinhashP`.
+    */
+  private def duckCharWindowHash(startVar: String, l: Int): String =
+    s"list_reduce(list_transform(generate_series($startVar, $startVar + ${l - 1}), " +
+      s"j -> CAST(ord(substr(text, j, 1)) AS BIGINT)), " +
+      s"(h, c) -> (h * ${TextKernels.CharWindowBase} + c) % ${TextFunctions.MinhashP})"
 
   private val SampleRates = Map("src0" -> 800, "src1" -> 500, "src2" -> 300)
   private val SampleDefault = 200
@@ -267,7 +280,7 @@ object CorpusQueries {
       val L = CharL
       s"""WITH cps AS (SELECT doc_id,
          |  unnest(list_transform(generate_series(1, greatest(length(text) - ${L - 1}, 0)),
-         |    i -> {'pos': i, 'h': ${duckBucket(s"substr(text, i, $L)", 2147483647)}})) AS u
+         |    i -> {'pos': i, 'h': ${duckCharWindowHash("i", L)}})) AS u
          |  FROM documents),
          |cph AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM cps),
          |${islandCtes("cph", "c", CharL)}
@@ -279,7 +292,7 @@ object CorpusQueries {
       val L = CharL
       s"""WITH cps AS (SELECT doc_id,
          |  unnest(list_transform(generate_series(1, greatest(length(text) - ${L - 1}, 0)),
-         |    i -> {'pos': i, 'h': ${duckBucket(s"substr(text, i, $L)", 2147483647)}})) AS u
+         |    i -> {'pos': i, 'h': ${duckCharWindowHash("i", L)}})) AS u
          |  FROM documents),
          |cph AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM cps),
          |${islandCtes("cph", "c", CharL)},
@@ -304,7 +317,7 @@ object CorpusQueries {
          |  SELECT doc_id,
          |    unnest(list_transform(generate_series(1, greatest(length(text) - ${L - 1}, 0)),
          |      i -> {'pos': i,
-         |            'v': ${duckBucket(s"substr(text, i, $L)", 2147483647)} * 4294967296 + i}))
+         |            'v': ${duckCharWindowHash("i", L)} * 4294967296 + i}))
          |    AS u FROM documents)),
          |wmin AS (SELECT doc_id, pos,
          |    min(v) OVER (PARTITION BY doc_id ORDER BY pos
