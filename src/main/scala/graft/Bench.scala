@@ -186,8 +186,12 @@ object Bench {
       // forever, so a post-loop waitFor(timeout) is unreachable. The
       // watchdog kills the child at the deadline, which EOFs stdout and
       // lets the loop fall through to the loud require below.
+      // Deadline is env-tunable: bigger SF dirs legitimately run longer than
+      // the sf0.1 default; a fixed constant would silently cap them mid-pass.
+      val deadlineMin = sys.env.get("SPARK_GRAFT_ROUND_TIMEOUT_MIN")
+        .map(_.toLong).getOrElse(20L)
       val watchdog = new Thread(() => {
-        if (!p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)) p.destroyForcibly()
+        if (!p.waitFor(deadlineMin, java.util.concurrent.TimeUnit.MINUTES)) p.destroyForcibly()
       }, s"bench-child-$r-watchdog")
       watchdog.setDaemon(true)
       watchdog.start()

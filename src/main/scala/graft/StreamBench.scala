@@ -56,16 +56,19 @@ object StreamBench {
     * NOT from id: with an even symbol count, id's parity fixes the side
     * per symbol (every book one-sided) and gcd(syms, 200) collapses the
     * price grid to a handful of residues — the first cut measured books
-    * ~16x sparser and half-sided vs what it claimed. seq-based derivation
-    * alternates sides within each symbol and walks the full ~200-level
-    * grid per side as the book fills; qty 0 every 11th = delete.
+    * ~16x sparser and half-sided vs what it claimed. Within the sequence,
+    * side comes from seq's parity and the level from (seq/2) % 200 — the
+    * level counter advances once per side-pair, so BOTH sides walk all
+    * 200 residues (level from seq % 200 would couple to the parity and
+    * give each side only its 100 matching residues); qty 0 every 11th =
+    * delete.
     */
   private def bookDelta(id: Long, syms: Int): Delta = {
     val seq = id / syms
     Delta(
       s"SYM${id % syms}", id, 1700000000000L + seq * 50L,
       if (seq % 2 == 0) "bid" else "ask",
-      100.0 + (seq % 200) * 0.05 * (if (seq % 2 == 0) -1 else 1),
+      100.0 + ((seq / 2) % 200) * 0.05 * (if (seq % 2 == 0) -1 else 1),
       if (seq % 11 == 0) 0.0 else 1.0 + (seq % 5))
   }
 
@@ -342,7 +345,10 @@ object StreamBench {
       try {
         val events = spark.range(fed.toLong).select(
           concat(lit("SYM"), col("id") % symbols).as("symbol"),
-          (lit(1700000000000L) + (col("id") / symbols) * 50L).as("ts_ms"),
+          // integer division (expr `div`), NOT `/`: the DataFrame `/` is
+          // floating-point, which would put these rows on a fractional DOUBLE
+          // ts grid instead of eventFor's integral 50 ms LONG grid
+          (lit(1700000000000L) + expr(s"id div $symbols") * 50L).as("ts_ms"),
           (lit(100.0) + (col("id") % 1000) * 0.01).as("price"),
           (lit(1.0) + (col("id") % 7)).as("qty"),
           col("id").as("trade_id"))

@@ -10,15 +10,18 @@ dims don't.
 Key shifts keep copies disjoint where identity matters; ts shifts extend
 the TIME RANGE (a feed growing 3x is 3 months, not 3x density).
 
-Text copies substitute every 4th TOKEN with a copy-tagged token (not just
-an appended suffix): every word trigram and 5-gram then straddles at
-least one substituted position, so a copy shares no shingles with its
-original or with other copies — exact dedup cannot collapse copies AND
-the near-dup / repeated-span families see each copy as genuinely new
-text whose only matches are the WITHIN-copy pairs the original already
-had. Pair counts therefore grow exactly k-fold (a bare suffix leaves
-copies mutually near-identical, planting C(k,2) cross-copy pairs per
-original — a quadratic term that poisons the slope measurement).
+Text copies substitute every 3rd TOKEN with a copy-tagged token (not just
+an appended suffix): every word n-gram of width >= 3 — the smallest
+shingle width any family uses — then straddles at least one substituted
+position (every run of unsubstituted tokens has length <= 2), so a copy
+shares no word shingles with its original or with other copies — exact
+dedup cannot collapse copies AND the near-dup / repeated-span families
+see each copy as genuinely new text whose only matches are the
+WITHIN-copy pairs the original already had. Pair counts therefore grow
+exactly k-fold (a bare suffix leaves copies mutually near-identical,
+planting C(k,2) cross-copy pairs per original — a quadratic term that
+poisons the slope measurement; every-4th substitution leaves intact
+3-token runs, so ~25% of trigram shingles survived across copies).
 n_chars is recomputed from the substituted text.
 
 Embedding copies go through a per-copy SIGNED PERMUTATION of the 64
@@ -73,11 +76,11 @@ scaled(
       FROM '{SRC}/events.parquet'""",
 )
 def subst_text(c: int) -> str:
-    # every 4th token -> a copy-tagged token (varied by position mod 13 so
+    # every 3rd token -> a copy-tagged token (varied by position mod 13 so
     # the substitutes themselves don't form new cross-doc repeated shingles)
     return (
         "array_to_string(list_transform(string_split(text, ' '), "
-        f"(t, i) -> CASE WHEN i % 4 = 0 THEN 'cp{c}q' || CAST(i % 13 AS VARCHAR) "
+        f"(t, i) -> CASE WHEN i % 3 = 0 THEN 'cp{c}q' || CAST(i % 13 AS VARCHAR) "
         "ELSE t END), ' ')"
     )
 
