@@ -114,8 +114,20 @@ object Bench {
       catch { case e: Throwable => record(name, e) }
     }
     System.gc(); Thread.sleep(1000)
+    // Disturbance attribution (r10): per-query GC-time and process-CPU
+    // deltas alongside the wall time, so a cross-round outlier can be
+    // pinned to collector pauses (gc tracks the excess), genuine compute
+    // (cpu tracks it), or an off-JVM stall (neither does).
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    def gcMs(): Long = gcBeans.map(_.getCollectionTime).sum
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    def cpuMs(): Long = osBean.map(_.getProcessCpuTime / 1000000L).getOrElse(0L)
     val dfs = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
     selected.foreach { case (name, fn) =>
+      val (gc0, cpu0) = (gcMs(), cpuMs())
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
@@ -123,6 +135,7 @@ object Bench {
         if (withExec) dfs(name) = df
       } catch { case e: Throwable => record(name, e) }
       println(s"#GRAFT Q $name ${num((System.nanoTime() - t0) / 1e9, 6)}")
+      println(s"#GRAFT D $name ${gcMs() - gc0} ${cpuMs() - cpu0}")
     }
     if (withExec) selected.foreach { case (name, _) =>
       dfs.get(name).foreach { df =>
@@ -161,6 +174,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var execTimes = Seq.empty[(String, Double)]
 
+    val roundDiags = scala.collection.mutable.ArrayBuffer.empty[Map[String, (Long, Long)]]
     val rounds: Seq[Seq[(String, Double)]] = (0 until runs).map { r =>
       val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")
       val pb = new ProcessBuilder(cmd: _*)
@@ -178,6 +192,7 @@ object Bench {
       drainer.setDaemon(true)
       drainer.start()
       val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val diag = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
       val exec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(p.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
@@ -203,6 +218,9 @@ object Bench {
           if (body.startsWith("Q ")) {
             val Array(n, t) = body.drop(2).split(" ", 2)
             times(n) = t.toDouble
+          } else if (body.startsWith("D ")) {
+            val Array(n, gc, cpu) = body.drop(2).split(" ", 3)
+            diag(n) = (gc.toLong, cpu.toLong)
           } else if (body.startsWith("E ")) {
             val Array(n, t) = body.drop(2).split(" ", 2)
             exec(n) = t.toDouble
@@ -223,8 +241,26 @@ object Bench {
         s"bench child round $r incomplete: done=$done exited=$exited " +
           s"times=${times.size}/${selected.size} (see stderr above)")
       if (r == 0) execTimes = exec.toSeq
+      roundDiags += diag.toMap
       System.err.println(s"[bench] round $r: ${num(times.values.sum, 1)} s over ${times.size} queries")
       times.toSeq
+    }
+
+    // Per-round (wall, gc, cpu) matrix for spread attribution — full runs
+    // only (a SPARK_GRAFT_ONLY subset must not clobber the committed record,
+    // same rule as bench_full.json).
+    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
+      val diagJson = selected.map { name =>
+        val cells = rounds.indices.map { r =>
+          val wall = rounds(r).find(_._1 == name).map(_._2).getOrElse(-1.0)
+          val (gc, cpu) = roundDiags(r).getOrElse(name, (-1L, -1L))
+          s"""{"wall":${num(wall, 3)},"gc_ms":$gc,"cpu_ms":$cpu}"""
+        }
+        "\"" + name + "\":" + cells.mkString("[", ",", "]")
+      }.mkString("{\"rounds_per_query\":{", ",", "}}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_diag.json"),
+        diagJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
 
     val stats = selected.zipWithIndex.map { case (name, i) =>

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Bpe
+
+/** Regenerates [[graft.operators.TrainedMerges]] — the committed BPE merge
+  * table — from a documents table: distributed word histogram, then the
+  * driver-side merge loop. Usage:
+  *
+  *   sbt "runMain graft.TrainBpe [sfDir] [nMerges]"
+  *
+  * Prints the Scala source of TrainedMerges to stdout; paste it over
+  * `operators/TrainedMerges.scala`. The artifact is committed (not trained
+  * per run) so queries and DuckDB oracles replay identical merges.
+  */
+object TrainBpe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val nMerges = args.lift(1).map(_.toInt).getOrElse(32)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val hist = Bpe.wordHistogram(docs, col("text"), maxVocab = 4096)
+    val merges = Bpe.trainMerges(hist, nMerges)
+    def lit(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    println("package graft.operators")
+    println()
+    println(s"/** BPE merge table trained by `runMain graft.TrainBpe` on $sfDir")
+    println(s"  * (maxVocab 4096, minPairCount 2, ${merges.size} merges; histogram of")
+    println(s"  * ${hist.size} distinct words). GENERATED -- regenerate via TrainBpe")
+    println("  * rather than editing.")
+    println("  */")
+    println("object TrainedMerges {")
+    println("  val Merges: Seq[(String, String)] = Seq(")
+    println(merges.map { case (a, b) => s"    (${lit(a)}, ${lit(b)})" }.mkString(",\n"))
+    println("  )")
+    println("}")
+    spark.stop()
+  }
+}

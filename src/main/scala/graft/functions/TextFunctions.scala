@@ -129,6 +129,13 @@ object TextFunctions {
   def rollingHash(text: Column, base: Long = 131L, mod: Long = 1000000007L): Column =
     ColumnBridge.column(TextKernels.RollingHashExpr(ColumnBridge.expression(text), base, mod))
 
+  /** BPE token count under an ordered merge table (codegen kernel,
+    * [[TextKernels.BpeCountExpr]]) — the tokenizer-real `n_tokens` input
+    * to sequence packing. Null text maps to null, like the SQL side.
+    */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(TextKernels.BpeCountExpr(ColumnBridge.expression(text), merges))
+
   /** Stopword-membership count used by the quality/language heuristics. */
   def stopwordCount(tk: Column, stopwords: Seq[String]): Column =
     if (stopwords.isEmpty) lit(0) // reduce on an empty list would throw

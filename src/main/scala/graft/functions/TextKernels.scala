@@ -412,6 +412,79 @@ object TextKernels {
       copy(child = newChild)
   }
 
+  /** BPE token count of `t` under an ordered merge table: per whitespace
+    * word (split on ' ', empties kept — the t14 `split(text, " ")`
+    * convention, zero tokens each), start from codepoint symbols and apply
+    * each merge as one left-to-right greedy pass. The trainer
+    * ([[graft.operators.Bpe]]) never emits `a == b` merges, so each pass
+    * has no overlapping matches and greedy == simultaneous — the property
+    * the declarative DuckDB oracle replays. O(word len · merges) per word.
+    */
+  def bpeTokenCount(t: UTF8String, merges: Array[Array[String]]): Long = {
+    val s = t.toString
+    var count = 0L
+    var start = 0
+    var more = true
+    while (more) {
+      val sp = s.indexOf(' ', start)
+      val end = if (sp < 0) s.length else sp
+      count += bpeWordTokens(s, start, end, merges)
+      if (sp < 0) more = false else start = sp + 1
+    }
+    count
+  }
+
+  private def bpeWordTokens(s: String, from: Int, until: Int, merges: Array[Array[String]]): Long = {
+    if (until <= from) return 0L
+    var toks = new java.util.ArrayList[String](until - from)
+    var i = from
+    while (i < until) {
+      val n = Character.charCount(s.codePointAt(i))
+      toks.add(s.substring(i, i + n))
+      i += n
+    }
+    var m = 0
+    while (m < merges.length && toks.size > 1) {
+      val a = merges(m)(0)
+      val b = merges(m)(1)
+      var j = 0
+      var first = -1
+      // scan-before-copy: most (word, merge) pairs never match
+      while (first < 0 && j + 1 < toks.size) {
+        if (toks.get(j) == a && toks.get(j + 1) == b) first = j
+        j += 1
+      }
+      if (first >= 0) {
+        val out = new java.util.ArrayList[String](toks.size)
+        j = 0
+        while (j < toks.size) {
+          if (j + 1 < toks.size && toks.get(j) == a && toks.get(j + 1) == b) {
+            out.add(a + b); j += 2
+          } else { out.add(toks.get(j)); j += 1 }
+        }
+        toks = out
+      }
+      m += 1
+    }
+    toks.size.toLong
+  }
+
+  case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    private lazy val mergesArr: Array[Array[String]] =
+      merges.map(p => Array(p._1, p._2)).toArray
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(bpeTokenCount(input.asInstanceOf[UTF8String], mergesArr))
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("bpeMerges", mergesArr, "java.lang.String[][]")
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.bpeTokenCount($c, $ref)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BpeCountExpr =
+      copy(child = newChild)
+  }
+
   case class Simhash32Expr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any =

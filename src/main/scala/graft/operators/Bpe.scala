@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer support — the "token counts a trainer
+  * actually sees" half of sequence packing (scale EXTENSION; the packing
+  * math is [[Corpus.packSequences]], which is tokenizer-agnostic).
+  *
+  * The container has no public tokenizer artifact (zero egress — no GPT-2
+  * vocab download), so the merge table is TRAINED ON THE CORPUS ITSELF and
+  * committed as a constant ([[Merges]]) — the same artifact lifecycle as a
+  * real pipeline: train the tokenizer once on a corpus sample, ship the
+  * merge table, apply it everywhere (regenerate with `runMain
+  * graft.TrainBpe`). Sennrich/Haddow/Birch, "Neural Machine Translation of
+  * Rare Words with Subword Units" (ACL 2016) is the algorithm.
+  *
+  * Two deliberate deviations from the reference algorithm, both so the
+  * DuckDB oracle can replay apply() declaratively:
+  *   - merges with `a == b` are never trained: with `a != b`, one merge
+  *     pass has no overlapping matches (a match at i forbids one at i±1),
+  *     so left-to-right greedy == all-at-once simultaneous — each pass is
+  *     order-independent and expressible as one `list_transform` in SQL;
+  *   - no end-of-word marker: merges stay strictly inside whitespace
+  *     words, so the token COUNT (all packing needs) is a per-word sum.
+  *
+  * Scale shape: training aggregates the corpus to a WORD HISTOGRAM first —
+  * one `groupBy(word)` shuffle whose output is O(vocabulary), not
+  * O(corpus), cut to the `maxVocab` most frequent words by
+  * TakeOrderedAndProject — and the merge loop runs driver-side on that
+  * bounded histogram (exactly how production BPE trainers work: the corpus
+  * pass is distributed, the quadratic merge loop never touches the corpus).
+  * Apply is a per-row codegen kernel (zero shuffle).
+  */
+object Bpe {
+
+  /** Distributed word histogram: the `maxVocab` most frequent whitespace
+    * words by (count desc, word asc) — a total order, so the cut is
+    * deterministic. `split(text, " ")` keeps empty tokens (the t14
+    * convention); empty words carry zero pairs so they are dropped here.
+    */
+  def wordHistogram(docs: DataFrame, text: Column, maxVocab: Int): Seq[(String, Long)] =
+    docs
+      .select(explode(split(text, " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(maxVocab)
+      .collect()
+      .toSeq
+      .map(r => (r.getString(0), r.getLong(1)))
+
+  /** Driver-side merge training over the word histogram: each round counts
+    * adjacent symbol pairs (weighted by word frequency), merges the best
+    * pair — (count desc, pair lex asc) tie-break, `a == b` candidates
+    * skipped (see object doc) — and stops early when no candidate reaches
+    * `minPairCount`. O(histogram symbols) per round.
+    */
+  def trainMerges(
+      hist: Seq[(String, Long)],
+      nMerges: Int,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
+    var words: Seq[(Vector[String], Long)] = hist.map { case (w, c) =>
+      (codepoints(w), c)
+    }.filter(_._1.nonEmpty)
+    val merges = Seq.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (toks, c) =>
+        var j = 0
+        while (j + 1 < toks.length) {
+          if (toks(j) != toks(j + 1)) {
+            val p = (toks(j), toks(j + 1))
+            counts(p) = counts.getOrElse(p, 0L) + c
+          }
+          j += 1
+        }
+      }
+      val cands = counts.filter(_._2 >= minPairCount)
+      if (cands.isEmpty) done = true
+      else {
+        val best = cands.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        words = words.map { case (toks, c) => (mergeOnce(toks, best._1, best._2), c) }
+        m += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** One merge pass, left-to-right greedy (== simultaneous for a != b). */
+  private def mergeOnce(toks: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var j = 0
+    while (j < toks.length) {
+      if (j + 1 < toks.length && toks(j) == a && toks(j + 1) == b) {
+        out += (a + b); j += 2
+      } else { out += toks(j); j += 1 }
+    }
+    out.result()
+  }
+
+  private def codepoints(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  /** The committed merge table: 32 merges trained by `runMain graft.TrainBpe`
+    * on the sf0.001 documents table (maxVocab 4096, minPairCount 2). A
+    * CONSTANT, not re-trained per query, so the DuckDB oracle replays the
+    * identical merges and the kernel stays deterministic across rounds.
+    */
+  val Merges: Seq[(String, String)] = TrainedMerges.Merges
+}

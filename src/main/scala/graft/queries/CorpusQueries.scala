@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions, TextKernels}
-import graft.operators.{Corpus, Profile}
+import graft.operators.{Bpe, Corpus, Profile}
 
 /** Corpus-assembly queries: deterministic splits, weighted sampling,
   * contamination checks, sequence packing, PII redaction. Hash constants are
@@ -95,6 +95,17 @@ object CorpusQueries {
       Corpus.packSequences(
         Tables.documents(s, dir),
         col("doc_id"), size(split(col("text"), " ")), seqLen = 256)
+    },
+    // C-pack-bpe — t14's packing with TOKENIZER-REAL counts: n_tokens is
+    // the BPE token count under the corpus-trained committed merge table
+    // (operators/Bpe.scala), so seq_id/offset math matches what a trainer
+    // consuming this tokenizer would see. t14 (whitespace counts) stays as
+    // the structural twin.
+    "t14b_bpe_packing" -> { (s, dir) =>
+      Corpus.packSequences(
+        Tables.documents(s, dir),
+        col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text"), Bpe.Merges), seqLen = 256)
     },
     // C-spans — cross-document repeated n-gram SPAN dedup (the train-set
     // memorization pass): merged token intervals per doc covered by
@@ -222,7 +233,47 @@ object CorpusQueries {
        |  round(CAST(sum(length($c)) AS DOUBLE) / nullif(count($c), 0), 6) AS avg_len
        |FROM documents""".stripMargin
 
+  /** The BPE apply chain as one CTE per merge — replayable declaratively
+    * BECAUSE the trainer never emits `a == b` merges (no overlapping
+    * matches, so the all-at-once `list_transform` rewrite per pass equals
+    * the kernel's left-to-right greedy scan; see operators/Bpe.scala).
+    * Generated from the SAME committed [[Bpe.Merges]] constant the Spark
+    * side applies, so the two can never drift.
+    */
+  private def bpeCtes: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val steps = Bpe.Merges.zipWithIndex.map { case ((a, b), k) =>
+      s"""w${k + 1} AS (SELECT doc_id,
+         |  list_filter(list_transform(generate_series(1, len(xs)), i ->
+         |    CASE WHEN xs[i] = '${esc(a)}' AND i < len(xs) AND xs[i+1] = '${esc(b)}'
+         |         THEN '${esc(a + b)}'
+         |         WHEN i > 1 AND xs[i-1] = '${esc(a)}' AND xs[i] = '${esc(b)}' THEN NULL
+         |         ELSE xs[i] END), x -> x IS NOT NULL) AS xs FROM w$k)""".stripMargin
+    }
+    (s"""w0 AS (SELECT doc_id,
+        |  list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS xs
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents))""".stripMargin
+      +: steps).mkString(",\n")
+  }
+
   val oracle: Map[String, String] = Map(
+    "t14b_bpe_packing" ->
+      s"""WITH $bpeCtes,
+         |cnt AS (SELECT doc_id, CAST(sum(len(xs)) AS BIGINT) AS n_tokens
+         |  FROM w${Bpe.Merges.size} GROUP BY doc_id),
+         |o AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS start_offset
+         |  FROM cnt)
+         |SELECT doc_id, n_tokens, start_offset,
+         |  start_offset // 256 AS seq_id,
+         |  start_offset % 256 AS offset_in_seq,
+         |  CASE WHEN n_tokens = 0 THEN 0
+         |       ELSE (start_offset + n_tokens - 1) // 256 - start_offset // 256 + 1
+         |  END AS n_seqs_spanned
+         |FROM o""".stripMargin,
     "d3_profile_columns" ->
       (Seq("doc_id", "n_chars").map(duckProfileNum) ++
         Seq("text", "lang", "source").map(duckProfileStr))

@@ -2,10 +2,60 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Profile, VectorOps, Vocab}
+import graft.operators.{Bpe, Corpus, Profile, VectorOps, Vocab}
 
 class CorpusSpec extends SparkSpec {
   import spark.implicits._
+
+  test("trainMerges reproduces the textbook BPE run, ties break lexicographically") {
+    // Sennrich et al.'s example shape: pair counts are
+    // (e,s)=9, (s,t)=9, (w,e)=8, (l,o)=7, (o,w)=7, ... — (e,s) wins the
+    // 9-tie lexicographically, then (es,t)=9 dominates round 2.
+    val hist = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = Bpe.trainMerges(hist, nMerges = 2)
+    assert(merges === Seq(("e", "s"), ("es", "t")))
+  }
+
+  test("trainMerges never emits an a == b merge and stops when nothing repeats") {
+    assert(Bpe.trainMerges(Seq(("aaaa", 10L)), nMerges = 5) === Seq.empty)
+    // mixed: the (a,a) pairs outnumber everything but are ineligible; the
+    // merged symbol then legitimately chains right-to-left up the run
+    val merges = Bpe.trainMerges(Seq(("aaab", 10L)), nMerges = 5)
+    assert(merges.forall { case (a, b) => a != b })
+    assert(merges === Seq(("a", "b"), ("a", "ab"), ("a", "aab")))
+  }
+
+  test("bpeTokenCount applies merges greedily per word; empties and order match split semantics") {
+    val merges = Seq(("e", "s"), ("es", "t"))
+    val docs = Seq(
+      (1L, "newest widest low"), // n,e,w,est | w,i,d,est | l,o,w = 4+4+3
+      (2L, ""), // one empty word -> 0 tokens
+      (3L, "a  b"), // middle empty word counts 0: 1+0+1
+      (4L, "est est") // merged to one token each
+    ).toDF("doc_id", "text")
+    val out = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.bpeTokenCount(col("text"), merges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 11L, 2L -> 0L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("bpeTokenCount under the committed table reassembles trained words to one token") {
+    // "window value column" are fully reassembled by TrainedMerges; a word
+    // the table never saw falls back to near-character granularity
+    val docs = Seq((1L, "window value column"), (2L, "zzz qqq")).toDF("doc_id", "text")
+    val out = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.bpeTokenCount(col("text"), Bpe.Merges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 3L)
+    assert(out(2L) === 6L) // no merge applies to zzz/qqq (a == b never trained)
+  }
+
+  test("wordHistogram cuts deterministically by (count desc, word asc)") {
+    val docs = Seq((1L, "b a b c a b"), (2L, "c a")).toDF("doc_id", "text")
+    val hist = Bpe.wordHistogram(docs, col("text"), maxVocab = 2)
+    assert(hist === Seq(("a", 3L), ("b", 3L))) // a ties b at 3, a first; c cut
+  }
 
   test("vocabTopK counts tf and df, cuts by (tf desc, token)") {
     val docs = Seq(
