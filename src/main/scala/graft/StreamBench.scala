@@ -75,6 +75,29 @@ object StreamBench {
   private def primeDeltas: Seq[Delta] = (0 until 1000).map(i =>
     Delta(s"PRIME${i % 8}", i.toLong, 1700000000000L, "bid", 100.0, 1.0))
 
+  /** Deterministic trade event for the streaming rows: event time advances
+    * ~50 ms per event per symbol so 1 s windows close steadily under the
+    * watermark as chunks arrive.
+    */
+  private def eventFor(id: Long, symbols: Int): TradeEvent = TradeEvent(
+    s"SYM${id % symbols}",
+    new java.sql.Timestamp(1700000000000L + (id / symbols) * 50L),
+    100.0 + (id % 1000) * 0.01,
+    1.0 + (id % 7),
+    id)
+
+  /** Priming events on PRIME* keys at the stream's start timestamp:
+    * state-store + sink init happens outside the timing WITHOUT feeding the
+    * timed pass any already-seen events (a re-added prefix would be replay
+    * no-ops for book_state, the only true duplicates for dedup, and
+    * double-counted windows for hot_path — each row then measuring a subtly
+    * different workload than labeled).
+    */
+  private def primeTrades: Seq[TradeEvent] = (0 until 1000).map { i =>
+    TradeEvent(s"PRIME${i % 8}", new java.sql.Timestamp(1700000000000L),
+      100.0, 1.0, i.toLong)
+  }
+
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(root)
@@ -85,17 +108,22 @@ object StreamBench {
 
   def main(args: Array[String]): Unit =
     if (sys.env.get("SPARK_GRAFT_STATE_SWEEP").contains("1")) stateSweep()
+    else if (sys.env.get("SPARK_GRAFT_BATCH_SWEEP").contains("1")) batchSweep()
     else throughput()
 
-  /** Key-cardinality sweep: the BookState path at 64 / 4096 / 32768 live
-    * symbols under BOTH providers, recording events/s AND the state
+  /** Key-cardinality sweep: the BookState path at 64 / 4k / 32k / 256k
+    * live symbols under BOTH providers, recording events/s AND the state
     * store's own accounting (rows, bytes, bytes/key) from the query's
     * final progress — the measured version of the "RocksDB removes the
     * key-cardinality heap ceiling" claim: on-heap bytes/key prices what
     * every additional million keys costs the executor HEAP, the RocksDB
     * row prices the same state held in native memory + SSTs, and the
     * throughput column shows the swap's cost staying flat as keys grow.
-    * Emits ONE JSON line and writes `statesweep.json`.
+    * Event count per point is max(n, 32·symbols) so high-cardinality books
+    * hold a comparable number of levels per key (1M events over 262144
+    * symbols would otherwise measure near-empty books); each run's actual
+    * `events` is recorded in its row. Emits ONE JSON line and writes
+    * `statesweep.json`.
     */
   private def stateSweep(): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -114,13 +142,13 @@ object StreamBench {
     import spark.implicits._
     import graft.streaming.BookState
 
-    val perChunk = n / chunks
-    val fed = perChunk * chunks // events actually sent (n may not divide)
     val OnHeapProvider =
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    for (syms <- Seq(64, 4096, 32768); rocks <- Seq(false, true)) {
+    for (syms <- Seq(64, 4096, 32768, 262144); rocks <- Seq(false, true)) {
+      val perChunk = math.max(n, 32 * syms) / chunks
+      val fed = perChunk * chunks // events actually sent (may not divide)
       if (rocks) GraftSession.configureRocksDbState(spark)
       else spark.conf.set("spark.sql.streaming.stateStore.providerClass", OnHeapProvider)
       val mem = MemoryStream[Delta]
@@ -146,7 +174,7 @@ object StreamBench {
           }
           .map(e => s""""${e.getKey}":${e.getValue}""").mkString(",")
         rows(name) =
-          s"""{"symbols":$syms,"rate":${num(fed / sec, 0)},""" +
+          s"""{"symbols":$syms,"events":$fed,"rate":${num(fed / sec, 0)},""" +
             s""""state_rows":${so.numRowsTotal},""" +
             s""""state_bytes":${so.memoryUsedBytes},""" +
             s""""bytes_per_key":${num(so.memoryUsedBytes.toDouble / math.max(so.numRowsTotal, 1), 1)}""" +
@@ -159,10 +187,75 @@ object StreamBench {
     }
     val json =
       s"""{"metric":"book_state_cardinality_sweep","unit":"events/sec","cpus":$cpus,""" +
-        s""""events_per_run":$fed,""" +
+        s""""base_events":$n,""" +
         rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("\"runs\":{", ",", "}}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("statesweep.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+
+  /** Events-per-micro-batch sweep over the hot path (watermarked 1 s bars):
+    * same total event count at batch sizes 5k → 1M (the 1M point is ONE
+    * batch — the `Trigger.AvailableNow`-shaped catch-up form). The
+    * throughput row prices per-batch fixed cost (trigger planning,
+    * state-store commit, offset log); `batch_seconds` is the matching
+    * latency axis — a batch's results are not visible until it commits, so
+    * events/batch ÷ rate is the freshness you pay for that throughput.
+    * This is the measured basis for choosing trigger intervals: the
+    * reference's 5 k/s peak target fits comfortably at every point, the
+    * curve says what a bigger budget buys. Writes `batchsweep.json`.
+    */
+  private def batchSweep(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val n = sys.env.get("SPARK_GRAFT_STREAM_N").map(_.toInt).getOrElse(1000000)
+    val symbols = 64
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (chunks <- Seq(200, 50, 20, 5, 1)) {
+      val perChunk = n / chunks
+      val fed = perChunk * chunks
+      val mem = MemoryStream[TradeEvent]
+      val out = streaming.HotPath.windowedTradeStats(
+        mem.toDF(), "ts", "symbol", "price", "qty",
+        windowDuration = "1 second", watermark = "2 seconds")
+      val ckpt = java.nio.file.Files.createTempDirectory("sb_batch")
+      val q = out.writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        mem.addData(primeTrades)
+        q.processAllAvailable()
+        val t0 = System.nanoTime()
+        (0 until chunks).foreach { c =>
+          mem.addData((0 until perChunk).map(i => eventFor(c.toLong * perChunk + i, symbols)))
+          q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        rows(s"batch_$perChunk") =
+          s"""{"events_per_batch":$perChunk,"batches":$chunks,"events":$fed,""" +
+            s""""rate":${num(fed / sec, 0)},"batch_seconds":${num(sec / chunks, 3)}}"""
+        System.err.println(s"[batch] $perChunk: ${rows(s"batch_$perChunk")}")
+      } finally {
+        q.stop()
+        deleteRecursively(ckpt)
+      }
+    }
+    val json =
+      s"""{"metric":"hot_path_batch_size_sweep","unit":"events/sec","cpus":$cpus,""" +
+        s""""events_total":$n,""" +
+        rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("\"runs\":{", ",", "}}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("batchsweep.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
     spark.stop()
@@ -207,32 +300,12 @@ object StreamBench {
       frames.unpersist()
     }
 
-    // Shared deterministic trade events for the streaming rows: event time
-    // advances ~50 ms per event per symbol so 1 s windows close steadily
-    // under the watermark as chunks arrive. A single id->event constructor
-    // lets the dedup row replicate the FULL prior event (symbol included —
-    // the dedup key is (symbol, trade_id), so rewriting only the id would
-    // produce a stream with zero actual key collisions).
-    def eventFor(id: Long): TradeEvent = TradeEvent(
-      s"SYM${id % symbols}",
-      new java.sql.Timestamp(1700000000000L + (id / symbols) * 50L),
-      100.0 + (id % 1000) * 0.01,
-      1.0 + (id % 7),
-      id)
-
+    // Shared deterministic trade events ([[eventFor]]). A single id->event
+    // constructor lets the dedup row replicate the FULL prior event (symbol
+    // included — the dedup key is (symbol, trade_id), so rewriting only the
+    // id would produce a stream with zero actual key collisions).
     def tradeChunk(c: Int, perChunk: Int): Seq[TradeEvent] =
-      (0 until perChunk).map(i => eventFor(c.toLong * perChunk + i))
-
-    // Priming events live on PRIME* keys at the stream's start timestamp:
-    // state-store + sink init happens outside the timing WITHOUT feeding
-    // the timed pass any already-seen events (a re-added prefix would be
-    // replay no-ops for book_state, the only true duplicates for dedup,
-    // and double-counted windows for hot_path — each row then measuring a
-    // subtly different workload than labeled).
-    val primeTrades: Seq[TradeEvent] = (0 until 1000).map { i =>
-      TradeEvent(s"PRIME${i % 8}", new java.sql.Timestamp(1700000000000L),
-        100.0, 1.0, i.toLong)
-    }
+      (0 until perChunk).map(i => eventFor(c.toLong * perChunk + i, symbols))
 
     def runChunked[T](name: String, mem: MemoryStream[T], out: org.apache.spark.sql.DataFrame,
         prime: Seq[T], data: Int => Seq[T], total: Int): Unit = {
@@ -321,7 +394,7 @@ object StreamBench {
           val perChunk = n / chunks
           (0 until perChunk).map { i =>
             val id = c.toLong * perChunk + i
-            eventFor(if (id % 10 == 9) id - 1 else id)
+            eventFor(if (id % 10 == 9) id - 1 else id, symbols)
           }
         }
         runChunked(s"dedup$suffix", mem, out, primeTrades, dup, fed)
