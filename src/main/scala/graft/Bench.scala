@@ -203,8 +203,13 @@ object Bench {
       // lets the loop fall through to the loud require below.
       // Deadline is env-tunable: bigger SF dirs legitimately run longer than
       // the sf0.1 default; a fixed constant would silently cap them mid-pass.
-      val deadlineMin = sys.env.get("SPARK_GRAFT_ROUND_TIMEOUT_MIN")
-        .map(_.toLong).getOrElse(20L)
+      val deadlineMin = sys.env.get("SPARK_GRAFT_ROUND_TIMEOUT_MIN").map { v =>
+        // fail fast and NAMED on a malformed value — an NFE from deep inside
+        // round setup would abort a multi-hour run with a bare stack trace
+        require(v.trim.matches("[0-9]+"),
+          s"SPARK_GRAFT_ROUND_TIMEOUT_MIN must be a whole number of minutes, got '$v'")
+        v.trim.toLong
+      }.getOrElse(20L)
       val watchdog = new Thread(() => {
         if (!p.waitFor(deadlineMin, java.util.concurrent.TimeUnit.MINUTES)) p.destroyForcibly()
       }, s"bench-child-$r-watchdog")

@@ -106,6 +106,43 @@ object StreamBench {
     finally walk.close()
   }
 
+  /** THE chunked measurement: prime batch (state-store + sink spin-up,
+    * untimed), then `chunks` data chunks with one `processAllAvailable`
+    * barrier each — per-batch overhead (trigger planning, state commit,
+    * offset log) is IN the measurement the way it is in production.
+    * Returns (seconds, last state-operator progress). Single
+    * implementation for all three benches (throughput rows, statesweep,
+    * batch sweep) so the timing methodology cannot drift between them;
+    * stops the query + deletes the checkpoint even on failure — a
+    * survivor would contend with every subsequent run for the same
+    * local[N] cores.
+    */
+  private def timeChunked[T](
+      out: org.apache.spark.sql.DataFrame,
+      mem: MemoryStream[T],
+      prime: Seq[T],
+      chunks: Int,
+      data: Int => Seq[T]): (Double, Option[org.apache.spark.sql.streaming.StateOperatorProgress]) = {
+    val ckpt = java.nio.file.Files.createTempDirectory("sb_chunked")
+    val q = out.writeStream.outputMode("append").format("noop")
+      .option("checkpointLocation", ckpt.toString).start()
+    try {
+      mem.addData(prime)
+      q.processAllAvailable()
+      val t0 = System.nanoTime()
+      (0 until chunks).foreach { c =>
+        mem.addData(data(c))
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val so = Option(q.lastProgress).flatMap(p => p.stateOperators.headOption)
+      (sec, so)
+    } finally {
+      q.stop()
+      deleteRecursively(ckpt)
+    }
+  }
+
   def main(args: Array[String]): Unit =
     if (sys.env.get("SPARK_GRAFT_STATE_SWEEP").contains("1")) stateSweep()
     else if (sys.env.get("SPARK_GRAFT_BATCH_SWEEP").contains("1")) batchSweep()
@@ -153,37 +190,24 @@ object StreamBench {
       else spark.conf.set("spark.sql.streaming.stateStore.providerClass", OnHeapProvider)
       val mem = MemoryStream[Delta]
       val out = BookState.maintain(mem.toDS(), depth = 10).toDF()
-      val ckpt = java.nio.file.Files.createTempDirectory("sb_sweep")
-      val q = out.writeStream.outputMode("append").format("noop")
-        .option("checkpointLocation", ckpt.toString).start()
       val name = s"book_${syms}${if (rocks) "_rocksdb" else ""}"
-      try {
-        mem.addData(primeDeltas)
-        q.processAllAvailable()
-        val t0 = System.nanoTime()
-        (0 until chunks).foreach { c =>
-          mem.addData((0 until perChunk).map(i => bookDelta(c.toLong * perChunk + i, syms)))
-          q.processAllAvailable()
+      val (sec, soOpt) = timeChunked(out, mem, primeDeltas, chunks,
+        c => (0 until perChunk).map(i => bookDelta(c.toLong * perChunk + i, syms)))
+      val so = soOpt.getOrElse(
+        sys.error(s"$name: no state operator in final progress — nothing was measured"))
+      val custom = so.customMetrics.entrySet().asScala
+        .filter { e =>
+          val k = e.getKey.toLowerCase
+          k.contains("memory") || k.contains("sstfilesize") || k.contains("pinned")
         }
-        val sec = (System.nanoTime() - t0) / 1e9
-        val so = q.lastProgress.stateOperators.apply(0)
-        val custom = so.customMetrics.entrySet().asScala
-          .filter { e =>
-            val k = e.getKey.toLowerCase
-            k.contains("memory") || k.contains("sstfilesize") || k.contains("pinned")
-          }
-          .map(e => s""""${e.getKey}":${e.getValue}""").mkString(",")
-        rows(name) =
-          s"""{"symbols":$syms,"events":$fed,"rate":${num(fed / sec, 0)},""" +
-            s""""state_rows":${so.numRowsTotal},""" +
-            s""""state_bytes":${so.memoryUsedBytes},""" +
-            s""""bytes_per_key":${num(so.memoryUsedBytes.toDouble / math.max(so.numRowsTotal, 1), 1)}""" +
-            (if (custom.nonEmpty) s",$custom}" else "}")
-        System.err.println(s"[sweep] $name: ${rows(name)}")
-      } finally {
-        q.stop()
-        deleteRecursively(ckpt)
-      }
+        .map(e => s""""${e.getKey}":${e.getValue}""").mkString(",")
+      rows(name) =
+        s"""{"symbols":$syms,"events":$fed,"rate":${num(fed / sec, 0)},""" +
+          s""""state_rows":${so.numRowsTotal},""" +
+          s""""state_bytes":${so.memoryUsedBytes},""" +
+          s""""bytes_per_key":${num(so.memoryUsedBytes.toDouble / math.max(so.numRowsTotal, 1), 1)}""" +
+          (if (custom.nonEmpty) s",$custom}" else "}")
+      System.err.println(s"[sweep] $name: ${rows(name)}")
     }
     val json =
       s"""{"metric":"book_state_cardinality_sweep","unit":"events/sec","cpus":$cpus,""" +
@@ -229,26 +253,12 @@ object StreamBench {
       val out = streaming.HotPath.windowedTradeStats(
         mem.toDF(), "ts", "symbol", "price", "qty",
         windowDuration = "1 second", watermark = "2 seconds")
-      val ckpt = java.nio.file.Files.createTempDirectory("sb_batch")
-      val q = out.writeStream.outputMode("append").format("noop")
-        .option("checkpointLocation", ckpt.toString).start()
-      try {
-        mem.addData(primeTrades)
-        q.processAllAvailable()
-        val t0 = System.nanoTime()
-        (0 until chunks).foreach { c =>
-          mem.addData((0 until perChunk).map(i => eventFor(c.toLong * perChunk + i, symbols)))
-          q.processAllAvailable()
-        }
-        val sec = (System.nanoTime() - t0) / 1e9
-        rows(s"batch_$perChunk") =
-          s"""{"events_per_batch":$perChunk,"batches":$chunks,"events":$fed,""" +
-            s""""rate":${num(fed / sec, 0)},"batch_seconds":${num(sec / chunks, 3)}}"""
-        System.err.println(s"[batch] $perChunk: ${rows(s"batch_$perChunk")}")
-      } finally {
-        q.stop()
-        deleteRecursively(ckpt)
-      }
+      val (sec, _) = timeChunked(out, mem, primeTrades, chunks,
+        c => (0 until perChunk).map(i => eventFor(c.toLong * perChunk + i, symbols)))
+      rows(s"batch_$perChunk") =
+        s"""{"events_per_batch":$perChunk,"batches":$chunks,"events":$fed,""" +
+          s""""rate":${num(fed / sec, 0)},"batch_seconds":${num(sec / chunks, 3)}}"""
+      System.err.println(s"[batch] $perChunk: ${rows(s"batch_$perChunk")}")
     }
     val json =
       s"""{"metric":"hot_path_batch_size_sweep","unit":"events/sec","cpus":$cpus,""" +
@@ -308,28 +318,8 @@ object StreamBench {
       (0 until perChunk).map(i => eventFor(c.toLong * perChunk + i, symbols))
 
     def runChunked[T](name: String, mem: MemoryStream[T], out: org.apache.spark.sql.DataFrame,
-        prime: Seq[T], data: Int => Seq[T], total: Int): Unit = {
-      val ckpt = java.nio.file.Files.createTempDirectory(s"sb_$name")
-      val q = out.writeStream.outputMode("append").format("noop")
-        .option("checkpointLocation", ckpt.toString)
-        .start()
-      try {
-        // init batch = state-store + sink spin-up, outside the timing
-        mem.addData(prime)
-        q.processAllAvailable()
-        val t0 = System.nanoTime()
-        (0 until chunks).foreach { c =>
-          mem.addData(data(c))
-          q.processAllAvailable()
-        }
-        results(name) = ((System.nanoTime() - t0) / 1e9, total)
-      } finally {
-        // stop even when a batch throws — a survivor query would contend
-        // with every subsequent row for the same local[N] cores
-        q.stop()
-        deleteRecursively(ckpt)
-      }
-    }
+        prime: Seq[T], data: Int => Seq[T], total: Int): Unit =
+      results(name) = (timeChunked(out, mem, prime, chunks, data)._1, total)
     // events actually fed per row: chunks * floor(n / chunks), NOT n (rate
     // would overstate whenever n is not a chunk multiple)
     val fed = (n / chunks) * chunks

@@ -28,7 +28,14 @@ object TrainBpe {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val hist = Bpe.wordHistogram(docs, col("text"), maxVocab = 4096)
     val merges = Bpe.trainMerges(hist, nMerges)
-    def lit(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // escape control chars too: a token carrying a raw \n or \t (split is on
+    // ' ' only) would otherwise emit uncompilable Scala source
+    def lit(s: String) = "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     println("package graft.operators")
     println()
     println(s"/** BPE merge table trained by `runMain graft.TrainBpe` on $sfDir")

@@ -434,36 +434,53 @@ object TextKernels {
     count
   }
 
-  private def bpeWordTokens(s: String, from: Int, until: Int, merges: Array[Array[String]]): Long = {
-    if (until <= from) return 0L
-    var toks = new java.util.ArrayList[String](until - from)
+  /** Codepoint symbols of `s[from, until)` — BPE's starting alphabet. The
+    * SINGLE split shared by the apply kernel and the trainer
+    * ([[graft.operators.Bpe]]): both must segment identically or trained
+    * merges would disagree with applied counts.
+    */
+  def bpeSymbols(s: String, from: Int, until: Int): java.util.ArrayList[String] = {
+    val toks = new java.util.ArrayList[String](math.max(until - from, 0))
     var i = from
     while (i < until) {
       val n = Character.charCount(s.codePointAt(i))
       toks.add(s.substring(i, i + n))
       i += n
     }
+    toks
+  }
+
+  /** One merge pass, left-to-right greedy (== simultaneous for a != b —
+    * the invariant the trainer enforces and the DuckDB oracle's
+    * declarative rewrite needs). Returns the INPUT list unchanged when the
+    * pair never occurs (scan-before-copy: most (word, merge) pairs don't).
+    * The single merge implementation shared by kernel and trainer.
+    */
+  def bpeMergePass(
+      toks: java.util.ArrayList[String], a: String, b: String): java.util.ArrayList[String] = {
+    var j = 0
+    var first = -1
+    while (first < 0 && j + 1 < toks.size) {
+      if (toks.get(j) == a && toks.get(j + 1) == b) first = j
+      j += 1
+    }
+    if (first < 0) return toks
+    val out = new java.util.ArrayList[String](toks.size)
+    j = 0
+    while (j < toks.size) {
+      if (j + 1 < toks.size && toks.get(j) == a && toks.get(j + 1) == b) {
+        out.add(a + b); j += 2
+      } else { out.add(toks.get(j)); j += 1 }
+    }
+    out
+  }
+
+  private def bpeWordTokens(s: String, from: Int, until: Int, merges: Array[Array[String]]): Long = {
+    if (until <= from) return 0L
+    var toks = bpeSymbols(s, from, until)
     var m = 0
     while (m < merges.length && toks.size > 1) {
-      val a = merges(m)(0)
-      val b = merges(m)(1)
-      var j = 0
-      var first = -1
-      // scan-before-copy: most (word, merge) pairs never match
-      while (first < 0 && j + 1 < toks.size) {
-        if (toks.get(j) == a && toks.get(j + 1) == b) first = j
-        j += 1
-      }
-      if (first >= 0) {
-        val out = new java.util.ArrayList[String](toks.size)
-        j = 0
-        while (j < toks.size) {
-          if (j + 1 < toks.size && toks.get(j) == a && toks.get(j + 1) == b) {
-            out.add(a + b); j += 2
-          } else { out.add(toks.get(j)); j += 1 }
-        }
-        toks = out
-      }
+      toks = bpeMergePass(toks, merges(m)(0), merges(m)(1))
       m += 1
     }
     toks.size.toLong

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextKernels
+
 /** Byte-pair-encoding tokenizer support — the "token counts a trainer
   * actually sees" half of sequence packing (scale EXTENSION; the packing
   * math is [[Corpus.packSequences]], which is tokenizer-agnostic).
@@ -61,19 +63,23 @@ object Bpe {
       hist: Seq[(String, Long)],
       nMerges: Int,
       minPairCount: Long = 2L): Seq[(String, String)] = {
-    var words: Seq[(Vector[String], Long)] = hist.map { case (w, c) =>
-      (codepoints(w), c)
-    }.filter(_._1.nonEmpty)
+    // symbol split AND merge pass are TextKernels' own (bpeSymbols /
+    // bpeMergePass): the trainer must replay exactly what the apply kernel
+    // will do, so there is deliberately only one implementation of each
+    val words: Seq[(java.util.ArrayList[String], Long)] = hist.map { case (w, c) =>
+      (TextKernels.bpeSymbols(w, 0, w.length), c)
+    }.filter(_._1.size > 0)
     val merges = Seq.newBuilder[(String, String)]
     var m = 0
     var done = false
+    var current = words
     while (m < nMerges && !done) {
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (toks, c) =>
+      current.foreach { case (toks, c) =>
         var j = 0
-        while (j + 1 < toks.length) {
-          if (toks(j) != toks(j + 1)) {
-            val p = (toks(j), toks(j + 1))
+        while (j + 1 < toks.size) {
+          if (toks.get(j) != toks.get(j + 1)) {
+            val p = (toks.get(j), toks.get(j + 1))
             counts(p) = counts.getOrElse(p, 0L) + c
           }
           j += 1
@@ -84,34 +90,13 @@ object Bpe {
       else {
         val best = cands.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
         merges += best
-        words = words.map { case (toks, c) => (mergeOnce(toks, best._1, best._2), c) }
+        current = current.map { case (toks, c) =>
+          (TextKernels.bpeMergePass(toks, best._1, best._2), c)
+        }
         m += 1
       }
     }
     merges.result()
-  }
-
-  /** One merge pass, left-to-right greedy (== simultaneous for a != b). */
-  private def mergeOnce(toks: Vector[String], a: String, b: String): Vector[String] = {
-    val out = Vector.newBuilder[String]
-    var j = 0
-    while (j < toks.length) {
-      if (j + 1 < toks.length && toks(j) == a && toks(j + 1) == b) {
-        out += (a + b); j += 2
-      } else { out += toks(j); j += 1 }
-    }
-    out.result()
-  }
-
-  private def codepoints(w: String): Vector[String] = {
-    val out = Vector.newBuilder[String]
-    var i = 0
-    while (i < w.length) {
-      val n = Character.charCount(w.codePointAt(i))
-      out += w.substring(i, i + n)
-      i += n
-    }
-    out.result()
   }
 
   /** The committed merge table: 32 merges trained by `runMain graft.TrainBpe`

@@ -314,9 +314,12 @@ object Corpus {
       .join(spanArrs, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("n_chars"),
-        coalesce(redactedLen, lit(0L)).as("n_redacted"),
-        // null span array = nothing repeated in this doc: text passes through
-        coalesce(spliced, col("txt")).as("redacted_text"))
+        // null-text docs keep a NULL count (n_chars - anything is null on
+        // the SQL side too); everything else defaults the no-span case to 0
+        when(col("n_chars").isNotNull, coalesce(redactedLen, lit(0L))).as("n_redacted"),
+        // null span array = nothing repeated in this doc: text passes
+        // through; null TEXT redacts to '' (the r9/oracle contract)
+        coalesce(spliced, col("txt"), lit("")).as("redacted_text"))
   }
 
   /** Shared span machinery over a positioned-hash explode (`pos` 0-based
@@ -428,8 +431,12 @@ object Corpus {
       .join(spanArrs, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("n_tokens"),
-        coalesce(redactedLen, lit(0L)).as("n_redacted"),
-        // null span array = nothing repeated in this doc: text passes through
+        // null-text docs keep a NULL count (matching the SQL side's
+        // len(NULL) arithmetic); otherwise no-span defaults to 0
+        when(col("n_tokens").isNotNull, coalesce(redactedLen, lit(0L))).as("n_redacted"),
+        // null span array = nothing repeated: tokens pass through; null
+        // TEXT redacts to '' (concat_ws of a null array is already '',
+        // the r9/oracle contract)
         coalesce(spliced, concat_ws(" ", col("tk"))).as("redacted_text"))
   }
 }

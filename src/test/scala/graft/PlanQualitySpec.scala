@@ -27,10 +27,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("t24 span-redaction anti-join is doc_id-equi-keyed, never a nested loop") {
-    val p = plan("t24_span_redaction")
-    assert(!p.contains("CartesianProduct"), p.take(600))
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  test("t24/t27 redaction splices per-doc span arrays — no corpus re-explode, no nested loop") {
+    for (q <- Seq("t24_span_redaction", "t27_char_redaction")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), p.take(600))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+      // The only Generate nodes are the DETECTION pass's positioned-hash
+      // posexplodes (the shared kernel feeds two consumers: the repeated-set
+      // aggregate and the hits join). The r9 redaction-side re-explode of the
+      // corpus (one row per token/char before reassembly) must stay gone —
+      // its return would show up as a third Generate.
+      assert("Generate".r.findAllIn(p).size <= 2, p.take(900))
+    }
   }
 
   test("j1c merge-exec as-of shuffles each side once, no bucket fan-out or rank window") {

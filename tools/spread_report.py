@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Attribute cross-round bench spread from bench_diag.json (wall/gc/cpu per
+query per forked round, written by graft.Bench full runs).
+
+For every query whose max/min wall spread exceeds the threshold (default 2x),
+compare the outlier round's GC time and process-CPU time against the fastest
+round's: if the gc delta covers most of the wall excess the disturbance is
+collector pauses; if cpu grows with wall it is genuine compute (plan or data
+skew — a real regression signal); if neither moves, the stall happened
+OFF-JVM (scheduler/page-cache/IO) and the wall excess is machine noise the
+min/median basis already absorbs.
+
+Usage: spread_report.py [bench_diag.json] [threshold]
+"""
+import json
+import sys
+
+path = sys.argv[1] if len(sys.argv) > 1 else "bench_diag.json"
+thresh = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+
+d = json.load(open(path))["rounds_per_query"]
+buckets = {"gc": [], "cpu": [], "offjvm": []}
+for name, rounds in sorted(d.items()):
+    walls = [r["wall"] for r in rounds]
+    lo, hi = min(walls), max(walls)
+    if lo <= 0 or hi / lo < thresh:
+        continue
+    fast = rounds[walls.index(lo)]
+    slow = rounds[walls.index(hi)]
+    excess_ms = (slow["wall"] - fast["wall"]) * 1000
+    gc_delta = slow["gc_ms"] - fast["gc_ms"]
+    cpu_delta = slow["cpu_ms"] - fast["cpu_ms"]
+    # what fraction of the extra wall time the deltas explain
+    gc_frac = gc_delta / excess_ms if excess_ms > 0 else 0.0
+    cpu_frac = cpu_delta / excess_ms if excess_ms > 0 else 0.0
+    if gc_frac >= 0.5:
+        kind = "gc"
+    elif cpu_frac >= 0.5:
+        kind = "cpu"
+    else:
+        kind = "offjvm"
+    buckets[kind].append(name)
+    print(
+        f"{name}: spread {hi/lo:.1f}x ({lo:.2f}-{hi:.2f}s) "
+        f"excess {excess_ms:.0f}ms gc_delta {gc_delta}ms ({gc_frac:.0%}) "
+        f"cpu_delta {cpu_delta}ms ({cpu_frac:.0%}) -> {kind}"
+    )
+
+total = sum(len(v) for v in buckets.values())
+print(
+    f"\n{total} queries over {thresh}x spread: "
+    f"{len(buckets['gc'])} gc-dominated, {len(buckets['cpu'])} cpu-dominated, "
+    f"{len(buckets['offjvm'])} off-JVM stalls"
+)
