@@ -63,14 +63,22 @@ object GraftSession {
     * same incremental-not-full economics as the k7 watermark store).
     *
     * Budget at 1 M live keys (BookState shape, the largest state row):
-    * MEASURED by the statesweep (statesweep.json, SCALE.md table) — full
-    * two-sided ~200-level books cost ~3.0 KB/key as on-heap objects vs
-    * ~700 B/key durable in RocksDB SSTs, with native memory (memtables +
-    * pinned blocks) growing with the live write set but capped by
-    * `maxMemoryMB` across every store instance on the node. 1 M such
-    * keys ≈ 3 GB of heap (plus GC scan) vs ~0.7 GB of local disk under
-    * a fixed native budget. Set `maxMemoryMB` to the executor's
-    * off-heap allowance.
+    * MEASURED by the statesweep (statesweep.json, SCALE.md table), whose
+    * largest point is now 262,144 live keys (r10) — the cardinality
+    * regime the budget extrapolated from 32k keys in r9 is now measured
+    * at ~8x closer range. Partially-filled books (~16 levels/side, the
+    * shape a fresh key population has) cost ~707 B/key on-heap at BOTH
+    * 32k and 262k keys — per-key cost is cardinality-flat, so 1 M such
+    * keys ≈ 0.7 GB of heap plus GC scan. FULL two-sided books (200
+    * levels/side since the r10 workload fix; ~400 levels total) cost
+    * ~5.6 KB/key on-heap (linear in fill: ~3.5 KB/key at 60% fill) —
+    * 1 M full books ≈ 5.6 GB of heap, which is the ceiling that forces
+    * this provider swap — vs ~1.3 KB/key durable in RocksDB SSTs
+    * (extrapolated from the measured ~790 B/key at 60% fill), with
+    * native memory (memtables + pinned blocks) growing with the live
+    * write set (580 MB at 262k hot keys) but capped by `maxMemoryMB`
+    * across every store instance on the node. Set `maxMemoryMB` to the
+    * executor's off-heap allowance.
     *
     * Runtime confs — callable on a LIVE session (`configureRocksDbState`)
     * before `.start()`, or baked into the builder here; each streaming
