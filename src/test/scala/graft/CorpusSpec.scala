@@ -51,6 +51,25 @@ class CorpusSpec extends SparkSpec {
     assert(out(2L) === 6L) // no merge applies to zzz/qqq (a == b never trained)
   }
 
+  test("r10 kernels compile under CODEGEN_ONLY (no interpreted fallback)") {
+    // rolling char-window hashes, winnowed packs, and the BPE counter are
+    // hot-path Expressions — a doGenCode failure would silently fall back
+    // to interpreted eval in a normal run, so pin the codegen path here
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val out = Seq((1L, "the quick brown fox jumps over the lazy dog again"))
+        .toDF("doc_id", "text")
+        .select(
+          size(graft.functions.TextFunctions.charWindowHashSeq($"text", 10)).as("nw"),
+          size(graft.functions.TextFunctions.winnowedPackSeq($"text", 10, 4)).as("ns"),
+          graft.functions.TextFunctions.bpeTokenCount($"text", Bpe.Merges).as("nb"))
+        .collect().head
+      assert(out.getInt(0) === 40) // 49 chars -> 40 10-char windows
+      assert(out.getInt(1) > 0 && out.getInt(1) <= 40)
+      assert(out.getLong(2) >= 10L) // >= one token per whitespace word
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   test("wordHistogram cuts deterministically by (count desc, word asc)") {
     val docs = Seq((1L, "b a b c a b"), (2L, "c a")).toDF("doc_id", "text")
     val hist = Bpe.wordHistogram(docs, col("text"), maxVocab = 2)
