@@ -106,6 +106,47 @@ object Corpus {
         (col("n_overlap").cast("double") / col("n_bench")).as("bench_frac"))
   }
 
+  /** [[contamination]] at CHARACTER granularity — the decontamination pass
+    * ExactSubstr (Lee et al.) and the GPT-3 appendix actually describe:
+    * benchmark text that leaked into the training corpus re-spaced,
+    * re-punctuated, or shifted off token boundaries shares no word
+    * n-grams, but still aligns at some char offset, so the overlap is
+    * judged on L-char window hashes (the t25 rolling kernel) instead of
+    * word shingles. Returns (train_doc, bench_doc) pairs sharing >=
+    * `minOverlap` distinct window hashes with the contaminated fraction
+    * of the benchmark doc's windows.
+    *
+    * Scale shape mirrors [[contamination]]: per-row kernels, both sides
+    * explode to (doc, hash) DISTINCT window hashes (in-row distinct via
+    * array_distinct — within-doc repeats must not inflate the overlap
+    * count), equi-join on the 8-byte hash (AQE broadcasts the tiny bench
+    * side, so the corpus is never shuffled), map-side-combined groupBy.
+    */
+  def charContamination(
+      train: DataFrame, // id, text
+      bench: DataFrame, // id, text
+      id: Column,
+      text: Column,
+      l: Int = 25,
+      minOverlap: Long = 2L): DataFrame = {
+    def exploded(df: DataFrame, as: String) = df.select(
+      id.as(as),
+      explode(array_distinct(TextFunctions.charWindowHashSeq(text, l))).as("h"))
+    val benchSizes = bench.select(
+      id.as("bench_doc"),
+      size(array_distinct(TextFunctions.charWindowHashSeq(text, l)))
+        .cast("long").as("n_bench"))
+    exploded(train, "train_doc")
+      .join(exploded(bench, "bench_doc"), Seq("h"))
+      .groupBy(col("train_doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .join(benchSizes, Seq("bench_doc"))
+      .select(
+        col("train_doc"), col("bench_doc"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_bench")).as("bench_frac"))
+  }
+
   /** GPT-style sequence packing: documents are concatenated in id order and
     * cut every `seqLen` tokens; each document reports its global token start
     * offset, the sequence it starts in, its offset within that sequence, and

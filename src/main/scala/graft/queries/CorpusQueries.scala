@@ -148,6 +148,18 @@ object CorpusQueries {
       Corpus.redactCharSpans(
         Tables.documents(s, dir), col("doc_id"), col("text"), l = CharL, minDocs = 2L)
     },
+    // C-charcontam — t12's decontamination report at CHAR granularity (the
+    // ExactSubstr / GPT-3-appendix form): overlap judged on distinct
+    // 25-char window hashes, so a leaked benchmark passage still matches
+    // when token boundaries shifted. Bench side broadcast; corpus never
+    // shuffled.
+    "t28_char_contamination" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      Corpus.charContamination(
+        train = d.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        bench = d.filter(pmod(col("doc_id"), lit(20)) === 0),
+        id = col("doc_id"), text = col("text"), l = CharL, minOverlap = 2L)
+    },
     // C-pii — email/phone redaction with match counts. The synthetic docs
     // carry no PII, so each row gets a deterministic injected contact tail;
     // patterns are simple character classes that behave identically under
@@ -327,6 +339,23 @@ object CorpusQueries {
          |SELECT doc_id, span_start, span_end,
          |  span_end - span_start + 1 AS span_tokens
          |FROM sp""".stripMargin,
+    "t28_char_contamination" -> {
+      val L = CharL
+      s"""WITH cw AS (SELECT doc_id,
+         |  list_distinct(list_transform(generate_series(1, greatest(length(text) - ${L - 1}, 0)),
+         |    i -> ${duckCharWindowHash("i", L)})) AS hs
+         |  FROM documents),
+         |tr AS (SELECT doc_id AS train_doc, unnest(hs) AS h FROM cw WHERE doc_id % 20 <> 0),
+         |be AS (SELECT doc_id AS bench_doc, unnest(hs) AS h FROM cw WHERE doc_id % 20 = 0),
+         |sz AS (SELECT doc_id AS bench_doc, len(hs) AS n_bench FROM cw WHERE doc_id % 20 = 0),
+         |ov AS (
+         |  SELECT train_doc, bench_doc, count(*) AS n_overlap
+         |  FROM tr JOIN be USING (h) GROUP BY 1, 2)
+         |SELECT o.train_doc, o.bench_doc, o.n_overlap,
+         |  o.n_overlap * 1.0 / s.n_bench AS bench_frac
+         |FROM ov o JOIN sz s USING (bench_doc)
+         |WHERE o.n_overlap >= 2""".stripMargin
+    },
     "t25_char_spans" -> {
       val L = CharL
       s"""WITH cps AS (SELECT doc_id,

@@ -51,6 +51,27 @@ class CorpusSpec extends SparkSpec {
     assert(out(2L) === 6L) // no merge applies to zzz/qqq (a == b never trained)
   }
 
+  test("charContamination finds an exact excerpt cut mid-word; within-doc repeats count once") {
+    val leak = "zqxjvkwpfy bmtrgdlcns hqwzxcvbnm" // 32 chars, unique alphabet
+    val train = Seq(
+      // leak embedded TWICE, glued mid-word both times — within-doc distinct
+      // windows must count once toward the overlap
+      (1L, s"alpha${leak}omega and then ${leak}tail"),
+      (2L, "completely unrelated training text with nothing shared at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, leak)).toDF("doc_id", "text")
+    val out = Corpus.charContamination(
+      train, bench, col("doc_id"), col("text"), l = 25, minOverlap = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length === 1)
+    val (td, bd, n, frac) = out.head
+    assert((td, bd) === (1L, 100L))
+    // bench has 32-25+1 = 8 windows; every one appears in train doc 1, and
+    // the doubled embedding must NOT inflate the count past 8
+    assert(n === 8L)
+    assert(frac === 1.0)
+  }
+
   test("r10 kernels compile under CODEGEN_ONLY (no interpreted fallback)") {
     // rolling char-window hashes, winnowed packs, and the BPE counter are
     // hot-path Expressions — a doGenCode failure would silently fall back
