@@ -60,6 +60,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(sub.contains("close_time_ms") || sub.contains("__right_ts"))
   }
 
+  test("t12/t28 contamination joins stay hash-keyed — never a cartesian") {
+    for (q <- Seq("t12_contamination", "t28_char_contamination")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), p.take(600))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    }
+  }
+
   test("p1 projection pushes filters into the parquet scan") {
     val p = plan("p1_projection_validation")
     assert(p.contains("PushedFilters: [IsNotNull"), p.take(800))
