@@ -90,11 +90,27 @@ object Corpus {
       bench: DataFrame, // id, text
       id: Column,
       text: Column,
+      minOverlap: Long): DataFrame =
+    // the kernel's shingle set is already distinct per doc
+    contaminationFromHashes(train, bench, id, TextFunctions.shingleHashes(text), minOverlap)
+
+  /** The shared overlap pipeline behind [[contamination]] (word shingles)
+    * and [[charContamination]] (char windows): both sides explode their
+    * per-doc DISTINCT `hashes` array to (doc, hash), meet in an equi-join
+    * on the 8-byte hash, and the surviving pairs aggregate map-side. One
+    * implementation, so a fix to the overlap-join shape lands ONCE (the
+    * [[spansFromHits]] rule).
+    */
+  private def contaminationFromHashes(
+      train: DataFrame,
+      bench: DataFrame,
+      id: Column,
+      hashes: Column,
       minOverlap: Long): DataFrame = {
     def exploded(df: DataFrame, as: String) = df
-      .select(id.as(as), explode(TextFunctions.shingleHashes(text)).as("h"))
+      .select(id.as(as), explode(hashes).as("h"))
     val benchSizes = bench
-      .select(id.as("bench_doc"), size(TextFunctions.shingleHashes(text)).cast("long").as("n_bench"))
+      .select(id.as("bench_doc"), size(hashes).cast("long").as("n_bench"))
     exploded(train, "train_doc")
       .join(exploded(bench, "bench_doc"), Seq("h"))
       .groupBy(col("train_doc"), col("bench_doc"))
@@ -129,22 +145,10 @@ object Corpus {
       text: Column,
       l: Int = 25,
       minOverlap: Long = 2L): DataFrame = {
-    def exploded(df: DataFrame, as: String) = df.select(
-      id.as(as),
-      explode(array_distinct(TextFunctions.charWindowHashSeq(text, l))).as("h"))
-    val benchSizes = bench.select(
-      id.as("bench_doc"),
-      size(array_distinct(TextFunctions.charWindowHashSeq(text, l)))
-        .cast("long").as("n_bench"))
-    exploded(train, "train_doc")
-      .join(exploded(bench, "bench_doc"), Seq("h"))
-      .groupBy(col("train_doc"), col("bench_doc"))
-      .agg(count(lit(1)).as("n_overlap"))
-      .filter(col("n_overlap") >= minOverlap)
-      .join(benchSizes, Seq("bench_doc"))
-      .select(
-        col("train_doc"), col("bench_doc"), col("n_overlap"),
-        (col("n_overlap").cast("double") / col("n_bench")).as("bench_frac"))
+    require(l >= 2, s"window length must be >= 2 chars, got $l") // the char-family rule
+    contaminationFromHashes(
+      train, bench, id,
+      array_distinct(TextFunctions.charWindowHashSeq(text, l)), minOverlap)
   }
 
   /** GPT-style sequence packing: documents are concatenated in id order and

@@ -75,15 +75,21 @@ class CorpusSpec extends SparkSpec {
   test("r10 kernels compile under CODEGEN_ONLY (no interpreted fallback)") {
     // rolling char-window hashes, winnowed packs, and the BPE counter are
     // hot-path Expressions — a doGenCode failure would silently fall back
-    // to interpreted eval in a normal run, so pin the codegen path here
+    // to interpreted eval in a normal run, so pin the codegen path here.
+    // The text MUST be non-foldable and the source a real leaf (range, not
+    // a local Seq): ConstantFolding / ConvertToLocalRelation would
+    // otherwise pre-evaluate the kernels INTERPRETED at optimization time
+    // and the pin would assert nothing.
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     try {
-      val out = Seq((1L, "the quick brown fox jumps over the lazy dog again"))
-        .toDF("doc_id", "text")
+      val text = concat(
+        lit("the quick brown fox jumps over the lazy dog agai"), // 48 chars
+        $"id".cast("string")) // + "0" -> 49 chars, non-foldable
+      val out = spark.range(1)
         .select(
-          size(graft.functions.TextFunctions.charWindowHashSeq($"text", 10)).as("nw"),
-          size(graft.functions.TextFunctions.winnowedPackSeq($"text", 10, 4)).as("ns"),
-          graft.functions.TextFunctions.bpeTokenCount($"text", Bpe.Merges).as("nb"))
+          size(graft.functions.TextFunctions.charWindowHashSeq(text, 10)).as("nw"),
+          size(graft.functions.TextFunctions.winnowedPackSeq(text, 10, 4)).as("ns"),
+          graft.functions.TextFunctions.bpeTokenCount(text, Bpe.Merges).as("nb"))
         .collect().head
       assert(out.getInt(0) === 40) // 49 chars -> 40 10-char windows
       assert(out.getInt(1) > 0 && out.getInt(1) <= 40)
