@@ -17,7 +17,7 @@ import graft.operators.Bpe
   */
 object TrainBpe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nMerges = args.lift(1).map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder()
       .master("local[8]")

@@ -99,10 +99,13 @@ object Bpe {
     merges.result()
   }
 
-  /** The committed merge table: 32 merges trained by `runMain graft.TrainBpe`
-    * on the sf0.001 documents table (maxVocab 4096, minPairCount 2). A
-    * CONSTANT, not re-trained per query, so the DuckDB oracle replays the
-    * identical merges and the kernel stays deterministic across rounds.
+  /** The committed merge table: 89 merges trained by `runMain graft.TrainBpe`
+    * on the sf0.1 documents table (maxVocab 4096, minPairCount 2; asked for
+    * 256 but the trainer SATURATES at 89 — the synthetic corpus has 31
+    * distinct words at every SF, and after 89 merges every word above
+    * minPairCount is a single token). A CONSTANT, not re-trained per query,
+    * so the DuckDB oracle replays the identical merges and the kernel stays
+    * deterministic across rounds.
     */
   val Merges: Seq[(String, String)] = TrainedMerges.Merges
 }

@@ -270,9 +270,14 @@ object CorpusQueries {
 
   val oracle: Map[String, String] = Map(
     "t14b_bpe_packing" ->
+      // NULL-text docs produce zero w0 rows (unnest of a NULL split), so the
+      // per-doc sum must LEFT JOIN back to documents to keep their row with
+      // NULL n_tokens — t14's len(string_split(..)) form preserves them and
+      // the Spark side's null-safe BpeCountExpr does too.
       s"""WITH $bpeCtes,
-         |cnt AS (SELECT doc_id, CAST(sum(len(xs)) AS BIGINT) AS n_tokens
-         |  FROM w${Bpe.Merges.size} GROUP BY doc_id),
+         |cnt AS (SELECT d.doc_id, c.n_tokens FROM documents d LEFT JOIN
+         |  (SELECT doc_id, CAST(sum(len(xs)) AS BIGINT) AS n_tokens
+         |   FROM w${Bpe.Merges.size} GROUP BY doc_id) c USING (doc_id)),
          |o AS (
          |  SELECT doc_id, n_tokens,
          |    CAST(coalesce(sum(n_tokens) OVER (
