@@ -1,0 +1,157 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.imageio.stream.MemoryCacheImageInputStream
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{codegen, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real image kernels over the JDK's built-in `javax.imageio` — no external
+  * library, zero egress. Three pieces:
+  *
+  *   - [[encodeImage]]: deterministic tiny PNG/JPEG fixture encoder (pixel
+  *     pattern derived from a seed) — the test/fixture half, used from a
+  *     `udf()` like the SBE/Avro fixture encoders;
+  *   - [[imageMeta]] / [[ImageMetaExpr]]: HEADER-ONLY metadata extraction —
+  *     `ImageReader.getWidth/getHeight/getFormatName` off the stream without
+  *     decoding pixel data, so cost is per-header, not per-pixel;
+  *   - [[thumbnail]] / [[ThumbnailExpr]]: real downscale (Graphics2D
+  *     bilinear `drawImage` to width/factor x height/factor, re-encoded as
+  *     PNG) — the pixel-touching half.
+  *
+  * Scale notes: decode runs per row inside the task (no shuffle of the
+  * payload); headers are O(bytes-read ~ tens) and thumbnails O(pixels). On
+  * a real corpus the payload column stays out of every exchange — extract
+  * metadata/thumbs first, drop the binary before any join/agg
+  * (reference has no multimodal path; this is the training-pipeline
+  * extension surface).
+  */
+object ImageKernels {
+
+  /** Deterministic w x h RGB image encoded as real `format` ("png"/"jpg")
+    * bytes. Pixel (x, y) gets a seed-derived RGB so two different seeds
+    * produce different payloads; ImageIO's encoders are deterministic for a
+    * given JDK, but nothing downstream depends on the exact bytes — only on
+    * the header metadata, which is exact by construction.
+    */
+  def encodeImage(seed: Long, width: Int, height: Int, format: String): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad image dims ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = seed * 31L + x * 7L + y * 13L
+        img.setRGB(x, y, (v & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    val ok = ImageIO.write(img, format, bos)
+    require(ok, s"no ImageIO writer for format '$format'")
+    bos.toByteArray
+  }
+
+  /** Header-only metadata: (width, height, format) as an InternalRow, or
+    * null when the bytes are not a readable image (corrupt payloads are
+    * data, not task failures). Format is the reader's name lowercased
+    * ("png", "jpeg"). `MemoryCacheImageInputStream` keeps ImageIO off the
+    * disk-cache path (no tmp files inside executor tasks).
+    */
+  def imageMeta(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null) return null
+    val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      if (!readers.hasNext) null
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          new GenericInternalRow(Array[Any](
+            r.getWidth(0), r.getHeight(0),
+            UTF8String.fromString(r.getFormatName.toLowerCase(java.util.Locale.ROOT))))
+        } finally r.dispose()
+      }
+    } catch {
+      case _: java.io.IOException => null
+      case _: IllegalArgumentException => null
+    } finally in.close()
+  }
+
+  /** Real downscale by integer `factor` (>= 1): decode, bilinear-draw into
+    * max(1, w/factor) x max(1, h/factor), re-encode as PNG. Null for
+    * undecodable bytes.
+    */
+  def thumbnail(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    if (bytes == null) return null
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return null
+    val tw = math.max(1, img.getWidth / factor)
+    val th = math.max(1, img.getHeight / factor)
+    val out = new java.awt.image.BufferedImage(
+      tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, tw, th, null)
+    } finally g.dispose()
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("format", StringType)))
+
+  /** binary -> struct(width, height, format); null for non-image bytes, so
+    * `nullable` and the explicit null check in codegen (nullSafeCodeGen's
+    * default wrapper only handles a null INPUT).
+    */
+  case class ImageMetaExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = imageMetaSchema
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      ImageKernels.imageMeta(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.ImageKernels.imageMeta($c);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
+    override protected def withNewChildInternal(newChild: Expression): ImageMetaExpr =
+      copy(child = newChild)
+  }
+
+  /** binary -> binary PNG thumbnail at 1/factor scale; null for non-image
+    * bytes.
+    */
+  case class ThumbnailExpr(child: Expression, factor: Int) extends UnaryExpression {
+    require(factor >= 1, s"thumbnail factor must be >= 1, got $factor")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      ImageKernels.thumbnail(input.asInstanceOf[Array[Byte]], factor)
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.ImageKernels.thumbnail($c, $factor);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
+    override protected def withNewChildInternal(newChild: Expression): ThumbnailExpr =
+      copy(child = newChild)
+  }
+}

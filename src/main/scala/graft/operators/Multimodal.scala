@@ -9,12 +9,12 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata structs; decode / feature
   * extraction runs batched per partition.
   *
-  * The decode kernel itself is STUBBED (no image/audio libs in this
-  * container): `fakeDecode` derives deterministic pseudo-metadata from the
-  * bytes. Everything around it — schema, column plumbing, per-partition
-  * batch iteration, partition sizing — is the real Spark shape: on a
-  * cluster the kernel body is the only thing that changes (JNI/FFI call or
-  * `mapInPandas`-style vectorized decode on the Python side).
+  * IMAGE decode is REAL — `javax.imageio` ships in the JDK (zero egress):
+  * [[imageMeta]] parses actual PNG/JPEG headers and [[imageThumbnail]] does
+  * a real bilinear downscale ([[graft.functions.ImageKernels]]). Audio/video
+  * decoders have no JDK counterpart, so those payloads stay opaque binary
+  * with honest byte-level ops ([[resize]]/[[frameSample]] stride and slice
+  * real bytes; on a cluster a codec kernel replaces the per-byte lambda).
   *
   * Scale notes: binary payloads make rows wide — size
   * `spark.sql.files.maxPartitionBytes` so a partition of payloads fits in
@@ -23,28 +23,34 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  val mediaMetaSchema: StructType = StructType(Seq(
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("format", StringType),
-    StructField("n_bytes", LongType)))
+  import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  /** Deterministic stand-in for the media decoder: metadata derived from the
-    * payload hash (so tests and the DuckDB oracle can reproduce it).
+  import graft.functions.ImageKernels
+
+  val mediaMetaSchema: StructType = ImageKernels.imageMetaSchema
+
+  /** Real header-only image metadata: binary -> struct(width, height,
+    * format), null for bytes no ImageIO reader accepts. Codegen Expression —
+    * stays inside whole-stage codegen, no UDF seam.
     */
-  def fakeDecode(content: Column): Column = {
-    val h = conv(substring(md5(content), 1, 8), 16, 10).cast("long")
-    struct(
-      (pmod(h, lit(1920L)) + 1L).cast("int").as("width"),
-      (pmod(h, lit(1080L)) + 1L).cast("int").as("height"),
-      element_at(array(lit("jpeg"), lit("png"), lit("webp")), (pmod(h, lit(3L)) + 1).cast("int"))
-        .as("format"),
-      length(content).cast("long").as("n_bytes"))
-  }
+  def imageMeta(content: Column): Column =
+    ColumnBridge.column(ImageKernels.ImageMetaExpr(ColumnBridge.expression(content)))
+
+  /** Real 1/factor downscale re-encoded as PNG; null for non-image bytes. */
+  def imageThumbnail(content: Column, factor: Int): Column =
+    ColumnBridge.column(ImageKernels.ThumbnailExpr(ColumnBridge.expression(content), factor))
+
+  /** Fixture encoder (test/oracle half, same convention as the SBE/Avro
+    * encoder udfs): deterministic real PNG/JPEG bytes from (seed, w, h,
+    * format).
+    */
+  val encodeImageUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((seed: Long, w: Int, h: Int, fmt: String) => ImageKernels.encodeImage(seed, w, h, fmt))
 
   /** Resize/downsample: keep every `stride`-th byte of the payload (the
-    * thumbnail shape — real striding, stub semantics; a real resizer
-    * replaces the per-byte lambda with its kernel). Pure array ops inside
+    * thumbnail shape for OPAQUE payloads — audio/video codecs have no JDK
+    * counterpart, so striding is the honest generic form; for images use
+    * [[imageThumbnail]], a real bilinear downscale). Pure array ops inside
     * codegen; output length = ceil(len / stride).
     */
   def resize(content: Column, stride: Int): Column = {
@@ -62,7 +68,8 @@ object Multimodal {
   }
 
   /** Frame sampling: split a payload into `n` equal byte slices (the video
-    * "every k-th frame" shape — real slicing, stub semantics).
+    * "every k-th frame" shape; real byte slicing — no JDK video codec, so
+    * frames stay opaque slices; a codec kernel would replace the slicer).
     */
   def frameSample(content: Column, n: Int): Column =
     transform(
@@ -75,7 +82,7 @@ object Multimodal {
 
   /** Batched per-partition feature extraction — the `mapPartitions` plumbing
     * a real decoder plugs into. Batches `batchSize` payloads, runs the
-    * (stub) kernel per batch, emits (id, feature vector). The iterator
+    * byte-stats kernel per batch, emits (id, feature vector). The iterator
     * never materializes the whole partition.
     */
   def extractFeaturesBatched(
@@ -88,8 +95,9 @@ object Multimodal {
       StructField("feat_len", LongType)))
     val rdd = media.select(col("id"), col("content")).rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // kernel boundary: a real implementation hands `batch` to the
-        // decoder in one call; the stub computes per-payload byte stats.
+        // kernel boundary: a media decoder would hand `batch` to its
+        // library in one call; here the kernel computes per-payload byte
+        // stats (a real, if simple, feature).
         // null id/content rows emit null features instead of NPE-failing
         // the task — nullable binary is the norm for real media tables
         batch.iterator.map { r =>

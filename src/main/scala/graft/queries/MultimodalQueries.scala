@@ -12,15 +12,42 @@ import graft.operators.Multimodal
   */
 object MultimodalQueries {
 
+  /** Deterministic real-image fixture: doc_id-derived dims and alternating
+    * PNG/JPEG, encoded as ACTUAL image bytes by the ImageIO fixture udf —
+    * so the decode half ([[Multimodal.imageMeta]]) parses real headers and
+    * the DuckDB oracle predicts the metadata from the same doc_id formula.
+    */
+  private def realImages(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id").as("id"),
+        (col("doc_id") % 31 + 8).cast("int").as("w0"),
+        (col("doc_id") % 17 + 8).cast("int").as("h0"),
+        when(col("doc_id") % 2 === 0, lit("png")).otherwise(lit("jpg")).as("f0"))
+      .select(
+        col("id"),
+        Multimodal.encodeImageUdf(col("id"), col("w0"), col("h0"), col("f0")).as("content"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // M1 — opaque binary payloads with deterministic (stub) decoded metadata.
+    // M1 — REAL image metadata: actual PNG/JPEG payloads, header-only
+    // javax.imageio decode; the oracle re-derives the dims from doc_id.
     "m1_multimodal_meta" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id").as("id"), col("text").cast("binary").as("content"))
-        .select(col("id"), Multimodal.fakeDecode(col("content")).as("m"))
+      realImages(s, dir)
+        .select(col("id"), Multimodal.imageMeta(col("content")).as("m"))
         .select(
           col("id"), col("m.width").as("width"), col("m.height").as("height"),
-          col("m.format").as("format"), col("m.n_bytes").as("n_bytes"))
+          col("m.format").as("format"))
+    },
+    // M4 — REAL image downscale: bilinear 1/2-scale thumbnail re-encoded as
+    // PNG, then header decode of the RESULT — verifies the pixel-touching
+    // path end-to-end (thumb dims are the halved originals).
+    "m4_image_thumb" -> { (s, dir) =>
+      realImages(s, dir)
+        .select(col("id"), Multimodal.imageThumbnail(col("content"), 2).as("thumb"))
+        .select(col("id"), Multimodal.imageMeta(col("thumb")).as("m"))
+        .select(
+          col("id"), col("m.width").as("thumb_width"),
+          col("m.height").as("thumb_height"), col("m.format").as("thumb_format"))
     },
     // M2 — frame sampling: each payload split into n equal byte slices (the
     // video every-k-th-frame shape); per-frame length + content hash are the
@@ -52,17 +79,21 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the oracle predicts the REAL decoded header values from the same
+    // doc_id formula the fixture encoder used — an actual round-trip check
+    // (encode real bytes -> parse real headers -> match the formula)
     "m1_multimodal_meta" ->
-      """WITH h AS (
-        |  SELECT doc_id AS id, text,
-        |    CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS hv
-        |  FROM documents)
-        |SELECT id,
-        |  CAST(hv % 1920 + 1 AS INT) AS width,
-        |  CAST(hv % 1080 + 1 AS INT) AS height,
-        |  CASE hv % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
-        |  CAST(length(text) AS BIGINT) AS n_bytes
-        |FROM h""".stripMargin,
+      """SELECT doc_id AS id,
+        |  CAST(doc_id % 31 + 8 AS INT) AS width,
+        |  CAST(doc_id % 17 + 8 AS INT) AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents""".stripMargin,
+    "m4_image_thumb" ->
+      """SELECT doc_id AS id,
+        |  CAST(greatest((doc_id % 31 + 8) // 2, 1) AS INT) AS thumb_width,
+        |  CAST(greatest((doc_id % 17 + 8) // 2, 1) AS INT) AS thumb_height,
+        |  'png' AS thumb_format
+        |FROM documents""".stripMargin,
     "m2_frame_sample" ->
       """WITH d AS (SELECT doc_id AS id, text, length(text) AS len FROM documents),
         |s0 AS (
