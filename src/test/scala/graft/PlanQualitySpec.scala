@@ -32,12 +32,17 @@ class PlanQualitySpec extends SparkSpec {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), p.take(600))
       assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
-      // The only Generate nodes are the DETECTION pass's positioned-hash
+      // The only explode nodes are the DETECTION pass's positioned-hash
       // posexplodes (the shared kernel feeds two consumers: the repeated-set
       // aggregate and the hits join). The r9 redaction-side re-explode of the
       // corpus (one row per token/char before reassembly) must stay gone —
-      // its return would show up as a third Generate.
-      assert("Generate".r.findAllIn(p).size <= 2, p.take(900))
+      // its return would show up as a third explode. Match the Generate NODE
+      // with its explode generator, not the bare substring "Generate" (which
+      // any future plan-format change or unrelated node name could shift).
+      assert("Generate (pos)?explode".r.findAllIn(p).size <= 2, p.take(900))
+      assert("Generate ".r.findAllIn(p).size ===
+        "Generate (pos)?explode".r.findAllIn(p).size,
+        "a non-explode Generate appeared — re-derive this guard: " + p.take(900))
     }
   }
 

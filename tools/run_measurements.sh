@@ -23,7 +23,11 @@ echo "== step 3: scaling subset benches =="
 Q="a1_trade_batch_stats,a5_rolling_stats,a5b_rolling_stats_bucketed,a7_prediction_rollup,d4_feature_corr,j1_asof_outcomes,j1c_asof_merge_exec,j5_star_join_revenue,t10_neardup_clusters,t21_bigram_ppl,t23_repeated_spans,t24_span_redaction,t25_char_spans,t26_winnowed_spans,t27_char_redaction,t3_lsh_neardup_pairs,v15_semantic_dedup,w9_ewma_macd,w9b_ewma_macd_bucketed,x_v11_ivfpq,x_v12_ivfpq_index,x_v13_index_rerank,x_v4_ann_ivf"
 for sz in "1:/root/testdata/sf0.1" "3:/tmp/graft_scale/x3" "10:/tmp/graft_scale/x10"; do
   k="${sz%%:*}"; dir="${sz#*:}"
+  # scale the child-round watchdog with the slice size: a legitimately slow
+  # x10 round past the 20-min default would be destroyForcibly'd and set -e
+  # would silently abort the whole pipeline
   SPARK_GRAFT_ONLY="$Q" SPARK_GRAFT_RUNS=3 SPARK_GRAFT_SF_DIR="$dir" \
+    SPARK_GRAFT_ROUND_TIMEOUT_MIN=$((20 + 6 * k)) \
     sbt -batch "runMain graft.Bench" > "/tmp/m_scalebench_$k.log" 2>&1
   cp bench_only.json "/tmp/m_scale_rec_$k.json"
 done

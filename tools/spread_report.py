@@ -10,6 +10,13 @@ skew — a real regression signal); if neither moves, the stall happened
 OFF-JVM (scheduler/page-cache/IO) and the wall excess is machine noise the
 min/median basis already absorbs.
 
+HEURISTIC, not a proof: process CPU is summed across cores while the wall
+excess is single-clock, and GC worker threads accrue process CPU too — so
+the GC delta is subtracted from the CPU delta before bucketing (otherwise a
+GC-heavy round with gc_frac just under 0.5 could misread as "cpu", i.e. a
+claimed regression, purely from collector parallelism). Treat "cpu" as a
+pointer to re-measure, not a verdict.
+
 Usage: spread_report.py [bench_diag.json] [threshold]
 """
 import json
@@ -30,9 +37,11 @@ for name, rounds in sorted(d.items()):
     excess_ms = (slow["wall"] - fast["wall"]) * 1000
     gc_delta = slow["gc_ms"] - fast["gc_ms"]
     cpu_delta = slow["cpu_ms"] - fast["cpu_ms"]
-    # what fraction of the extra wall time the deltas explain
+    # what fraction of the extra wall time the deltas explain; the CPU
+    # fraction excludes the GC component (GC workers accrue process CPU on
+    # every core — counting it twice biases toward the "cpu" verdict)
     gc_frac = gc_delta / excess_ms if excess_ms > 0 else 0.0
-    cpu_frac = cpu_delta / excess_ms if excess_ms > 0 else 0.0
+    cpu_frac = max(cpu_delta - gc_delta, 0) / excess_ms if excess_ms > 0 else 0.0
     if gc_frac >= 0.5:
         kind = "gc"
     elif cpu_frac >= 0.5:
