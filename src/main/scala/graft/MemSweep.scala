@@ -1,0 +1,177 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Constrained-memory completion sweep: runs the heaviest queries one child
+  * JVM each with the heap CAPPED (default `-Xmx2g` — replacing the inherited
+  * sbt `-Xmx`), recording wall time plus the executor-side pressure metrics
+  * (memory/disk bytes spilled, peak execution memory) summed over all tasks.
+  *
+  * Why: every other measurement in this repo runs inside a 128 GiB sandbox,
+  * so "completes by SPILLING, not OOM, when the working set exceeds the
+  * executor heap" was a design claim with zero data. A 100 TB deployment
+  * lives in that regime permanently — executors are sized for throughput,
+  * not for the largest intermediate. One child per query so an OOM is an
+  * isolated per-query verdict (recorded, nonfatal to the sweep), exactly
+  * the semantics of a task-level failure on a real cluster.
+  *
+  * Env: `SPARK_GRAFT_SF_DIR` (default the x10 slice at /tmp/graft_scale/x10
+  * — build it with tools/make_scale.py first), `SPARK_GRAFT_MEM_XMX`
+  * (default 2g), `SPARK_GRAFT_CPUS` (default 8 — 32 threads' concurrent
+  * working sets in a 2 GiB heap would measure thread count, not operator
+  * spill), `SPARK_GRAFT_ONLY` (query subset). Writes `memsweep.json` and
+  * prints one JSON line.
+  */
+object MemSweep {
+
+  /** The committed top-10 by bench cost (VERDICT r10 plan audit order). */
+  private val DefaultQueries = Seq(
+    "t25_char_spans", "x_v13_index_rerank", "a7_prediction_rollup",
+    "t27_char_redaction", "x_v12_ivfpq_index", "a1_trade_batch_stats",
+    "j5_star_join_revenue", "w9_ewma_macd", "x_a12_approx_stats",
+    "t26_winnowed_spans")
+
+  private def sfDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_scale/x10")
+  private def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+  private def xmx: String = sys.env.getOrElse("SPARK_GRAFT_MEM_XMX", "2g")
+
+  private def num(v: Double, dp: Int): String =
+    s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
+
+  def main(args: Array[String]): Unit =
+    if (sys.env.get("SPARK_GRAFT_CHILD").contains("1")) childMain() else parentMain()
+
+  // ----------------------------------------------------------------- child
+
+  /** One capped-heap JVM, one query: run to the noop sink with a listener
+    * summing task pressure metrics; emit one `#GRAFT MEM` stdout line.
+    */
+  private def childMain(): Unit = {
+    val name = sys.env("SPARK_GRAFT_MEM_QUERY")
+    val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    var spillMem = 0L
+    var spillDisk = 0L
+    var peakExec = 0L
+    var failedTasks = 0L
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          spillMem += m.memoryBytesSpilled
+          spillDisk += m.diskBytesSpilled
+          peakExec = math.max(peakExec, m.peakExecutionMemory)
+        }
+        if (e.reason != org.apache.spark.Success) failedTasks += 1
+      }
+    })
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // listener events are async — drain before reading the counters
+    org.apache.spark.sql.graftbridge.ColumnBridge.drainListenerBus(spark.sparkContext)
+    println(s"#GRAFT MEM $name ${num(sec, 3)} $spillMem $spillDisk $peakExec $failedTasks")
+    spark.stop()
+  }
+
+  // ---------------------------------------------------------------- parent
+
+  private def parentMain(): Unit = {
+    val selected = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(DefaultQueries)
+      .filter { q =>
+        val known = SparkEntry.queries.contains(q)
+        if (!known) System.err.println(s"[memsweep] skipping unknown query $q")
+        known
+      }
+    require(new java.io.File(sfDir).isDirectory,
+      s"SPARK_GRAFT_SF_DIR $sfDir missing — build the slice with tools/make_scale.py first")
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    // the child heap cap IS the experiment: drop the inherited -Xmx/-Xms
+    // (sbt's 128 GiB would void the measurement) and pin the capped value
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms")) :+ s"-Xmx$xmx"
+    val cp = sys.props("java.class.path")
+
+    val rows = selected.map { name =>
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.MemSweep")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_MEM_QUERY", name)
+      val p = pb.start()
+      val errTail = new java.util.ArrayDeque[String](64)
+      val drainer = new Thread(() => {
+        val r = new java.io.BufferedReader(new java.io.InputStreamReader(p.getErrorStream))
+        var line = r.readLine()
+        while (line != null) {
+          System.err.println(line)
+          if (errTail.size >= 50) errTail.removeFirst()
+          errTail.addLast(line)
+          line = r.readLine()
+        }
+      }, s"memsweep-$name-stderr")
+      drainer.setDaemon(true)
+      drainer.start()
+      var mem: Option[String] = None
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+      val deadlineMin = sys.env.get("SPARK_GRAFT_ROUND_TIMEOUT_MIN")
+        .map(_.trim.toLong).getOrElse(30L)
+      val watchdog = new Thread(() => {
+        if (!p.waitFor(deadlineMin, java.util.concurrent.TimeUnit.MINUTES)) p.destroyForcibly()
+      }, s"memsweep-$name-watchdog")
+      watchdog.setDaemon(true)
+      watchdog.start()
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.startsWith("#GRAFT MEM ")) mem = Some(line.drop(11))
+        line = reader.readLine()
+      }
+      p.waitFor(1, java.util.concurrent.TimeUnit.MINUTES)
+      val row = mem match {
+        case Some(rec) =>
+          val Array(n, sec, sm, sd, pk, ft) = rec.split(" ")
+          require(n == name, s"child answered for $n, asked $name")
+          s"""{"completed":true,"seconds":$sec,"spill_memory_bytes":$sm,""" +
+            s""""spill_disk_bytes":$sd,"peak_execution_memory":$pk,"failed_tasks":$ft}"""
+        case None =>
+          // OOM / watchdog kill: the FINDING, not a sweep failure — keep the
+          // diagnostic tail so the record says why
+          val why = errTail.asScala.find(l =>
+            l.contains("OutOfMemoryError") || l.contains("Killed"))
+            .orElse(errTail.asScala.lastOption).getOrElse("no stderr")
+            .replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(160)
+          s"""{"completed":false,"exit":${if (p.isAlive) -1 else p.exitValue()},"why":"$why"}"""
+      }
+      System.err.println(s"[memsweep] $name -> $row")
+      name -> row
+    }
+
+    val json =
+      s"""{"metric":"constrained_memory_sweep","xmx":"$xmx","cpus":$cpus,""" +
+        s""""sf":"$sfDir",""" +
+        rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("\"queries\":{", ",", "}}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("memsweep.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    val failed = rows.count(!_._2.contains("\"completed\":true"))
+    if (failed == rows.size && rows.nonEmpty) sys.exit(2)
+  }
+}

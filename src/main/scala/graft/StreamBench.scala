@@ -148,8 +148,8 @@ object StreamBench {
     else if (sys.env.get("SPARK_GRAFT_BATCH_SWEEP").contains("1")) batchSweep()
     else throughput()
 
-  /** Key-cardinality sweep: the BookState path at 64 / 4k / 32k / 256k
-    * live symbols under BOTH providers, recording events/s AND the state
+  /** Key-cardinality sweep: the BookState path at 64 / 4k / 32k / 256k /
+    * 1M live symbols under BOTH providers, recording events/s AND the state
     * store's own accounting (rows, bytes, bytes/key) from the query's
     * final progress — the measured version of the "RocksDB removes the
     * key-cardinality heap ceiling" claim: on-heap bytes/key prices what
@@ -183,7 +183,7 @@ object StreamBench {
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    for (syms <- Seq(64, 4096, 32768, 262144); rocks <- Seq(false, true)) {
+    for (syms <- Seq(64, 4096, 32768, 262144, 1048576); rocks <- Seq(false, true)) {
       val perChunk = math.max(n, 32 * syms) / chunks
       val fed = perChunk * chunks // events actually sent (may not divide)
       if (rocks) GraftSession.configureRocksDbState(spark)

@@ -13,6 +13,13 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Drain the async listener bus (`listenerBus` is private[spark]) so
+    * metrics accumulated by a SparkListener are complete before reading —
+    * used by graft.MemSweep's spill accounting.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Materialize a DataFrame over a logical plan (Dataset.ofRows is
     * private[sql]).
     */

@@ -13,11 +13,13 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
 
 echo "== step 2: rebuild scale slices =="
 rm -rf /tmp/graft_scale
-mkdir -p /tmp/graft_scale/x3 /tmp/graft_scale/x10
+mkdir -p /tmp/graft_scale/x3 /tmp/graft_scale/x10 /tmp/graft_scale/x30
 python3 tools/make_scale.py /root/testdata/sf0.1 /tmp/graft_scale/x3 3 \
   > /tmp/m_scale3.log 2>&1
 python3 tools/make_scale.py /root/testdata/sf0.1 /tmp/graft_scale/x10 10 \
   > /tmp/m_scale10.log 2>&1
+python3 tools/make_scale.py /root/testdata/sf0.1 /tmp/graft_scale/x30 30 \
+  > /tmp/m_scale30.log 2>&1
 
 echo "== step 3: scaling subset benches =="
 Q="a1_trade_batch_stats,a5_rolling_stats,a5b_rolling_stats_bucketed,a7_prediction_rollup,d4_feature_corr,j1_asof_outcomes,j1c_asof_merge_exec,j5_star_join_revenue,t10_neardup_clusters,t21_bigram_ppl,t23_repeated_spans,t24_span_redaction,t25_char_spans,t26_winnowed_spans,t27_char_redaction,t3_lsh_neardup_pairs,v15_semantic_dedup,w9_ewma_macd,w9b_ewma_macd_bucketed,x_v11_ivfpq,x_v12_ivfpq_index,x_v13_index_rerank,x_v4_ann_ivf"
@@ -31,20 +33,34 @@ for sz in "1:/root/testdata/sf0.1" "3:/tmp/graft_scale/x3" "10:/tmp/graft_scale/
     sbt -batch "runMain graft.Bench" > "/tmp/m_scalebench_$k.log" 2>&1
   cp bench_only.json "/tmp/m_scale_rec_$k.json"
 done
-python3 tools/scaling_report.py SCALING_r10.json \
-  1:/tmp/m_scale_rec_1.json 3:/tmp/m_scale_rec_3.json 10:/tmp/m_scale_rec_10.json
+# the char family (t25/t26/t27) sits closest to linear — one 30x point
+# confirms no bend past the 10x range where it would hurt most
+SPARK_GRAFT_ONLY="t25_char_spans,t26_winnowed_spans,t27_char_redaction" \
+  SPARK_GRAFT_RUNS=3 SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x30 \
+  SPARK_GRAFT_ROUND_TIMEOUT_MIN=60 \
+  sbt -batch "runMain graft.Bench" > /tmp/m_scalebench_30.log 2>&1
+cp bench_only.json /tmp/m_scale_rec_30.json
+python3 tools/scaling_report.py SCALING_r11.json \
+  1:/tmp/m_scale_rec_1.json 3:/tmp/m_scale_rec_3.json 10:/tmp/m_scale_rec_10.json \
+  30:/tmp/m_scale_rec_30.json
 rm -f bench_only.json
 
 echo "== step 4: streambench throughput =="
 SPARK_GRAFT_CPUS=4 sbt -batch "runMain graft.StreamBench" \
   > /tmp/m_streambench.log 2>&1
 
-echo "== step 5: statesweep (incl 256k) =="
+echo "== step 5: statesweep (incl 1M keys) =="
 SPARK_GRAFT_CPUS=4 SPARK_GRAFT_STATE_SWEEP=1 sbt -batch "runMain graft.StreamBench" \
   > /tmp/m_statesweep.log 2>&1
 
 echo "== step 6: batch-size sweep =="
 SPARK_GRAFT_CPUS=4 SPARK_GRAFT_BATCH_SWEEP=1 sbt -batch "runMain graft.StreamBench" \
   > /tmp/m_batchsweep.log 2>&1
+
+echo "== step 7: constrained-memory sweep (top-10 heaviest, -Xmx2g, x10 slice) =="
+# cpus=8, not the global 32: 32 threads' concurrent working sets in a 2 GiB
+# heap would measure thread count, not operator spill behavior
+SPARK_GRAFT_CPUS=8 SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x10 \
+  sbt -batch "runMain graft.MemSweep" > /tmp/m_memsweep.log 2>&1
 
 echo "ALL MEASUREMENTS DONE"

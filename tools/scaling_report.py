@@ -31,14 +31,20 @@ for arg in sys.argv[2:]:
     points.append((float(k), json.load(open(path))))
 points.sort()
 
-names = sorted(points[0][1]["queries"])
-ks = [k for k, _ in points]
+# a query may be measured at a SUBSET of the sizes (e.g. the char family's
+# extra 30x point) — fit each query's slope over the sizes where it appears
+names = sorted(set().union(*[set(rec["queries"]) for _, rec in points]))
 
 rows = {}
 for n in names:
-    mins = [rec["queries_min"][n] for _, rec in points]
-    med = [rec["queries"][n] for _, rec in points]
-    exe = [rec.get("queries_exec", {}).get(n) for _, rec in points]
+    pts = [(k, rec) for k, rec in points if n in rec.get("queries_min", {})]
+    if len(pts) < 2:
+        print(f"{n}: only {len(pts)} size point(s) — no slope", file=sys.stderr)
+        continue
+    ks = [k for k, _ in pts]
+    mins = [rec["queries_min"][n] for _, rec in pts]
+    med = [rec["queries"][n] for _, rec in pts]
+    exe = [rec.get("queries_exec", {}).get(n) for _, rec in pts]
     lx = [math.log(k) for k in ks]
     ly = [math.log(y) for y in mins]
     mx, my = sum(lx) / len(lx), sum(ly) / len(ly)
@@ -66,4 +72,5 @@ json.dump(summary, open(out_path, "w"), indent=1)
 for n in sorted(rows, key=lambda n: -rows[n]["slope"]):
     r = rows[n]
     print(f"{n:30s} slope={r['slope']:6.3f}  " +
-          " ".join(f"{k:g}x:{r['min_sec'][str(k)]:.2f}s" for k in ks))
+          " ".join(f"{float(k):g}x:{t:.2f}s" for k, t in sorted(
+              r["min_sec"].items(), key=lambda kv: float(kv[0]))))
