@@ -110,7 +110,8 @@ object StreamBench {
     * untimed), then `chunks` data chunks with one `processAllAvailable`
     * barrier each — per-batch overhead (trigger planning, state commit,
     * offset log) is IN the measurement the way it is in production.
-    * Returns (seconds, last state-operator progress). Single
+    * Returns (seconds, last state-operator progress, avg per-batch
+    * durationMs phase breakdown over the timed batches). Single
     * implementation for all three benches (throughput rows, statesweep,
     * batch sweep) so the timing methodology cannot drift between them;
     * stops the query + deletes the checkpoint even on failure — a
@@ -122,13 +123,16 @@ object StreamBench {
       mem: MemoryStream[T],
       prime: Seq[T],
       chunks: Int,
-      data: Int => Seq[T]): (Double, Option[org.apache.spark.sql.streaming.StateOperatorProgress]) = {
+      data: Int => Seq[T])
+      : (Double, Option[org.apache.spark.sql.streaming.StateOperatorProgress],
+         Map[String, Double]) = {
     val ckpt = java.nio.file.Files.createTempDirectory("sb_chunked")
     val q = out.writeStream.outputMode("append").format("noop")
       .option("checkpointLocation", ckpt.toString).start()
     try {
       mem.addData(prime)
       q.processAllAvailable()
+      val lastPrimeBatch = q.recentProgress.lastOption.map(_.batchId).getOrElse(-1L)
       val t0 = System.nanoTime()
       (0 until chunks).foreach { c =>
         mem.addData(data(c))
@@ -136,7 +140,22 @@ object StreamBench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       val so = Option(q.lastProgress).flatMap(p => p.stateOperators.headOption)
-      (sec, so)
+      // Per-batch phase attribution from the engine's own accounting
+      // (durationMs: triggerExecution and its parts — queryPlanning,
+      // walCommit, commitOffsets, addBatch, getBatch, latestOffset),
+      // averaged over the TIMED batches still in the retained progress
+      // window (prime-batch entries excluded BY BATCH ID — the window is a
+      // last-100 slide, so a positional drop would cut timed entries once
+      // batches exceed the retention).
+      import scala.jdk.CollectionConverters._
+      val progs = q.recentProgress.filter(_.batchId > lastPrimeBatch).toSeq
+      val phases =
+        if (progs.isEmpty) Map.empty[String, Double]
+        else progs
+          .flatMap(_.durationMs.asScala)
+          .groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2.toDouble).sum / progs.size }
+      (sec, so, phases + ("_batches_observed" -> progs.size.toDouble))
     } finally {
       q.stop()
       deleteRecursively(ckpt)
@@ -191,7 +210,7 @@ object StreamBench {
       val mem = MemoryStream[Delta]
       val out = BookState.maintain(mem.toDS(), depth = 10).toDF()
       val name = s"book_${syms}${if (rocks) "_rocksdb" else ""}"
-      val (sec, soOpt) = timeChunked(out, mem, primeDeltas, chunks,
+      val (sec, soOpt, _) = timeChunked(out, mem, primeDeltas, chunks,
         c => (0 until perChunk).map(i => bookDelta(c.toLong * perChunk + i, syms)))
       val so = soOpt.getOrElse(
         sys.error(s"$name: no state operator in final progress — nothing was measured"))
@@ -240,25 +259,43 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // retain every batch's progress: _batches_observed must COUNT the
+      // per-chunk batch amplification (each data chunk is followed by a
+      // no-data watermark-advance batch), and the default 100-entry window
+      // truncates the 200-chunk point
+      .config("spark.sql.streaming.numRecentProgressUpdates", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    for (chunks <- Seq(200, 50, 20, 5, 1)) {
+    // Second dimension: no-data micro-batches ON (default; every data chunk
+    // is followed by a watermark-advance batch that pays full trigger
+    // overhead for zero rows — the r10 sweep unknowingly measured ~2
+    // batches per chunk) vs OFF (eager emission deferred to the next DATA
+    // batch — the steady-stream production shape, where triggers always
+    // carry data and the empty batch is pure amplification).
+    for (chunks <- Seq(200, 50, 20, 5, 1); noData <- Seq(true, false)) {
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noData.toString)
       val perChunk = n / chunks
       val fed = perChunk * chunks
       val mem = MemoryStream[TradeEvent]
       val out = streaming.HotPath.windowedTradeStats(
         mem.toDF(), "ts", "symbol", "price", "qty",
         windowDuration = "1 second", watermark = "2 seconds")
-      val (sec, _) = timeChunked(out, mem, primeTrades, chunks,
+      val (sec, _, phases) = timeChunked(out, mem, primeTrades, chunks,
         c => (0 until perChunk).map(i => eventFor(c.toLong * perChunk + i, symbols)))
-      rows(s"batch_$perChunk") =
+      // phase attribution (avg ms per observed batch, from durationMs)
+      val phaseJson = phases.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + num(v, 1) }.mkString("{", ",", "}")
+      val name = s"batch_$perChunk${if (noData) "" else "_nodata_off"}"
+      rows(name) =
         s"""{"events_per_batch":$perChunk,"batches":$chunks,"events":$fed,""" +
-          s""""rate":${num(fed / sec, 0)},"batch_seconds":${num(sec / chunks, 3)}}"""
-      System.err.println(s"[batch] $perChunk: ${rows(s"batch_$perChunk")}")
+          s""""no_data_batches":$noData,""" +
+          s""""rate":${num(fed / sec, 0)},"batch_seconds":${num(sec / chunks, 3)},""" +
+          s""""phase_avg_ms":$phaseJson}"""
+      System.err.println(s"[batch] $name: ${rows(name)}")
     }
     val json =
       s"""{"metric":"hot_path_batch_size_sweep","unit":"events/sec","cpus":$cpus,""" +
