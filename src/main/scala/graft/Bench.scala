@@ -161,12 +161,16 @@ object Bench {
   }
 
   /** One completed child round: per-query wall times, per-query (gc, cpu)
-    * deltas, and (exec rounds only) the exec-only re-write times.
+    * deltas, (exec rounds only) the exec-only re-write times, and the
+    * round's OWN errors — kept per round so a discarded round's errors do
+    * not contaminate the emitted record, and so the disturbance guard can
+    * tell "fast because quiet" from "fast because broken".
     */
   private final case class ChildRound(
       times: Seq[(String, Double)],
       diag: Map[String, (Long, Long)],
-      exec: Seq[(String, Double)]) {
+      exec: Seq[(String, Double)],
+      errors: Map[String, String]) {
     def total: Double = times.map(_._2).sum
   }
 
@@ -210,9 +214,9 @@ object Bench {
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
     val cp = sys.props("java.class.path")
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     def childRound(label: String, withExec: Boolean): ChildRound = {
+      val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
       val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_CHILD", "1")
@@ -283,8 +287,9 @@ object Bench {
         s"bench child round $label incomplete: done=$done exited=$exited " +
           s"times=${times.size}/${selected.size} (see stderr above)")
       System.err.println(
-        s"[bench] round $label: ${num(times.values.sum, 1)} s over ${times.size} queries")
-      ChildRound(times.toSeq, diag.toMap, exec.toSeq)
+        s"[bench] round $label: ${num(times.values.sum, 1)} s over ${times.size} queries" +
+          (if (errors.nonEmpty) s" (${errors.size} errored)" else ""))
+      ChildRound(times.toSeq, diag.toMap, exec.toSeq, errors.toMap)
     }
 
     val rounds = scala.collection.mutable.ArrayBuffer.tabulate(runs) { r =>
@@ -304,27 +309,44 @@ object Bench {
     var reforks = 0
     var settled = false
     val factor = disturbFactor
+    // The baseline "quiet" total only trusts rounds with the FEWEST errors:
+    // a round whose session broke can fail queries in milliseconds, post a
+    // tiny total, and would otherwise make every healthy round look
+    // disturbed (>factor x the broken min) until the budget burned out.
+    def minErrs = rounds.map(_.errors.size).min
+    def baseline = rounds.filter(_.errors.size == minErrs).map(_.total).min
     while (!settled && reforks < maxReforks && runs > 1) {
+      val broken = rounds.indexWhere(_.errors.size > minErrs)
       val totals = rounds.map(_.total)
-      val threshold = totals.min * factor
       val worst = totals.indices.maxBy(totals)
-      if (totals(worst) > threshold) {
-        System.err.println(s"[bench] round $worst total ${num(totals(worst), 1)} s " +
-          s"> ${num(factor, 2)}x min ${num(totals.min, 1)} s — disturbed, re-forking " +
-          s"(${reforks + 1}/$maxReforks)")
-        discardedTotals += totals(worst)
-        reforks += 1
-        rounds(worst) = childRound(s"$worst-refork$reforks", withExec = worst == 0)
-      } else settled = true
+      val target =
+        if (broken >= 0) Some(broken -> "extra query errors vs the cleanest round")
+        else if (totals(worst) > baseline * factor)
+          Some(worst -> (s"total ${num(totals(worst), 1)} s > ${num(factor, 2)}x " +
+            s"clean min ${num(baseline, 1)} s"))
+        else None
+      target match {
+        case Some((idx, why)) =>
+          System.err.println(
+            s"[bench] round $idx disturbed ($why) — re-forking (${reforks + 1}/$maxReforks)")
+          discardedTotals += totals(idx)
+          reforks += 1
+          rounds(idx) = childRound(s"$idx-refork$reforks", withExec = idx == 0)
+        case None => settled = true
+      }
     }
     // re-check: the LAST replacement may have settled the set right as the
     // budget ran out — only warn if a round is still above threshold
     if (!settled && runs > 1) {
       val totals = rounds.map(_.total)
-      if (totals.max > totals.min * factor)
+      if (totals.max > baseline * factor)
         System.err.println(s"[bench] re-fork budget exhausted ($maxReforks); " +
           "remaining spread is recorded as-is — box may be genuinely busy")
     }
+    // errors from KEPT rounds only — a discarded round's transient failure
+    // must not be reported against the record built from its replacement
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    rounds.foreach(_.errors.foreach { case (k, v) => errors.getOrElseUpdate(k, v) })
 
     // Per-round (wall, gc, cpu) matrix for spread attribution — full runs
     // only (a SPARK_GRAFT_ONLY subset must not clobber the committed record,

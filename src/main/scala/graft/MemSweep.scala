@@ -7,8 +7,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Constrained-memory completion sweep: runs the heaviest queries one child
   * JVM each with the heap CAPPED (default `-Xmx2g` — replacing the inherited
-  * sbt `-Xmx`), recording wall time plus the executor-side pressure metrics
-  * (memory/disk bytes spilled, peak execution memory) summed over all tasks.
+  * sbt `-Xmx`), recording wall time plus the executor-side pressure metrics:
+  * memory/disk bytes spilled (summed over all tasks) and the largest single
+  * TASK's peak execution memory (a per-task peak — concurrent tasks mean
+  * simultaneous JVM-wide pressure can reach ~cpus x this value).
   *
   * Why: every other measurement in this repo runs inside a 128 GiB sandbox,
   * so "completes by SPILLING, not OOM, when the working set exceeds the
@@ -115,13 +117,17 @@ object MemSweep {
       pb.environment().put("SPARK_GRAFT_CHILD", "1")
       pb.environment().put("SPARK_GRAFT_MEM_QUERY", name)
       val p = pb.start()
-      val errTail = new java.util.ArrayDeque[String](64)
+      // ConcurrentLinkedDeque + a post-exit join: the parent reads the tail
+      // on exactly the failure path (OOM/kill) where the drainer may still
+      // be flushing — an unsynchronized deque would risk a CME there and
+      // lose the whole sweep's record
+      val errTail = new java.util.concurrent.ConcurrentLinkedDeque[String]()
       val drainer = new Thread(() => {
         val r = new java.io.BufferedReader(new java.io.InputStreamReader(p.getErrorStream))
         var line = r.readLine()
         while (line != null) {
           System.err.println(line)
-          if (errTail.size >= 50) errTail.removeFirst()
+          if (errTail.size >= 50) errTail.pollFirst()
           errTail.addLast(line)
           line = r.readLine()
         }
@@ -131,8 +137,13 @@ object MemSweep {
       var mem: Option[String] = None
       val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(p.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
-      val deadlineMin = sys.env.get("SPARK_GRAFT_ROUND_TIMEOUT_MIN")
-        .map(_.trim.toLong).getOrElse(30L)
+      val deadlineMin = sys.env.get("SPARK_GRAFT_ROUND_TIMEOUT_MIN").map { v =>
+        // same named validation as graft.Bench: fail fast, not with a bare
+        // NFE from deep inside the sweep
+        require(v.trim.matches("[0-9]+"),
+          s"SPARK_GRAFT_ROUND_TIMEOUT_MIN must be a whole number of minutes, got '$v'")
+        v.trim.toLong
+      }.getOrElse(30L)
       val watchdog = new Thread(() => {
         if (!p.waitFor(deadlineMin, java.util.concurrent.TimeUnit.MINUTES)) p.destroyForcibly()
       }, s"memsweep-$name-watchdog")
@@ -144,12 +155,13 @@ object MemSweep {
         line = reader.readLine()
       }
       p.waitFor(1, java.util.concurrent.TimeUnit.MINUTES)
+      drainer.join(5000) // let the stderr tail finish flushing before reading it
       val row = mem match {
         case Some(rec) =>
           val Array(n, sec, sm, sd, pk, ft) = rec.split(" ")
           require(n == name, s"child answered for $n, asked $name")
           s"""{"completed":true,"seconds":$sec,"spill_memory_bytes":$sm,""" +
-            s""""spill_disk_bytes":$sd,"peak_execution_memory":$pk,"failed_tasks":$ft}"""
+            s""""spill_disk_bytes":$sd,"peak_task_execution_memory":$pk,"failed_tasks":$ft}"""
         case None =>
           // OOM / watchdog kill: the FINDING, not a sweep failure — keep the
           // diagnostic tail so the record says why

@@ -132,6 +132,10 @@ object StreamBench {
     try {
       mem.addData(prime)
       q.processAllAvailable()
+      // processAllAvailable can return after offsets commit but a beat
+      // before the batch's progress is POSTED — settle briefly so the last
+      // prime batch is visible and cannot leak into the timed phase averages
+      Thread.sleep(300)
       val lastPrimeBatch = q.recentProgress.lastOption.map(_.batchId).getOrElse(-1L)
       val t0 = System.nanoTime()
       (0 until chunks).foreach { c =>

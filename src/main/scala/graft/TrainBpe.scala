@@ -18,7 +18,7 @@ import graft.operators.Bpe
 object TrainBpe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val nMerges = args.lift(1).map(_.toInt).getOrElse(32)
+    val nMerges = args.lift(1).map(_.toInt).getOrElse(256)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -33,6 +33,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ImageKernels {
 
+  // ImageIO's default stream cache spools a temp FILE in java.io.tmpdir per
+  // read/write call — per-row disk I/O inside executor tasks, and a full or
+  // unwritable tmpdir would surface as an IOException that the kernels'
+  // corrupt-bytes handling silently maps to NULL output. Memory caching for
+  // every ImageIO.read/write in this JVM (imageMeta already streams through
+  // MemoryCacheImageInputStream explicitly).
+  ImageIO.setUseCache(false)
+
   /** Deterministic w x h RGB image encoded as real `format` ("png"/"jpg")
     * bytes. Pixel (x, y) gets a seed-derived RGB so two different seeds
     * produce different payloads; ImageIO's encoders are deterministic for a
