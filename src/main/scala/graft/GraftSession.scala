@@ -64,19 +64,21 @@ object GraftSession {
     *
     * Budget at 1 M live keys (BookState shape, the largest state row):
     * MEASURED by the statesweep (statesweep.json, SCALE.md table), whose
-    * largest point is now 262,144 live keys (r10) — the cardinality
-    * regime the budget extrapolated from 32k keys in r9 is now measured
-    * at ~8x closer range. Partially-filled books (~16 levels/side, the
-    * shape a fresh key population has) cost ~707 B/key on-heap at BOTH
-    * 32k and 262k keys — per-key cost is cardinality-flat, so 1 M such
-    * keys ≈ 0.7 GB of heap plus GC scan. FULL two-sided books (200
+    * largest point is now 1,048,576 live keys (r11) — the 1 M-key budget
+    * below is no longer an extrapolation. At 1 M keys the on-heap
+    * provider holds 757.6 B/key (0.79 GB of heap for the whole
+    * population — within 8% of the 0.7 GB the r10 extrapolation from
+    * 262k predicted, confirming per-key cost is cardinality-flat from
+    * 32k to 1 M) and still sustains ~86k events/s on local[4]; RocksDB
+    * sustains ~74k events/s with pinned native blocks at ~177 MB —
+    * UNCHANGED from the 262k point, i.e. native memory tracks the hot
+    * write set, not key cardinality. FULL two-sided books (200
     * levels/side since the r10 workload fix; ~400 levels total) cost
     * ~5.6 KB/key on-heap (linear in fill: ~3.5 KB/key at 60% fill) —
     * 1 M full books ≈ 5.6 GB of heap, which is the ceiling that forces
     * this provider swap — vs ~1.3 KB/key durable in RocksDB SSTs
     * (extrapolated from the measured ~790 B/key at 60% fill), with
-    * native memory (memtables + pinned blocks) growing with the live
-    * write set (580 MB at 262k hot keys) but capped by `maxMemoryMB`
+    * native memory (memtables + pinned blocks) capped by `maxMemoryMB`
     * across every store instance on the node. Set `maxMemoryMB` to the
     * executor's off-heap allowance.
     *

@@ -64,6 +64,15 @@ object MemSweep {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    if (sys.env.get("SPARK_GRAFT_MEM_NO_BROADCAST").contains("1")) {
+      // degraded-mode retry: broadcast builds need the whole build side
+      // deserialized in the driver heap — under a capped heap AQE can pick
+      // a broadcast whose BUILD no longer fits and the job dies instead of
+      // degrading. Forcing shuffle joins trades that cliff for spillable
+      // sort-merge work.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    }
     spark.sparkContext.setLogLevel("WARN")
     var spillMem = 0L
     var spillDisk = 0L
@@ -111,22 +120,30 @@ object MemSweep {
       .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms")) :+ s"-Xmx$xmx"
     val cp = sys.props("java.class.path")
 
-    val rows = selected.map { name =>
+    def runOne(name: String, noBroadcast: Boolean): String = {
       val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.MemSweep")
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_CHILD", "1")
       pb.environment().put("SPARK_GRAFT_MEM_QUERY", name)
+      if (noBroadcast) pb.environment().put("SPARK_GRAFT_MEM_NO_BROADCAST", "1")
       val p = pb.start()
       // ConcurrentLinkedDeque + a post-exit join: the parent reads the tail
       // on exactly the failure path (OOM/kill) where the drainer may still
       // be flushing — an unsynchronized deque would risk a CME there and
       // lose the whole sweep's record
       val errTail = new java.util.concurrent.ConcurrentLinkedDeque[String]()
+      // root cause captured AS IT STREAMS: a long stack trace pushes the
+      // message line out of the bounded tail before the parent reads it
+      val firstCause = new java.util.concurrent.atomic.AtomicReference[String](null)
+      def isCause(l: String): Boolean =
+        l.contains("OutOfMemoryError") || l.contains("Not enough memory") ||
+          l.contains("SparkException") || l.contains("Killed")
       val drainer = new Thread(() => {
         val r = new java.io.BufferedReader(new java.io.InputStreamReader(p.getErrorStream))
         var line = r.readLine()
         while (line != null) {
           System.err.println(line)
+          if (isCause(line)) firstCause.compareAndSet(null, line)
           if (errTail.size >= 50) errTail.pollFirst()
           errTail.addLast(line)
           line = r.readLine()
@@ -165,13 +182,27 @@ object MemSweep {
         case None =>
           // OOM / watchdog kill: the FINDING, not a sweep failure — keep the
           // diagnostic tail so the record says why
-          val why = errTail.asScala.find(l =>
-            l.contains("OutOfMemoryError") || l.contains("Killed"))
+          val why = Option(firstCause.get)
             .orElse(errTail.asScala.lastOption).getOrElse("no stderr")
-            .replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(160)
+            .replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(200)
           s"""{"completed":false,"exit":${if (p.isAlive) -1 else p.exitValue()},"why":"$why"}"""
       }
-      System.err.println(s"[memsweep] $name -> $row")
+      System.err.println(
+        s"[memsweep] $name${if (noBroadcast) " (no-broadcast retry)" else ""} -> $row")
+      row
+    }
+
+    val rows = selected.map { name =>
+      val first = runOne(name, noBroadcast = false)
+      val row =
+        if (first.contains("\"completed\":true")) first
+        else {
+          // the failure IS the record — and so is whether the job completes
+          // once broadcast joins are disabled (the documented degraded mode
+          // for memory-constrained executors)
+          val retry = runOne(name, noBroadcast = true)
+          first.dropRight(1) + s""","retry_no_broadcast":$retry}"""
+        }
       name -> row
     }
 

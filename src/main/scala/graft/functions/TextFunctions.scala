@@ -136,6 +136,13 @@ object TextFunctions {
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(TextKernels.BpeCountExpr(ColumnBridge.expression(text), merges))
 
+  /** The BPE tokens themselves (codegen kernel,
+    * [[TextKernels.BpeTokensExpr]]) — vocab emission / inspection surface;
+    * `size(bpeTokens(x, m)) == bpeTokenCount(x, m)` by shared kernel.
+    */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(TextKernels.BpeTokensExpr(ColumnBridge.expression(text), merges))
+
   /** Stopword-membership count used by the quality/language heuristics. */
   def stopwordCount(tk: Column, stopwords: Seq[String]): Column =
     if (stopwords.isEmpty) lit(0) // reduce on an empty list would throw

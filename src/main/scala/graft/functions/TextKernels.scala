@@ -475,15 +475,61 @@ object TextKernels {
     out
   }
 
-  private def bpeWordTokens(s: String, from: Int, until: Int, merges: Array[Array[String]]): Long = {
-    if (until <= from) return 0L
+  /** One word's BPE tokens — the single merge-application loop shared by
+    * the count kernel, the token-emitting kernel, and (via
+    * bpeSymbols/bpeMergePass) the trainer.
+    */
+  private def bpeWordTokenList(
+      s: String, from: Int, until: Int,
+      merges: Array[Array[String]]): java.util.ArrayList[String] = {
     var toks = bpeSymbols(s, from, until)
     var m = 0
     while (m < merges.length && toks.size > 1) {
       toks = bpeMergePass(toks, merges(m)(0), merges(m)(1))
       m += 1
     }
-    toks.size.toLong
+    toks
+  }
+
+  private def bpeWordTokens(s: String, from: Int, until: Int, merges: Array[Array[String]]): Long =
+    if (until <= from) 0L else bpeWordTokenList(s, from, until, merges).size.toLong
+
+  /** All BPE tokens of `t` in order (the vocab-emission surface; same word
+    * split and merge passes as [[bpeTokenCount]], so
+    * `size(bpeTokens(x)) == bpeTokenCount(x)` by construction).
+    */
+  def bpeTokens(t: UTF8String, merges: Array[Array[String]]): GenericArrayData = {
+    val s = t.toString
+    val out = new java.util.ArrayList[UTF8String]()
+    var start = 0
+    var more = true
+    while (more) {
+      val sp = s.indexOf(' ', start)
+      val end = if (sp < 0) s.length else sp
+      if (end > start) {
+        val toks = bpeWordTokenList(s, start, end, merges)
+        var i = 0
+        while (i < toks.size) { out.add(UTF8String.fromString(toks.get(i))); i += 1 }
+      }
+      if (sp < 0) more = false else start = sp + 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  case class BpeTokensExpr(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    private lazy val mergesArr: Array[Array[String]] =
+      merges.map(p => Array(p._1, p._2)).toArray
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      bpeTokens(input.asInstanceOf[UTF8String], mergesArr)
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("bpeMerges", mergesArr, "java.lang.String[][]")
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.bpeTokens($c, $ref)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BpeTokensExpr =
+      copy(child = newChild)
   }
 
   case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])

@@ -107,6 +107,24 @@ object CorpusQueries {
         col("doc_id"),
         TextFunctions.bpeTokenCount(col("text"), Bpe.Merges), seqLen = 256)
     },
+    // C-vocab — the tokenizer's VOCAB EMISSION (the artifact an external
+    // trainer loads alongside the merge table): every BPE token occurrence
+    // in the corpus, aggregated to (token, n_occurrences) with token_id by
+    // frequency rank. The rank window runs over the AGGREGATED vocab —
+    // bounded by alphabet + merge table, not corpus rows — so the single
+    // partition it implies is a dimension-table sort, never a corpus sort.
+    "t14c_bpe_vocab" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .select(explode(TextFunctions.bpeTokens(col("text"), Bpe.Merges)).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_occurrences"))
+        .withColumn(
+          "token_id",
+          row_number()
+            .over(Window.orderBy(col("n_occurrences").desc, col("token")))
+            .cast("long"))
+    },
     // C-spans — cross-document repeated n-gram SPAN dedup (the train-set
     // memorization pass): merged token intervals per doc covered by
     // shingles that occur in >= 2 distinct docs. The t12 shingle machinery
@@ -291,6 +309,13 @@ object CorpusQueries {
          |       ELSE (start_offset + n_tokens - 1) // 256 - start_offset // 256 + 1
          |  END AS n_seqs_spanned
          |FROM o""".stripMargin,
+    "t14c_bpe_vocab" ->
+      s"""WITH $bpeCtes,
+         |tok AS (SELECT unnest(xs) AS token FROM w${Bpe.Merges.size}),
+         |agg AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY token)
+         |SELECT token, n_occurrences,
+         |  row_number() OVER (ORDER BY n_occurrences DESC, token) AS token_id
+         |FROM agg""".stripMargin,
     "d3_profile_columns" ->
       (Seq("doc_id", "n_chars").map(duckProfileNum) ++
         Seq("text", "lang", "source").map(duckProfileStr))

@@ -423,4 +423,28 @@ class CorpusSpec extends SparkSpec {
     assert(out(1).getSeq[Long](out(1).fieldIndex("q")).toSeq === Seq(0L, 0L, 0L, 0L))
     assert(out(1).getAs[Double]("recon_mse") === 0.0)
   }
+
+  test("bpeTokens agrees with bpeTokenCount and reassembles each word") {
+    import graft.functions.TextFunctions
+    import graft.operators.Bpe
+    val docs = Seq(
+      (1L, "the order can scan the window"),
+      (2L, ""),                        // empty text: zero tokens
+      (3L, "a  b"),                    // double space: empty word contributes none
+      (4L, null.asInstanceOf[String])  // null text: null array, row drops on explode
+    ).toDF("doc_id", "text")
+    val both = docs.select(
+      $"doc_id",
+      TextFunctions.bpeTokenCount($"text", Bpe.Merges).as("n"),
+      TextFunctions.bpeTokens($"text", Bpe.Merges).as("toks"))
+    both.collect().foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2))
+      else assert(r.getSeq[String](2).size.toLong === r.getLong(1),
+        s"doc ${r.getLong(0)}: token list disagrees with count kernel")
+    }
+    // tokens concatenated per doc reproduce the original text minus spacing:
+    // merges never cross word boundaries
+    val joined = both.filter($"doc_id" === 1L).head().getSeq[String](2).mkString
+    assert(joined === "theordercanscanthewindow")
+  }
 }
