@@ -56,6 +56,18 @@ object Bench {
 
   private def num(v: Double, dp: Int): String = // Locale.ROOT: '.' decimals always
     s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** SPARK_GRAFT_ROUND_TIMEOUT_MIN with a per-tool default — ONE parse +
+    * named validation shared by Bench and MemSweep (an NFE from deep inside
+    * a multi-hour run would abort with a bare stack trace; copies had
+    * already drifted once).
+    */
+  private[graft] def roundTimeoutMin(default: Long): Long =
+    sys.env.get("SPARK_GRAFT_ROUND_TIMEOUT_MIN").map { v =>
+      require(v.trim.matches("[0-9]+"),
+        s"SPARK_GRAFT_ROUND_TIMEOUT_MIN must be a whole number of minutes, got '$v'")
+      v.trim.toLong
+    }.getOrElse(default)
   private def fmt(pairs: Seq[(String, Double)], dp: Int): String =
     pairs.map { case (k, v) => "\"" + k + "\":" + num(v, dp) }.mkString("{", ",", "}")
 
@@ -244,13 +256,7 @@ object Bench {
       // lets the loop fall through to the loud require below.
       // Deadline is env-tunable: bigger SF dirs legitimately run longer than
       // the sf0.1 default; a fixed constant would silently cap them mid-pass.
-      val deadlineMin = sys.env.get("SPARK_GRAFT_ROUND_TIMEOUT_MIN").map { v =>
-        // fail fast and NAMED on a malformed value — an NFE from deep inside
-        // round setup would abort a multi-hour run with a bare stack trace
-        require(v.trim.matches("[0-9]+"),
-          s"SPARK_GRAFT_ROUND_TIMEOUT_MIN must be a whole number of minutes, got '$v'")
-        v.trim.toLong
-      }.getOrElse(20L)
+      val deadlineMin = roundTimeoutMin(default = 20L)
       val watchdog = new Thread(() => {
         if (!p.waitFor(deadlineMin, java.util.concurrent.TimeUnit.MINUTES)) p.destroyForcibly()
       }, s"bench-child-$label-watchdog")
@@ -309,14 +315,25 @@ object Bench {
     var reforks = 0
     var settled = false
     val factor = disturbFactor
-    // The baseline "quiet" total only trusts rounds with the FEWEST errors:
-    // a round whose session broke can fail queries in milliseconds, post a
-    // tiny total, and would otherwise make every healthy round look
-    // disturbed (>factor x the broken min) until the budget burned out.
-    def minErrs = rounds.map(_.errors.size).min
-    def baseline = rounds.filter(_.errors.size == minErrs).map(_.total).min
+    // The baseline "quiet" total only trusts CLEAN rounds: a round whose
+    // session broke can fail queries in milliseconds, post a tiny total,
+    // and would otherwise make every healthy round look disturbed
+    // (>factor x the broken min) until the budget burned out. "Clean" is
+    // judged by error IDENTITY, not count — with one DIFFERENT flaky query
+    // per round, every round has the same error count but none is clean.
+    // Errors present in EVERY round are persistent (broken build/query);
+    // re-forking those would burn the budget for an identical result, so
+    // only errors beyond the all-round intersection mark a round broken.
+    def commonErrs: Set[String] =
+      rounds.map(_.errors.keySet).reduce(_ intersect _)
+    def baseline = {
+      val common = commonErrs
+      val clean = rounds.filter(_.errors.keySet == common)
+      (if (clean.nonEmpty) clean else rounds).map(_.total).min
+    }
     while (!settled && reforks < maxReforks && runs > 1) {
-      val broken = rounds.indexWhere(_.errors.size > minErrs)
+      val common = commonErrs
+      val broken = rounds.indexWhere(_.errors.keySet != common)
       val totals = rounds.map(_.total)
       val worst = totals.indices.maxBy(totals)
       val target =

@@ -133,17 +133,23 @@ object MemSweep {
       // lose the whole sweep's record
       val errTail = new java.util.concurrent.ConcurrentLinkedDeque[String]()
       // root cause captured AS IT STREAMS: a long stack trace pushes the
-      // message line out of the bounded tail before the parent reads it
-      val firstCause = new java.util.concurrent.atomic.AtomicReference[String](null)
-      def isCause(l: String): Boolean =
-        l.contains("OutOfMemoryError") || l.contains("Not enough memory") ||
-          l.contains("SparkException") || l.contains("Killed")
+      // message line out of the bounded tail before the parent reads it.
+      // Two tiers: a memory-fatal line always wins over a generic
+      // SparkException (a benign wrapped/retried exception logged early
+      // would otherwise sticky-capture and mask the real OOM).
+      val strongCause = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val weakCause = new java.util.concurrent.atomic.AtomicReference[String](null)
+      def classify(l: String): Unit = {
+        if (l.contains("OutOfMemoryError") || l.contains("Not enough memory") ||
+          l.contains("Killed")) strongCause.compareAndSet(null, l)
+        else if (l.contains("SparkException")) weakCause.compareAndSet(null, l)
+      }
       val drainer = new Thread(() => {
         val r = new java.io.BufferedReader(new java.io.InputStreamReader(p.getErrorStream))
         var line = r.readLine()
         while (line != null) {
           System.err.println(line)
-          if (isCause(line)) firstCause.compareAndSet(null, line)
+          classify(line)
           if (errTail.size >= 50) errTail.pollFirst()
           errTail.addLast(line)
           line = r.readLine()
@@ -154,13 +160,7 @@ object MemSweep {
       var mem: Option[String] = None
       val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(p.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
-      val deadlineMin = sys.env.get("SPARK_GRAFT_ROUND_TIMEOUT_MIN").map { v =>
-        // same named validation as graft.Bench: fail fast, not with a bare
-        // NFE from deep inside the sweep
-        require(v.trim.matches("[0-9]+"),
-          s"SPARK_GRAFT_ROUND_TIMEOUT_MIN must be a whole number of minutes, got '$v'")
-        v.trim.toLong
-      }.getOrElse(30L)
+      val deadlineMin = Bench.roundTimeoutMin(default = 30L)
       val watchdog = new Thread(() => {
         if (!p.waitFor(deadlineMin, java.util.concurrent.TimeUnit.MINUTES)) p.destroyForcibly()
       }, s"memsweep-$name-watchdog")
@@ -182,7 +182,8 @@ object MemSweep {
         case None =>
           // OOM / watchdog kill: the FINDING, not a sweep failure — keep the
           // diagnostic tail so the record says why
-          val why = Option(firstCause.get)
+          val why = Option(strongCause.get)
+            .orElse(Option(weakCause.get))
             .orElse(errTail.asScala.lastOption).getOrElse("no stderr")
             .replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(200)
           s"""{"completed":false,"exit":${if (p.isAlive) -1 else p.exitValue()},"why":"$why"}"""

@@ -133,10 +133,22 @@ object StreamBench {
       mem.addData(prime)
       q.processAllAvailable()
       // processAllAvailable can return after offsets commit but a beat
-      // before the batch's progress is POSTED — settle briefly so the last
-      // prime batch is visible and cannot leak into the timed phase averages
-      Thread.sleep(300)
-      val lastPrimeBatch = q.recentProgress.lastOption.map(_.batchId).getOrElse(-1L)
+      // before the batch's progress is POSTED — poll until the progress list
+      // is non-empty and its tail batchId is stable across two reads (a
+      // fixed sleep was a timing bet on a loaded box), so the prime batch
+      // cannot leak into the timed phase averages
+      val lastPrimeBatch = {
+        var prev = -2L
+        var cur = q.recentProgress.lastOption.map(_.batchId).getOrElse(-1L)
+        var waited = 0
+        while ((cur != prev || cur < 0) && waited < 5000) {
+          prev = cur
+          Thread.sleep(100)
+          waited += 100
+          cur = q.recentProgress.lastOption.map(_.batchId).getOrElse(-1L)
+        }
+        cur
+      }
       val t0 = System.nanoTime()
       (0 until chunks).foreach { c =>
         mem.addData(data(c))
