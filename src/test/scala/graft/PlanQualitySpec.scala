@@ -244,4 +244,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unaudited single-partition plans: ${offenders.mkString(", ")}")
   }
+
+  test("t14c vocab rank window sorts the AGGREGATED vocab, never corpus rows") {
+    // AQE wraps the tree (collect cannot descend into AdaptiveSparkPlan),
+    // so assert on the printed plan: the single-partition Window must sit
+    // ABOVE the vocab HashAggregate — its sort then runs over O(vocab)
+    // rows — and the token explode must sit BELOW the aggregate, never
+    // between the aggregate and the window
+    val p = plan("t14c_bpe_vocab")
+    val w = p.indexOf("Window ")
+    assert(w >= 0, p.take(500))
+    val below = p.substring(w)
+    assert(below.contains("HashAggregate"),
+      "rank window not above the vocab aggregate:\n" + p.take(900))
+    val agg = below.indexOf("HashAggregate")
+    assert(!below.substring(0, agg).contains("Generate"),
+      "corpus explode feeds the rank window directly:\n" + p.take(900))
+  }
+
+  test("m1/m4 image pipeline never shuffles the binary payload") {
+    for (q <- Seq("m1_multimodal_meta", "m4_image_thumb")) {
+      val p = plan(q)
+      // scan -> encode -> decode is projection-only: any Exchange would
+      // move real image bytes across the wire for no join/agg reason
+      assert(!p.contains("Exchange"), s"$q shuffles the payload:\n" + p.take(600))
+    }
+  }
 }
