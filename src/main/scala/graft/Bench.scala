@@ -71,6 +71,20 @@ object Bench {
   private def fmt(pairs: Seq[(String, Double)], dp: Int): String =
     pairs.map { case (k, v) => "\"" + k + "\":" + num(v, dp) }.mkString("{", ",", "}")
 
+  /** The bench_only convention generalized (r12, verdict item 7): a harness
+    * invoked with ANY non-default knob (query subset, event/key count, cpu
+    * count, custom SF dir) writes `<base>_smoke.json` instead of the
+    * canonical `<base>.json`, so a local smoke run can never clobber the
+    * committed record — the r11 protection was procedural (`git checkout`)
+    * and nearly shipped a 100k-event record once.
+    */
+  private[graft] def recordPath(base: String, smoke: Boolean): java.nio.file.Path = {
+    val f = if (smoke) s"${base}_smoke.json" else s"$base.json"
+    if (smoke) System.err.println(
+      s"[$base] non-default knobs detected — writing $f (committed record untouched)")
+    java.nio.file.Paths.get(f)
+  }
+
   private def selectedQueries(): Seq[(String, (SparkSession, String) => DataFrame)] = {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -353,12 +367,22 @@ object Bench {
       }
     }
     // re-check: the LAST replacement may have settled the set right as the
-    // budget ran out — only warn if a round is still above threshold
+    // budget ran out. Two distinct residues, both surfaced: a round still
+    // above the disturbance threshold (box busy — spread recorded as-is),
+    // and a round still carrying EXTRA errors vs the intersection (broken —
+    // its failing queries post near-zero times that silently deflate
+    // queries_min/medians, so the record itself must say so).
+    val residualBroken = runs > 1 && rounds.exists(_.errors.keySet != commonErrs)
     if (!settled && runs > 1) {
       val totals = rounds.map(_.total)
       if (totals.max > baseline * factor)
         System.err.println(s"[bench] re-fork budget exhausted ($maxReforks); " +
           "remaining spread is recorded as-is — box may be genuinely busy")
+      if (residualBroken)
+        System.err.println(s"[bench] re-fork budget exhausted ($maxReforks) with a " +
+          "BROKEN round still in the set (extra query errors vs the intersection) — " +
+          "its failed queries' near-zero times contaminate queries_min/medians; " +
+          "the record carries residual_broken_round:true")
     }
     // errors from KEPT rounds only — a discarded round's transient failure
     // must not be reported against the record built from its replacement
@@ -392,7 +416,7 @@ object Bench {
     emit(runs, mode = "forked-jvm", sweep = rounds.head.times, stats = stats,
       roundTotals = rounds.map(_.total).toSeq, execTimes = rounds.head.exec,
       errors = errors, selectedCount = selected.size,
-      discardedTotals = discardedTotals.toSeq)
+      discardedTotals = discardedTotals.toSeq, residualBroken = residualBroken)
   }
 
   /** r8 behavior: interleaved rounds inside this one JVM (`SPARK_GRAFT_FORK=0`),
@@ -461,7 +485,8 @@ object Bench {
       execTimes: Seq[(String, Double)],
       errors: scala.collection.Map[String, String],
       selectedCount: Int,
-      discardedTotals: Seq[Double] = Seq.empty): Unit = {
+      discardedTotals: Seq[Double] = Seq.empty,
+      residualBroken: Boolean = false): Unit = {
     val total = stats.map(_._2).sum
     val totalMin = stats.map(_._3).sum
     val totalExec = execTimes.map(_._2).sum
@@ -486,6 +511,7 @@ object Bench {
          |"round_totals":${roundTotals.map(num(_, 3)).mkString("[", ",", "]")},
          |"rounds_discarded":${discardedTotals.size},
          |"discarded_totals":${discardedTotals.map(num(_, 3)).mkString("[", ",", "]")},
+         |"residual_broken_round":$residualBroken,
          |"errors":$errJson,
          |"queries":${fmt(stats.map { case (n, m, _, _) => n -> m }, 6)},
          |"queries_min":${fmt(stats.map { case (n, _, lo, _) => n -> lo }, 6)},
@@ -509,6 +535,7 @@ object Bench {
         s""""mode":"$mode","value_min":${num(totalMin, 3)},"value_exec":${num(totalExec, 3)},""" +
         s""""round_totals":${roundTotals.map(num(_, 3)).mkString("[", ",", "]")},""" +
         s""""rounds_discarded":${discardedTotals.size},""" +
+        s""""residual_broken_round":$residualBroken,""" +
         s""""full":"$fullPath","errors":$errJson,"queries_sweep":${fmt(sweep, 3)},""" +
         s""""queries_min":${fmt(stats.map { case (n, _, lo, _) => n -> lo }, 3)},""" +
         s""""queries":${fmt(stats.map { case (n, m, _, _) => n -> m }, 3)}}""")

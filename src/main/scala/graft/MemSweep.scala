@@ -211,8 +211,10 @@ object MemSweep {
       s"""{"metric":"constrained_memory_sweep","xmx":"$xmx","cpus":$cpus,""" +
         s""""sf":"$sfDir",""" +
         rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("\"queries\":{", ",", "}}")
+    val smoke = sys.env.contains("SPARK_GRAFT_ONLY") ||
+      sfDir != "/tmp/graft_scale/x10" || xmx != "2g" || cpus != "8"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("memsweep.json"),
+      Bench.recordPath("memsweep", smoke),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
     val failed = rows.count(!_._2.contains("\"completed\":true"))

@@ -147,6 +147,13 @@ object StreamBench {
           waited += 100
           cur = q.recentProgress.lastOption.map(_.batchId).getOrElse(-1L)
         }
+        // a stale/-1 id here means the prime batch (and any trailing no-data
+        // batch) would be COUNTED as timed work — the phase averages and
+        // _batches_observed of this row would be silently contaminated.
+        // Fail loudly: every sweep row must be a clean measurement.
+        require(cur >= 0 && cur == prev,
+          s"prime batch progress not stable after ${waited} ms (batchId=$cur, prev=$prev) — " +
+            "phase attribution would include the untimed prime batch; box too loaded to measure")
         cur
       }
       val t0 = System.nanoTime()
@@ -249,7 +256,7 @@ object StreamBench {
         s""""base_events":$n,""" +
         rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("\"runs\":{", ",", "}}")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("statesweep.json"),
+      Bench.recordPath("statesweep", smoke = n != 1000000 || cpus != "4"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
     spark.stop()
@@ -318,7 +325,7 @@ object StreamBench {
         s""""events_total":$n,""" +
         rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("\"runs\":{", ",", "}}")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("batchsweep.json"),
+      Bench.recordPath("batchsweep", smoke = n != 1000000 || cpus != "4"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
     spark.stop()
@@ -486,7 +493,7 @@ object StreamBench {
         s""""rates":${rows.map { case (k, v) => "\"" + k + "\":" + num(v, 0) }.mkString("{", ",", "}")},""" +
         s""""seconds":${results.map { case (k, (s, _)) => "\"" + k + "\":" + num(s, 3) }.mkString("{", ",", "}")}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("streambench.json"),
+      Bench.recordPath("streambench", smoke = n != 1000000 || cpus != "4"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
     spark.stop()

@@ -89,20 +89,45 @@ object ImageKernels {
         } finally r.dispose()
       }
     } catch {
-      case _: java.io.IOException => null
-      case _: IllegalArgumentException => null
+      // NonFatal, not just IOException/IAE: ImageIO plugin readers throw
+      // assorted unchecked exceptions on malformed headers (AIOOBE,
+      // NegativeArraySizeException, CMMException on a broken ICC profile) —
+      // the "corrupt payloads are data, not task failures" contract has to
+      // hold for whatever a hostile byte stream provokes, while genuinely
+      // fatal errors (OOM, ThreadDeath) still propagate.
+      case scala.util.control.NonFatal(_) => null
     } finally in.close()
   }
 
+  /** Full-decode ceiling: a header CLAIMING more pixels than this returns
+    * null from [[thumbnail]] instead of reaching `ImageIO.read` — the
+    * decoder allocates the claimed `w*h` buffer up front, so a ~100-byte
+    * hostile payload declaring terapixel dims would raise an
+    * `OutOfMemoryError` (an Error — deliberately NOT swallowed by the
+    * NonFatal nets here) and kill the executor, not the row. 64M pixels =
+    * a 256 MB ARGB buffer: far above any real fixture, bounded for a task.
+    * [[imageMeta]] stays header-only and still REPORTS such dims — the
+    * metadata pass is how a pipeline finds these rows to quarantine.
+    */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   /** Real downscale by integer `factor` (>= 1): decode, bilinear-draw into
     * max(1, w/factor) x max(1, h/factor), re-encode as PNG. Null for
-    * undecodable bytes.
+    * undecodable bytes and for headers claiming more than
+    * [[MaxDecodePixels]] (screened BEFORE the decoder can allocate).
     */
   def thumbnail(bytes: Array[Byte], factor: Int): Array[Byte] = {
     if (bytes == null) return null
+    val meta = imageMeta(bytes)
+    if (meta == null) return null
+    val (mw, mh) = (meta.getInt(0).toLong, meta.getInt(1).toLong)
+    if (mw <= 0 || mh <= 0 || mw * mh > MaxDecodePixels) return null
     val img =
+      // NonFatal for the same reason as imageMeta: plugin decoders throw
+      // unchecked exceptions on malformed bodies, and corrupt bytes are
+      // data, not task failures
       try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return null
     val tw = math.max(1, img.getWidth / factor)
     val th = math.max(1, img.getHeight / factor)

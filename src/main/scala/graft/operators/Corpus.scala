@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions
 
@@ -81,9 +82,16 @@ object Corpus {
     *
     * Scale shape: shingle hashing is per-row; both sides explode to
     * (doc, hash) and meet in an equi-join on the 8-byte hash (never the
-    * string). The benchmark side is tiny relative to the corpus — AQE
-    * broadcasts it — so the corpus is never shuffled; the groupBy on
-    * surviving (train, bench) matches partial-aggregates map-side.
+    * string). The benchmark side is BOUNDED BY CONSTRUCTION, not by an
+    * AQE bet: a decontamination pass compares the corpus against a fixed
+    * benchmark suite (MMLU/GSM8K-sized — thousands of docs, each a few
+    * hundred shingles), so the exploded bench side is millions of 16-byte
+    * rows at most and AQE's broadcast of it cannot outgrow an executor
+    * heap the way t25's DERIVED repeated set (O(corpus) in the worst
+    * case) can — that unbounded set is why [[spansFromHits]] prices its
+    * set before joining while this join does not need to. The corpus is
+    * never shuffled; the groupBy on surviving (train, bench) matches
+    * partial-aggregates map-side.
     */
   def contamination(
       train: DataFrame, // id, text
@@ -135,8 +143,9 @@ object Corpus {
     * Scale shape mirrors [[contamination]]: per-row kernels, both sides
     * explode to (doc, hash) DISTINCT window hashes (in-row distinct via
     * array_distinct — within-doc repeats must not inflate the overlap
-    * count), equi-join on the 8-byte hash (AQE broadcasts the tiny bench
-    * side, so the corpus is never shuffled), map-side-combined groupBy.
+    * count), equi-join on the 8-byte hash (the bench side is bounded by
+    * construction — see [[contamination]]'s audit — so its broadcast is
+    * safe and the corpus is never shuffled), map-side-combined groupBy.
     */
   def charContamination(
       train: DataFrame, // id, text
@@ -223,8 +232,11 @@ object Corpus {
     *      span resolution AND the frequency damper (an 8-gram repeats far
     *      less than a 3-gram, so the repeated set is sparse);
     *   3. hits: equi-join positions back on the 8-byte hash — blocked by
-    *      construction (never all-pairs; AQE broadcasts the repeated set
-    *      when it is small);
+    *      construction (never all-pairs), with the strategy chosen by
+    *      [[sizeAwareSetJoin]] from the repeated set's MEASURED size:
+    *      broadcast below the heap-proportional budget (the corpus never
+    *      shuffles), spillable sort-merge above it (never an OOM'd
+    *      broadcast build — the r11 memsweep cliff);
     *   4. span merge: per-doc island detection over sorted positions —
     *      interval [pos, pos+n-1], a new island where pos exceeds the
     *      running max end + 1 (strictly-after-adjacent ⇒ overlapping and
@@ -383,6 +395,59 @@ object Corpus {
       exploded.select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h")),
       width, minDocs, lengthCol)
 
+  /** Session conf overriding the broadcast budget for the repeated-set
+    * join (bytes; tests use it to force the merge path on small data).
+    */
+  val BroadcastBudgetConf = "spark.graft.corpus.broadcastSetMaxBytes"
+
+  /** Conservative broadcast-build footprint of one 8-byte hash key inside a
+    * HashedRelation (key + slot + UnsafeRow + load-factor headroom).
+    */
+  private val BytesPerBroadcastKey = 64L
+
+  /** Join the corpus-sized `big` side to the one-column set `set` with the
+    * physical strategy chosen from the set's MEASURED cardinality, not from
+    * AQE's runtime size estimate.
+    *
+    * Why not just let AQE decide: AQE's estimate covers the serialized
+    * exchange bytes, not the deserialized HashedRelation the broadcast
+    * build actually allocates — on a throughput-sized executor (2 GiB heap)
+    * a repeated-window set that passes the broadcast threshold can still
+    * OOM the build (the r11 memsweep's one cliff: t25's x10 repeated set).
+    * So: the set — exactly the would-be broadcast payload — persists
+    * spillable (MEMORY_AND_DISK; repeated builds of the same query in one
+    * session dedupe through the CacheManager by logical plan), one count
+    * job prices it, and
+    *   - under the budget -> explicit `broadcast` (the small-data fast
+    *     path: the exploded corpus is never shuffled);
+    *   - over the budget -> `SHUFFLE_MERGE` hint (fully spillable; the
+    *     strategy hint survives AQE re-planning, which only upgrades a
+    *     join to broadcast when no user hint pinned it — JoinSelection
+    *     consults hints before size heuristics).
+    * The budget defaults to heap/16 capped at 256 MB — proportional to the
+    * SMALLEST JVM in play (a driver deciding for bigger executors only
+    * under-broadcasts, never OOMs them); [[BroadcastBudgetConf]] overrides.
+    * The count costs one extra job, but the aggregation's OUTPUT is what
+    * gets cached, so the expensive set-building pass still runs once.
+    *
+    * `bytesPerRow` prices one set row inside the broadcast build (default
+    * sized for an 8-byte hash key; string-keyed callers pass their own).
+    */
+  private[operators] def sizeAwareSetJoin(
+      big: DataFrame,
+      set: DataFrame,
+      key: String,
+      joinType: String = "inner",
+      bytesPerRow: Long = BytesPerBroadcastKey): DataFrame = {
+    val spark = big.sparkSession
+    val budget = spark.conf.getOption(BroadcastBudgetConf).map(_.toLong)
+      .getOrElse(math.min(Runtime.getRuntime.maxMemory / 16, 256L << 20))
+    val priced = set.persist(StorageLevel.MEMORY_AND_DISK)
+    val estBytes = priced.count() * bytesPerRow
+    if (estBytes <= budget) big.join(broadcast(priced), Seq(key), joinType)
+    else big.join(priced.hint("SHUFFLE_MERGE"), Seq(key), joinType)
+  }
+
   /** [[spansFromPositioned]] after position normalization: `positioned` =
     * (doc_id, pos 1-based, h).
     */
@@ -397,8 +462,7 @@ object Corpus {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("h")
-    val hits = positioned
-      .join(repeated, Seq("h"))
+    val hits = sizeAwareSetJoin(positioned, repeated, "h")
       .select(col("doc_id"), col("pos"), (col("pos") + (width - 1)).as("e"))
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)

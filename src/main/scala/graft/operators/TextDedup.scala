@@ -218,10 +218,17 @@ object TextDedup {
     *
     * Scale shape: span extraction is per-row (sequence + slice, no UDF);
     * the frequency table groupBy partial-aggregates map-side so the shuffle
-    * carries O(distinct spans); the frequency join is an equi-join AQE can
-    * broadcast when the over-threshold span list is small (it is — that is
-    * what makes boilerplate boilerplate); reassembly is one groupBy(doc)
-    * whose input was already pruned. No step is quadratic.
+    * carries O(distinct spans); the span stream then ANTI-joins the
+    * OVER-threshold set only — small by the C4 premise (boilerplate is the
+    * text that repeats; a set as large as the corpus would mean the corpus
+    * is all boilerplate) but not PROVABLY bounded, so the join strategy
+    * comes from [[Corpus.sizeAwareSetJoin]]'s measured-size pricing:
+    * broadcast under the heap-proportional budget (the span stream never
+    * shuffles for the join), spillable sort-merge above it. Joining the
+    * over-threshold set instead of the full frequency table (the pre-r12
+    * shape) also drops a full-corpus shuffle — the survivors' count column
+    * was never used downstream. Reassembly is one groupBy(doc) whose input
+    * was already pruned. No step is quadratic.
     */
   def boilerplateSpanRemoval(
       docs: DataFrame,
@@ -242,10 +249,12 @@ object TextDedup {
             sequence(lit(0), (ceil(size(col("w")) / lit(spanWords.toDouble))).cast("int") - 1),
             i => concat_ws(" ", slice(col("w"), i * spanWords + 1, lit(spanWords)))))
           .as(Seq("pos", "span")))
-    val freq = spans.groupBy(col("span")).agg(count(lit(1)).as("n_occ"))
-    val kept = spans
-      .join(freq, Seq("span"))
-      .filter(col("n_occ") < maxOccurrences)
+    val boiler = spans.groupBy(col("span")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= maxOccurrences)
+      .select("span")
+    // ~100 bytes prices a 12-word span string + UnsafeRow/HashedRelation
+    // overhead (vs the 8-byte-hash default)
+    val kept = Corpus.sizeAwareSetJoin(spans, boiler, "span", "left_anti", bytesPerRow = 160L)
     kept
       .groupBy(col("doc_id"))
       .agg(

@@ -87,4 +87,90 @@ class ImageKernelsSpec extends SparkSpec {
     // and the expression actually evaluates through that generated code
     assert(df.count() === 4)
   }
+
+  // ------------------------------------------------------ adversarial bytes
+  // Property cases for hostile payloads (r11 verdict item 8): every byte
+  // stream is DATA — null-not-throw — and the header-only/bounded-decode
+  // cost contracts hold even when the header lies.
+
+  test("adversarial: truncation at every 7th prefix length never throws") {
+    for (fmt <- Seq("png", "jpg")) {
+      val full = ImageKernels.encodeImage(seed = 42L, width = 19, height = 7, format = fmt)
+      for (len <- 0 until full.length by 7) {
+        val cut = full.take(len)
+        // may be null or (for long-enough prefixes) a valid header read —
+        // either is fine; throwing is the only failure
+        ImageKernels.imageMeta(cut)
+        ImageKernels.thumbnail(cut, 2)
+      }
+      // and flipped tail bytes (valid header, corrupt body)
+      val flipped = full.clone()
+      for (i <- full.length / 2 until full.length) flipped(i) = (~flipped(i)).toByte
+      ImageKernels.imageMeta(flipped)
+      ImageKernels.thumbnail(flipped, 2)
+    }
+  }
+
+  test("adversarial: JPEG with an EXIF APP1 segment still reads header dims") {
+    val plain = ImageKernels.encodeImage(seed = 5L, width = 31, height = 13, format = "jpg")
+    assert((plain(0) & 0xff) === 0xff && (plain(1) & 0xff) === 0xd8, "not a JPEG SOI")
+    // splice a minimal EXIF APP1 (marker FFE1, length, "Exif\0\0", TIFF
+    // header "MM" + 42 + IFD offset 8, zero-entry IFD0, no next IFD) right
+    // after SOI — the shape every camera writes
+    val tiff = Array[Byte](
+      'M', 'M', 0, 42, 0, 0, 0, 8, // big-endian TIFF header, IFD0 at offset 8
+      0, 0, // zero directory entries
+      0, 0, 0, 0) // no next IFD
+    val exifBody = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val segLen = exifBody.length + 2
+    val app1 = Array[Byte](0xff.toByte, 0xe1.toByte,
+      ((segLen >> 8) & 0xff).toByte, (segLen & 0xff).toByte) ++ exifBody
+    val withExif = plain.take(2) ++ app1 ++ plain.drop(2)
+    val row = ImageKernels.imageMeta(withExif)
+    assert(row != null, "EXIF APP1 made the header unreadable")
+    assert(row.getInt(0) === 31 && row.getInt(1) === 13)
+    assert(row.getUTF8String(2).toString === "jpeg")
+    val thumb = ImageKernels.imageMeta(ImageKernels.thumbnail(withExif, 2))
+    assert(thumb.getInt(0) === 15 && thumb.getInt(1) === 6)
+  }
+
+  test("adversarial: 1x1 image round-trips and thumbnails clamp at 1x1") {
+    for (fmt <- Seq("png", "jpg")) {
+      val one = ImageKernels.encodeImage(seed = 9L, width = 1, height = 1, format = fmt)
+      val row = ImageKernels.imageMeta(one)
+      assert(row.getInt(0) === 1 && row.getInt(1) === 1, fmt)
+      val t = ImageKernels.imageMeta(ImageKernels.thumbnail(one, 4))
+      assert(t.getInt(0) === 1 && t.getInt(1) === 1, fmt)
+    }
+  }
+
+  test("adversarial: huge-dims PNG header over a tiny payload — meta reports, thumbnail refuses") {
+    // A real 4x4 PNG whose IHDR is patched to CLAIM 100000x100000 (10^10
+    // pixels -> a ~40 GB decode buffer) with the IHDR CRC recomputed so
+    // the reader trusts it. imageMeta is header-only: it must report the
+    // claimed dims cheaply (this is how a pipeline FINDS such rows).
+    // thumbnail must refuse via MaxDecodePixels BEFORE the decoder
+    // allocates — an OutOfMemoryError here would kill the executor.
+    val png = ImageKernels.encodeImage(seed = 11L, width = 4, height = 4, format = "png")
+    val patched = png.clone()
+    def putInt(off: Int, v: Int): Unit = {
+      patched(off) = ((v >> 24) & 0xff).toByte
+      patched(off + 1) = ((v >> 16) & 0xff).toByte
+      patched(off + 2) = ((v >> 8) & 0xff).toByte
+      patched(off + 3) = (v & 0xff).toByte
+    }
+    putInt(16, 100000) // IHDR width  (8-byte sig + 4 len + 4 "IHDR")
+    putInt(20, 100000) // IHDR height
+    val crc = new java.util.zip.CRC32()
+    crc.update(patched, 12, 4 + 13) // "IHDR" + the 13 data bytes
+    putInt(12 + 4 + 13, crc.getValue.toInt)
+    val t0 = System.nanoTime()
+    val row = ImageKernels.imageMeta(patched)
+    assert(row != null, "header-only read rejected a CRC-valid IHDR")
+    assert(row.getInt(0) === 100000 && row.getInt(1) === 100000)
+    assert(ImageKernels.thumbnail(patched, 2) == null,
+      "thumbnail decoded past the MaxDecodePixels screen")
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 2000, s"header-only contract broken: huge-dims row took ${ms}ms")
+  }
 }

@@ -262,6 +262,35 @@ class PlanQualitySpec extends SparkSpec {
       "corpus explode feeds the rank window directly:\n" + p.take(900))
   }
 
+  test("t25 repeated-set join: broadcast under the budget, pinned sort-merge above it") {
+    // Small-data fast path (the default budget dwarfs sf0.001's repeated
+    // set): the hits join must be an EXPLICIT broadcast — the exploded
+    // corpus is never shuffled for it.
+    val small = plan("t25_char_spans")
+    assert(small.contains("BroadcastHashJoin"), small.take(800))
+    // Large-input strategy (budget forced to zero = the measured set prices
+    // over ANY heap): the join must plan as sort-merge — spillable, never an
+    // OOM-able broadcast build — and AQE must NOT flip the user hint back to
+    // broadcast at runtime, so assert on the FINAL executed plan.
+    spark.conf.set(graft.operators.Corpus.BroadcastBudgetConf, "0")
+    try {
+      val df = SparkEntry.queries("t25_char_spans")(spark, sf)
+      df.write.format("noop").mode("overwrite").save()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(900))
+      assert(!p.contains("BroadcastHashJoin"),
+        "AQE re-broadcast the over-budget repeated set:\n" + p.take(900))
+    } finally spark.conf.unset(graft.operators.Corpus.BroadcastBudgetConf)
+  }
+
+  test("t8 boilerplate joins the over-threshold set only (anti-join, no corpus-freq join)") {
+    val p = plan("t8_boilerplate_spans")
+    // the span stream must anti-join the tiny boilerplate set (broadcast at
+    // test scale), not equi-join the O(distinct spans) frequency table
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).nonEmpty, p.take(900))
+    assert(!p.contains("SortMergeJoin"), p.take(900))
+  }
+
   test("m1/m4 image pipeline never shuffles the binary payload") {
     for (q <- Seq("m1_multimodal_meta", "m4_image_thumb")) {
       val p = plan(q)

@@ -40,8 +40,12 @@ for name, rounds in sorted(d.items()):
     # what fraction of the extra wall time the deltas explain; the CPU
     # fraction excludes the GC component (GC workers accrue process CPU on
     # every core — counting it twice biases toward the "cpu" verdict)
+    # clamp gc_delta at zero before subtracting: when the slow round did
+    # LESS GC than the fast one, subtracting the negative delta would
+    # INFLATE cpu_frac and bias toward the "cpu" verdict — the opposite of
+    # the double-counting the subtraction is there to remove
     gc_frac = gc_delta / excess_ms if excess_ms > 0 else 0.0
-    cpu_frac = max(cpu_delta - gc_delta, 0) / excess_ms if excess_ms > 0 else 0.0
+    cpu_frac = max(cpu_delta - max(gc_delta, 0), 0) / excess_ms if excess_ms > 0 else 0.0
     if gc_frac >= 0.5:
         kind = "gc"
     elif cpu_frac >= 0.5:
