@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated test tables (TESTDATA.md) plus the
@@ -66,4 +66,76 @@ object Tables {
     """SELECT event_type AS symbol, epoch_ms(ts) AS ts_ms, value AS price,
       |       CAST(props->>'$.k' AS DOUBLE) AS qty, event_id AS trade_id, user_id
       |FROM events""".stripMargin
+
+  // ------------------------------------------------- high-entropy documents
+
+  /** Syllable inventory for the doc_id-seeded corpus expansion (r12): the
+    * driver's synthetic documents carry only 31 DISTINCT words at every SF,
+    * so the BPE trainer saturated at 89 merges and the vocab/LM family
+    * (t14b/t14c/t19/t20/t21) operated over a toy vocabulary. [[richText]]
+    * appends 24-32 deterministic syllable-composed words per document —
+    * ~30k possible distinct words corpus-wide — with the SAME formula
+    * emitted as a DuckDB CTE ([[richDocsOracleCte]]), the m4 fixture
+    * convention: derived inputs are fine as long as oracle and engine
+    * derive them from shared constants and can never drift.
+    */
+  val Syllables: Seq[String] = Seq(
+    "ka", "to", "ri", "mu", "se", "no", "va", "li",
+    "po", "da", "fe", "gu", "hy", "zo", "ben", "cat",
+    "dor", "el", "fin", "gro", "han", "ix", "jul", "kor",
+    "lem", "mi", "nu", "or", "pra", "qua", "rol", "sta")
+
+  /** Lehmer-LCG constants for the per-word seed `v = (doc_id*A + i*B) % M`
+    * (M = 2^31-1; products stay far under 2^63 for any doc_id the scale
+    * slices produce). Word i has 2 or 3 syllables (v odd -> 3), selected by
+    * bit-slices of v — pure integer arithmetic both engines compute
+    * identically.
+    */
+  private val RichA = 48271L
+  private val RichB = 16807L
+  private val RichM = 2147483647L
+
+  private def sylAt(idx: Column): Column =
+    element_at(array(Syllables.map(lit): _*), (idx % 32L).cast("int") + 1)
+
+  /** The enriched text column: original text, a space, then the expansion.
+    * NULL text stays NULL (concat's null-propagation matches SQL `||`), so
+    * the family's null-doc contracts are unchanged.
+    */
+  def richText(docId: Column, text: Column): Column = {
+    val vs = transform(
+      sequence(lit(0L), lit(23L) + pmod(docId, lit(9L))),
+      i => pmod(docId * RichA + i * RichB, lit(RichM)))
+    val words = transform(vs, v =>
+      concat(
+        sylAt(v),
+        sylAt(shiftright(v, 5)),
+        when(v % 2L === 1L, sylAt(shiftright(v, 10))).otherwise(lit(""))))
+    concat(text, lit(" "), array_join(words, " "))
+  }
+
+  /** [[documents]] with `text` replaced by the enriched column — the input
+    * to the BPE/vocab/LM family.
+    */
+  def richDocuments(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).withColumn("text", richText(col("doc_id"), col("text")))
+
+  /** DuckDB twin of [[richDocuments]] as a CTE named `documents` is NOT
+    * possible (self-shadowing), so oracles splice this as `docs_rich` and
+    * read FROM docs_rich. Generated from the same Syllables/RichA/RichB/
+    * RichM constants as the Spark column.
+    */
+  val richDocsOracleCte: String = {
+    val syl = Syllables.map(s => s"'$s'").mkString("[", ", ", "]")
+    def sylSql(e: String) = s"list_extract($syl, 1 + (($e) % 32))"
+    s"""docs_rich AS (
+       |  SELECT doc_id, n_chars, lang, source,
+       |    text || ' ' || array_to_string(list_transform(
+       |      list_transform(generate_series(0, 23 + doc_id % 9),
+       |        i -> (doc_id * $RichA + i * $RichB) % $RichM),
+       |      v -> ${sylSql("v")} || ${sylSql("v // 32")} ||
+       |           CASE WHEN v % 2 = 1 THEN ${sylSql("v // 1024")} ELSE '' END),
+       |      ' ') AS text
+       |  FROM documents)""".stripMargin
+  }
 }

@@ -25,7 +25,10 @@ object TrainBpe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the ENRICHED corpus (r12): training on the raw fixture saturated at
+    // 89 merges over its 31 distinct words; the doc_id-seeded expansion is
+    // what the tokenizer family tokenizes, so it is what training sees
+    val docs = Tables.richDocuments(spark, sfDir)
     val hist = Bpe.wordHistogram(docs, col("text"), maxVocab = 4096)
     val merges = Bpe.trainMerges(hist, nMerges)
     // escape control chars too: a token carrying a raw \n or \t (split is on

@@ -99,13 +99,15 @@ object Bpe {
     merges.result()
   }
 
-  /** The committed merge table: 89 merges trained by `runMain graft.TrainBpe`
-    * on the sf0.1 documents table (maxVocab 4096, minPairCount 2; asked for
-    * 256 but the trainer SATURATES at 89 — the synthetic corpus has 31
-    * distinct words at every SF, and after 89 merges every word above
-    * minPairCount is a single token). A CONSTANT, not re-trained per query,
-    * so the DuckDB oracle replays the identical merges and the kernel stays
-    * deterministic across rounds.
+  /** The committed merge table: 256 merges trained by `runMain
+    * graft.TrainBpe` on the ENRICHED sf0.1 corpus ([[graft.Tables
+    * .richDocuments]]; maxVocab 4096, minPairCount 2). The r11 table
+    * saturated at 89 merges because the raw fixture carries only 31
+    * distinct words at every SF; the doc_id-seeded expansion lifts the
+    * histogram to the 4096-word cap and training runs to the full
+    * requested 256 without stopping early. A CONSTANT, not re-trained per
+    * query, so the DuckDB oracle replays the identical merges and the
+    * kernel stays deterministic across rounds.
     */
   val Merges: Seq[(String, String)] = TrainedMerges.Merges
 }

@@ -100,10 +100,12 @@ object CorpusQueries {
     // the BPE token count under the corpus-trained committed merge table
     // (operators/Bpe.scala), so seq_id/offset math matches what a trainer
     // consuming this tokenizer would see. t14 (whitespace counts) stays as
-    // the structural twin.
+    // the structural twin. Runs on the ENRICHED corpus (Tables
+    // .richDocuments, r12): the raw fixture has 31 distinct words, which
+    // saturated training at 89 merges and made the tokenizer family a toy.
     "t14b_bpe_packing" -> { (s, dir) =>
       Corpus.packSequences(
-        Tables.documents(s, dir),
+        Tables.richDocuments(s, dir),
         col("doc_id"),
         TextFunctions.bpeTokenCount(col("text"), Bpe.Merges), seqLen = 256)
     },
@@ -115,7 +117,7 @@ object CorpusQueries {
     // partition it implies is a dimension-table sort, never a corpus sort.
     "t14c_bpe_vocab" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      Tables.documents(s, dir)
+      Tables.richDocuments(s, dir)
         .select(explode(TextFunctions.bpeTokens(col("text"), Bpe.Merges)).as("token"))
         .groupBy("token")
         .agg(count(lit(1)).as("n_occurrences"))
@@ -280,9 +282,10 @@ object CorpusQueries {
          |         WHEN i > 1 AND xs[i-1] = '${esc(a)}' AND xs[i] = '${esc(b)}' THEN NULL
          |         ELSE xs[i] END), x -> x IS NOT NULL) AS xs FROM w$k)""".stripMargin
     }
-    (s"""w0 AS (SELECT doc_id,
-        |  list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS xs
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents))""".stripMargin
+    (Tables.richDocsOracleCte
+      +: s"""w0 AS (SELECT doc_id,
+         |  list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS xs
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs_rich))""".stripMargin
       +: steps).mkString(",\n")
   }
 

@@ -243,13 +243,15 @@ object TextQueries {
     // map-side-combined aggregate; the cut is a TakeOrdered, not a global
     // sort.
     "t19_vocab_topk" -> { (s, dir) =>
-      Vocab.vocabTopK(Tables.documents(s, dir), col("doc_id"), col("text"), 200)
+      // enriched corpus (r12): the raw fixture's 31-word vocabulary made
+      // this a toy; the doc_id-seeded expansion gives it thousands of types
+      Vocab.vocabTopK(Tables.richDocuments(s, dir), col("doc_id"), col("text"), 200)
     },
     // T20 — adjacent-bigram collocations with PMI (phrase mining for
     // phrase-aware tokenization), top-150 by (count desc, w1, w2). ln +
     // round(6) parity is the same cross-engine contract t16's BM25 pins.
     "t20_bigram_pmi" -> { (s, dir) =>
-      Vocab.bigramPmi(Tables.documents(s, dir), col("text"), 150)
+      Vocab.bigramPmi(Tables.richDocuments(s, dir), col("text"), 150)
     },
     // T22 — fuzzy dedup, character level: the SAME LSH blocking as t3, but
     // candidates verified by Levenshtein similarity instead of shingle
@@ -268,7 +270,7 @@ object TextQueries {
     // rounding + DECIMAL exact sum (order-free), ppl = exp. Docs without
     // bigrams stay with n_bigrams = 0 and null scores.
     "t21_bigram_ppl" -> { (s, dir) =>
-      Vocab.bigramPerplexity(Tables.documents(s, dir), col("doc_id"), col("text"))
+      Vocab.bigramPerplexity(Tables.richDocuments(s, dir), col("doc_id"), col("text"))
     }
   )
 
@@ -557,14 +559,16 @@ object TextQueries {
         |    ELSE false END AS is_repetitive
         |FROM g""".stripMargin,
     "t19_vocab_topk" ->
-      """WITH tk AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
-        |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
-        |FROM tk GROUP BY token
-        |ORDER BY tf DESC, token LIMIT 200""".stripMargin,
+      s"""WITH ${Tables.richDocsOracleCte},
+         |tk AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docs_rich)
+         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |FROM tk GROUP BY token
+         |ORDER BY tf DESC, token LIMIT 200""".stripMargin,
     "t20_bigram_pmi" ->
-      """WITH toks AS (
-        |  SELECT string_split(text, ' ') AS tk FROM documents WHERE text IS NOT NULL),
+      s"""WITH ${Tables.richDocsOracleCte},
+         |toks AS (
+         |  SELECT string_split(text, ' ') AS tk FROM docs_rich WHERE text IS NOT NULL),
         |uni AS (SELECT unnest(tk) AS token FROM toks),
         |cu AS (SELECT token, count(*) AS cx FROM uni GROUP BY token),
         |tu AS (SELECT sum(cx) AS tu FROM cu),
@@ -604,9 +608,10 @@ object TextQueries {
          |WHERE round(1.0 - levenshtein(a.text, b.text) * 1.0
          |    / greatest(len(a.text), len(b.text)), 6) >= 0.9""".stripMargin,
     "t21_bigram_ppl" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk
-        |  FROM documents WHERE text IS NOT NULL),
+      s"""WITH ${Tables.richDocsOracleCte},
+         |toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk
+         |  FROM docs_rich WHERE text IS NOT NULL),
         |bg AS (
         |  SELECT doc_id,
         |    unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i])) AS w1,
