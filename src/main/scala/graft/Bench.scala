@@ -95,8 +95,11 @@ object Bench {
   }
 
   private def buildSession(): SparkSession = {
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides (e.g. local-cluster[2,8,4096] for the
+    // multi-JVM bench slice); the default stays single-JVM local[N]
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -109,7 +112,9 @@ object Bench {
       // uniformly) — a bench-harness artifact, not a plan cost. A
       // production job runs few queries repeatedly and never sees this.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .getOrCreate()
+    val spark =
+      (if (master.startsWith("local-cluster")) GraftSession.withMultiJvm(b0) else b0)
+        .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
@@ -151,8 +156,31 @@ object Bench {
       case _ => None
     }
     def cpuMs(): Long = osBean.map(_.getProcessCpuTime / 1000000L).getOrElse(0L)
+    // Per-query executor-pressure sums (r12, verdict item 4): spill and
+    // shuffle bytes from task metrics, so a scaling-slope segment that
+    // bends (the t25/t26 10x->30x tail) can be attributed to a working-set
+    // transition WITH data instead of a candidate cause. Counters reset per
+    // query; the listener bus is drained after the wall-time read so the
+    // drain cost never lands in the timing.
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
     val dfs = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
     selected.foreach { case (name, fn) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge.drainListenerBus(spark.sparkContext)
+      spillMem.set(0); spillDisk.set(0); shufRead.set(0); shufWrite.set(0)
       val (gc0, cpu0) = (gcMs(), cpuMs())
       val t0 = System.nanoTime()
       try {
@@ -160,8 +188,11 @@ object Bench {
         df.write.format("noop").mode("overwrite").save()
         if (withExec) dfs(name) = df
       } catch { case e: Throwable => record(name, e) }
-      println(s"#GRAFT Q $name ${num((System.nanoTime() - t0) / 1e9, 6)}")
-      println(s"#GRAFT D $name ${gcMs() - gc0} ${cpuMs() - cpu0}")
+      val wall = num((System.nanoTime() - t0) / 1e9, 6)
+      println(s"#GRAFT Q $name $wall")
+      org.apache.spark.sql.graftbridge.ColumnBridge.drainListenerBus(spark.sparkContext)
+      println(s"#GRAFT D $name ${gcMs() - gc0} ${cpuMs() - cpu0} " +
+        s"${spillMem.get} ${spillDisk.get} ${shufRead.get} ${shufWrite.get}")
     }
     if (withExec) selected.foreach { case (name, _) =>
       dfs.get(name).foreach { df =>
@@ -194,7 +225,7 @@ object Bench {
     */
   private final case class ChildRound(
       times: Seq[(String, Double)],
-      diag: Map[String, (Long, Long)],
+      diag: Map[String, Seq[Long]], // gc_ms, cpu_ms, spill_mem, spill_disk, shuf_read, shuf_write
       exec: Seq[(String, Double)],
       errors: Map[String, String]) {
     def total: Double = times.map(_._2).sum
@@ -259,7 +290,7 @@ object Bench {
       drainer.setDaemon(true)
       drainer.start()
       val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-      val diag = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+      val diag = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
       val exec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(p.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
@@ -285,8 +316,8 @@ object Bench {
             val Array(n, t) = body.drop(2).split(" ", 2)
             times(n) = t.toDouble
           } else if (body.startsWith("D ")) {
-            val Array(n, gc, cpu) = body.drop(2).split(" ", 3)
-            diag(n) = (gc.toLong, cpu.toLong)
+            val parts = body.drop(2).split(" ")
+            diag(parts(0)) = parts.drop(1).toSeq.map(_.toLong)
           } else if (body.startsWith("E ")) {
             val Array(n, t) = body.drop(2).split(" ", 2)
             exec(n) = t.toDouble
@@ -389,23 +420,29 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     rounds.foreach(_.errors.foreach { case (k, v) => errors.getOrElseUpdate(k, v) })
 
-    // Per-round (wall, gc, cpu) matrix for spread attribution — full runs
-    // only (a SPARK_GRAFT_ONLY subset must not clobber the committed record,
-    // same rule as bench_full.json). KEPT rounds only; discarded rounds'
-    // totals live in discarded_totals.
-    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
+    // Per-round (wall, gc, cpu, spill, shuffle-bytes) matrix for spread and
+    // scaling-tail attribution. The committed bench_diag.json stays a
+    // full-run artifact; a SPARK_GRAFT_ONLY subset (e.g. the char-family
+    // 30x slice) writes bench_diag_only.json so its pressure metrics are
+    // still captured without clobbering the baseline.
+    {
       val diagJson = selected.map { name =>
         val cells = rounds.indices.map { r =>
           val wall = rounds(r).times.find(_._1 == name).map(_._2).getOrElse(-1.0)
-          val (gc, cpu) = rounds(r).diag.getOrElse(name, (-1L, -1L))
-          s"""{"wall":${num(wall, 3)},"gc_ms":$gc,"cpu_ms":$cpu}"""
+          val d = rounds(r).diag.getOrElse(name, Seq.empty)
+          def at(i: Int) = d.lift(i).getOrElse(-1L)
+          s"""{"wall":${num(wall, 3)},"gc_ms":${at(0)},"cpu_ms":${at(1)},""" +
+            s""""spill_mem":${at(2)},"spill_disk":${at(3)},""" +
+            s""""shuffle_read":${at(4)},"shuffle_write":${at(5)}}"""
         }
         "\"" + name + "\":" + cells.mkString("[", ",", "]")
       }.mkString("{\"rounds_per_query\":{", ",", "},") +
         s""""rounds_discarded":${discardedTotals.size},""" +
         s""""discarded_totals":${discardedTotals.map(num(_, 3)).mkString("[", ",", "]")}}"""
+      val diagPath =
+        if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) "bench_diag.json" else "bench_diag_only.json"
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_diag.json"),
+        java.nio.file.Paths.get(diagPath),
         diagJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
 
@@ -523,8 +560,11 @@ object Bench {
     // A SPARK_GRAFT_ONLY subset run must NOT clobber the committed full-run
     // record — it would silently replace the 100+-query regression baseline
     // with a handful of queries (exactly that happened once in r7).
-    val fullPath =
-      if (sys.env.get("SPARK_GRAFT_ONLY").isDefined) "bench_only.json" else "bench_full.json"
+    // SPARK_GRAFT_RECORD names the file explicitly for runs that ARE their
+    // own committed record (e.g. the multi-JVM clusterbench slice).
+    val fullPath = sys.env.getOrElse(
+      "SPARK_GRAFT_RECORD",
+      if (sys.env.get("SPARK_GRAFT_ONLY").isDefined) "bench_only.json" else "bench_full.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -36,6 +36,29 @@ object GraftSession {
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
     builder(s"local[$cores]", math.max(cores, 8)).getOrCreate()
 
+  /** Multi-JVM knobs for a `local-cluster[n,cores,memMB]` master (r12,
+    * verdict item 3): every other measurement in this repo is single-JVM
+    * `local[N]`, where "shuffle" never serializes a row and the custom
+    * physical node / codegen kernels never cross a JVM boundary.
+    * local-cluster launches REAL executor processes (the in-JVM Worker
+    * forks them), so exchanges serialize, broadcasts ship over RPC, and
+    * generated code recompiles per executor — the closest approximation of
+    * a real cluster a single box can run. The executor JVMs are launched
+    * from SPARK_HOME (must point at a full distribution, /opt/spark here)
+    * and do NOT inherit the sbt JVM's classpath or --add-opens, so both
+    * are forwarded explicitly.
+    */
+  def withMultiJvm(b: SparkSession.Builder, executorMem: String = "3g"): SparkSession.Builder = {
+    import scala.jdk.CollectionConverters._
+    val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+      .mkString(" ")
+    b.config("spark.executor.memory", executorMem)
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.executor.extraJavaOptions", opens)
+  }
+
   /** FQN of Spark's RocksDB state store provider (ships in spark-sql with
     * the rocksdbjni native lib on the default classpath).
     */

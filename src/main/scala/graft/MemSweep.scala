@@ -29,12 +29,23 @@ import org.apache.spark.sql.SparkSession
   */
 object MemSweep {
 
-  /** The committed top-10 by bench cost (VERDICT r10 plan audit order). */
+  /** The committed top-10 by bench cost (VERDICT r10 plan audit order),
+    * extended r12 (verdict item 5) with the next ~15 heaviest — the
+    * explode/window-heavy text families where a second OOM cliff would
+    * hide — plus t23/t28, the heaviest siblings of the "AQE broadcasts the
+    * tiny set" audit (t23 shares t25's now-size-aware join; t28's bench
+    * side is bounded by construction and this is the datum that shows it).
+    */
   private val DefaultQueries = Seq(
     "t25_char_spans", "x_v13_index_rerank", "a7_prediction_rollup",
     "t27_char_redaction", "x_v12_ivfpq_index", "a1_trade_batch_stats",
     "j5_star_join_revenue", "w9_ewma_macd", "x_a12_approx_stats",
-    "t26_winnowed_spans")
+    "t26_winnowed_spans",
+    "t21_bigram_ppl", "t23_repeated_spans", "t28_char_contamination",
+    "b2_book_timeline", "g2_training_records", "j6_interval_join",
+    "t24_span_redaction", "t16_bm25", "d4_feature_corr", "a5_rolling_stats",
+    "w5_path_stats", "t10_neardup_clusters", "t22_fuzzy_pairs_edit",
+    "x_v11_ivfpq", "x_v5_ann_ivf_probe2", "u3_union_evolve")
 
   private def sfDir: String =
     sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_scale/x10")

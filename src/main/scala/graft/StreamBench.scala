@@ -186,9 +186,93 @@ object StreamBench {
   }
 
   def main(args: Array[String]): Unit =
-    if (sys.env.get("SPARK_GRAFT_STATE_SWEEP").contains("1")) stateSweep()
+    if (sys.env.get("SPARK_GRAFT_STATE_CAPPED").contains("1")) stateCappedParent()
+    else if (sys.env.get("SPARK_GRAFT_STATE_SWEEP").contains("1")) stateSweep()
     else if (sys.env.get("SPARK_GRAFT_BATCH_SWEEP").contains("1")) batchSweep()
     else throughput()
+
+  /** Constrained-heap statesweep (r12, verdict item 6): the 262k- and
+    * 1M-key configurations of [[stateSweep]] re-run one CAPPED child JVM
+    * each (`-Xmx` from SPARK_GRAFT_STATE_XMX, default 2g) — the streaming
+    * analog of [[MemSweep]]. The design claim under test: RocksDB keeps
+    * state in native memory + SSTs, so a capped HEAP should not touch it,
+    * while the on-heap provider holds every key's state as JVM objects and
+    * may legitimately die — that trade-off is the documented reason for
+    * [[GraftSession.withRocksDbStateStore]]. One child per point so an OOM
+    * is an isolated verdict (recorded, nonfatal), exactly MemSweep's
+    * semantics. Writes `statesweep_capped.json`.
+    */
+  private def stateCappedParent(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val xmx = sys.env.getOrElse("SPARK_GRAFT_STATE_XMX", "2g")
+    val points = sys.env.getOrElse(
+      "SPARK_GRAFT_STATE_POINTS", "262144:heap,262144:rocks,1048576:heap,1048576:rocks")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms")) :+ s"-Xmx$xmx"
+    val cp = sys.props("java.class.path")
+    val rows = points.map { point =>
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.StreamBench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_STATE_CAPPED", "0")
+      pb.environment().put("SPARK_GRAFT_STATE_SWEEP", "1")
+      pb.environment().put("SPARK_GRAFT_STATE_POINT", point)
+      val p = pb.start()
+      val cause = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val drainer = new Thread(() => {
+        val r = new java.io.BufferedReader(new java.io.InputStreamReader(p.getErrorStream))
+        var line = r.readLine()
+        while (line != null) {
+          System.err.println(line)
+          if (line.contains("OutOfMemoryError") || line.contains("Not enough memory") ||
+            line.contains("Killed")) cause.compareAndSet(null, line)
+          line = r.readLine()
+        }
+      }, s"statecapped-$point-stderr")
+      drainer.setDaemon(true)
+      drainer.start()
+      val deadlineMin = Bench.roundTimeoutMin(default = 30L)
+      val watchdog = new Thread(() => {
+        if (!p.waitFor(deadlineMin, java.util.concurrent.TimeUnit.MINUTES)) p.destroyForcibly()
+      }, s"statecapped-$point-watchdog")
+      watchdog.setDaemon(true)
+      watchdog.start()
+      var row: Option[(String, String)] = None
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.startsWith("#GRAFT SROW ")) {
+          val Array(n, json) = line.drop(12).split(" ", 2)
+          row = Some((n, json))
+        }
+        line = reader.readLine()
+      }
+      p.waitFor(1, java.util.concurrent.TimeUnit.MINUTES)
+      drainer.join(5000)
+      val (name, json) = row.getOrElse {
+        val why = Option(cause.get).getOrElse("no row emitted")
+          .replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(200)
+        val nm = "book_" + point.replace(":rocks", "_rocksdb").replace(":heap", "")
+        (nm, s"""{"completed":false,"exit":${if (p.isAlive) -1 else p.exitValue()},"why":"$why"}""")
+      }
+      System.err.println(s"[statecapped] $name -> $json")
+      name -> json
+    }
+    val json =
+      s"""{"metric":"book_state_capped_heap","unit":"events/sec","xmx":"$xmx",""" +
+        rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("\"runs\":{", ",", "}}")
+    java.nio.file.Files.write(
+      Bench.recordPath("statesweep_capped", smoke = xmx != "2g" ||
+        sys.env.contains("SPARK_GRAFT_STATE_POINTS") || sys.env.contains("SPARK_GRAFT_STREAM_N")),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    val failed = rows.count(!_._2.contains("\"completed\":true"))
+    if (failed == rows.size && rows.nonEmpty) sys.exit(2)
+  }
 
   /** Key-cardinality sweep: the BookState path at 64 / 4k / 32k / 256k /
     * 1M live symbols under BOTH providers, recording events/s AND the state
@@ -225,7 +309,19 @@ object StreamBench {
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    for (syms <- Seq(64, 4096, 32768, 262144, 1048576); rocks <- Seq(false, true)) {
+    // SPARK_GRAFT_STATE_POINT="262144:rocks" restricts to ONE (syms,
+    // backend) point and emits it as a `#GRAFT SROW` line instead of the
+    // sweep record — the capped-heap child contract of stateCappedParent.
+    val point = sys.env.get("SPARK_GRAFT_STATE_POINT").map { p =>
+      val Array(s, b) = p.split(":")
+      (s.toInt, b == "rocks")
+    }
+    val sweepPoints = point match {
+      case Some((s, r)) => Seq((s, r))
+      case None =>
+        for (s <- Seq(64, 4096, 32768, 262144, 1048576); r <- Seq(false, true)) yield (s, r)
+    }
+    for ((syms, rocks) <- sweepPoints) {
       val perChunk = math.max(n, 32 * syms) / chunks
       val fed = perChunk * chunks // events actually sent (may not divide)
       if (rocks) GraftSession.configureRocksDbState(spark)
@@ -250,15 +346,19 @@ object StreamBench {
           s""""bytes_per_key":${num(so.memoryUsedBytes.toDouble / math.max(so.numRowsTotal, 1), 1)}""" +
           (if (custom.nonEmpty) s",$custom}" else "}")
       System.err.println(s"[sweep] $name: ${rows(name)}")
+      if (point.isDefined)
+        println(s"#GRAFT SROW $name ${rows(name).dropRight(1)},\"completed\":true}")
     }
-    val json =
-      s"""{"metric":"book_state_cardinality_sweep","unit":"events/sec","cpus":$cpus,""" +
-        s""""base_events":$n,""" +
-        rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("\"runs\":{", ",", "}}")
-    java.nio.file.Files.write(
-      Bench.recordPath("statesweep", smoke = n != 1000000 || cpus != "4"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(json)
+    if (point.isEmpty) {
+      val json =
+        s"""{"metric":"book_state_cardinality_sweep","unit":"events/sec","cpus":$cpus,""" +
+          s""""base_events":$n,""" +
+          rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("\"runs\":{", ",", "}}")
+      java.nio.file.Files.write(
+        Bench.recordPath("statesweep", smoke = n != 1000000 || cpus != "4"),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(json)
+    }
     spark.stop()
   }
 

@@ -14,6 +14,11 @@ import numpy as np
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# optional: --json <path> writes the per-query verdicts as a committed-record
+# style json (used by the r12 multi-JVM cluster-verify record)
+record_path = None
+if "--json" in sys.argv:
+    record_path = sys.argv[sys.argv.index("--json") + 1]
 
 con = duckdb.connect()
 for p in glob.glob(f"{sf}/*.parquet"):
@@ -97,4 +102,18 @@ for name in sorted(oracle):
 for name, msg in fails:
     print(f"FAIL {name}: {msg}")
 print(f"\n{n_pass}/{len(oracle)} pass")
+if record_path:
+    failed = {n: m for n, m in fails}
+    rec = {
+        "metric": "oracle_gate",
+        "sf": sf,
+        "out": out,
+        "master": os.environ.get("SPARK_GRAFT_MASTER", "local[N]"),
+        "n_pass": n_pass,
+        "n_total": len(oracle),
+        "failures": failed,
+    }
+    with open(record_path, "w") as f:
+        json.dump(rec, f, indent=1, sort_keys=True)
+    print(f"record -> {record_path}")
 sys.exit(1 if fails else 0)

@@ -32,6 +32,9 @@ for sz in "1:/root/testdata/sf0.1" "3:/tmp/graft_scale/x3" "10:/tmp/graft_scale/
     SPARK_GRAFT_ROUND_TIMEOUT_MIN=$((20 + 6 * k)) \
     sbt -batch "runMain graft.Bench" > "/tmp/m_scalebench_$k.log" 2>&1
   cp bench_only.json "/tmp/m_scale_rec_$k.json"
+  # r12: subset runs also emit per-query pressure metrics (spill/shuffle
+  # bytes) — kept per size for scaling-tail attribution
+  cp bench_diag_only.json "/tmp/m_scale_diag_$k.json"
 done
 # the char family (t25/t26/t27) sits closest to linear — one 30x point
 # confirms no bend past the 10x range where it would hurt most
@@ -40,10 +43,11 @@ SPARK_GRAFT_ONLY="t25_char_spans,t26_winnowed_spans,t27_char_redaction" \
   SPARK_GRAFT_ROUND_TIMEOUT_MIN=60 \
   sbt -batch "runMain graft.Bench" > /tmp/m_scalebench_30.log 2>&1
 cp bench_only.json /tmp/m_scale_rec_30.json
-python3 tools/scaling_report.py SCALING_r11.json \
+cp bench_diag_only.json /tmp/m_scale_diag_30.json
+python3 tools/scaling_report.py SCALING_r12.json \
   1:/tmp/m_scale_rec_1.json 3:/tmp/m_scale_rec_3.json 10:/tmp/m_scale_rec_10.json \
   30:/tmp/m_scale_rec_30.json
-rm -f bench_only.json
+rm -f bench_only.json bench_diag_only.json
 
 echo "== step 4: streambench throughput =="
 SPARK_GRAFT_CPUS=4 sbt -batch "runMain graft.StreamBench" \
@@ -53,14 +57,35 @@ echo "== step 5: statesweep (incl 1M keys) =="
 SPARK_GRAFT_CPUS=4 SPARK_GRAFT_STATE_SWEEP=1 sbt -batch "runMain graft.StreamBench" \
   > /tmp/m_statesweep.log 2>&1
 
+echo "== step 5b: capped-heap statesweep (262k/1M x heap/rocksdb, -Xmx2g) =="
+# CPUS=4 pins the children to the statesweep basis (the global 32 export
+# would leak through the forked child env)
+SPARK_GRAFT_CPUS=4 SPARK_GRAFT_STATE_CAPPED=1 sbt -batch "runMain graft.StreamBench" \
+  > /tmp/m_statecapped.log 2>&1
+
 echo "== step 6: batch-size sweep =="
 SPARK_GRAFT_CPUS=4 SPARK_GRAFT_BATCH_SWEEP=1 sbt -batch "runMain graft.StreamBench" \
   > /tmp/m_batchsweep.log 2>&1
 
-echo "== step 7: constrained-memory sweep (top-10 heaviest, -Xmx2g, x10 slice) =="
+echo "== step 7: constrained-memory sweep (26 heaviest, -Xmx2g, x10 slice) =="
 # cpus=8, not the global 32: 32 threads' concurrent working sets in a 2 GiB
 # heap would measure thread count, not operator spill behavior
 SPARK_GRAFT_CPUS=8 SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x10 \
   sbt -batch "runMain graft.MemSweep" > /tmp/m_memsweep.log 2>&1
+
+echo "== step 8: multi-JVM cluster verify + bench slice =="
+SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_MASTER='local-cluster[2,8,4096]' \
+  SPARK_GRAFT_CPUS=16 \
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_cluster" \
+  > /tmp/m_clusterverify.log 2>&1
+SPARK_GRAFT_MASTER='local-cluster[2,8,4096]' \
+  python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_cluster \
+  --json clusterverify.json >> /tmp/m_clusterverify.log 2>&1
+SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_MASTER='local-cluster[2,8,4096]' \
+  SPARK_GRAFT_CPUS=16 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_RUNS=3 \
+  SPARK_GRAFT_RECORD=clusterbench.json \
+  SPARK_GRAFT_ONLY="t25_char_spans,x_v13_index_rerank,a7_prediction_rollup,t27_char_redaction,x_v12_ivfpq_index,a1_trade_batch_stats,j5_star_join_revenue,x_v5_ann_ivf_probe2,t10_neardup_clusters,t26_winnowed_spans,a5_rolling_stats,d4_feature_corr,w9b_ewma_macd_bucketed,x_v11_ivfpq,w9_ewma_macd" \
+  sbt -batch "runMain graft.Bench" > /tmp/m_clusterbench.log 2>&1
+rm -f bench_diag_only.json
 
 echo "ALL MEASUREMENTS DONE"
