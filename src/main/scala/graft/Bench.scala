@@ -54,6 +54,13 @@ object Bench {
   private def sfDir: String = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
+  /** A full run on a non-canonical BASIS — custom master (multi-JVM) or a
+    * non-testdata SF dir (scale slice) — must not clobber the committed
+    * single-JVM baseline records (bench_full/bench_diag).
+    */
+  private def offBasis: Boolean =
+    sys.env.contains("SPARK_GRAFT_MASTER") || !sfDir.startsWith("/root/testdata/")
+
   private def num(v: Double, dp: Int): String = // Locale.ROOT: '.' decimals always
     s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
 
@@ -189,9 +196,13 @@ object Bench {
         if (withExec) dfs(name) = df
       } catch { case e: Throwable => record(name, e) }
       val wall = num((System.nanoTime() - t0) / 1e9, 6)
+      // gc/cpu deltas read BEFORE the drain: the drain's own listener
+      // processing burns process CPU that must not be charged to this
+      // query's diag (it would bias spread attribution toward "cpu")
+      val (gcD, cpuD) = (gcMs() - gc0, cpuMs() - cpu0)
       println(s"#GRAFT Q $name $wall")
       org.apache.spark.sql.graftbridge.ColumnBridge.drainListenerBus(spark.sparkContext)
-      println(s"#GRAFT D $name ${gcMs() - gc0} ${cpuMs() - cpu0} " +
+      println(s"#GRAFT D $name $gcD $cpuD " +
         s"${spillMem.get} ${spillDisk.get} ${shufRead.get} ${shufWrite.get}")
     }
     if (withExec) selected.foreach { case (name, _) =>
@@ -440,7 +451,8 @@ object Bench {
         s""""rounds_discarded":${discardedTotals.size},""" +
         s""""discarded_totals":${discardedTotals.map(num(_, 3)).mkString("[", ",", "]")}}"""
       val diagPath =
-        if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) "bench_diag.json" else "bench_diag_only.json"
+        if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty && !offBasis) "bench_diag.json"
+        else "bench_diag_only.json"
       java.nio.file.Files.write(
         java.nio.file.Paths.get(diagPath),
         diagJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -559,12 +571,17 @@ object Bench {
             .mkString("{", ",", "}")}}""".stripMargin
     // A SPARK_GRAFT_ONLY subset run must NOT clobber the committed full-run
     // record — it would silently replace the 100+-query regression baseline
-    // with a handful of queries (exactly that happened once in r7).
+    // with a handful of queries (exactly that happened once in r7). The
+    // same applies to a full run on a non-canonical BASIS: a custom master
+    // (multi-JVM) or a non-testdata SF dir (scale slice) produces numbers
+    // on a different footing and goes to bench_smoke.json.
     // SPARK_GRAFT_RECORD names the file explicitly for runs that ARE their
     // own committed record (e.g. the multi-JVM clusterbench slice).
     val fullPath = sys.env.getOrElse(
       "SPARK_GRAFT_RECORD",
-      if (sys.env.get("SPARK_GRAFT_ONLY").isDefined) "bench_only.json" else "bench_full.json")
+      if (sys.env.get("SPARK_GRAFT_ONLY").isDefined) "bench_only.json"
+      else if (offBasis) "bench_smoke.json"
+      else "bench_full.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))

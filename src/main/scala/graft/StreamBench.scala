@@ -205,6 +205,10 @@ object StreamBench {
   private def stateCappedParent(): Unit = {
     import scala.jdk.CollectionConverters._
     val xmx = sys.env.getOrElse("SPARK_GRAFT_STATE_XMX", "2g")
+    // pinned EXPLICITLY into each child's env (not just inherited): an
+    // ambient SPARK_GRAFT_CPUS=32 export (the measurement script's global)
+    // would silently shift the basis off the canonical local[4]
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val points = sys.env.getOrElse(
       "SPARK_GRAFT_STATE_POINTS", "262144:heap,262144:rocks,1048576:heap,1048576:rocks")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -220,6 +224,7 @@ object StreamBench {
       pb.environment().put("SPARK_GRAFT_STATE_CAPPED", "0")
       pb.environment().put("SPARK_GRAFT_STATE_SWEEP", "1")
       pb.environment().put("SPARK_GRAFT_STATE_POINT", point)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
       val p = pb.start()
       val cause = new java.util.concurrent.atomic.AtomicReference[String](null)
       val drainer = new Thread(() => {
@@ -263,10 +268,10 @@ object StreamBench {
       name -> json
     }
     val json =
-      s"""{"metric":"book_state_capped_heap","unit":"events/sec","xmx":"$xmx",""" +
+      s"""{"metric":"book_state_capped_heap","unit":"events/sec","xmx":"$xmx","cpus":$cpus,""" +
         rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("\"runs\":{", ",", "}}")
     java.nio.file.Files.write(
-      Bench.recordPath("statesweep_capped", smoke = xmx != "2g" ||
+      Bench.recordPath("statesweep_capped", smoke = xmx != "2g" || cpus != "4" ||
         sys.env.contains("SPARK_GRAFT_STATE_POINTS") || sys.env.contains("SPARK_GRAFT_STREAM_N")),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
@@ -322,32 +327,49 @@ object StreamBench {
         for (s <- Seq(64, 4096, 32768, 262144, 1048576); r <- Seq(false, true)) yield (s, r)
     }
     for ((syms, rocks) <- sweepPoints) {
-      val perChunk = math.max(n, 32 * syms) / chunks
-      val fed = perChunk * chunks // events actually sent (may not divide)
-      if (rocks) GraftSession.configureRocksDbState(spark)
-      else spark.conf.set("spark.sql.streaming.stateStore.providerClass", OnHeapProvider)
-      val mem = MemoryStream[Delta]
-      val out = BookState.maintain(mem.toDS(), depth = 10).toDF()
       val name = s"book_${syms}${if (rocks) "_rocksdb" else ""}"
-      val (sec, soOpt, _) = timeChunked(out, mem, primeDeltas, chunks,
-        c => (0 until perChunk).map(i => bookDelta(c.toLong * perChunk + i, syms)))
-      val so = soOpt.getOrElse(
-        sys.error(s"$name: no state operator in final progress — nothing was measured"))
-      val custom = so.customMetrics.entrySet().asScala
-        .filter { e =>
-          val k = e.getKey.toLowerCase
-          k.contains("memory") || k.contains("sstfilesize") || k.contains("pinned")
-        }
-        .map(e => s""""${e.getKey}":${e.getValue}""").mkString(",")
-      rows(name) =
-        s"""{"symbols":$syms,"events":$fed,"rate":${num(fed / sec, 0)},""" +
-          s""""state_rows":${so.numRowsTotal},""" +
-          s""""state_bytes":${so.memoryUsedBytes},""" +
-          s""""bytes_per_key":${num(so.memoryUsedBytes.toDouble / math.max(so.numRowsTotal, 1), 1)}""" +
-          (if (custom.nonEmpty) s",$custom}" else "}")
+      // per-POINT failure isolation: a slow progress post or state-store
+      // hiccup at one point (e.g. the 1M-key row under load) must record
+      // THAT row as failed, not abort the sweep after 30+ min with no
+      // record written (the r12 code review's finding on the shared
+      // timeChunked's loud prime-batch guard)
+      try {
+        val perChunk = math.max(n, 32 * syms) / chunks
+        val fed = perChunk * chunks // events actually sent (may not divide)
+        if (rocks) GraftSession.configureRocksDbState(spark)
+        else spark.conf.set("spark.sql.streaming.stateStore.providerClass", OnHeapProvider)
+        val mem = MemoryStream[Delta]
+        val out = BookState.maintain(mem.toDS(), depth = 10).toDF()
+        val (sec, soOpt, _) = timeChunked(out, mem, primeDeltas, chunks,
+          c => (0 until perChunk).map(i => bookDelta(c.toLong * perChunk + i, syms)))
+        val so = soOpt.getOrElse(
+          sys.error(s"$name: no state operator in final progress — nothing was measured"))
+        val custom = so.customMetrics.entrySet().asScala
+          .filter { e =>
+            val k = e.getKey.toLowerCase
+            k.contains("memory") || k.contains("sstfilesize") || k.contains("pinned")
+          }
+          .map(e => s""""${e.getKey}":${e.getValue}""").mkString(",")
+        rows(name) =
+          s"""{"symbols":$syms,"events":$fed,"rate":${num(fed / sec, 0)},""" +
+            s""""state_rows":${so.numRowsTotal},""" +
+            s""""state_bytes":${so.memoryUsedBytes},""" +
+            s""""bytes_per_key":${num(so.memoryUsedBytes.toDouble / math.max(so.numRowsTotal, 1), 1)}""" +
+            (if (custom.nonEmpty) s",$custom}" else "}")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          val why = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+            .replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(200)
+          rows(name) = s"""{"symbols":$syms,"completed":false,"why":"$why"}"""
+      }
       System.err.println(s"[sweep] $name: ${rows(name)}")
-      if (point.isDefined)
-        println(s"#GRAFT SROW $name ${rows(name).dropRight(1)},\"completed\":true}")
+      if (point.isDefined) {
+        val r = rows(name)
+        val tagged =
+          if (r.contains("\"completed\":false")) r
+          else r.dropRight(1) + ",\"completed\":true}"
+        println(s"#GRAFT SROW $name $tagged")
+      }
     }
     if (point.isEmpty) {
       val json =
@@ -400,24 +422,32 @@ object StreamBench {
     // batch — the steady-stream production shape, where triggers always
     // carry data and the empty batch is pure amplification).
     for (chunks <- Seq(200, 50, 20, 5, 1); noData <- Seq(true, false)) {
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noData.toString)
       val perChunk = n / chunks
-      val fed = perChunk * chunks
-      val mem = MemoryStream[TradeEvent]
-      val out = streaming.HotPath.windowedTradeStats(
-        mem.toDF(), "ts", "symbol", "price", "qty",
-        windowDuration = "1 second", watermark = "2 seconds")
-      val (sec, _, phases) = timeChunked(out, mem, primeTrades, chunks,
-        c => (0 until perChunk).map(i => eventFor(c.toLong * perChunk + i, symbols)))
-      // phase attribution (avg ms per observed batch, from durationMs)
-      val phaseJson = phases.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + num(v, 1) }.mkString("{", ",", "}")
       val name = s"batch_$perChunk${if (noData) "" else "_nodata_off"}"
-      rows(name) =
-        s"""{"events_per_batch":$perChunk,"batches":$chunks,"events":$fed,""" +
-          s""""no_data_batches":$noData,""" +
-          s""""rate":${num(fed / sec, 0)},"batch_seconds":${num(sec / chunks, 3)},""" +
-          s""""phase_avg_ms":$phaseJson}"""
+      // per-point isolation, same rationale as stateSweep's
+      try {
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noData.toString)
+        val fed = perChunk * chunks
+        val mem = MemoryStream[TradeEvent]
+        val out = streaming.HotPath.windowedTradeStats(
+          mem.toDF(), "ts", "symbol", "price", "qty",
+          windowDuration = "1 second", watermark = "2 seconds")
+        val (sec, _, phases) = timeChunked(out, mem, primeTrades, chunks,
+          c => (0 until perChunk).map(i => eventFor(c.toLong * perChunk + i, symbols)))
+        // phase attribution (avg ms per observed batch, from durationMs)
+        val phaseJson = phases.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + num(v, 1) }.mkString("{", ",", "}")
+        rows(name) =
+          s"""{"events_per_batch":$perChunk,"batches":$chunks,"events":$fed,""" +
+            s""""no_data_batches":$noData,""" +
+            s""""rate":${num(fed / sec, 0)},"batch_seconds":${num(sec / chunks, 3)},""" +
+            s""""phase_avg_ms":$phaseJson}"""
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          val why = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+            .replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(200)
+          rows(name) = s"""{"events_per_batch":$perChunk,"completed":false,"why":"$why"}"""
+      }
       System.err.println(s"[batch] $name: ${rows(name)}")
     }
     val json =
@@ -479,7 +509,13 @@ object StreamBench {
 
     def runChunked[T](name: String, mem: MemoryStream[T], out: org.apache.spark.sql.DataFrame,
         prime: Seq[T], data: Int => Seq[T], total: Int): Unit =
-      results(name) = (timeChunked(out, mem, prime, chunks, data)._1, total)
+      // per-row isolation: one row's failure (e.g. the prime-batch guard
+      // tripping under load) drops THAT row loudly, not the whole record
+      try results(name) = (timeChunked(out, mem, prime, chunks, data)._1, total)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[streambench] row $name FAILED (dropped from record): $e")
+      }
     // events actually fed per row: chunks * floor(n / chunks), NOT n (rate
     // would overstate whenever n is not a chunk multiple)
     val fed = (n / chunks) * chunks

@@ -415,7 +415,7 @@ object Corpus {
     * a repeated-window set that passes the broadcast threshold can still
     * OOM the build (the r11 memsweep's one cliff: t25's x10 repeated set).
     * So: the set — exactly the would-be broadcast payload — persists
-    * spillable (MEMORY_AND_DISK; repeated builds of the same query in one
+    * DISK_ONLY (see below; repeated builds of the same query in one
     * session dedupe through the CacheManager by logical plan), one count
     * job prices it, and
     *   - under the budget -> explicit `broadcast` (the small-data fast
@@ -424,11 +424,23 @@ object Corpus {
     *     strategy hint survives AQE re-planning, which only upgrades a
     *     join to broadcast when no user hint pinned it — JoinSelection
     *     consults hints before size heuristics).
-    * The budget defaults to heap/16 capped at 256 MB — proportional to the
-    * SMALLEST JVM in play (a driver deciding for bigger executors only
-    * under-broadcasts, never OOMs them); [[BroadcastBudgetConf]] overrides.
-    * The count costs one extra job, but the aggregation's OUTPUT is what
-    * gets cached, so the expensive set-building pass still runs once.
+    * The budget defaults to heap/16 capped at 256 MB, where "heap" is the
+    * SMALLEST JVM in play: the minimum of this (driver) JVM's max heap and
+    * `spark.executor.memory` when configured — in multi-JVM mode the
+    * executors holding the broadcast build are usually SMALLER than the
+    * driver deciding for them, and a driver-heap-only budget would re-open
+    * the cliff there. [[BroadcastBudgetConf]] overrides. The count costs
+    * one extra job, but the aggregation's OUTPUT is what gets cached, so
+    * the expensive set-building pass still runs once.
+    *
+    * The priced set caches DISK_ONLY deliberately: it is re-read twice
+    * (count + join build) and a memory-cached set would sit in the unified
+    * storage pool for the session's lifetime (CacheManager holds cached
+    * relations until unpersist), stealing execution memory from every
+    * LATER query in a Verify/Bench session — cross-query measurement
+    * contamination. On disk it costs a bounded few hundred MB of scratch
+    * per session (deduped by logical plan across re-builds of the same
+    * query) and zero heap.
     *
     * `bytesPerRow` prices one set row inside the broadcast build (default
     * sized for an 8-byte hash key; string-keyed callers pass their own).
@@ -440,9 +452,13 @@ object Corpus {
       joinType: String = "inner",
       bytesPerRow: Long = BytesPerBroadcastKey): DataFrame = {
     val spark = big.sparkSession
+    val executorHeap = spark.conf.getOption("spark.executor.memory")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+    val smallestHeap = math.min(
+      Runtime.getRuntime.maxMemory, executorHeap.getOrElse(Long.MaxValue))
     val budget = spark.conf.getOption(BroadcastBudgetConf).map(_.toLong)
-      .getOrElse(math.min(Runtime.getRuntime.maxMemory / 16, 256L << 20))
-    val priced = set.persist(StorageLevel.MEMORY_AND_DISK)
+      .getOrElse(math.min(smallestHeap / 16, 256L << 20))
+    val priced = set.persist(StorageLevel.DISK_ONLY)
     val estBytes = priced.count() * bytesPerRow
     if (estBytes <= budget) big.join(broadcast(priced), Seq(key), joinType)
     else big.join(priced.hint("SHUFFLE_MERGE"), Seq(key), joinType)

@@ -12,13 +12,19 @@ import duckdb, sys, json, glob, os
 import pandas as pd
 import numpy as np
 
-sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-# optional: --json <path> writes the per-query verdicts as a committed-record
-# style json (used by the r12 multi-JVM cluster-verify record)
+# flags are consumed BEFORE positionals so "--json" can never be swallowed
+# as the sf/out dir, and a missing path after it fails loudly up front
+# (not with an IndexError after the whole gate already ran)
+args = sys.argv[1:]
 record_path = None
-if "--json" in sys.argv:
-    record_path = sys.argv[sys.argv.index("--json") + 1]
+if "--json" in args:
+    i = args.index("--json")
+    if i + 1 >= len(args):
+        sys.exit("check.py: --json requires a path argument")
+    record_path = args[i + 1]
+    del args[i : i + 2]
+sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+out = args[1] if len(args) > 1 else "/tmp/verify_out"
 
 con = duckdb.connect()
 for p in glob.glob(f"{sf}/*.parquet"):

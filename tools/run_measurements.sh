@@ -22,7 +22,10 @@ python3 tools/make_scale.py /root/testdata/sf0.1 /tmp/graft_scale/x30 30 \
   > /tmp/m_scale30.log 2>&1
 
 echo "== step 3: scaling subset benches =="
-Q="a1_trade_batch_stats,a5_rolling_stats,a5b_rolling_stats_bucketed,a7_prediction_rollup,d4_feature_corr,j1_asof_outcomes,j1c_asof_merge_exec,j5_star_join_revenue,t10_neardup_clusters,t21_bigram_ppl,t23_repeated_spans,t24_span_redaction,t25_char_spans,t26_winnowed_spans,t27_char_redaction,t3_lsh_neardup_pairs,v15_semantic_dedup,w9_ewma_macd,w9b_ewma_macd_bucketed,x_v11_ivfpq,x_v12_ivfpq_index,x_v13_index_rerank,x_v4_ann_ivf"
+# t14b/t14c added r12: the 256-merge retrain makes the BPE apply kernel
+# O(word*256) — the slope datum shows the constant-factor growth stays
+# scale-linear
+Q="a1_trade_batch_stats,a5_rolling_stats,a5b_rolling_stats_bucketed,a7_prediction_rollup,d4_feature_corr,j1_asof_outcomes,j1c_asof_merge_exec,j5_star_join_revenue,t10_neardup_clusters,t14b_bpe_packing,t14c_bpe_vocab,t21_bigram_ppl,t23_repeated_spans,t24_span_redaction,t25_char_spans,t26_winnowed_spans,t27_char_redaction,t3_lsh_neardup_pairs,v15_semantic_dedup,w9_ewma_macd,w9b_ewma_macd_bucketed,x_v11_ivfpq,x_v12_ivfpq_index,x_v13_index_rerank,x_v4_ann_ivf"
 for sz in "1:/root/testdata/sf0.1" "3:/tmp/graft_scale/x3" "10:/tmp/graft_scale/x10"; do
   k="${sz%%:*}"; dir="${sz#*:}"
   # scale the child-round watchdog with the slice size: a legitimately slow
