@@ -51,6 +51,21 @@ object StreamBench {
   private def num(v: Double, dp: Int): String =
     s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
 
+  /** Failure description for a sweep-point record: the top exception plus
+    * the ROOT of its cause chain, JSON-safe. Streaming failures wrap the
+    * interesting cause (e.g. an executor OutOfMemoryError) three levels
+    * deep, and the r12 capped-heap sweep showed a 200-char top-message
+    * cut truncates exactly before it — a record that says a point failed
+    * must also say why. */
+  private[graft] def whyOf(e: Throwable): String = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    val root = chain.last
+    val top = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+    val s = if (root eq e) top
+    else s"$top | root: ${root.getClass.getSimpleName}: ${Option(root.getMessage).getOrElse("")}"
+    s.replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(500)
+  }
+
   /** Book delta for the `id`-th event over `syms` live symbols. Side and
     * price level derive from the symbol's own SEQUENCE number (id / syms),
     * NOT from id: with an even symbol count, id's parity fixes the side
@@ -358,9 +373,7 @@ object StreamBench {
             (if (custom.nonEmpty) s",$custom}" else "}")
       } catch {
         case scala.util.control.NonFatal(e) =>
-          val why = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
-            .replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(200)
-          rows(name) = s"""{"symbols":$syms,"completed":false,"why":"$why"}"""
+          rows(name) = s"""{"symbols":$syms,"completed":false,"why":"${whyOf(e)}"}"""
       }
       System.err.println(s"[sweep] $name: ${rows(name)}")
       if (point.isDefined) {
@@ -444,9 +457,7 @@ object StreamBench {
             s""""phase_avg_ms":$phaseJson}"""
       } catch {
         case scala.util.control.NonFatal(e) =>
-          val why = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
-            .replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(200)
-          rows(name) = s"""{"events_per_batch":$perChunk,"completed":false,"why":"$why"}"""
+          rows(name) = s"""{"events_per_batch":$perChunk,"completed":false,"why":"${whyOf(e)}"}"""
       }
       System.err.println(s"[batch] $name: ${rows(name)}")
     }
