@@ -193,10 +193,10 @@ object MemSweep {
         case None =>
           // OOM / watchdog kill: the FINDING, not a sweep failure — keep the
           // diagnostic tail so the record says why
-          val why = Option(strongCause.get)
-            .orElse(Option(weakCause.get))
-            .orElse(errTail.asScala.lastOption).getOrElse("no stderr")
-            .replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(200)
+          val why = StreamBench.jsonSafe(
+            Option(strongCause.get)
+              .orElse(Option(weakCause.get))
+              .orElse(errTail.asScala.lastOption).getOrElse("no stderr"), 500)
           s"""{"completed":false,"exit":${if (p.isAlive) -1 else p.exitValue()},"why":"$why"}"""
       }
       System.err.println(

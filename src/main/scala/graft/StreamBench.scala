@@ -51,19 +51,37 @@ object StreamBench {
   private def num(v: Double, dp: Int): String =
     s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
 
+  /** JSON-safe bounded failure text (control chars / quotes / backslashes
+    * stripped, hard length cap) — the ONE sanitizer for every sweep
+    * failure record (whyOf, the capped-statesweep no-row fallback,
+    * MemSweep's stderr tail). */
+  private[graft] def jsonSafe(s: String, max: Int): String =
+    s.replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(max)
+
   /** Failure description for a sweep-point record: the top exception plus
     * the ROOT of its cause chain, JSON-safe. Streaming failures wrap the
     * interesting cause (e.g. an executor OutOfMemoryError) three levels
     * deep, and the r12 capped-heap sweep showed a 200-char top-message
     * cut truncates exactly before it — a record that says a point failed
-    * must also say why. */
+    * must also say why. The top and root are truncated SEPARATELY: a
+    * combined cap eats the root segment exactly when the wrapper message
+    * is long, which is when the root matters most (the first r12
+    * capped-heap record proved it — a 500-char StreamingQueryException
+    * wrapper left no room for the root). The walk is cycle-guarded by
+    * identity, not depth-capped: a depth cap would LABEL a mid-chain
+    * wrapper as the root. */
   private[graft] def whyOf(e: Throwable): String = {
-    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
-    val root = chain.last
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+    var root = e
+    while (root.getCause != null && seen.add(root)) root = root.getCause
     val top = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
-    val s = if (root eq e) top
-    else s"$top | root: ${root.getClass.getSimpleName}: ${Option(root.getMessage).getOrElse("")}"
-    s.replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(500)
+    if (root eq e) jsonSafe(top, 500)
+    else {
+      val rootTxt =
+        s"${root.getClass.getSimpleName}: ${Option(root.getMessage).getOrElse("")}"
+      jsonSafe(top, 355) + " | root: " + jsonSafe(rootTxt, 136)
+    }
   }
 
   /** Book delta for the `id`-th event over `syms` live symbols. Side and
@@ -274,8 +292,11 @@ object StreamBench {
       p.waitFor(1, java.util.concurrent.TimeUnit.MINUTES)
       drainer.join(5000)
       val (name, json) = row.getOrElse {
-        val why = Option(cause.get).getOrElse("no row emitted")
-          .replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(200)
+        // jsonSafe at the whyOf budget, not a 200-char cut: this fallback
+        // fires exactly when the child died hard (OOM kill, watchdog), and
+        // a truncated cause line here is the same lost-root failure mode
+        // whyOf exists to prevent.
+        val why = jsonSafe(Option(cause.get).getOrElse("no row emitted"), 500)
         val nm = "book_" + point.replace(":rocks", "_rocksdb").replace(":heap", "")
         (nm, s"""{"completed":false,"exit":${if (p.isAlive) -1 else p.exitValue()},"why":"$why"}""")
       }

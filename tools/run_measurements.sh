@@ -13,13 +13,18 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
 
 echo "== step 2: rebuild scale slices =="
 rm -rf /tmp/graft_scale
-mkdir -p /tmp/graft_scale/x3 /tmp/graft_scale/x10 /tmp/graft_scale/x30
+mkdir -p /tmp/graft_scale/x3 /tmp/graft_scale/x10 /tmp/graft_scale/x30 \
+  /tmp/graft_scale/x100
 python3 tools/make_scale.py /root/testdata/sf0.1 /tmp/graft_scale/x3 3 \
   > /tmp/m_scale3.log 2>&1
 python3 tools/make_scale.py /root/testdata/sf0.1 /tmp/graft_scale/x10 10 \
   > /tmp/m_scale10.log 2>&1
 python3 tools/make_scale.py /root/testdata/sf0.1 /tmp/graft_scale/x30 30 \
   > /tmp/m_scale30.log 2>&1
+# x100 (~2.3 GB) added r12: far enough out to catch the collision-regime
+# saturation and the single-box spill onset the 30x record could not see
+python3 tools/make_scale.py /root/testdata/sf0.1 /tmp/graft_scale/x100 100 \
+  > /tmp/m_scale100.log 2>&1
 
 echo "== step 3: scaling subset benches =="
 # t14b/t14c added r12: the 256-merge retrain makes the BPE apply kernel
@@ -39,17 +44,26 @@ for sz in "1:/root/testdata/sf0.1" "3:/tmp/graft_scale/x3" "10:/tmp/graft_scale/
   # bytes) — kept per size for scaling-tail attribution
   cp bench_diag_only.json "/tmp/m_scale_diag_$k.json"
 done
-# the char family (t25/t26/t27) sits closest to linear — one 30x point
-# confirms no bend past the 10x range where it would hurt most
-SPARK_GRAFT_ONLY="t25_char_spans,t26_winnowed_spans,t27_char_redaction" \
-  SPARK_GRAFT_RUNS=3 SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x30 \
-  SPARK_GRAFT_ROUND_TIMEOUT_MIN=60 \
-  sbt -batch "runMain graft.Bench" > /tmp/m_scalebench_30.log 2>&1
-cp bench_only.json /tmp/m_scale_rec_30.json
-cp bench_diag_only.json /tmp/m_scale_diag_30.json
+# the char family (t25/t26/t27) sits closest to linear — the 30x and 100x
+# points probe past the 10x range where a bend would hurt most (r12: 10x->30x
+# showed the collision regime, 30x->100x its saturation + the spill onset)
+for sz in "30:60" "100:120"; do
+  k="${sz%%:*}"; tmo="${sz#*:}"
+  SPARK_GRAFT_ONLY="t25_char_spans,t26_winnowed_spans,t27_char_redaction" \
+    SPARK_GRAFT_RUNS=3 SPARK_GRAFT_SF_DIR="/tmp/graft_scale/x$k" \
+    SPARK_GRAFT_ROUND_TIMEOUT_MIN="$tmo" \
+    sbt -batch "runMain graft.Bench" > "/tmp/m_scalebench_$k.log" 2>&1
+  cp bench_only.json "/tmp/m_scale_rec_$k.json"
+  cp bench_diag_only.json "/tmp/m_scale_diag_$k.json"
+done
 python3 tools/scaling_report.py SCALING_r12.json \
   1:/tmp/m_scale_rec_1.json 3:/tmp/m_scale_rec_3.json 10:/tmp/m_scale_rec_10.json \
-  30:/tmp/m_scale_rec_30.json
+  30:/tmp/m_scale_rec_30.json 100:/tmp/m_scale_rec_100.json
+# commit the pressure evidence behind the slope attribution (min-wall round
+# per query per size: wall/cpu/gc/shuffle/spill) — SCALE.md quotes it
+python3 tools/scale_diag_report.py SCALING_r12_diag.json \
+  1:/tmp/m_scale_diag_1.json 3:/tmp/m_scale_diag_3.json 10:/tmp/m_scale_diag_10.json \
+  30:/tmp/m_scale_diag_30.json 100:/tmp/m_scale_diag_100.json
 rm -f bench_only.json bench_diag_only.json
 
 echo "== step 4: streambench throughput =="
@@ -84,10 +98,14 @@ SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_MASTER='local-cluster[2,8,4096]' \
 SPARK_GRAFT_MASTER='local-cluster[2,8,4096]' \
   python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_cluster \
   --json clusterverify.json >> /tmp/m_clusterverify.log 2>&1
+# slice = the r12 top-15 by bench_full median PLUS the char family
+# (t25/t26/t27 dropped out of the top-15 when the size-aware join cut them
+# 3-6x, but they are the shuffle-richest queries — exactly what multi-JVM
+# serialized exchanges stress). Re-derive the top-15 if rankings move.
 SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_MASTER='local-cluster[2,8,4096]' \
   SPARK_GRAFT_CPUS=16 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_RUNS=3 \
   SPARK_GRAFT_RECORD=clusterbench.json \
-  SPARK_GRAFT_ONLY="t25_char_spans,x_v13_index_rerank,a7_prediction_rollup,t27_char_redaction,x_v12_ivfpq_index,a1_trade_batch_stats,j5_star_join_revenue,x_v5_ann_ivf_probe2,t10_neardup_clusters,t26_winnowed_spans,a5_rolling_stats,d4_feature_corr,w9b_ewma_macd_bucketed,x_v11_ivfpq,w9_ewma_macd" \
+  SPARK_GRAFT_ONLY="t21_bigram_ppl,a7_prediction_rollup,x_v13_index_rerank,a1_trade_batch_stats,x_v12_ivfpq_index,j5_star_join_revenue,t14c_bpe_vocab,t14b_bpe_packing,a5_rolling_stats,a5b_rolling_stats_bucketed,w9_ewma_macd,d4_feature_corr,t10_neardup_clusters,x_v5_ann_ivf_probe2,x_v4_ann_ivf,t25_char_spans,t26_winnowed_spans,t27_char_redaction" \
   sbt -batch "runMain graft.Bench" > /tmp/m_clusterbench.log 2>&1
 rm -f bench_diag_only.json
 
