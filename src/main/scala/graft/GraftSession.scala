@@ -48,7 +48,13 @@ object GraftSession {
     * and do NOT inherit the sbt JVM's classpath or --add-opens, so both
     * are forwarded explicitly.
     */
-  def withMultiJvm(b: SparkSession.Builder, executorMem: String = "3g"): SparkSession.Builder = {
+  def withMultiJvm(
+      b: SparkSession.Builder,
+      // SPARK_GRAFT_EXEC_MEM caps the executor JVMs (e.g. "2g") — composing
+      // the multi-JVM and constrained-memory axes: the size-aware join's
+      // budget reads spark.executor.memory, so a capped REMOTE executor
+      // must flip the repeated-set join to spillable sort-merge.
+      executorMem: String = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "3g")): SparkSession.Builder = {
     import scala.jdk.CollectionConverters._
     val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala

@@ -109,4 +109,16 @@ SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_MASTER='local-cluster[2,8,4096]' \
   sbt -batch "runMain graft.Bench" > /tmp/m_clusterbench.log 2>&1
 rm -f bench_diag_only.json
 
+echo "== step 8b: capped-executor multi-JVM composition (char family, x10) =="
+# the two axes composed: capped REMOTE executors must drive the size-aware
+# join's guarded decision (its budget reads spark.executor.memory) — and two
+# 2 GiB executors should hold what memsweep's one 2 GiB JVM spilled
+SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_MASTER='local-cluster[2,4,2304]' \
+  SPARK_GRAFT_EXEC_MEM=2g SPARK_GRAFT_CPUS=8 \
+  SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x10 SPARK_GRAFT_RUNS=3 \
+  SPARK_GRAFT_RECORD=clustermem.json SPARK_GRAFT_ROUND_TIMEOUT_MIN=45 \
+  SPARK_GRAFT_ONLY="t25_char_spans,t26_winnowed_spans,t27_char_redaction" \
+  sbt -batch "runMain graft.Bench" > /tmp/m_clustermem.log 2>&1
+rm -f bench_diag_only.json
+
 echo "ALL MEASUREMENTS DONE"
