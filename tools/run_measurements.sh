@@ -120,14 +120,18 @@ SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_MASTER='local-cluster[2,4,2304]' \
   SPARK_GRAFT_ONLY="t25_char_spans,t26_winnowed_spans,t27_char_redaction" \
   sbt -batch "runMain graft.Bench" > /tmp/m_clustermem.log 2>&1
 # same composition at the 100x point, where even local[32]'s 128 GiB JVM
-# spills: 4 capped executors parallelize the spill across independent
-# memory managers (r12: t25 halves vs local[32])
-SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_MASTER='local-cluster[4,4,2304]' \
-  SPARK_GRAFT_EXEC_MEM=2g SPARK_GRAFT_CPUS=16 \
-  SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x100 SPARK_GRAFT_RUNS=2 \
-  SPARK_GRAFT_RECORD=clustermem100.json SPARK_GRAFT_ROUND_TIMEOUT_MIN=90 \
-  SPARK_GRAFT_ONLY="t25_char_spans,t26_winnowed_spans,t27_char_redaction" \
-  sbt -batch "runMain graft.Bench" > /tmp/m_clustermem100.log 2>&1
+# spills: capped executors parallelize the spill across independent memory
+# managers (r12: t25 98.4 s one-JVM -> 50.6 s at N=4 -> 31.9 s at N=8;
+# t26 crosses its no-spill knee at N=8)
+for ncfg in "4:16:clustermem100.json" "8:32:clustermem100_n8.json"; do
+  n="${ncfg%%:*}"; rest="${ncfg#*:}"; cores="${rest%%:*}"; rec="${rest#*:}"
+  SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_MASTER="local-cluster[$n,4,2304]" \
+    SPARK_GRAFT_EXEC_MEM=2g SPARK_GRAFT_CPUS="$cores" \
+    SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x100 SPARK_GRAFT_RUNS=2 \
+    SPARK_GRAFT_RECORD="$rec" SPARK_GRAFT_ROUND_TIMEOUT_MIN=90 \
+    SPARK_GRAFT_ONLY="t25_char_spans,t26_winnowed_spans,t27_char_redaction" \
+    sbt -batch "runMain graft.Bench" > "/tmp/m_clustermem100_$n.log" 2>&1
+done
 rm -f bench_diag_only.json
 
 echo "ALL MEASUREMENTS DONE"
