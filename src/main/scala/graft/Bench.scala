@@ -173,6 +173,13 @@ object Bench {
     val spillDisk = new java.util.concurrent.atomic.AtomicLong
     val shufRead = new java.util.concurrent.atomic.AtomicLong
     val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    // Task-metric CPU/GC (r13, verdict item 6): summed from every task's
+    // executorCpuTime/jvmGCTime, so in cluster mode — where the process
+    // gc/cpu beans above see only the DRIVER JVM — the record still carries
+    // the EXECUTORS' real compute and collector cost. In local[N] mode the
+    // two views agree up to driver-side planning overhead.
+    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong
+    val taskGcMs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
@@ -181,13 +188,23 @@ object Bench {
           spillDisk.addAndGet(m.diskBytesSpilled)
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          taskCpuNs.addAndGet(m.executorCpuTime)
+          taskGcMs.addAndGet(m.jvmGCTime)
         }
       }
     })
     val dfs = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
     selected.foreach { case (name, fn) =>
+      // Drop every cached relation the WARMUP pass left behind (r13 advice:
+      // sizeAwareSetJoin persists its priced set DISK_ONLY and CacheManager
+      // dedupes by logical plan, so without this the timed pass would read
+      // the warmup's cached detection aggregate instead of recomputing it —
+      // the timed number must be the COLD single-shot cost, persist write +
+      // count job included).
+      spark.catalog.clearCache()
       org.apache.spark.sql.graftbridge.ColumnBridge.drainListenerBus(spark.sparkContext)
       spillMem.set(0); spillDisk.set(0); shufRead.set(0); shufWrite.set(0)
+      taskCpuNs.set(0); taskGcMs.set(0)
       val (gc0, cpu0) = (gcMs(), cpuMs())
       val t0 = System.nanoTime()
       try {
@@ -203,10 +220,14 @@ object Bench {
       println(s"#GRAFT Q $name $wall")
       org.apache.spark.sql.graftbridge.ColumnBridge.drainListenerBus(spark.sparkContext)
       println(s"#GRAFT D $name $gcD $cpuD " +
-        s"${spillMem.get} ${spillDisk.get} ${shufRead.get} ${shufWrite.get}")
+        s"${spillMem.get} ${spillDisk.get} ${shufRead.get} ${shufWrite.get} " +
+        s"${taskCpuNs.get / 1000000L} ${taskGcMs.get}")
     }
     if (withExec) selected.foreach { case (name, _) =>
       dfs.get(name).foreach { df =>
+        // same cold-cache basis as the timed pass: exec isolates EXECUTION
+        // from planning, and the cached-set rebuild IS execution
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try df.write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => record(name, e) }
@@ -263,8 +284,9 @@ object Bench {
     */
   /** Env-tunable so the re-fork path is exercisable on a quiet box (set it
     * barely above 1.0 and natural jitter trips it) and relaxable on a noisy
-    * one. */
-  private def disturbFactor: Double =
+    * one. Shared with [[StreamBench]]'s forked throughput rounds (r13) so
+    * the two harnesses cannot drift on what counts as "disturbed". */
+  private[graft] def disturbFactor: Double =
     sys.env.get("SPARK_GRAFT_DISTURB_FACTOR").map { v =>
       val d = try v.trim.toDouble catch {
         case _: NumberFormatException =>
@@ -274,6 +296,14 @@ object Bench {
       require(d > 1.0, s"SPARK_GRAFT_DISTURB_FACTOR must be > 1.0, got '$v'")
       d
     }.getOrElse(1.5)
+
+  /** Re-fork budget for the disturbance guard (shared with [[StreamBench]]). */
+  private[graft] def maxReforks: Int =
+    sys.env.get("SPARK_GRAFT_MAX_REFORKS").map { v =>
+      require(v.trim.matches("[0-9]+"),
+        s"SPARK_GRAFT_MAX_REFORKS must be a whole number, got '$v'")
+      v.trim.toInt
+    }.getOrElse(3)
 
   private def forkedMain(runs: Int): Unit = {
     val selected = selectedQueries().map(_._1)
@@ -362,11 +392,7 @@ object Bench {
     // >1.5x the current min round. Replace IN PLACE so round 0 stays the
     // sweep/exec round (a replacement at index 0 re-runs with EXEC=1, so
     // the exec record never comes from a disturbed round either).
-    val maxReforks = sys.env.get("SPARK_GRAFT_MAX_REFORKS").map { v =>
-      require(v.trim.matches("[0-9]+"),
-        s"SPARK_GRAFT_MAX_REFORKS must be a whole number, got '$v'")
-      v.trim.toInt
-    }.getOrElse(3)
+    val maxReforks = Bench.maxReforks
     val discardedTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
     var reforks = 0
     var settled = false
@@ -444,7 +470,8 @@ object Bench {
           def at(i: Int) = d.lift(i).getOrElse(-1L)
           s"""{"wall":${num(wall, 3)},"gc_ms":${at(0)},"cpu_ms":${at(1)},""" +
             s""""spill_mem":${at(2)},"spill_disk":${at(3)},""" +
-            s""""shuffle_read":${at(4)},"shuffle_write":${at(5)}}"""
+            s""""shuffle_read":${at(4)},"shuffle_write":${at(5)},""" +
+            s""""task_cpu_ms":${at(6)},"task_gc_ms":${at(7)}}"""
         }
         "\"" + name + "\":" + cells.mkString("[", ",", "]")
       }.mkString("{\"rounds_per_query\":{", ",", "},") +
@@ -489,6 +516,9 @@ object Bench {
           None
       }
     def timed(name: String, fn: (SparkSession, String) => DataFrame): (Double, Option[DataFrame]) = {
+      // cold-cache basis, same as childMain: a prior pass's persisted sets
+      // must not subsidize this timed run
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val df = runLogged(name, fn)
       ((System.nanoTime() - t0) / 1e9, df)
@@ -499,6 +529,7 @@ object Bench {
     val sweep = sweepFull.map { case (n, (t, _)) => n -> t }
     val execTimes = sweepFull.flatMap { case (n, (_, dfOpt)) =>
       dfOpt.map { df =>
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try df.write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }

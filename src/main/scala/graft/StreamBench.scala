@@ -96,7 +96,7 @@ object StreamBench {
     * give each side only its 100 matching residues); qty 0 every 11th =
     * delete.
     */
-  private def bookDelta(id: Long, syms: Int): Delta = {
+  private[graft] def bookDelta(id: Long, syms: Int): Delta = {
     val seq = id / syms
     Delta(
       s"SYM${id % syms}", id, 1700000000000L + seq * 50L,
@@ -105,14 +105,14 @@ object StreamBench {
       if (seq % 11 == 0) 0.0 else 1.0 + (seq % 5))
   }
 
-  private def primeDeltas: Seq[Delta] = (0 until 1000).map(i =>
+  private[graft] def primeDeltas: Seq[Delta] = (0 until 1000).map(i =>
     Delta(s"PRIME${i % 8}", i.toLong, 1700000000000L, "bid", 100.0, 1.0))
 
   /** Deterministic trade event for the streaming rows: event time advances
     * ~50 ms per event per symbol so 1 s windows close steadily under the
     * watermark as chunks arrive.
     */
-  private def eventFor(id: Long, symbols: Int): TradeEvent = TradeEvent(
+  private[graft] def eventFor(id: Long, symbols: Int): TradeEvent = TradeEvent(
     s"SYM${id % symbols}",
     new java.sql.Timestamp(1700000000000L + (id / symbols) * 50L),
     100.0 + (id % 1000) * 0.01,
@@ -126,12 +126,12 @@ object StreamBench {
     * double-counted windows for hot_path — each row then measuring a subtly
     * different workload than labeled).
     */
-  private def primeTrades: Seq[TradeEvent] = (0 until 1000).map { i =>
+  private[graft] def primeTrades: Seq[TradeEvent] = (0 until 1000).map { i =>
     TradeEvent(s"PRIME${i % 8}", new java.sql.Timestamp(1700000000000L),
       100.0, 1.0, i.toLong)
   }
 
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(root)
     try walk.iterator().asScala.toSeq.reverse
@@ -151,17 +151,23 @@ object StreamBench {
     * survivor would contend with every subsequent run for the same
     * local[N] cores.
     */
-  private def timeChunked[T](
+  private[graft] def timeChunked[T](
       out: org.apache.spark.sql.DataFrame,
       mem: MemoryStream[T],
       prime: Seq[T],
       chunks: Int,
-      data: Int => Seq[T])
+      data: Int => Seq[T],
+      // sink override ([[ClusterStream]]): "parquet" + a path captures the
+      // OUTPUT for identity checks; the default noop sink stays the
+      // throughput-bench shape (no write cost in the measurement)
+      format: String = "noop",
+      path: Option[String] = None)
       : (Double, Option[org.apache.spark.sql.streaming.StateOperatorProgress],
          Map[String, Double]) = {
     val ckpt = java.nio.file.Files.createTempDirectory("sb_chunked")
-    val q = out.writeStream.outputMode("append").format("noop")
-      .option("checkpointLocation", ckpt.toString).start()
+    val w0 = out.writeStream.outputMode("append").format(format)
+      .option("checkpointLocation", ckpt.toString)
+    val q = path.fold(w0)(p => w0.option("path", p)).start()
     try {
       mem.addData(prime)
       q.processAllAvailable()
@@ -222,7 +228,8 @@ object StreamBench {
     if (sys.env.get("SPARK_GRAFT_STATE_CAPPED").contains("1")) stateCappedParent()
     else if (sys.env.get("SPARK_GRAFT_STATE_SWEEP").contains("1")) stateSweep()
     else if (sys.env.get("SPARK_GRAFT_BATCH_SWEEP").contains("1")) batchSweep()
-    else throughput()
+    else if (sys.env.get("SPARK_GRAFT_STREAM_CHILD").contains("1")) throughputChild()
+    else throughputParent()
 
   /** Constrained-heap statesweep (r12, verdict item 6): the 262k- and
     * 1M-key configurations of [[stateSweep]] re-run one CAPPED child JVM
@@ -493,11 +500,28 @@ object StreamBench {
     spark.stop()
   }
 
-  private def throughput(): Unit = {
+  // fixed workload shape of the throughput rows — shared by the child (which
+  // runs them) and the parent (which stamps them into the record)
+  private val ThroughputChunks = 20
+  private val ThroughputSymbols = 64
+
+  /** One fresh-JVM throughput round (r13, verdict item 2): runs every
+    * throughput row once and emits per-row stdout lines instead of writing
+    * the record —
+    * `#GRAFT TROW <name> <seconds> <events>` per completed row,
+    * `#GRAFT TFAIL <name>\t<why>` per failed row (the failure IS a row of
+    * the record now, not a stderr-only note), `#GRAFT DONE` at the end.
+    * [[throughputParent]] forks N of these and aggregates. Streaming rates
+    * on this box swing ±20–40 % under load (the r12 round caught one
+    * disturbed hot_path reading by hand); fresh-JVM rounds + the bench's
+    * disturbance guard make that discipline structural instead of
+    * operator vigilance.
+    */
+  private def throughputChild(): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val n = sys.env.get("SPARK_GRAFT_STREAM_N").map(_.toInt).getOrElse(1000000)
-    val chunks = 20
-    val symbols = 64
+    val chunks = ThroughputChunks
+    val symbols = ThroughputSymbols
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -509,12 +533,15 @@ object StreamBench {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Int)]
+    // failed rows are RECORD rows too (r13 advice): a row that fails is
+    // indistinguishable from a never-run row if only stderr records it
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     // ---------------------------------------------------------- sbe_decode
     // Frames built once by the fixture encoder UDF (off the measured path)
     // and pinned in memory; the timed pass is decode → project → noop, all
     // whole-stage codegen.
-    {
+    try {
       val frames = spark.range(n.toLong).select(
         functions.Sbe.encodeTrade(
           (col("id") * 1000L + 1700000000000000L), col("id"),
@@ -530,6 +557,10 @@ object StreamBench {
       decoded.write.format("noop").mode("overwrite").save()
       results("sbe_decode") = ((System.nanoTime() - t0) / 1e9, n)
       frames.unpersist()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        failures("sbe_decode") = whyOf(e)
+        System.err.println(s"[streambench] row sbe_decode FAILED: $e")
     }
 
     // Shared deterministic trade events ([[eventFor]]). A single id->event
@@ -542,11 +573,13 @@ object StreamBench {
     def runChunked[T](name: String, mem: MemoryStream[T], out: org.apache.spark.sql.DataFrame,
         prime: Seq[T], data: Int => Seq[T], total: Int): Unit =
       // per-row isolation: one row's failure (e.g. the prime-batch guard
-      // tripping under load) drops THAT row loudly, not the whole record
+      // tripping under load) fails THAT row loudly — recorded as a
+      // completed:false row with its walked root cause, not a silent drop
       try results(name) = (timeChunked(out, mem, prime, chunks, data)._1, total)
       catch {
         case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[streambench] row $name FAILED (dropped from record): $e")
+          failures(name) = whyOf(e)
+          System.err.println(s"[streambench] row $name FAILED: $e")
       }
     // events actually fed per row: chunks * floor(n / chunks), NOT n (rate
     // would overstate whenever n is not a chunk multiple)
@@ -635,6 +668,7 @@ object StreamBench {
       val dir = java.nio.file.Files.createTempDirectory("sb_reanchor")
       try {
         val events = spark.range(fed.toLong).select(
+
           concat(lit("SYM"), col("id") % symbols).as("symbol"),
           // integer division (expr `div`), NOT `/`: the DataFrame `/` is
           // floating-point, which would put these rows on a fractional DOUBLE
@@ -648,22 +682,192 @@ object StreamBench {
           events, col("symbol"), col("ts_ms"), col("trade_id"))
         sources.Bronze.reAnchor(spark, dir.toString, rebuilt)
         results("reanchor") = ((System.nanoTime() - t0) / 1e9, fed)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          failures("reanchor") = whyOf(e)
+          System.err.println(s"[streambench] row reanchor FAILED: $e")
       } finally deleteRecursively(dir)
     }
 
-    val rows = results.map { case (k, (sec, events)) =>
-      k -> (events / sec)
+    results.foreach { case (name, (sec, events)) =>
+      println(s"#GRAFT TROW $name ${num(sec, 6)} $events")
+    }
+    failures.foreach { case (name, why) => println(s"#GRAFT TFAIL $name\t$why") }
+    println("#GRAFT DONE")
+    spark.stop()
+  }
+
+  /** Forked-round throughput record (r13, verdict item 2): N fresh child
+    * JVMs (default 3), each one full [[throughputChild]] pass, aggregated
+    * with EXACTLY the bench's disturbance discipline — broken rounds
+    * (extra failed rows vs the all-round intersection) re-forked first,
+    * then any round whose total reads > [[Bench.disturbFactor]]× the clean
+    * minimum, up to [[Bench.maxReforks]] replacements. The record carries
+    * per-row MEDIAN rates (the headline), full min–max bands, round
+    * totals, and the discard trail — a single disturbed reading can no
+    * longer masquerade as the engine's rate, and a re-forked run is
+    * distinguishable from a naturally quiet one. Rows that failed in every
+    * round appear as `completed:false` rows with their walked root cause.
+    * Writes `streambench.json` (smoke-named on any non-default knob,
+    * including runs < 3).
+    */
+  private def throughputParent(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val n = sys.env.get("SPARK_GRAFT_STREAM_N").map(_.toInt).getOrElse(1000000)
+    val runs = sys.env.get("SPARK_GRAFT_STREAM_RUNS").map(_.toInt).getOrElse(3).max(1)
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val cp = sys.props("java.class.path")
+
+    final case class Round(
+        order: Seq[String], // child emission order, TROW then TFAIL
+        times: Map[String, (Double, Long)], // name -> (seconds, events)
+        failures: Map[String, String]) {
+      def total: Double = times.valuesIterator.map(_._1).sum
+      def failed: Set[String] = failures.keySet
+    }
+
+    def childRound(label: String): Round = {
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.StreamBench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_STREAM_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      val p = pb.start()
+      val drainer = new Thread(() => {
+        val buf = new Array[Byte](8192)
+        val in = p.getErrorStream
+        var nr = in.read(buf)
+        while (nr >= 0) { System.err.write(buf, 0, nr); nr = in.read(buf) }
+      }, s"streambench-child-$label-stderr")
+      drainer.setDaemon(true)
+      drainer.start()
+      val deadlineMin = Bench.roundTimeoutMin(default = 30L)
+      val watchdog = new Thread(() => {
+        if (!p.waitFor(deadlineMin, java.util.concurrent.TimeUnit.MINUTES)) p.destroyForcibly()
+      }, s"streambench-child-$label-watchdog")
+      watchdog.setDaemon(true)
+      watchdog.start()
+      val order = scala.collection.mutable.ArrayBuffer.empty[String]
+      val times = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
+      val fails = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      var done = false
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.startsWith("#GRAFT ")) {
+          val body = line.drop(7)
+          if (body.startsWith("TROW ")) {
+            val Array(nm, sec, ev) = body.drop(5).split(" ", 3)
+            order += nm
+            times(nm) = (sec.toDouble, ev.toLong)
+          } else if (body.startsWith("TFAIL ")) {
+            val Array(nm, why) = body.drop(6).split("\t", 2)
+            order += nm
+            fails(nm) = why
+          } else if (body == "DONE") done = true
+        }
+        line = reader.readLine()
+      }
+      val exited = p.waitFor(1, java.util.concurrent.TimeUnit.MINUTES)
+      if (!exited) p.destroyForcibly()
+      // a child that died mid-pass (vs one that completed with some failed
+      // rows) poisons the medians — fail loudly, as Bench does
+      require(done && exited && p.exitValue() == 0,
+        s"streambench child round $label incomplete: done=$done exited=$exited " +
+          "(see stderr above)")
+      System.err.println(s"[streambench] round $label: " +
+        s"${num(times.valuesIterator.map(_._1).sum, 1)} s over ${times.size} rows" +
+        (if (fails.nonEmpty) s" (${fails.size} failed: ${fails.keys.mkString(",")})" else ""))
+      Round(order.toSeq, times.toMap, fails.toMap)
+    }
+
+    val rounds = scala.collection.mutable.ArrayBuffer.tabulate(runs)(r => childRound(r.toString))
+
+    // Disturbance guard, Bench.forkedMain's exact shape: broken rounds
+    // (extra failed rows vs the all-round intersection — a persistent
+    // failure in EVERY round is the build, not the box) re-fork first; then
+    // totals > factor x the clean minimum.
+    val discardedTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var reforks = 0
+    var settled = false
+    val factor = Bench.disturbFactor
+    val budget = Bench.maxReforks
+    def commonFails: Set[String] = rounds.map(_.failed).reduce(_ intersect _)
+    def baseline: Double = {
+      val common = commonFails
+      val clean = rounds.filter(_.failed == common)
+      (if (clean.nonEmpty) clean else rounds).map(_.total).min
+    }
+    while (!settled && reforks < budget && runs > 1) {
+      val common = commonFails
+      val broken = rounds.indexWhere(_.failed != common)
+      val totals = rounds.map(_.total)
+      val worst = totals.indices.maxBy(totals)
+      val target =
+        if (broken >= 0) Some(broken -> "extra failed rows vs the cleanest round")
+        else if (totals(worst) > baseline * factor)
+          Some(worst -> (s"total ${num(totals(worst), 1)} s > ${num(factor, 2)}x " +
+            s"clean min ${num(baseline, 1)} s"))
+        else None
+      target match {
+        case Some((idx, why)) =>
+          System.err.println(
+            s"[streambench] round $idx disturbed ($why) — re-forking (${reforks + 1}/$budget)")
+          discardedTotals += totals(idx)
+          reforks += 1
+          rounds(idx) = childRound(s"$idx-refork$reforks")
+        case None => settled = true
+      }
+    }
+    if (!settled && runs > 1 && rounds.map(_.total).max > baseline * factor)
+      System.err.println(s"[streambench] re-fork budget exhausted ($budget); " +
+        "remaining spread is recorded as-is — box may be genuinely busy")
+
+    // aggregate: per-row median/min/max seconds over the rounds where the
+    // row completed; rate = events / seconds (events are a per-row constant)
+    val names = rounds.flatMap(_.order).distinct
+    def rowJson(name: String): (String, String, Option[String]) = {
+      val secs = rounds.flatMap(_.times.get(name)).map(_._1).sorted
+      if (secs.nonEmpty) {
+        val events = rounds.flatMap(_.times.get(name)).head._2
+        val med = secs(secs.length / 2)
+        val rates = secs.map(events / _)
+        (num(events / med, 0),
+          s"[${num(rates.min, 0)},${num(rates.max, 0)}]",
+          None)
+      } else {
+        val why = rounds.flatMap(_.failures.get(name)).last
+        ("null", "null", Some(s"""{"completed":false,"why":"$why"}"""))
+      }
+    }
+    val agg = names.map(nm => nm -> rowJson(nm))
+    val failedJson = agg.collect { case (nm, (_, _, Some(f))) => "\"" + nm + "\":" + f }
+    val secondsJson = names.flatMap { nm =>
+      val secs = rounds.flatMap(_.times.get(nm)).map(_._1).sorted
+      if (secs.isEmpty) None
+      else Some("\"" + nm + "\":[" + num(secs.head, 3) + "," +
+        num(secs(secs.length / 2), 3) + "," + num(secs.last, 3) + "]")
     }
     val json =
       s"""{"metric":"stream_events_per_sec","unit":"events/sec","cpus":$cpus,""" +
-        s""""events_per_row":$n,"chunks":$chunks,"symbols":$symbols,""" +
+        s""""events_per_row":$n,"chunks":$ThroughputChunks,"symbols":$ThroughputSymbols,""" +
+        s""""runs":$runs,"mode":"forked-jvm",""" +
+        s""""round_totals":${rounds.map(r => num(r.total, 3)).mkString("[", ",", "]")},""" +
+        s""""rounds_discarded":${discardedTotals.size},""" +
+        s""""discarded_totals":${discardedTotals.map(num(_, 3)).mkString("[", ",", "]")},""" +
         s""""baseline_ref":{"sbe_target":1000,"sbe_peak":5000,"kinesis_target":5000,"kinesis_peak":25000,"reanchor_seconds":60},""" +
-        s""""rates":${rows.map { case (k, v) => "\"" + k + "\":" + num(v, 0) }.mkString("{", ",", "}")},""" +
-        s""""seconds":${results.map { case (k, (s, _)) => "\"" + k + "\":" + num(s, 3) }.mkString("{", ",", "}")}}"""
+        s""""rates":${agg.map { case (nm, (med, _, _)) => "\"" + nm + "\":" + med }.mkString("{", ",", "}")},""" +
+        s""""rates_band":${agg.map { case (nm, (_, band, _)) => "\"" + nm + "\":" + band }.mkString("{", ",", "}")},""" +
+        s""""seconds_min_med_max":${secondsJson.mkString("{", ",", "}")},""" +
+        s""""failed":${failedJson.mkString("{", ",", "}")}}"""
     java.nio.file.Files.write(
-      Bench.recordPath("streambench", smoke = n != 1000000 || cpus != "4"),
+      Bench.recordPath("streambench",
+        smoke = n != 1000000 || cpus != "4" || runs < 3),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
-    spark.stop()
   }
 }

@@ -101,11 +101,20 @@ object Tables {
   /** The enriched text column: original text, a space, then the expansion.
     * NULL text stays NULL (concat's null-propagation matches SQL `||`), so
     * the family's null-doc contracts are unchanged.
+    *
+    * `doc_id` feeds the seed as `abs(doc_id)` — and [[richDocsOracleCte]]
+    * applies the same `abs` — because the two engines' `%` disagree on
+    * negatives (Spark `pmod` is always non-negative, DuckDB `%` keeps the
+    * sign) and the series length `23 + doc_id % 9` would diverge the same
+    * way: with `abs` on both sides every remainder operand is non-negative,
+    * where `pmod` and `%` agree, for ANY doc_id a fixture might carry (all
+    * current fixtures are >= 0, so `abs` is the identity on real data).
     */
   def richText(docId: Column, text: Column): Column = {
+    val d = abs(docId)
     val vs = transform(
-      sequence(lit(0L), lit(23L) + pmod(docId, lit(9L))),
-      i => pmod(docId * RichA + i * RichB, lit(RichM)))
+      sequence(lit(0L), lit(23L) + pmod(d, lit(9L))),
+      i => pmod(d * RichA + i * RichB, lit(RichM)))
     val words = transform(vs, v =>
       concat(
         sylAt(v),
@@ -131,8 +140,8 @@ object Tables {
     s"""docs_rich AS (
        |  SELECT doc_id, n_chars, lang, source,
        |    text || ' ' || array_to_string(list_transform(
-       |      list_transform(generate_series(0, 23 + doc_id % 9),
-       |        i -> (doc_id * $RichA + i * $RichB) % $RichM),
+       |      list_transform(generate_series(0, 23 + abs(doc_id) % 9),
+       |        i -> (abs(doc_id) * $RichA + i * $RichB) % $RichM),
        |      v -> ${sylSql("v")} || ${sylSql("v // 32")} ||
        |           CASE WHEN v % 2 = 1 THEN ${sylSql("v // 1024")} ELSE '' END),
        |      ' ') AS text

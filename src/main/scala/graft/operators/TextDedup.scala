@@ -252,9 +252,13 @@ object TextDedup {
     val boiler = spans.groupBy(col("span")).agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= maxOccurrences)
       .select("span")
-    // ~100 bytes prices a 12-word span string + UnsafeRow/HashedRelation
-    // overhead (vs the 8-byte-hash default)
-    val kept = Corpus.sizeAwareSetJoin(spans, boiler, "span", "left_anti", bytesPerRow = 160L)
+    // price one broadcast row as the span STRING (~8 bytes/word: ~7-char
+    // synthetic words + separator) plus ~64 bytes of UnsafeRow +
+    // HashedRelation overhead — derived from spanWords so callers with
+    // wider spans don't silently underprice the broadcast bet
+    // (spanWords = 12 -> 160 bytes)
+    val kept = Corpus.sizeAwareSetJoin(
+      spans, boiler, "span", "left_anti", bytesPerRow = 8L * spanWords + 64L)
     kept
       .groupBy(col("doc_id"))
       .agg(
