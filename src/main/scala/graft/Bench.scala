@@ -105,13 +105,22 @@ object Bench {
     // SPARK_GRAFT_MASTER overrides (e.g. local-cluster[2,8,4096] for the
     // multi-JVM bench slice); the default stays single-JVM local[N]
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS pins the shuffle partition count for
+    // the 100x partition-count sweep (r13, verdict item 4 / TODO #1):
+    // per-partition working set = shuffle bytes / partitions, so sweeping
+    // the count locates the no-spill knee on one box. A PINNED count also
+    // turns off AQE partition coalescing — with it on, AQE would coalesce
+    // small post-shuffle partitions back toward the 64 MB advisory target
+    // and the sweep would measure the advisory, not the pinned count.
+    val pinnedShuffle = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     val b0 = SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", pinnedShuffle.getOrElse(cpus))
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        pinnedShuffle.isEmpty.toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
       // 97+ queries x several codegen stages far exceed the default
       // 100-entry generated-code cache; every query would otherwise

@@ -104,10 +104,13 @@ object ClusterStream {
 
   /** Order-independent output fingerprint: (rows, xor, sum) of xxhash64
     * over every column — for `hot_path`, double aggregates rounded to 6 dp
-    * first (see object doc). Computed distributively; only the 3-number
-    * row is collected.
+    * first (see object doc). The sum runs in decimal(38,0): summing raw
+    * Long hashes overflows almost surely past a few thousand rows, which
+    * under Spark 4's default ANSI mode is an ARITHMETIC_OVERFLOW error,
+    * not a wrap. Computed distributively; only the 3-number row is
+    * collected.
     */
-  private def fingerprint(spark: SparkSession, dir: String, path: String): (Long, Long, Long) = {
+  private def fingerprint(spark: SparkSession, dir: String, path: String): (Long, Long, String) = {
     val raw = spark.read.parquet(dir)
     val df =
       if (path == "hot_path")
@@ -120,8 +123,8 @@ object ClusterStream {
     val row = df.select(
       count(lit(1)).as("n"),
       coalesce(bit_xor(h), lit(0L)).as("x"),
-      coalesce(sum(h), lit(0L)).as("s")).head()
-    (row.getLong(0), row.getLong(1), row.getLong(2))
+      coalesce(sum(h.cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)")).as("s")).head()
+    (row.getLong(0), row.getLong(1), row.getDecimal(2).toBigInteger.toString)
   }
 
   def main(args: Array[String]): Unit = {
@@ -135,7 +138,7 @@ object ClusterStream {
 
     // (mode, rowName) -> Right((sec, events, fingerprint)) | Left(why)
     val results = scala.collection.mutable.LinkedHashMap
-      .empty[(String, String), Either[String, (Double, Long, (Long, Long, Long))]]
+      .empty[(String, String), Either[String, (Double, Long, (Long, Long, String))]]
 
     for ((mode, master) <- Seq("local" -> s"local[$cpus]", "cluster" -> clusterMaster)) {
       val b0 = SparkSession.builder()

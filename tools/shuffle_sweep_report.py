@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Compose shufflesweep100.json from the per-partition-count bench records
+(step 10 of tools/run_measurements.sh): the char family at the 100x slice
+with spark.sql.shuffle.partitions PINNED (AQE coalescing off) at each swept
+count.
+
+Per query per count: min wall across the forked rounds, plus that round's
+spill and shuffle-write bytes from the diag record — per-partition working
+set = shuffle_write / partitions, so the smallest count whose spill reads
+zero locates the no-spill knee, and shuffle_write/knee is the
+bytes-per-partition threshold SCALE.md's sizing rule quotes.
+
+Usage: shuffle_sweep_report.py <out.json> <P> <P> ...
+Reads /tmp/m_shufsweep_<P>.json and /tmp/m_shufsweep_diag_<P>.json.
+"""
+import json
+import sys
+
+out_path = sys.argv[1]
+parts = [int(p) for p in sys.argv[2:]]
+
+queries = {}
+for P in parts:
+    rec = json.load(open(f"/tmp/m_shufsweep_{P}.json"))
+    diag = json.load(open(f"/tmp/m_shufsweep_diag_{P}.json"))
+    for name, wall_min in rec["queries_min"].items():
+        rounds = diag["rounds_per_query"].get(name, [])
+        # the diag row of the MIN-wall round — the round the wall number is
+        # from, so spill/shuffle attribution matches the quoted time
+        best = min(rounds, key=lambda r: r["wall"]) if rounds else {}
+        queries.setdefault(name, {})[str(P)] = {
+            "wall_min": round(wall_min, 3),
+            "wall_median": round(rec["queries"][name], 3),
+            "spill_disk": best.get("spill_disk", -1),
+            "spill_mem": best.get("spill_mem", -1),
+            "shuffle_write": best.get("shuffle_write", -1),
+            "bytes_per_partition": (
+                best.get("shuffle_write", 0) // P if best else -1),
+        }
+
+rows = {}
+for name, by_p in queries.items():
+    knee = None
+    for P in sorted(by_p, key=int):
+        c = by_p[P]
+        if c["spill_disk"] == 0 and c["spill_mem"] == 0 and knee is None:
+            knee = int(P)
+    rows[name] = {
+        "by_partitions": by_p,
+        "no_spill_knee_partitions": knee,
+        "knee_bytes_per_partition": (
+            by_p[str(knee)]["bytes_per_partition"] if knee else None),
+    }
+
+summary = {
+    "metric": "shuffle_partition_sweep_100x",
+    "sf": "/tmp/graft_scale/x100",
+    "partitions_swept": parts,
+    "basis": ("spark.sql.shuffle.partitions pinned per point, AQE partition "
+              "coalescing disabled (Bench.buildSession), local[32], 2 forked "
+              "rounds, min-wall round quoted"),
+    "queries": rows,
+}
+json.dump(summary, open(out_path, "w"), indent=1)
+for name, r in sorted(rows.items()):
+    line = " ".join(
+        f"P{P}:{r['by_partitions'][P]['wall_min']:.1f}s/"
+        f"{r['by_partitions'][P]['spill_disk'] // (1 << 20)}MBspill"
+        for P in sorted(r["by_partitions"], key=int))
+    print(f"{name:25s} knee={r['no_spill_knee_partitions']} {line}")
