@@ -54,12 +54,15 @@ object Bench {
   private def sfDir: String = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
-  /** A full run on a non-canonical BASIS — custom master (multi-JVM) or a
-    * non-testdata SF dir (scale slice) — must not clobber the committed
+  /** A full run on a non-canonical BASIS — custom master (multi-JVM), a
+    * non-testdata SF dir (scale slice), or a pinned shuffle-partition count
+    * (which also disables AQE coalescing) — must not clobber the committed
     * single-JVM baseline records (bench_full/bench_diag).
     */
   private def offBasis: Boolean =
-    sys.env.contains("SPARK_GRAFT_MASTER") || !sfDir.startsWith("/root/testdata/")
+    sys.env.contains("SPARK_GRAFT_MASTER") ||
+      sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS") ||
+      !sfDir.startsWith("/root/testdata/")
 
   private def num(v: Double, dp: Int): String = // Locale.ROOT: '.' decimals always
     s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)

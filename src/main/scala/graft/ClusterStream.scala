@@ -1,10 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-
-import graft.streaming.BookState.Delta
 
 /** Stateful streaming under REAL multi-JVM executors (r13, verdict item 1).
   *
@@ -28,15 +25,18 @@ import graft.streaming.BookState.Delta
   *
   * Each run writes its streaming OUTPUT to parquet (not noop) and the
   * harness compares per-row fingerprints across modes: row count +
-  * order-independent XOR and sum of `xxhash64` over every column — an
-  * identity check in the EwmaStreamSpec batch-vs-stream mold, but across
-  * JVM topologies. `hot_path` is fingerprinted with its float aggregates
-  * rounded to 6 dp first: `sum(double)` merges partial aggregates in
-  * partition order, and the two modes legitimately split MemoryStream
+  * order-independent XOR and sum of `xxhash64` over the deterministic
+  * columns — an identity check in the EwmaStreamSpec batch-vs-stream
+  * mold, but across JVM topologies. `hot_path`'s float aggregates
+  * (volume/vwap) are excluded from the hash and compared as totals
+  * within 1e-9 relative instead: `sum(double)` merges partial aggregates
+  * in partition order, and the two modes legitimately split MemoryStream
   * batches differently (defaultParallelism 4 vs 8), so the merge tree —
-  * not the semantics — may differ in the last ULP. The per-key sequential
-  * paths (`book_state`, `ewma` — explicit in-batch sort by update/trade
-  * id) and the row-passthrough `dedup` are compared bit-exact.
+  * not the semantics — may differ in the last ULP, and hashing a rounded
+  * value would still fail spuriously at rounding boundaries. The per-key
+  * sequential paths (`book_state`, `ewma` — explicit in-batch sort by
+  * update/trade id) and the row-passthrough `dedup` are compared
+  * bit-exact, all columns.
   *
   * Emits one JSON line and writes `clusterstream.json`: per row, the
   * local and cluster rates, their ratio, the output row count, and
@@ -52,79 +52,58 @@ object ClusterStream {
   private val Chunks = 20
   private val Symbols = 64
 
-  /** (seconds, events) for one path run; output lands in `outDir`. */
+  /** (seconds, events) for one path run; output lands in `outDir`. The
+    * workload definition is [[StreamBench.statefulRow]] — the SAME object
+    * the throughput bench runs, so the identity check's "identical input,
+    * identical chunk boundaries" premise holds by construction.
+    */
   private def runPath(
       spark: SparkSession, path: String, n: Int, outDir: String): (Double, Long) = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val perChunk = n / Chunks
-    val fed = perChunk * Chunks
-    val sec = path match {
-      case "hot_path" =>
-        val mem = MemoryStream[StreamBench.TradeEvent]
-        val out = streaming.HotPath.windowedTradeStats(
-          mem.toDF(), "ts", "symbol", "price", "qty",
-          windowDuration = "1 second", watermark = "2 seconds")
-        StreamBench.timeChunked(out, mem, StreamBench.primeTrades, Chunks,
-          c => (0 until perChunk).map(i => StreamBench.eventFor(c.toLong * perChunk + i, Symbols)),
-          format = "parquet", path = Some(outDir))._1
-      case "book_state" =>
-        val mem = MemoryStream[Delta]
-        val out = streaming.BookState.maintain(mem.toDS(), depth = 10).toDF()
-        StreamBench.timeChunked(out, mem, StreamBench.primeDeltas, Chunks,
-          c => (0 until perChunk).map(i => StreamBench.bookDelta(c.toLong * perChunk + i, Symbols)),
-          format = "parquet", path = Some(outDir))._1
-      case "ewma" =>
-        val mem = MemoryStream[streaming.EwmaStream.Px]
-        val out = streaming.EwmaStream.features(mem.toDS()).toDF()
-        val prime = (0 until 1000).map(i => streaming.EwmaStream.Px(
-          s"PRIME${i % 8}", 1700000000000L, i.toLong, 100.0))
-        StreamBench.timeChunked(out, mem, prime, Chunks,
-          c => (0 until perChunk).map { i =>
-            val id = c.toLong * perChunk + i
-            streaming.EwmaStream.Px(
-              s"SYM${id % Symbols}", 1700000000000L + (id / Symbols) * 50L,
-              id, 100.0 + (id % 1000) * 0.01)
-          },
-          format = "parquet", path = Some(outDir))._1
-      case "dedup" =>
-        val mem = MemoryStream[StreamBench.TradeEvent]
-        val out = streaming.HotPath.dedupStream(
-          mem.toDF(), "ts", Seq("symbol", "trade_id"), watermark = "10 seconds")
-        StreamBench.timeChunked(out, mem, StreamBench.primeTrades, Chunks,
-          c => (0 until perChunk).map { i =>
-            val id = c.toLong * perChunk + i
-            StreamBench.eventFor(if (id % 10 == 9) id - 1 else id, Symbols)
-          },
-          format = "parquet", path = Some(outDir))._1
-      case other => sys.error(s"unknown path $other")
-    }
-    (sec, fed.toLong)
+    val sec = StreamBench.statefulRow(spark, path, Symbols)
+      .time(Chunks, perChunk, format = "parquet", path = Some(outDir))._1
+    (sec, (perChunk * Chunks).toLong)
   }
 
-  /** Order-independent output fingerprint: (rows, xor, sum) of xxhash64
-    * over every column — for `hot_path`, double aggregates rounded to 6 dp
-    * first (see object doc). The sum runs in decimal(38,0): summing raw
-    * Long hashes overflows almost surely past a few thousand rows, which
-    * under Spark 4's default ANSI mode is an ARITHMETIC_OVERFLOW error,
-    * not a wrap. Computed distributively; only the 3-number row is
-    * collected.
+  /** Output fingerprint: row count + order-independent XOR and sum of
+    * xxhash64 over the DETERMINISTIC columns, plus (hot_path only) the
+    * totals of its float-aggregate columns for tolerance comparison —
+    * rounding floats INTO the hash would fail spuriously whenever a 1-ULP
+    * merge-order difference straddles a rounding boundary, and a false
+    * alarm here would read as a serialization bug. The hash sum runs in
+    * decimal(38,0): summing raw Long hashes overflows almost surely past a
+    * few thousand rows, which under Spark 4's default ANSI mode is an
+    * ARITHMETIC_OVERFLOW error, not a wrap. Computed distributively; only
+    * one small row is collected.
     */
-  private def fingerprint(spark: SparkSession, dir: String, path: String): (Long, Long, String) = {
+  private final case class Fp(n: Long, xor: Long, sum: String, floatSums: Seq[Double]) {
+    /** Exact on (n, xor, sum); float totals within 1e-9 relative. */
+    def matches(o: Fp): Boolean =
+      n == o.n && xor == o.xor && sum == o.sum &&
+        floatSums.size == o.floatSums.size &&
+        floatSums.zip(o.floatSums).forall { case (a, b) =>
+          math.abs(a - b) <= 1e-9 * math.max(math.abs(a), math.abs(b))
+        }
+  }
+
+  private def fingerprint(spark: SparkSession, dir: String, path: String): Fp = {
     val raw = spark.read.parquet(dir)
-    val df =
+    // hot_path's volume/vwap are sum(double)-derived: partial-aggregate
+    // merge order differs legitimately across topologies (defaultParallelism
+    // 4 vs 8), so they are compared as tolerance-checked totals, not hashed
+    val (df, floatCols) =
       if (path == "hot_path")
-        raw.select(col("symbol"), col("open_time"), col("trade_count"),
-          round(col("volume"), 6).as("volume"),
-          col("min_price"), col("max_price"),
-          round(col("vwap"), 6).as("vwap"))
-      else raw
+        (raw.select(col("symbol"), col("open_time"), col("trade_count"),
+          col("min_price"), col("max_price")),
+          Seq(raw.agg(sum("volume")).head().getDouble(0),
+            raw.agg(sum("vwap")).head().getDouble(0)))
+      else (raw, Seq.empty[Double])
     val h = xxhash64(df.columns.toIndexedSeq.map(col): _*)
     val row = df.select(
       count(lit(1)).as("n"),
       coalesce(bit_xor(h), lit(0L)).as("x"),
       coalesce(sum(h.cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)")).as("s")).head()
-    (row.getLong(0), row.getLong(1), row.getDecimal(2).toBigInteger.toString)
+    Fp(row.getLong(0), row.getLong(1), row.getDecimal(2).toBigInteger.toString, floatCols)
   }
 
   def main(args: Array[String]): Unit = {
@@ -132,13 +111,13 @@ object ClusterStream {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val clusterMaster = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[2,4,4096]")
     val base = java.nio.file.Files.createTempDirectory("clusterstream")
-    val paths = Seq("hot_path", "book_state", "ewma", "dedup")
+    val paths = StreamBench.StatefulPaths
     val rows = for (p <- paths; rocks <- Seq(false, true))
       yield (p, rocks, s"$p${if (rocks) "_rocksdb" else ""}")
 
     // (mode, rowName) -> Right((sec, events, fingerprint)) | Left(why)
     val results = scala.collection.mutable.LinkedHashMap
-      .empty[(String, String), Either[String, (Double, Long, (Long, Long, String))]]
+      .empty[(String, String), Either[String, (Double, Long, Fp)]]
 
     for ((mode, master) <- Seq("local" -> s"local[$cpus]", "cluster" -> clusterMaster)) {
       val b0 = SparkSession.builder()
@@ -160,10 +139,13 @@ object ClusterStream {
           try {
             val (sec, events) = runPath(spark, p, n, outDir)
             val fp = fingerprint(spark, outDir, p)
-            require(fp._1 > 0, s"$name/$mode produced an EMPTY output — identity would be vacuous")
+            require(fp.n > 0, s"$name/$mode produced an EMPTY output — identity would be vacuous")
             results((mode, name)) = Right((sec, events, fp))
             System.err.println(s"[clusterstream] $mode/$name: ${num(events / sec, 0)} ev/s, " +
-              s"rows=${fp._1} xor=${fp._2} sum=${fp._3}")
+              s"rows=${fp.n} xor=${fp.xor} sum=${fp.sum}" +
+              (if (fp.floatSums.nonEmpty)
+                 fp.floatSums.map(num(_, 6)).mkString(" floats=[", ",", "]")
+               else ""))
           } catch {
             case scala.util.control.NonFatal(e) =>
               results((mode, name)) = Left(StreamBench.whyOf(e))
@@ -181,12 +163,19 @@ object ClusterStream {
     val rowJson = rows.map { case (_, _, name) =>
       (results.get(("local", name)), results.get(("cluster", name))) match {
         case (Some(Right((lSec, ev, lFp))), Some(Right((cSec, _, cFp)))) =>
-          val identity = lFp == cFp
+          val identity = lFp.matches(cFp)
+          // [xor, hashSum, floatTotals...] — float totals last, tolerance-
+          // compared (not part of the exact hash)
+          def fpJson(f: Fp) =
+            (Seq(f.xor.toString, f.sum) ++ f.floatSums.map(num(_, 6)))
+              .mkString("[", ",", "]")
           "\"" + name + "\":" +
-            s"""{"completed":true,"identity":$identity,"rows":${lFp._1},""" +
+            s"""{"completed":true,"identity":$identity,"rows":${lFp.n},""" +
             s""""rate_local":${num(ev / lSec, 0)},"rate_cluster":${num(ev / cSec, 0)},""" +
-            s""""cluster_over_local":${num(cSec / lSec, 2)},""" +
-            s""""fp_local":[${lFp._2},${lFp._3}],"fp_cluster":[${cFp._2},${cFp._3}]}"""
+            // a SECONDS ratio (>1 = cluster slower) — named so it cannot be
+            // misread as a rate ratio next to the ev/s fields
+            s""""slowdown_cluster_over_local":${num(cSec / lSec, 2)},""" +
+            s""""fp_local":${fpJson(lFp)},"fp_cluster":${fpJson(cFp)}}"""
         case (l, c) =>
           def why(r: Option[Either[String, _]]) = r match {
             case Some(Left(w)) => "\"" + w + "\""
@@ -199,7 +188,7 @@ object ClusterStream {
     }
     val allIdentical = rows.forall { case (_, _, name) =>
       (results.get(("local", name)), results.get(("cluster", name))) match {
-        case (Some(Right((_, _, l))), Some(Right((_, _, c)))) => l == c
+        case (Some(Right((_, _, l))), Some(Right((_, _, c)))) => l.matches(c)
         case _ => false
       }
     }
@@ -213,6 +202,14 @@ object ClusterStream {
         smoke = n != 200000 || cpus != "4" || sys.env.contains("SPARK_GRAFT_MASTER")),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
-    if (!allIdentical) sys.exit(2)
+    // an identity MISMATCH is the record's finding, not a harness failure —
+    // exiting nonzero would abort the measurement pipeline's remaining
+    // steps under set -e. Only a harness-level wipeout (no row produced a
+    // comparable pair at all) exits nonzero.
+    val comparablePairs = rows.count { case (_, _, name) =>
+      results.get(("local", name)).exists(_.isRight) &&
+        results.get(("cluster", name)).exists(_.isRight)
+    }
+    if (comparablePairs == 0) sys.exit(2)
   }
 }

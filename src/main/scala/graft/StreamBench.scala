@@ -224,6 +224,85 @@ object StreamBench {
     }
   }
 
+  /** One stateful throughput row, fully assembled: the MemoryStream, the
+    * output DataFrame, the prime batch and the per-chunk data generator —
+    * THE single definition of the four stateful workloads, consumed by
+    * both [[throughputChild]] (noop sink, rates) and [[ClusterStream]]
+    * (parquet sink, cross-topology identity). A window/watermark/
+    * duplication-rate tweak in one harness cannot silently diverge from
+    * the other — the identity check's "same generators, same chunk
+    * boundaries" premise is enforced by construction, not by keeping two
+    * copies in sync (r13 review). Build a FRESH instance per run: the
+    * MemoryStream inside is stateful.
+    */
+  private[graft] final case class StatefulRow[T](
+      mem: MemoryStream[T],
+      out: org.apache.spark.sql.DataFrame,
+      prime: Seq[T],
+      chunkFn: (Int, Int) => Seq[T]) { // (chunkIdx, perChunk)
+    def time(chunks: Int, perChunk: Int, format: String = "noop",
+        path: Option[String] = None)
+        : (Double, Option[org.apache.spark.sql.streaming.StateOperatorProgress],
+           Map[String, Double]) =
+      timeChunked(out, mem, prime, chunks, c => chunkFn(c, perChunk), format, path)
+  }
+
+  private[graft] val StatefulPaths: Seq[String] =
+    Seq("hot_path", "book_state", "ewma", "dedup")
+
+  private[graft] def statefulRow(
+      spark: SparkSession, path: String, symbols: Int): StatefulRow[_] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    path match {
+      case "hot_path" =>
+        // watermarked event-time 1 s bars per symbol — the aggregator hot path
+        val mem = MemoryStream[TradeEvent]
+        StatefulRow(mem,
+          streaming.HotPath.windowedTradeStats(
+            mem.toDF(), "ts", "symbol", "price", "qty",
+            windowDuration = "1 second", watermark = "2 seconds"),
+          primeTrades,
+          (c, per) => (0 until per).map(i => eventFor(c.toLong * per + i, symbols)))
+      case "book_state" =>
+        // per-symbol order-book delta replay in flatMapGroupsWithState
+        val mem = MemoryStream[Delta]
+        StatefulRow(mem,
+          streaming.BookState.maintain(mem.toDS(), depth = 10).toDF(),
+          primeDeltas,
+          (c, per) => (0 until per).map(i => bookDelta(c.toLong * per + i, symbols)))
+      case "ewma" =>
+        // per-EVENT emission (one output row per input tick) — the per-tick
+        // feature path, unlike hot_path's window-per-second compaction
+        val mem = MemoryStream[streaming.EwmaStream.Px]
+        StatefulRow(mem,
+          streaming.EwmaStream.features(mem.toDS()).toDF(),
+          (0 until 1000).map(i => streaming.EwmaStream.Px(
+            s"PRIME${i % 8}", 1700000000000L, i.toLong, 100.0)),
+          (c, per) => (0 until per).map { i =>
+            val id = c.toLong * per + i
+            streaming.EwmaStream.Px(
+              s"SYM${id % symbols}", 1700000000000L + (id / symbols) * 50L,
+              id, 100.0 + (id % 1000) * 0.01)
+          })
+      case "dedup" =>
+        // 10% duplicates: every 10th slot carries the WHOLE previous event
+        // again — same (symbol, trade_id) key, a genuine collision the
+        // dedup operator must drop (a single id->event constructor keeps
+        // the duplicate's symbol identical, not just its id)
+        val mem = MemoryStream[TradeEvent]
+        StatefulRow(mem,
+          streaming.HotPath.dedupStream(
+            mem.toDF(), "ts", Seq("symbol", "trade_id"), watermark = "10 seconds"),
+          primeTrades,
+          (c, per) => (0 until per).map { i =>
+            val id = c.toLong * per + i
+            eventFor(if (id % 10 == 9) id - 1 else id, symbols)
+          })
+      case other => sys.error(s"unknown stateful path $other")
+    }
+  }
+
   def main(args: Array[String]): Unit =
     if (sys.env.get("SPARK_GRAFT_STATE_CAPPED").contains("1")) stateCappedParent()
     else if (sys.env.get("SPARK_GRAFT_STATE_SWEEP").contains("1")) stateSweep()
@@ -567,94 +646,31 @@ object StreamBench {
         System.err.println(s"[streambench] row sbe_decode FAILED: $e")
     }
 
-    // Shared deterministic trade events ([[eventFor]]). A single id->event
-    // constructor lets the dedup row replicate the FULL prior event (symbol
-    // included — the dedup key is (symbol, trade_id), so rewriting only the
-    // id would produce a stream with zero actual key collisions).
-    def tradeChunk(c: Int, perChunk: Int): Seq[TradeEvent] =
-      (0 until perChunk).map(i => eventFor(c.toLong * perChunk + i, symbols))
-
-    def runChunked[T](name: String, mem: MemoryStream[T], out: org.apache.spark.sql.DataFrame,
-        prime: Seq[T], data: Int => Seq[T], total: Int): Unit =
-      // per-row isolation: one row's failure (e.g. the prime-batch guard
-      // tripping under load) fails THAT row loudly — recorded as a
-      // completed:false row with its walked root cause, not a silent drop
-      try results(name) = (timeChunked(out, mem, prime, chunks, data)._1, total)
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          failures(name) = whyOf(e)
-          System.err.println(s"[streambench] row $name FAILED: $e")
-      }
     // events actually fed per row: chunks * floor(n / chunks), NOT n (rate
     // would overstate whenever n is not a chunk multiple)
     val fed = (n / chunks) * chunks
 
-    // The three stateful rows run under BOTH state-store providers: the
-    // on-heap default, then (suffix `_rocksdb`) under
+    // The four stateful rows ([[statefulRow]] — the one definition shared
+    // with ClusterStream) run under BOTH state-store providers: the on-heap
+    // default, then (suffix `_rocksdb`) under
     // [[GraftSession.configureRocksDbState]] — runtime confs, so queries
     // started after the call pick up RocksDB. Same data, same micro-batch
     // shape: the delta between the pairs IS the provider cost, the number
     // that justifies (or prices) the 100×-key-cardinality setting.
-    def statefulRows(suffix: String): Unit = {
-      // ---------------------------------------------------------- hot_path
-      {
-        val mem = MemoryStream[TradeEvent]
-        val out = streaming.HotPath.windowedTradeStats(
-          mem.toDF(), "ts", "symbol", "price", "qty",
-          windowDuration = "1 second", watermark = "2 seconds")
-        runChunked(s"hot_path$suffix", mem, out, primeTrades,
-          c => tradeChunk(c, n / chunks), fed)
-      }
-
-      // -------------------------------------------------------- book_state
-      {
-        val mem = MemoryStream[Delta]
-        val out = streaming.BookState.maintain(mem.toDS(), depth = 10).toDF()
-        def deltas(c: Int): Seq[Delta] = {
-          val perChunk = n / chunks
-          (0 until perChunk).map(i => bookDelta(c.toLong * perChunk + i, symbols))
+    def statefulRows(suffix: String): Unit =
+      StatefulPaths.foreach { p =>
+        val name = s"$p$suffix"
+        // per-row isolation: one row's failure (e.g. the prime-batch guard
+        // tripping under load) fails THAT row loudly — recorded as a
+        // completed:false row with its walked root cause, not a silent drop
+        try results(name) =
+          (statefulRow(spark, p, symbols).time(chunks, n / chunks)._1, fed)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            failures(name) = whyOf(e)
+            System.err.println(s"[streambench] row $name FAILED: $e")
         }
-        runChunked(s"book_state$suffix", mem, out, primeDeltas, deltas, fed)
       }
-
-      // -------------------------------------------------------------- ewma
-      // per-EVENT emission (one output row per input tick) — the per-tick
-      // feature path, unlike hot_path's window-per-second compaction
-      {
-        val mem = MemoryStream[streaming.EwmaStream.Px]
-        val out = streaming.EwmaStream.features(mem.toDS()).toDF()
-        def ticks(c: Int): Seq[streaming.EwmaStream.Px] = {
-          val perChunk = n / chunks
-          (0 until perChunk).map { i =>
-            val id = c.toLong * perChunk + i
-            streaming.EwmaStream.Px(
-              s"SYM${id % symbols}", 1700000000000L + (id / symbols) * 50L,
-              id, 100.0 + (id % 1000) * 0.01)
-          }
-        }
-        val prime = (0 until 1000).map(i => streaming.EwmaStream.Px(
-          s"PRIME${i % 8}", 1700000000000L, i.toLong, 100.0))
-        runChunked(s"ewma$suffix", mem, out, prime, ticks, fed)
-      }
-
-      // ------------------------------------------------------------- dedup
-      {
-        val mem = MemoryStream[TradeEvent]
-        val out = streaming.HotPath.dedupStream(
-          mem.toDF(), "ts", Seq("symbol", "trade_id"), watermark = "10 seconds")
-        // 10% duplicates: every 10th slot carries the WHOLE previous event
-        // again — same (symbol, trade_id) key, a genuine collision the
-        // dedup operator must drop
-        def dup(c: Int): Seq[TradeEvent] = {
-          val perChunk = n / chunks
-          (0 until perChunk).map { i =>
-            val id = c.toLong * perChunk + i
-            eventFor(if (id % 10 == 9) id - 1 else id, symbols)
-          }
-        }
-        runChunked(s"dedup$suffix", mem, out, primeTrades, dup, fed)
-      }
-    }
 
     statefulRows("")
     GraftSession.configureRocksDbState(spark)
@@ -827,9 +843,20 @@ object StreamBench {
         case None => settled = true
       }
     }
-    if (!settled && runs > 1 && rounds.map(_.total).max > baseline * factor)
-      System.err.println(s"[streambench] re-fork budget exhausted ($budget); " +
-        "remaining spread is recorded as-is — box may be genuinely busy")
+    // Two residues after an exhausted budget, both surfaced (Bench's exact
+    // convention): a still-disturbed total (recorded as-is), and a round
+    // still carrying EXTRA failed rows vs the intersection — that row's
+    // median/band then comes from fewer rounds and its absence deflates the
+    // round total, so the record itself must say so, not just stderr.
+    val residualBroken = runs > 1 && rounds.exists(_.failed != commonFails)
+    if (!settled && runs > 1) {
+      if (rounds.map(_.total).max > baseline * factor)
+        System.err.println(s"[streambench] re-fork budget exhausted ($budget); " +
+          "remaining spread is recorded as-is — box may be genuinely busy")
+      if (residualBroken)
+        System.err.println(s"[streambench] re-fork budget exhausted ($budget) with a " +
+          "BROKEN round still in the set — the record carries residual_broken_round:true")
+    }
 
     // aggregate: per-row median/min/max seconds over the rounds where the
     // row completed; rate = events / seconds (events are a per-row constant)
@@ -863,6 +890,9 @@ object StreamBench {
         s""""round_totals":${rounds.map(r => num(r.total, 3)).mkString("[", ",", "]")},""" +
         s""""rounds_discarded":${discardedTotals.size},""" +
         s""""discarded_totals":${discardedTotals.map(num(_, 3)).mkString("[", ",", "]")},""" +
+        s""""residual_broken_round":$residualBroken,""" +
+        s""""rounds_completed":${names.map(nm =>
+          "\"" + nm + "\":" + rounds.count(_.times.contains(nm))).mkString("{", ",", "}")},""" +
         s""""baseline_ref":{"sbe_target":1000,"sbe_peak":5000,"kinesis_target":5000,"kinesis_peak":25000,"reanchor_seconds":60},""" +
         s""""rates":${agg.map { case (nm, (med, _, _)) => "\"" + nm + "\":" + med }.mkString("{", ",", "}")},""" +
         s""""rates_band":${agg.map { case (nm, (_, band, _)) => "\"" + nm + "\":" + band }.mkString("{", ",", "}")},""" +
@@ -870,7 +900,12 @@ object StreamBench {
         s""""failed":${failedJson.mkString("{", ",", "}")}}"""
     java.nio.file.Files.write(
       Bench.recordPath("streambench",
-        smoke = n != 1000000 || cpus != "4" || runs < 3),
+        // guard knobs count as non-default too: a hair-trigger
+        // DISTURB_FACTOR run (the guard-validation pattern) must never
+        // overwrite the canonical record
+        smoke = n != 1000000 || cpus != "4" || runs < 3 ||
+          sys.env.contains("SPARK_GRAFT_DISTURB_FACTOR") ||
+          sys.env.contains("SPARK_GRAFT_MAX_REFORKS")),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
   }

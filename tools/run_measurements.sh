@@ -152,8 +152,10 @@ rm -f bench_diag_only.json
 
 echo "== step 9: stateful streaming under multi-JVM executors (r13) =="
 # four stateful paths x both state backends, local[4] vs local-cluster,
-# output-identity fingerprints + rates -> clusterstream.json
-SPARK_SCALA_VERSION=2.13 sbt -batch "runMain graft.ClusterStream" \
+# output-identity fingerprints + rates -> clusterstream.json. CPUS=4 pins
+# the local baseline to the streambench basis (the global 32 export would
+# both skew the comparison and smoke-name the record).
+SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_CPUS=4 sbt -batch "runMain graft.ClusterStream" \
   > /tmp/m_clusterstream.log 2>&1
 
 echo "== step 10: shuffle-partition sweep at 100x (t25/t27, the spillers) =="
