@@ -13,8 +13,11 @@ Usage: scale_diag_report.py <out.json> <k:diag_file> <k:diag_file> ...
 import json
 import sys
 
+# task_cpu_ms/task_gc_ms (r13): executor-side task-metric sums — in
+# cluster-mode runs the only real CPU/GC numbers (cpu_ms/gc_ms are
+# driver-process beans there)
 FIELDS = ["wall", "cpu_ms", "gc_ms", "shuffle_read", "shuffle_write",
-          "spill_mem", "spill_disk"]
+          "spill_mem", "spill_disk", "task_cpu_ms", "task_gc_ms"]
 
 out_path = sys.argv[1]
 per_query: dict[str, dict[str, dict]] = {}
