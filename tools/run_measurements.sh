@@ -133,6 +133,8 @@ SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_MASTER='local-cluster[2,4,2304]' \
   SPARK_GRAFT_RECORD=clustermem.json SPARK_GRAFT_ROUND_TIMEOUT_MIN=45 \
   SPARK_GRAFT_ONLY="t25_char_spans,t26_winnowed_spans,t27_char_redaction" \
   sbt -batch "runMain graft.Bench" > /tmp/m_clustermem.log 2>&1
+# keep the x10 diag before the 100x loop overwrites bench_diag_only.json
+cp bench_diag_only.json clustermem_diag.json
 # same composition at the 100x point, where even local[32]'s 128 GiB JVM
 # spills: capped executors parallelize the spill across independent memory
 # managers. RUNS raised 2 -> 3 (r13, verdict item 4): the r12 records'
@@ -158,25 +160,26 @@ echo "== step 9: stateful streaming under multi-JVM executors (r13) =="
 SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_CPUS=4 sbt -batch "runMain graft.ClusterStream" \
   > /tmp/m_clusterstream.log 2>&1
 
-echo "== step 10: shuffle-partition sweep at 100x (t25/t27, the spillers) =="
+echo "== step 10: shuffle-partition sweep at 100x (t25, the spiller) =="
 # TODO #1 / verdict item 4: per-partition working set = shuffle bytes /
 # partition count; sweeping the PINNED count (AQE coalescing off — see
 # Bench.buildSession) locates the no-spill knee on one box, the single-box
-# stand-in for adding executors. t26 is excluded: winnowing already keeps
-# it at zero spill at 100x (SCALING_r12_diag), so it has no knee to find.
-# 2 forked rounds per point for the diag record (spill/shuffle bytes live
-# in bench_diag_only.json).
-for P in 32 64 128 256 512; do
+# stand-in for adding executors. t25 only: t26 winnowed has no spill to
+# sweep, and t27 shares t25's detection plan (the spilling stage); under
+# the r13 cold-cache basis each 100x pass costs ~2x the r12 number, so the
+# sweep runs the canonical spiller at three log-spaced counts. 2 forked
+# rounds per point for the diag record (spill/shuffle bytes live in
+# bench_diag_only.json).
+for P in 32 128 512; do
   SPARK_GRAFT_SHUFFLE_PARTITIONS=$P \
-    SPARK_GRAFT_ONLY="t25_char_spans,t27_char_redaction" \
+    SPARK_GRAFT_ONLY="t25_char_spans" \
     SPARK_GRAFT_RUNS=2 SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x100 \
     SPARK_GRAFT_ROUND_TIMEOUT_MIN=120 \
     SPARK_GRAFT_RECORD="/tmp/m_shufsweep_$P.json" \
     sbt -batch "runMain graft.Bench" > "/tmp/m_shufsweep_$P.log" 2>&1
   cp bench_diag_only.json "/tmp/m_shufsweep_diag_$P.json"
 done
-python3 tools/shuffle_sweep_report.py shufflesweep100.json \
-  32 64 128 256 512
+python3 tools/shuffle_sweep_report.py shufflesweep100.json 32 128 512
 rm -f bench_diag_only.json
 
 echo "== step 11: streambench disturbance-guard validation =="
