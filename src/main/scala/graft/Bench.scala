@@ -54,6 +54,16 @@ object Bench {
   private def sfDir: String = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
+  /** Cache basis label stamped into every emitted record (r14, verdict
+    * item 7): r13 moved the timed rounds from warm-cache (warmup's persisted
+    * sets leaked into the timing) to cold-cache (clearCache() before every
+    * timed/exec pass), which legitimately moved the char family's numbers —
+    * so records must be SELF-describing on basis, or cross-round
+    * comparisons silently mix footings. tools/spread_report.py refuses
+    * records without the label.
+    */
+  private[graft] val CacheBasis = "cold-cache"
+
   /** A full run on a non-canonical BASIS — custom master (multi-JVM), a
     * non-testdata SF dir (scale slice), or a pinned shuffle-partition count
     * (which also disables AQE coalescing) — must not clobber the committed
@@ -396,74 +406,20 @@ object Bench {
       ChildRound(times.toSeq, diag.toMap, exec.toSeq, errors.toMap)
     }
 
-    val rounds = scala.collection.mutable.ArrayBuffer.tabulate(runs) { r =>
-      childRound(r.toString, withExec = r == 0)
-    }
-
-    // Disturbance guard: discard-and-replace any round whose total reads
-    // >1.5x the current min round. Replace IN PLACE so round 0 stays the
-    // sweep/exec round (a replacement at index 0 re-runs with EXEC=1, so
-    // the exec record never comes from a disturbed round either).
-    val maxReforks = Bench.maxReforks
-    val discardedTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var reforks = 0
-    var settled = false
-    val factor = disturbFactor
-    // The baseline "quiet" total only trusts CLEAN rounds: a round whose
-    // session broke can fail queries in milliseconds, post a tiny total,
-    // and would otherwise make every healthy round look disturbed
-    // (>factor x the broken min) until the budget burned out. "Clean" is
-    // judged by error IDENTITY, not count — with one DIFFERENT flaky query
-    // per round, every round has the same error count but none is clean.
-    // Errors present in EVERY round are persistent (broken build/query);
-    // re-forking those would burn the budget for an identical result, so
-    // only errors beyond the all-round intersection mark a round broken.
-    def commonErrs: Set[String] =
-      rounds.map(_.errors.keySet).reduce(_ intersect _)
-    def baseline = {
-      val common = commonErrs
-      val clean = rounds.filter(_.errors.keySet == common)
-      (if (clean.nonEmpty) clean else rounds).map(_.total).min
-    }
-    while (!settled && reforks < maxReforks && runs > 1) {
-      val common = commonErrs
-      val broken = rounds.indexWhere(_.errors.keySet != common)
-      val totals = rounds.map(_.total)
-      val worst = totals.indices.maxBy(totals)
-      val target =
-        if (broken >= 0) Some(broken -> "extra query errors vs the cleanest round")
-        else if (totals(worst) > baseline * factor)
-          Some(worst -> (s"total ${num(totals(worst), 1)} s > ${num(factor, 2)}x " +
-            s"clean min ${num(baseline, 1)} s"))
-        else None
-      target match {
-        case Some((idx, why)) =>
-          System.err.println(
-            s"[bench] round $idx disturbed ($why) — re-forking (${reforks + 1}/$maxReforks)")
-          discardedTotals += totals(idx)
-          reforks += 1
-          rounds(idx) = childRound(s"$idx-refork$reforks", withExec = idx == 0)
-        case None => settled = true
-      }
-    }
-    // re-check: the LAST replacement may have settled the set right as the
-    // budget ran out. Two distinct residues, both surfaced: a round still
-    // above the disturbance threshold (box busy — spread recorded as-is),
-    // and a round still carrying EXTRA errors vs the intersection (broken —
-    // its failing queries post near-zero times that silently deflate
-    // queries_min/medians, so the record itself must say so).
-    val residualBroken = runs > 1 && rounds.exists(_.errors.keySet != commonErrs)
-    if (!settled && runs > 1) {
-      val totals = rounds.map(_.total)
-      if (totals.max > baseline * factor)
-        System.err.println(s"[bench] re-fork budget exhausted ($maxReforks); " +
-          "remaining spread is recorded as-is — box may be genuinely busy")
-      if (residualBroken)
-        System.err.println(s"[bench] re-fork budget exhausted ($maxReforks) with a " +
-          "BROKEN round still in the set (extra query errors vs the intersection) — " +
-          "its failed queries' near-zero times contaminate queries_min/medians; " +
-          "the record carries residual_broken_round:true")
-    }
+    // Disturbance guard (r11, one shared driver since r14 — semantics
+    // pinned in ForkedRoundsSpec): broken rounds (extra query errors vs the
+    // all-round intersection; errors in EVERY round are the build, not the
+    // box) re-fork first, then any round whose total reads > factor x the
+    // CLEAN minimum. Replacement is IN PLACE so round 0 stays the
+    // sweep/exec round (a replacement at slot 0 re-runs with EXEC=1, so the
+    // exec record never comes from a disturbed round either).
+    val outcome = ForkedRounds.run[ChildRound](
+      runs, tag = "bench", brokenNoun = "query errors",
+      fork = (idx, label) => childRound(label, withExec = idx == 0),
+      total = _.total, failedKeys = _.errors.keySet)
+    val rounds = outcome.rounds
+    val discardedTotals = outcome.discardedTotals
+    val residualBroken = outcome.residualBroken
     // errors from KEPT rounds only — a discarded round's transient failure
     // must not be reported against the record built from its replacement
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -487,6 +443,7 @@ object Bench {
         }
         "\"" + name + "\":" + cells.mkString("[", ",", "]")
       }.mkString("{\"rounds_per_query\":{", ",", "},") +
+        s""""basis":"$CacheBasis",""" +
         s""""rounds_discarded":${discardedTotals.size},""" +
         s""""discarded_totals":${discardedTotals.map(num(_, 3)).mkString("[", ",", "]")}}"""
       val diagPath =
@@ -598,6 +555,7 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,
          |"mode":"$mode",
+         |"basis":"$CacheBasis",
          |"value_min":${num(totalMin, 6)},
          |"value_exec":${num(totalExec, 6)},
          |"round_totals":${roundTotals.map(num(_, 3)).mkString("[", ",", "]")},
@@ -632,7 +590,8 @@ object Bench {
     // medians map LAST so the surviving tail is the regression signal.
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,""" +
-        s""""mode":"$mode","value_min":${num(totalMin, 3)},"value_exec":${num(totalExec, 3)},""" +
+        s""""mode":"$mode","basis":"$CacheBasis",""" +
+        s""""value_min":${num(totalMin, 3)},"value_exec":${num(totalExec, 3)},""" +
         s""""round_totals":${roundTotals.map(num(_, 3)).mkString("[", ",", "]")},""" +
         s""""rounds_discarded":${discardedTotals.size},""" +
         s""""residual_broken_round":$residualBroken,""" +

@@ -165,9 +165,13 @@ object ClusterStream {
         case (Some(Right((lSec, ev, lFp))), Some(Right((cSec, _, cFp)))) =>
           val identity = lFp.matches(cFp)
           // [xor, hashSum, floatTotals...] — float totals last, tolerance-
-          // compared (not part of the exact hash)
+          // compared (not part of the exact hash). The decimal(38,0) hash
+          // sum is emitted as a JSON STRING (r14 advice): it exceeds 2^53,
+          // so double-based parsers (JS, jq defaults) would silently round
+          // a bare integer and cross-tool consumers could see false
+          // mismatches — it is an identity token, not a quantity.
           def fpJson(f: Fp) =
-            (Seq(f.xor.toString, f.sum) ++ f.floatSums.map(num(_, 6)))
+            (Seq(f.xor.toString, "\"" + f.sum + "\"") ++ f.floatSums.map(num(_, 6)))
               .mkString("[", ",", "]")
           "\"" + name + "\":" +
             s"""{"completed":true,"identity":$identity,"rows":${lFp.n},""" +

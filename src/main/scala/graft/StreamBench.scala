@@ -805,58 +805,18 @@ object StreamBench {
       Round(order.toSeq, times.toMap, fails.toMap)
     }
 
-    val rounds = scala.collection.mutable.ArrayBuffer.tabulate(runs)(r => childRound(r.toString))
-
-    // Disturbance guard, Bench.forkedMain's exact shape: broken rounds
-    // (extra failed rows vs the all-round intersection — a persistent
-    // failure in EVERY round is the build, not the box) re-fork first; then
-    // totals > factor x the clean minimum.
-    val discardedTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var reforks = 0
-    var settled = false
-    val factor = Bench.disturbFactor
-    val budget = Bench.maxReforks
-    def commonFails: Set[String] = rounds.map(_.failed).reduce(_ intersect _)
-    def baseline: Double = {
-      val common = commonFails
-      val clean = rounds.filter(_.failed == common)
-      (if (clean.nonEmpty) clean else rounds).map(_.total).min
-    }
-    while (!settled && reforks < budget && runs > 1) {
-      val common = commonFails
-      val broken = rounds.indexWhere(_.failed != common)
-      val totals = rounds.map(_.total)
-      val worst = totals.indices.maxBy(totals)
-      val target =
-        if (broken >= 0) Some(broken -> "extra failed rows vs the cleanest round")
-        else if (totals(worst) > baseline * factor)
-          Some(worst -> (s"total ${num(totals(worst), 1)} s > ${num(factor, 2)}x " +
-            s"clean min ${num(baseline, 1)} s"))
-        else None
-      target match {
-        case Some((idx, why)) =>
-          System.err.println(
-            s"[streambench] round $idx disturbed ($why) — re-forking (${reforks + 1}/$budget)")
-          discardedTotals += totals(idx)
-          reforks += 1
-          rounds(idx) = childRound(s"$idx-refork$reforks")
-        case None => settled = true
-      }
-    }
-    // Two residues after an exhausted budget, both surfaced (Bench's exact
-    // convention): a still-disturbed total (recorded as-is), and a round
-    // still carrying EXTRA failed rows vs the intersection — that row's
-    // median/band then comes from fewer rounds and its absence deflates the
-    // round total, so the record itself must say so, not just stderr.
-    val residualBroken = runs > 1 && rounds.exists(_.failed != commonFails)
-    if (!settled && runs > 1) {
-      if (rounds.map(_.total).max > baseline * factor)
-        System.err.println(s"[streambench] re-fork budget exhausted ($budget); " +
-          "remaining spread is recorded as-is — box may be genuinely busy")
-      if (residualBroken)
-        System.err.println(s"[streambench] re-fork budget exhausted ($budget) with a " +
-          "BROKEN round still in the set — the record carries residual_broken_round:true")
-    }
+    // Disturbance guard — the ONE shared driver (r14): broken rounds (extra
+    // failed rows vs the all-round intersection — a persistent failure in
+    // EVERY round is the build, not the box) re-fork first; then totals >
+    // factor x the clean minimum. Semantics pinned in ForkedRoundsSpec, so
+    // this harness and Bench cannot drift on what counts as "disturbed".
+    val outcome = ForkedRounds.run[Round](
+      runs, tag = "streambench", brokenNoun = "failed rows",
+      fork = (_, label) => childRound(label),
+      total = _.total, failedKeys = _.failed)
+    val rounds = outcome.rounds
+    val discardedTotals = outcome.discardedTotals
+    val residualBroken = outcome.residualBroken
 
     // aggregate: per-row median/min/max seconds over the rounds where the
     // row completed; rate = events / seconds (events are a per-row constant)
@@ -902,8 +862,12 @@ object StreamBench {
       Bench.recordPath("streambench",
         // guard knobs count as non-default too: a hair-trigger
         // DISTURB_FACTOR run (the guard-validation pattern) must never
-        // overwrite the canonical record
-        smoke = n != 1000000 || cpus != "4" || runs < 3 ||
+        // overwrite the canonical record. STREAM_RUNS is judged by env
+        // PRESENCE, not value (r14 advice): `runs < 3` let STREAM_RUNS=5 —
+        // a non-default knob — silently overwrite the canonical record,
+        // contradicting the "ANY non-default knob smoke-names" convention.
+        smoke = n != 1000000 || cpus != "4" ||
+          sys.env.contains("SPARK_GRAFT_STREAM_RUNS") ||
           sys.env.contains("SPARK_GRAFT_DISTURB_FACTOR") ||
           sys.env.contains("SPARK_GRAFT_MAX_REFORKS")),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

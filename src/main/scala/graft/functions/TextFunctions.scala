@@ -143,6 +143,14 @@ object TextFunctions {
   def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(TextKernels.BpeTokensExpr(ColumnBridge.expression(text), merges))
 
+  /** [[bpeTokens]] with the Sennrich/GPT-2 end-of-word marker on each
+    * word-final token ([[TextKernels.bpeTokensMarked]]) — the emission
+    * external tokenizer stacks can load, since word boundaries are
+    * reconstructible from the token stream alone.
+    */
+  def bpeTokensMarked(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(TextKernels.BpeTokensMarkedExpr(ColumnBridge.expression(text), merges))
+
   /** Stopword-membership count used by the quality/language heuristics. */
   def stopwordCount(tk: Column, stopwords: Seq[String]): Column =
     if (stopwords.isEmpty) lit(0) // reduce on an empty list would throw

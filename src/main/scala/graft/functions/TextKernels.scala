@@ -498,7 +498,31 @@ object TextKernels {
     * split and merge passes as [[bpeTokenCount]], so
     * `size(bpeTokens(x)) == bpeTokenCount(x)` by construction).
     */
-  def bpeTokens(t: UTF8String, merges: Array[Array[String]]): GenericArrayData = {
+  def bpeTokens(t: UTF8String, merges: Array[Array[String]]): GenericArrayData =
+    bpeTokensImpl(t, merges, marked = false)
+
+  /** The Sennrich end-of-word marker appended to each word-FINAL token by
+    * [[bpeTokensMarked]]. Corpus words are whitespace-split text, so no
+    * unmarked token can ever contain '<' + '/' + 'w' + '>' as a suffix
+    * collision with a marked one in this vocab.
+    */
+  val EowMarker = "</w>"
+
+  /** [[bpeTokens]] with the GPT-2/Sennrich END-OF-WORD MARKER: the last
+    * token of every word carries [[EowMarker]], so a (merges, vocab) pair
+    * emitted from these tokens is loadable by external tokenizer stacks —
+    * word boundaries are reconstructible from the token stream alone, which
+    * the plain t14c vocab cannot offer. Merges are trained and applied
+    * UNMARKED (strictly intra-word — graft.operators.Bpe's documented
+    * deviation stands); the marker is attached at emission time only, so
+    * token COUNTS are unchanged: `size(bpeTokensMarked(x)) ==
+    * bpeTokenCount(x)`.
+    */
+  def bpeTokensMarked(t: UTF8String, merges: Array[Array[String]]): GenericArrayData =
+    bpeTokensImpl(t, merges, marked = true)
+
+  private def bpeTokensImpl(
+      t: UTF8String, merges: Array[Array[String]], marked: Boolean): GenericArrayData = {
     val s = t.toString
     val out = new java.util.ArrayList[UTF8String]()
     var start = 0
@@ -509,7 +533,12 @@ object TextKernels {
       if (end > start) {
         val toks = bpeWordTokenList(s, start, end, merges)
         var i = 0
-        while (i < toks.size) { out.add(UTF8String.fromString(toks.get(i))); i += 1 }
+        while (i < toks.size) {
+          val tok =
+            if (marked && i == toks.size - 1) toks.get(i) + EowMarker else toks.get(i)
+          out.add(UTF8String.fromString(tok))
+          i += 1
+        }
       }
       if (sp < 0) more = false else start = sp + 1
     }
@@ -529,6 +558,22 @@ object TextKernels {
       defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.bpeTokens($c, $ref)")
     }
     override protected def withNewChildInternal(newChild: Expression): BpeTokensExpr =
+      copy(child = newChild)
+  }
+
+  case class BpeTokensMarkedExpr(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    private lazy val mergesArr: Array[Array[String]] =
+      merges.map(p => Array(p._1, p._2)).toArray
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      bpeTokensMarked(input.asInstanceOf[UTF8String], mergesArr)
+    override protected def doGenCode(
+        ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("bpeMerges", mergesArr, "java.lang.String[][]")
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.bpeTokensMarked($c, $ref)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BpeTokensMarkedExpr =
       copy(child = newChild)
   }
 

@@ -23,8 +23,12 @@ import graft.functions.TextKernels
   *     pass has no overlapping matches (a match at i forbids one at i±1),
   *     so left-to-right greedy == all-at-once simultaneous — each pass is
   *     order-independent and expressible as one `list_transform` in SQL;
-  *   - no end-of-word marker: merges stay strictly inside whitespace
-  *     words, so the token COUNT (all packing needs) is a per-word sum.
+  *   - no end-of-word marker IN THE MERGES: merges stay strictly inside
+  *     whitespace words, so the token COUNT (all packing needs) is a
+  *     per-word sum. The t14d vocab emission attaches the Sennrich `</w>`
+  *     marker to word-final tokens AFTER apply
+  *     ([[TextKernels.bpeTokensMarked]]), which restores external
+  *     loadability without changing training or counts.
   *
   * Scale shape: training aggregates the corpus to a WORD HISTOGRAM first —
   * one `groupBy(word)` shuffle whose output is O(vocabulary), not

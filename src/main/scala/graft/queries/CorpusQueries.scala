@@ -127,6 +127,29 @@ object CorpusQueries {
             .over(Window.orderBy(col("n_occurrences").desc, col("token")))
             .cast("long"))
     },
+    // C-vocab-marked — t14c's vocab with the Sennrich/GPT-2 END-OF-WORD
+    // MARKER on each word-final token (r14, the carried verdict extension):
+    // the (merges, vocab) pair becomes loadable by external tokenizer
+    // stacks because word boundaries are reconstructible from the token
+    // stream. Merges stay trained/applied unmarked (strictly intra-word);
+    // the marker is attached at emission only, so counts match t14b
+    // exactly. Same plan shape as t14c: the rank window runs over the
+    // AGGREGATED vocab (bounded by alphabet + merges, each token at most
+    // doubled by its marked form), never the corpus.
+    "t14d_bpe_vocab_marked" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.richDocuments(s, dir)
+        .select(
+          explode(TextFunctions.bpeTokensMarked(col("text"), Bpe.Merges)).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_occurrences"))
+        .withColumn(
+          "token_id",
+          row_number()
+            .over(Window.orderBy(col("n_occurrences").desc, col("token")))
+            .cast("long"))
+        .withColumn("is_word_end", col("token").endsWith(TextKernels.EowMarker))
+    },
     // C-spans — cross-document repeated n-gram SPAN dedup (the train-set
     // memorization pass): merged token intervals per doc covered by
     // shingles that occur in >= 2 distinct docs. The t12 shingle machinery
@@ -318,6 +341,20 @@ object CorpusQueries {
          |agg AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY token)
          |SELECT token, n_occurrences,
          |  row_number() OVER (ORDER BY n_occurrences DESC, token) AS token_id
+         |FROM agg""".stripMargin,
+    "t14d_bpe_vocab_marked" ->
+      // the w{N} CTE holds ONE WORD per row (w0 unnests the whitespace
+      // split), so "word-final token" is simply the list's last element —
+      // marked with the same '</w>' constant the Spark kernel appends
+      s"""WITH $bpeCtes,
+         |tokm AS (SELECT unnest(list_transform(generate_series(1, len(xs)),
+         |    i -> CASE WHEN i = len(xs) THEN xs[i] || '${TextKernels.EowMarker}'
+         |         ELSE xs[i] END)) AS token
+         |  FROM w${Bpe.Merges.size}),
+         |agg AS (SELECT token, count(*) AS n_occurrences FROM tokm GROUP BY token)
+         |SELECT token, n_occurrences,
+         |  row_number() OVER (ORDER BY n_occurrences DESC, token) AS token_id,
+         |  token LIKE '%${TextKernels.EowMarker}' AS is_word_end
          |FROM agg""".stripMargin,
     "d3_profile_columns" ->
       (Seq("doc_id", "n_chars").map(duckProfileNum) ++

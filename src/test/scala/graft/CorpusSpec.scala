@@ -447,4 +447,35 @@ class CorpusSpec extends SparkSpec {
     val joined = both.filter($"doc_id" === 1L).head().getSeq[String](2).mkString
     assert(joined === "theordercanscanthewindow")
   }
+
+  test("bpeTokensMarked marks exactly the word-final tokens (t14d)") {
+    import graft.functions.{TextFunctions, TextKernels}
+    import graft.operators.Bpe
+    val docs = Seq(
+      (1L, "the order can scan the window"),
+      (2L, ""),                        // zero words -> zero tokens, zero markers
+      (3L, "a  b"),                    // empty word between the spaces: no marker for it
+      (4L, null.asInstanceOf[String])  // null text -> null array
+    ).toDF("doc_id", "text")
+    // one marker per NON-EMPTY word (doc 3's middle "word" is empty)
+    val expectedMarkers = Map(1L -> 6, 2L -> 0, 3L -> 2)
+    val out = docs.select(
+      $"doc_id",
+      TextFunctions.bpeTokens($"text", Bpe.Merges).as("plain"),
+      TextFunctions.bpeTokensMarked($"text", Bpe.Merges).as("marked"))
+    out.collect().foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2))
+      else {
+        val plain = r.getSeq[String](1)
+        val marked = r.getSeq[String](2)
+        // marker is emission-only: stripping it reproduces the plain stream
+        // (so counts match t14b's bpeTokenCount by construction)
+        assert(marked.map(_.stripSuffix(TextKernels.EowMarker)) === plain,
+          s"doc ${r.getLong(0)}: marked stream is not plain + markers")
+        assert(marked.count(_.endsWith(TextKernels.EowMarker))
+          === expectedMarkers(r.getLong(0)),
+          s"doc ${r.getLong(0)}: marker count != non-empty word count")
+      }
+    }
+  }
 }

@@ -26,8 +26,12 @@ for P in parts:
     for name, wall_min in rec["queries_min"].items():
         rounds = diag["rounds_per_query"].get(name, [])
         # the diag row of the MIN-wall round — the round the wall number is
-        # from, so spill/shuffle attribution matches the quoted time
-        best = min(rounds, key=lambda r: r["wall"]) if rounds else {}
+        # from, so spill/shuffle attribution matches the quoted time. A
+        # failed round's diag row carries wall:-1.0 (all fields -1), so only
+        # wall > 0 rows qualify — min() over the raw list would pick the
+        # failed round and the attribution would no longer match wall_min.
+        ok = [r for r in rounds if r.get("wall", -1) > 0]
+        best = min(ok, key=lambda r: r["wall"]) if ok else {}
         queries.setdefault(name, {})[str(P)] = {
             "wall_min": round(wall_min, 3),
             "wall_median": round(rec["queries"][name], 3),

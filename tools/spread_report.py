@@ -22,10 +22,26 @@ Usage: spread_report.py [bench_diag.json] [threshold]
 import json
 import sys
 
-path = sys.argv[1] if len(sys.argv) > 1 else "bench_diag.json"
-thresh = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+args = [a for a in sys.argv[1:] if a != "--any-basis"]
+any_basis = "--any-basis" in sys.argv[1:]
+path = args[0] if len(args) > 0 else "bench_diag.json"
+thresh = float(args[1]) if len(args) > 1 else 2.0
 
-d = json.load(open(path))["rounds_per_query"]
+rec = json.load(open(path))
+# Basis guard (r14, verdict item 7): r13 moved the bench from warm- to
+# cold-cache and the char family's numbers legitimately moved — comparing
+# across bases silently misreads that as a regression. Records are stamped
+# with "basis" since r14; an unlabeled record predates the stamp and its
+# basis is ambiguous, so refuse unless the caller explicitly accepts.
+basis = rec.get("basis")
+if basis is None and not any_basis:
+    sys.exit(
+        f"{path}: no 'basis' field (pre-r14 record — warm/cold ambiguous); "
+        "numbers from it must not be diffed against labeled records. "
+        "Pass --any-basis to analyze it anyway."
+    )
+print(f"basis: {basis or 'UNLABELED (accepted via --any-basis)'}")
+d = rec["rounds_per_query"]
 buckets = {"gc": [], "cpu": [], "offjvm": []}
 for name, rounds in sorted(d.items()):
     walls = [r["wall"] for r in rounds]
