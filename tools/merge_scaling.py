@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Extend a committed SCALING record with freshly measured size points and
+refit the slopes — the r14 carry-forward: the 1x-30x points (and the char
+family's 100x points) were measured in r13 on the same box, same cold-cache
+basis, and NONE of the r14 engine diffs touch those queries' plans (r14
+changed harness plumbing, tooling, and added the t14d query), so re-running
+~2h of unchanged measurements would add noise, not information. The output
+record says exactly which points are carried and which are fresh
+("provenance" per query), so a reader can never mistake the mix for one
+measurement session. Slopes are refit by the SAME least-squares log-log
+model over min_sec as tools/scaling_report.py, over the union of points.
+
+Usage: merge_scaling.py <out.json> <out_diag.json> <base.json> <base_diag.json>
+                        <k:rec:diag> ...
+(rec/diag are a subset bench's bench_only.json / bench_diag_only.json)
+"""
+import json
+import math
+import sys
+
+FIELDS = ["wall", "cpu_ms", "gc_ms", "shuffle_read", "shuffle_write",
+          "spill_mem", "spill_disk", "task_cpu_ms", "task_gc_ms"]
+
+out_path, out_diag_path, base_path, base_diag_path = sys.argv[1:5]
+base = json.load(open(base_path))
+base_diag = json.load(open(base_diag_path))
+
+fresh = {}  # query -> {size_str: (min, median, exec)}
+fresh_diag = {}  # query -> {size_str: diag row}
+fresh_sizes = {}  # size_str -> sf dir
+runs_fresh = None
+for arg in sys.argv[5:]:
+    k, rec_path, diag_path = arg.split(":", 2)
+    rec = json.load(open(rec_path))
+    diag = json.load(open(diag_path))
+    runs_fresh = rec.get("runs")
+    key = str(float(k))
+    fresh_sizes[key] = rec["sf"]
+    for name, wall_min in rec["queries_min"].items():
+        fresh.setdefault(name, {})[key] = (
+            wall_min, rec["queries"][name],
+            rec.get("queries_exec", {}).get(name))
+    for name, rounds in diag["rounds_per_query"].items():
+        ok = [r for r in rounds if r.get("wall", -1) > 0]
+        if ok:
+            best = min(ok, key=lambda r: r["wall"])
+            # the diag record keys sizes by the RAW k string ("100"), the
+            # scaling record by str(float(k)) ("100.0") — match each base
+            fresh_diag.setdefault(name, {})[k] = {
+                f: best.get(f, 0) for f in FIELDS}
+
+
+def refit(min_sec):
+    pts = sorted((float(k), v) for k, v in min_sec.items())
+    lx = [math.log(k) for k, _ in pts]
+    ly = [math.log(v) for _, v in pts]
+    mx, my = sum(lx) / len(lx), sum(ly) / len(ly)
+    denom = sum((x - mx) ** 2 for x in lx)
+    return sum((x - mx) * (y - my) for x, y in zip(lx, ly)) / denom
+
+
+for name, by_size in fresh.items():
+    row = base["queries"].get(name)
+    if row is None:
+        print(f"{name}: not in base record — skipped (no 1x anchor)",
+              file=sys.stderr)
+        continue
+    carried = sorted(row["min_sec"], key=float)
+    for key, (mn, med, exe) in by_size.items():
+        row["min_sec"][key] = round(mn, 3)
+        row["median_sec"][key] = round(med, 3)
+        row["exec_sec"][key] = round(exe, 3) if exe is not None else None
+    row["slope"] = round(refit(row["min_sec"]), 3)
+    row["provenance"] = {
+        "carried_sizes": carried,
+        "fresh_sizes": sorted(by_size, key=float),
+    }
+    d = base_diag["queries"].get(name)
+    if d is not None and name in fresh_diag:
+        d.update(fresh_diag[name])
+
+base["sizes"].update(fresh_sizes)
+base["superlinear"] = sorted(
+    [n for n, r in base["queries"].items() if r["slope"] > 1.15],
+    key=lambda n: -base["queries"][n]["slope"])
+base["provenance"] = (
+    f"base points carried from {base_path} (measured r13; engine paths for "
+    f"these queries unchanged since — r14 diffs are harness/tooling plus the "
+    f"new t14d query); fresh points measured r14 at runs={runs_fresh} on the "
+    f"same box and cold-cache basis. Per-query carried/fresh split in each "
+    f"row's 'provenance'.")
+base_diag["sizes"] = sorted({float(k) for k in base["sizes"]})
+base_diag["provenance"] = base["provenance"]
+json.dump(base, open(out_path, "w"), indent=1)
+json.dump(base_diag, open(out_diag_path, "w"), indent=1)
+for name in sorted(fresh):
+    r = base["queries"].get(name)
+    if r:
+        print(f"{name:25s} slope={r['slope']:6.3f}  " + " ".join(
+            f"{float(k):g}x:{t:.2f}s" for k, t in
+            sorted(r["min_sec"].items(), key=lambda kv: float(kv[0]))))
+print(f"superlinear: {base['superlinear']}")

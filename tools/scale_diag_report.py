@@ -28,7 +28,12 @@ for arg in sys.argv[2:]:
     with open(path) as f:
         diag = json.load(f)
     for q, rounds in diag["rounds_per_query"].items():
-        best = min(rounds, key=lambda r: r.get("wall", float("inf")))
+        # failed rounds carry wall:-1.0 (all fields -1) — min() over the raw
+        # list would pick the failed round (same fix as shuffle_sweep_report)
+        ok = [r for r in rounds if r.get("wall", -1) > 0]
+        if not ok:
+            continue
+        best = min(ok, key=lambda r: r["wall"])
         per_query.setdefault(q, {})[k] = {f: best.get(f, 0) for f in FIELDS}
 
 record = {
