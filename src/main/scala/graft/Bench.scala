@@ -74,7 +74,19 @@ object Bench {
       sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS") ||
       !sfDir.startsWith("/root/testdata/")
 
-  private def num(v: Double, dp: Int): String = // Locale.ROOT: '.' decimals always
+  /** Guard/round knobs count as non-default too (r14 review): a
+    * hair-trigger DISTURB_FACTOR run (the guard-validation pattern), a
+    * RUNS override, or in-process FORK=0 produces numbers on a different
+    * footing — StreamBench already smoke-names on these; Bench's canonical
+    * bench_full/bench_diag must not be clobberable by them either.
+    */
+  private def guardKnobs: Boolean =
+    sys.env.contains("SPARK_GRAFT_RUNS") ||
+      sys.env.contains("SPARK_GRAFT_FORK") ||
+      sys.env.contains("SPARK_GRAFT_DISTURB_FACTOR") ||
+      sys.env.contains("SPARK_GRAFT_MAX_REFORKS")
+
+  private[graft] def num(v: Double, dp: Int): String = // Locale.ROOT: '.' decimals always
     s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
 
   /** SPARK_GRAFT_ROUND_TIMEOUT_MIN with a per-tool default — ONE parse +
@@ -447,7 +459,8 @@ object Bench {
         s""""rounds_discarded":${discardedTotals.size},""" +
         s""""discarded_totals":${discardedTotals.map(num(_, 3)).mkString("[", ",", "]")}}"""
       val diagPath =
-        if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty && !offBasis) "bench_diag.json"
+        if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty && !offBasis && !guardKnobs)
+          "bench_diag.json"
         else "bench_diag_only.json"
       java.nio.file.Files.write(
         java.nio.file.Paths.get(diagPath),
@@ -581,7 +594,7 @@ object Bench {
     val fullPath = sys.env.getOrElse(
       "SPARK_GRAFT_RECORD",
       if (sys.env.get("SPARK_GRAFT_ONLY").isDefined) "bench_only.json"
-      else if (offBasis) "bench_smoke.json"
+      else if (offBasis || guardKnobs) "bench_smoke.json"
       else "bench_full.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullPath),

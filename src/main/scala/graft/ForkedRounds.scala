@@ -67,8 +67,7 @@ private[graft] object ForkedRounds {
       failedKeys: R => Set[String],
       factor: Double = Bench.disturbFactor,
       budget: Int = Bench.maxReforks): Outcome[R] = {
-    def num(v: Double, dp: Int): String =
-      s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
+    import Bench.num // one Locale.ROOT formatter, not a fourth copy
     val rounds = scala.collection.mutable.ArrayBuffer.tabulate(runs)(r => fork(r, r.toString))
     val discardedTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
     var reforks = 0

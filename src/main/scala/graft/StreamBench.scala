@@ -728,8 +728,9 @@ object StreamBench {
     * longer masquerade as the engine's rate, and a re-forked run is
     * distinguishable from a naturally quiet one. Rows that failed in every
     * round appear as `completed:false` rows with their walked root cause.
-    * Writes `streambench.json` (smoke-named on any non-default knob,
-    * including runs < 3).
+    * Writes `streambench.json` (smoke-named on any non-default knob —
+    * including SPARK_GRAFT_STREAM_RUNS being SET at all, judged by env
+    * presence so an explicit =5 cannot overwrite the canonical record).
     */
   private def throughputParent(): Unit = {
     import scala.jdk.CollectionConverters._

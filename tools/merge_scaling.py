@@ -36,7 +36,15 @@ for arg in sys.argv[5:]:
     runs_fresh = rec.get("runs")
     key = str(float(k))
     fresh_sizes[key] = rec["sf"]
+    failed = set(rec.get("errors", {}))
     for name, wall_min in rec["queries_min"].items():
+        # a query that THREW still posts a (near-zero, partial) wall time —
+        # merging it would write a time-to-failure into the committed record
+        # as a measured point and deflate the refit slope. Skip and say so.
+        if name in failed:
+            print(f"{name}: FAILED at {k}x ({rec['errors'][name][:80]}) — "
+                  "point NOT merged", file=sys.stderr)
+            continue
         fresh.setdefault(name, {})[key] = (
             wall_min, rec["queries"][name],
             rec.get("queries_exec", {}).get(name))

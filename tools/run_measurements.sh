@@ -60,14 +60,25 @@ echo "== step 3: streambench disturbance-guard validation =="
 # re-forking (rounds_discarded > 0) without needing a deliberately-loaded
 # box. DISTURB_FACTOR smoke-names the record, so the canonical
 # streambench.json (re-measured in step 9) is untouched.
-SPARK_GRAFT_CPUS=4 SPARK_GRAFT_STREAM_N=100000 SPARK_GRAFT_DISTURB_FACTOR=1.02 \
-  sbt -batch "runMain graft.StreamBench" > /tmp/m_streamguard.log 2>&1
-python3 - <<'EOF'
-import json
-d = json.load(open("streambench_smoke.json"))
-print(f"guard validation: rounds_discarded={d['rounds_discarded']} "
-      f"discarded_totals={d['discarded_totals']}")
-EOF
+# A validation record with rounds_discarded=0 demonstrates NOTHING — on a
+# very quiet box 1.02 may never trip, so retry once at 1.001 (any jitter
+# >0.1% trips it) and FAIL the pipeline if even that records no discard
+# (set -e aborts loudly instead of committing a vacuous record).
+for F in 1.02 1.001; do
+  SPARK_GRAFT_CPUS=4 SPARK_GRAFT_STREAM_N=100000 SPARK_GRAFT_DISTURB_FACTOR=$F \
+    sbt -batch "runMain graft.StreamBench" > "/tmp/m_streamguard_$F.log" 2>&1
+  if python3 -c "
+import json, sys
+d = json.load(open('streambench_smoke.json'))
+print(f'guard validation (factor $F): rounds_discarded={d[\"rounds_discarded\"]} '
+      f'discarded_totals={d[\"discarded_totals\"]}')
+sys.exit(0 if d['rounds_discarded'] > 0 else 1)"; then
+    break
+  elif [ "$F" = "1.001" ]; then
+    echo "guard validation NEVER discarded — record is vacuous, aborting" >&2
+    exit 1
+  fi
+done
 
 echo "== step 4: full forked bench (5 rounds, 132 queries) =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
