@@ -38,6 +38,11 @@ for P in parts:
             "spill_disk": best.get("spill_disk", -1),
             "spill_mem": best.get("spill_mem", -1),
             "shuffle_write": best.get("shuffle_write", -1),
+            # executor task-metric CPU/GC of the min-wall round: the spill
+            # cost is partly CPU (repeated spill-merge cycles), so the rule's
+            # CPU claim must be quotable from THIS committed record
+            "task_cpu_ms": best.get("task_cpu_ms", -1),
+            "task_gc_ms": best.get("task_gc_ms", -1),
             "bytes_per_partition": (
                 best.get("shuffle_write", 0) // P if best else -1),
         }
