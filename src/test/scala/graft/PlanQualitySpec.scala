@@ -263,13 +263,15 @@ class PlanQualitySpec extends SparkSpec {
       s"unaudited single-partition plans: ${offenders.mkString(", ")}")
   }
 
-  test("t14c vocab rank window sorts the AGGREGATED vocab, never corpus rows") {
-    // AQE wraps the tree (collect cannot descend into AdaptiveSparkPlan),
-    // so assert on the printed plan: the single-partition Window must sit
-    // ABOVE the vocab HashAggregate — its sort then runs over O(vocab)
-    // rows — and the token explode must sit BELOW the aggregate, never
-    // between the aggregate and the window
-    val p = plan("t14c_bpe_vocab")
+  // AQE wraps the tree (collect cannot descend into AdaptiveSparkPlan),
+  // so assert on the printed plan: the single-partition Window must sit
+  // ABOVE the vocab HashAggregate — its sort then runs over O(vocab)
+  // rows — and the token explode must sit BELOW the aggregate, never
+  // between the aggregate and the window. Shared by the plain (t14c) and
+  // end-of-word-marked (t14d, r14) vocab emissions: the marker must not
+  // change the plan shape, only the token strings.
+  private def assertVocabWindowShape(query: String): Unit = {
+    val p = plan(query)
     val w = p.indexOf("Window ")
     assert(w >= 0, p.take(500))
     val below = p.substring(w)
@@ -278,6 +280,14 @@ class PlanQualitySpec extends SparkSpec {
     val agg = below.indexOf("HashAggregate")
     assert(!below.substring(0, agg).contains("Generate"),
       "corpus explode feeds the rank window directly:\n" + p.take(900))
+  }
+
+  test("t14c vocab rank window sorts the AGGREGATED vocab, never corpus rows") {
+    assertVocabWindowShape("t14c_bpe_vocab")
+  }
+
+  test("t14d marked-vocab emission keeps t14c's bounded-window plan shape") {
+    assertVocabWindowShape("t14d_bpe_vocab_marked")
   }
 
   test("t25 repeated-set join: broadcast under the budget, pinned sort-merge above it") {
