@@ -126,7 +126,7 @@ object Bench {
     }).toSeq.sortBy(_._1)
   }
 
-  private def buildSession(): SparkSession = {
+  private[graft] def buildSession(): SparkSession = {
     // SPARK_GRAFT_MASTER overrides (e.g. local-cluster[2,8,4096] for the
     // multi-JVM bench slice); the default stays single-JVM local[N]
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
