@@ -165,13 +165,15 @@ object ClusterStream {
         case (Some(Right((lSec, ev, lFp))), Some(Right((cSec, _, cFp)))) =>
           val identity = lFp.matches(cFp)
           // [xor, hashSum, floatTotals...] — float totals last, tolerance-
-          // compared (not part of the exact hash). The decimal(38,0) hash
-          // sum is emitted as a JSON STRING (r14 advice): it exceeds 2^53,
-          // so double-based parsers (JS, jq defaults) would silently round
-          // a bare integer and cross-tool consumers could see false
-          // mismatches — it is an identity token, not a quantity.
+          // compared (not part of the exact hash). BOTH identity tokens are
+          // emitted as JSON STRINGS (r14/r15 advice): the decimal(38,0) hash
+          // sum exceeds 2^53, and the xor — a full-range 64-bit xxhash64
+          // fold — almost surely does too, so double-based parsers (JS, jq
+          // defaults) would silently round a bare integer and cross-tool
+          // consumers could see false mismatches; they are identity tokens,
+          // not quantities.
           def fpJson(f: Fp) =
-            (Seq(f.xor.toString, "\"" + f.sum + "\"") ++ f.floatSums.map(num(_, 6)))
+            (Seq("\"" + f.xor + "\"", "\"" + f.sum + "\"") ++ f.floatSums.map(num(_, 6)))
               .mkString("[", ",", "]")
           "\"" + name + "\":" +
             s"""{"completed":true,"identity":$identity,"rows":${lFp.n},""" +

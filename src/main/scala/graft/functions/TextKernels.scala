@@ -502,9 +502,14 @@ object TextKernels {
     bpeTokensImpl(t, merges, marked = false)
 
   /** The Sennrich end-of-word marker appended to each word-FINAL token by
-    * [[bpeTokensMarked]]. Corpus words are whitespace-split text, so no
-    * unmarked token can ever contain '<' + '/' + 'w' + '>' as a suffix
-    * collision with a marked one in this vocab.
+    * [[bpeTokensMarked]]. The no-collision guarantee (no UNMARKED token ever
+    * ends with this suffix) is grounded in the corpus ALPHABET, not the
+    * whitespace split: the synthetic documents are syllable text with no
+    * angle brackets, so the literal '</w>' cannot occur inside a word. On
+    * arbitrary input text containing '</w>' verbatim, a suffix test
+    * (endsWith / LIKE '%</w>') can misfire on unmarked tokens — a caller
+    * feeding such text should pre-escape the marker (as GPT-2's own
+    * byte-level vocab does by construction).
     */
   val EowMarker = "</w>"
 

@@ -11,8 +11,10 @@ measurement session. Slopes are refit by the SAME least-squares log-log
 model over min_sec as tools/scaling_report.py, over the union of points.
 
 Usage: merge_scaling.py <out.json> <out_diag.json> <base.json> <base_diag.json>
-                        <k:rec:diag> ...
-(rec/diag are a subset bench's bench_only.json / bench_diag_only.json)
+                        <k:rec:diag> ... [--note=<why carrying is valid>]
+(rec/diag are a subset bench's bench_only.json / bench_diag_only.json; the
+note lands in the output's provenance sentence. Multiple fresh slices must
+agree on runs — the merge refuses otherwise.)
 """
 import json
 import math
@@ -28,12 +30,16 @@ base_diag = json.load(open(base_diag_path))
 fresh = {}  # query -> {size_str: (min, median, exec)}
 fresh_diag = {}  # query -> {size_str: diag row}
 fresh_sizes = {}  # size_str -> sf dir
-runs_fresh = None
+runs_by_slice = {}  # k -> runs (r15 advice: one slice's runs must not
+# stamp another slice's points in the provenance string; with multiple
+# k:rec:diag args the slices must agree or the merge refuses)
 for arg in sys.argv[5:]:
+    if arg.startswith("--note="):
+        continue
     k, rec_path, diag_path = arg.split(":", 2)
     rec = json.load(open(rec_path))
     diag = json.load(open(diag_path))
-    runs_fresh = rec.get("runs")
+    runs_by_slice[k] = rec.get("runs")
     key = str(float(k))
     fresh_sizes[key] = rec["sf"]
     failed = set(rec.get("errors", {}))
@@ -73,7 +79,10 @@ for name, by_size in fresh.items():
         print(f"{name}: not in base record — skipped (no 1x anchor)",
               file=sys.stderr)
         continue
-    carried = sorted(row["min_sec"], key=float)
+    # a fresh point RE-measuring an already-carried size supersedes the
+    # carried one — it must not be listed under both (r15 advice)
+    carried = sorted((k for k in row["min_sec"] if k not in by_size),
+                     key=float)
     for key, (mn, med, exe) in by_size.items():
         row["min_sec"][key] = round(mn, 3)
         row["median_sec"][key] = round(med, 3)
@@ -87,16 +96,25 @@ for name, by_size in fresh.items():
     if d is not None and name in fresh_diag:
         d.update(fresh_diag[name])
 
+distinct_runs = sorted({v for v in runs_by_slice.values()})
+if len(distinct_runs) > 1:
+    sys.exit(f"fresh slices disagree on runs ({runs_by_slice}) — one "
+             "provenance sentence cannot describe both; merge them in "
+             "separate invocations")
+runs_fresh = distinct_runs[0] if distinct_runs else None
+
 base["sizes"].update(fresh_sizes)
 base["superlinear"] = sorted(
     [n for n, r in base["queries"].items() if r["slope"] > 1.15],
     key=lambda n: -base["queries"][n]["slope"])
+note = next((a.split("=", 1)[1] for a in sys.argv[5:]
+             if a.startswith("--note=")), None)
 base["provenance"] = (
-    f"base points carried from {base_path} (measured r13; engine paths for "
-    f"these queries unchanged since — r14 diffs are harness/tooling plus the "
-    f"new t14d query); fresh points measured r14 at runs={runs_fresh} on the "
-    f"same box and cold-cache basis. Per-query carried/fresh split in each "
-    f"row's 'provenance'.")
+    f"base points carried from {base_path}"
+    + (f" ({note})" if note else " (see that record's own provenance)")
+    + f"; fresh points measured at runs={runs_fresh} on the same box and "
+    f"cold-cache basis. Per-query carried/fresh split in each row's "
+    f"'provenance'.")
 base_diag["sizes"] = sorted({float(k) for k in base["sizes"]})
 base_diag["provenance"] = base["provenance"]
 json.dump(base, open(out_path, "w"), indent=1)
