@@ -138,9 +138,18 @@ object Bench {
     // small post-shuffle partitions back toward the 64 MB advisory target
     // and the sweep would measure the advisory, not the pinned count.
     val pinnedShuffle = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    // Unpinned runs size the INITIAL shuffle-partition count from the SF
+    // dir's bytes (r15, verdict item 1): AQE only coalesces DOWN, so the
+    // initial count must be >= expected shuffle bytes / the measured
+    // ~40 MB sweet spot or heavy shuffles are bound to giant spilling
+    // partitions before AQE can act. At sf0.1 and below this returns
+    // exactly `cpus` — the committed bench basis is unchanged; the 100x
+    // slice sizes to ~235 (see GraftSession.sizedShufflePartitions).
+    val sized = GraftSession.sizedShufflePartitions(
+      GraftSession.dirBytes(sfDir), cpus.toInt)
     val b0 = SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions", pinnedShuffle.getOrElse(cpus))
+      .config("spark.sql.shuffle.partitions", pinnedShuffle.getOrElse(sized.toString))
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         pinnedShuffle.isEmpty.toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -36,6 +36,75 @@ object GraftSession {
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
     builder(s"local[$cores]", math.max(cores, 8)).getOrCreate()
 
+  /** Measured sweet spot for per-partition shuffle working sets
+    * (shufflesweep100.json, r14): sweeping t25's pinned partition count on
+    * the 100x slice traced a U whose minimum sits at ~40 MB of shuffle
+    * write per partition — disk spill drops 5x and task CPU 34% vs the
+    * 164 MB/partition the core-count default produced there.
+    */
+  val TargetShuffleBytesPerPartition: Long = 40L * 1024 * 1024
+
+  /** Compressed-parquet -> in-flight bytes allowance for
+    * [[sizedShufflePartitions]]. Columnar compression (dictionary + snappy)
+    * typically expands 2-6x when rows materialize into shuffle blocks;
+    * 4x is the middle of that band. Precision is deliberately NOT required
+    * here — see the sizing rationale on [[sizedShufflePartitions]].
+    */
+  val InflightExpansionAllowance: Int = 4
+
+  /** Bytes-aware INITIAL shuffle-partition count (r15, verdict item 1 —
+    * the rule shufflesweep100.json measured, applied).
+    *
+    * Why the initial count is the lever: AQE partition coalescing only
+    * merges DOWN from `spark.sql.shuffle.partitions` toward the 64 MB
+    * advisory — it can never split an undersized count — so a core-count
+    * initial value binds every heavy shuffle to giant partitions before
+    * AQE can help. Measured on the 100x slice: the default (32 = cores)
+    * ran t25 at 125.6 s with 8.9 GB disk spill (164 MB/partition working
+    * sets force repeated spill-merge cycles); 128 initial partitions
+    * (~40 MB each) ran 101.2 s with 1.7 GB spill and 34% less task CPU.
+    *
+    * Why a crude input-bytes estimate suffices: true shuffle volume is
+    * query-dependent (t25's char-span hashing emits ~100x its compressed
+    * input; a filtered agg emits far less), but the estimate only needs to
+    * land within roughly an order of magnitude. OVERestimates produce
+    * small post-shuffle partitions that AQE coalesces back toward its
+    * 64 MB advisory (the heuristic path keeps coalescing ON — only the
+    * sweep's pinned mode turns it off); at 100x the sized count (235)
+    * leaves t25's real 5.5 GB shuffle in ~23 MB partitions that coalesce
+    * in pairs to ~47 MB, i.e. the measured optimum. UNDERestimates still
+    * raise the floor multiplicatively. Only a too-LOW initial count is
+    * unrecoverable, so the estimate rounds up by design.
+    *
+    * Bounds: never below one partition per core (tiny inputs keep today's
+    * plans — at sf0.1 the rule returns exactly `cores`, so the committed
+    * bench basis is unchanged by construction); capped at 128 task waves
+    * per core so per-task launch overhead (~ms) stays amortized — on a
+    * 1000-executor cluster the same rule scales with total cores, which
+    * is the 100 TB shape: size the initial count >= expected shuffle
+    * bytes / ~40 MB, let AQE coalesce down, and kill residual spill with
+    * executors, not partitions (SCALE.md, sizing rule).
+    */
+  def sizedShufflePartitions(inputBytes: Long, cores: Int): Int = {
+    require(cores > 0, s"cores must be positive, got $cores")
+    val target = TargetShuffleBytesPerPartition
+    val byBytes =
+      (math.max(0L, inputBytes) * InflightExpansionAllowance + target - 1) / target
+    math.max(cores.toLong, math.min(cores.toLong * 128, byBytes)).toInt
+  }
+
+  /** Total bytes under a data directory, via the Hadoop FileSystem API so
+    * the same call prices hdfs:// and s3a:// table roots on a real
+    * cluster, not just local paths. Missing/unreadable dirs price as 0
+    * (the sizing then falls back to the per-core floor).
+    */
+  def dirBytes(dir: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .getContentSummary(p).getLength
+    } catch { case _: java.io.IOException => 0L }
+
   /** Multi-JVM knobs for a `local-cluster[n,cores,memMB]` master (r12,
     * verdict item 3): every other measurement in this repo is single-JVM
     * `local[N]`, where "shuffle" never serializes a row and the custom

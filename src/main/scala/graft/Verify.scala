@@ -14,7 +14,12 @@ object Verify {
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val b0 = SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
+      // bytes-aware initial partition count (r15) — at the verify SFs
+      // (0.01/0.001) this returns exactly `cpus`, so the correctness
+      // basis is unchanged; it exists here so Verify and Bench share
+      // ONE sizing rule rather than drifting.
+      .config("spark.sql.shuffle.partitions", GraftSession
+        .sizedShufflePartitions(GraftSession.dirBytes(sfDir), cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
