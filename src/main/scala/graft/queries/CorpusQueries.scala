@@ -150,6 +150,42 @@ object CorpusQueries {
             .cast("long"))
         .withColumn("is_word_end", col("token").endsWith(TextKernels.EowMarker))
     },
+    // C-encode — the ENCODE pass that closes the tokenizer loop (r15,
+    // verdict item 7): apply the TRAINED merge table to the corpus and
+    // emit each document as its ordered token-id sequence — the artifact a
+    // training job actually consumes, and the natural consumer of the
+    // (merges, marked vocab) pair t14d made externally loadable. One row
+    // per token occurrence (doc_id, pos, token, token_id): the id space is
+    // t14d's frequency-rank ids, resolved by a BROADCAST join — the vocab
+    // is bounded by alphabet + merge table (each token at most doubled by
+    // its marked form), so the corpus-sized encode stream never shuffles
+    // for the lookup. Two corpus passes by design (vocab build + encode),
+    // exactly the two passes a real encode ships as; the rank window runs
+    // over the AGGREGATED vocab, never corpus rows (t14c's plan shape).
+    "t14e_bpe_encode" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.richDocuments(s, dir)
+        .select(
+          col("doc_id"),
+          posexplode(TextFunctions.bpeTokensMarked(col("text"), Bpe.Merges))
+            .as(Seq("p", "token")))
+      val vocab = toks
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_occurrences"))
+        .withColumn(
+          "token_id",
+          row_number()
+            .over(Window.orderBy(col("n_occurrences").desc, col("token")))
+            .cast("long"))
+        .select(col("token"), col("token_id"))
+      toks
+        .join(broadcast(vocab), Seq("token"))
+        .select(
+          col("doc_id"),
+          (col("p") + 1).cast("long").as("pos"),
+          col("token"),
+          col("token_id"))
+    },
     // C-spans — cross-document repeated n-gram SPAN dedup (the train-set
     // memorization pass): merged token intervals per doc covered by
     // shingles that occur in >= 2 distinct docs. The t12 shingle machinery
@@ -298,17 +334,24 @@ object CorpusQueries {
   private def bpeCtes: String = {
     def esc(s: String) = s.replace("'", "''")
     val steps = Bpe.Merges.zipWithIndex.map { case ((a, b), k) =>
-      s"""w${k + 1} AS (SELECT doc_id,
+      s"""w${k + 1} AS (SELECT doc_id, wi,
          |  list_filter(list_transform(generate_series(1, len(xs)), i ->
          |    CASE WHEN xs[i] = '${esc(a)}' AND i < len(xs) AND xs[i+1] = '${esc(b)}'
          |         THEN '${esc(a + b)}'
          |         WHEN i > 1 AND xs[i-1] = '${esc(a)}' AND xs[i] = '${esc(b)}' THEN NULL
          |         ELSE xs[i] END), x -> x IS NOT NULL) AS xs FROM w$k)""".stripMargin
     }
+    // wi = the word's 1-based position in its document (r15, for t14e):
+    // the chain holds one WORD per row, so reconstructing the document's
+    // token ORDER downstream needs the word index carried through every
+    // merge pass; the vocab/packing oracles simply ignore the column.
     (Tables.richDocsOracleCte
-      +: s"""w0 AS (SELECT doc_id,
-         |  list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS xs
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs_rich))""".stripMargin
+      +: s"""w0 AS (SELECT doc_id, u.wi AS wi,
+         |  list_transform(generate_series(1, length(u.w)), i -> substr(u.w, i, 1)) AS xs
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(string_split(text, ' '))),
+         |      j -> struct_pack(wi := j, w := string_split(text, ' ')[j]))) AS u
+         |    FROM docs_rich))""".stripMargin
       +: steps).mkString(",\n")
   }
 
@@ -356,6 +399,27 @@ object CorpusQueries {
          |  row_number() OVER (ORDER BY n_occurrences DESC, token) AS token_id,
          |  token LIKE '%${TextKernels.EowMarker}' AS is_word_end
          |FROM agg""".stripMargin,
+    "t14e_bpe_encode" ->
+      // document token order reconstructed from (wi, ti): wi is the word's
+      // position carried through the merge CTEs, ti the token's position
+      // inside its word's final symbol list; the marker lands on each
+      // word-final token with the same '</w>' constant the Spark kernel
+      // appends, and ids are the marked vocab's frequency-rank ids (t14d)
+      s"""WITH $bpeCtes,
+         |tok AS (SELECT doc_id, wi, u.ti AS ti, u.tok AS token FROM (
+         |  SELECT doc_id, wi, unnest(list_transform(generate_series(1, len(xs)),
+         |    i -> struct_pack(ti := i, tok :=
+         |      CASE WHEN i = len(xs) THEN xs[i] || '${TextKernels.EowMarker}'
+         |           ELSE xs[i] END))) AS u
+         |  FROM w${Bpe.Merges.size})),
+         |agg AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY token),
+         |voc AS (SELECT token,
+         |  row_number() OVER (ORDER BY n_occurrences DESC, token) AS token_id
+         |  FROM agg)
+         |SELECT t.doc_id,
+         |  row_number() OVER (PARTITION BY t.doc_id ORDER BY t.wi, t.ti) AS pos,
+         |  t.token, v.token_id
+         |FROM tok t JOIN voc v USING (token)""".stripMargin,
     "d3_profile_columns" ->
       (Seq("doc_id", "n_chars").map(duckProfileNum) ++
         Seq("text", "lang", "source").map(duckProfileStr))

@@ -290,6 +290,19 @@ class PlanQualitySpec extends SparkSpec {
     assertVocabWindowShape("t14d_bpe_vocab_marked")
   }
 
+  test("t14e encode resolves token ids via a BROADCAST of the bounded vocab") {
+    // the corpus-sized encode stream must never shuffle for the id lookup:
+    // the vocab side is bounded by alphabet + merge table (each token at
+    // most doubled by its marked form), so the join is an explicit
+    // broadcast — and the rank window keeps t14c's bounded shape (sorts
+    // the AGGREGATED vocab, never corpus rows)
+    val p = plan("t14e_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assertVocabWindowShape("t14e_bpe_encode")
+  }
+
   test("t25 repeated-set join: broadcast under the budget, pinned sort-merge above it") {
     // Small-data fast path (the default budget dwarfs sf0.001's repeated
     // set): the hits join must be an EXPLICIT broadcast — the exploded
