@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * never leave the process — the one remaining place a genuine
   * serialization/classpath bug could hide after `clusterverify.json`
   * covered the batch surface. This harness runs the four stateful
-  * streambench paths (`hot_path`, `book_state`, `ewma`, `dedup`) under
+  * streambench paths (`hot_path`, `book_state`, `ewma`, `dedup`) plus the
+  * fixed-cadence LOCF ticker (`grid`, r15 — the watermark-timer emission
+  * mechanism none of the four exercises) under
   * BOTH state-store providers in two modes over IDENTICAL input (same
   * generators, same chunk boundaries, so the micro-batch sequence — and
   * with it watermark progression and state transitions — is the same):
@@ -111,7 +113,12 @@ object ClusterStream {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val clusterMaster = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[2,4,4096]")
     val base = java.nio.file.Files.createTempDirectory("clusterstream")
-    val paths = StreamBench.StatefulPaths
+    // the four throughput paths PLUS the fixed-cadence LOCF ticker (r15,
+    // verdict item 8): grid lives outside StatefulPaths so the committed
+    // streambench row set is untouched, but its watermark-timer emission
+    // (EventTimeTimeout re-arming) is the one stateful mechanism the other
+    // rows don't exercise across real executors
+    val paths = StreamBench.StatefulPaths :+ "grid"
     val rows = for (p <- paths; rocks <- Seq(false, true))
       yield (p, rocks, s"$p${if (rocks) "_rocksdb" else ""}")
 

@@ -285,6 +285,25 @@ object StreamBench {
               s"SYM${id % symbols}", 1700000000000L + (id / symbols) * 50L,
               id, 100.0 + (id % 1000) * 0.01)
           })
+      case "grid" =>
+        // fixed-cadence LOCF tick emission — the hot path's actual 2 s
+        // emission contract (T1/K4). NOT in StatefulPaths: the committed
+        // streambench.json row set must not change under a carried record;
+        // ClusterStream appends this path explicitly for the cross-topology
+        // identity check (r15, verdict item 8). Emission is watermark-
+        // finalized, so identical chunk boundaries give an identical tick
+        // stream regardless of micro-batch split — the identity premise.
+        val mem = MemoryStream[streaming.GridTicker.Obs]
+        StatefulRow(mem,
+          streaming.GridTicker.ticks(mem.toDS(), stepMs = 2000L).toDF(),
+          (0 until 1000).map(i => streaming.GridTicker.Obs(
+            s"PRIME${i % 8}", 1700000000000L + i.toLong * 10L, 100.0)),
+          (c, per) => (0 until per).map { i =>
+            val id = c.toLong * per + i
+            streaming.GridTicker.Obs(
+              s"SYM${id % symbols}", 1700000000000L + (id / symbols) * 50L,
+              100.0 + (id % 1000) * 0.01)
+          })
       case "dedup" =>
         // 10% duplicates: every 10th slot carries the WHOLE previous event
         // again — same (symbol, trade_id) key, a genuine collision the

@@ -1,25 +1,34 @@
 #!/bin/bash
-# Round-14 serialized measurement pipeline — each step runs alone so no two
+# Round-15 serialized measurement pipeline — each step runs alone so no two
 # Spark workloads contend (concurrent runs poison both measurements).
 #
-# r14 shape: MANDATORY-FIRST ordering — the round's promised records (the
-# 100x shuffle-partition sweep, the streambench guard-discard validation,
-# the 3-round cluster bench, the 100x non-char scaling points) run before
-# the re-measured baselines, so a timeout strands polish, not promises.
+# r15 shape: PROMISES-FIRST ordering (r14 precedent) — the round's mandated
+# records run before re-measured baselines, so a timeout strands polish,
+# not promises. This round's promises:
+#   - the bytes-aware initial-partition rule's WIN, measured: fresh 100x
+#     points for the char family under the sized (unpinned) session
+#     (verdict item 1), plus t14c/t20's first 100x points (item 6);
+#   - the 5-point shuffle sweep re-emitted at the bench-standard 3 forked
+#     rounds with the ForkedRounds guard fields IN the record (item 4);
+#   - bench_full at sf0.1 showing no regression (the sizing rule returns
+#     exactly the core count there, so none is expected) — now 133 queries
+#     (t14e joined);
+#   - clusterverify at 133; clusterstream with the new grid (LOCF ticker)
+#     row (item 8).
 #
-# What is NOT re-run this round (r13 precedent: unchanged code + inputs):
-# statesweep, batchsweep, memsweep, statesweep_capped, clustermem*,
-# SCALING 1x-30x points and the char-family 100x points — the r14 engine
-# diffs are harness plumbing (shared ForkedRounds driver), record labeling
-# (basis field), tooling, and the NEW t14d query; none touch those queries'
-# plans or the sweeps' code paths. The scaling record is extended with
-# fresh 100x non-char points via tools/merge_scaling.py, which stamps
-# per-query carried/fresh provenance.
+# Basis note for SCALING: the r15 sizing rule changes the UNPINNED session
+# only where the SF dir's bytes exceed one 40 MB partition per core — x30
+# (~71 initial partitions) and x100 (~235). Every 30x and 100x point is
+# therefore re-measured fresh this round; 1x/3x/10x points are carried
+# (the rule returns the identical core-count conf there, and no r15 engine
+# diff touches those queries' plans).
 #
-# What IS re-run: bench_full (132 queries now — t14d joined; +basis field),
-# clusterverify (132), clusterbench (RUNS 2->3, verdict item 5),
-# clusterstream (fp hash sums now JSON strings), streambench (produced by
-# the unified fork driver — proves the refactor left the record shape
+# What is NOT re-run (unchanged code + inputs, r13/r14 precedent):
+# statesweep, batchsweep, memsweep, statesweep_capped, clustermem*
+# (StreamBench/MemSweep paths untouched this round), streambench +
+# streambench_smoke (StatefulPaths row set unchanged — grid lives outside
+# it precisely so the carried record stays valid), clusterbench (runs at
+# sf0.1 where the sizing rule returns the identical conf; top-40 slice
 # unchanged).
 set -e
 cd /root/repo
@@ -27,64 +36,72 @@ cd /root/repo
 # the r9 basis of local[4] — comparability over core count.
 export SPARK_GRAFT_CPUS=32
 
-echo "== step 1: x100 scale slice =="
-rm -rf /tmp/graft_scale
-mkdir -p /tmp/graft_scale/x100
-python3 tools/make_scale.py /root/testdata/sf0.1 /tmp/graft_scale/x100 100 \
-  > /tmp/m_scale100.log 2>&1
+echo "== step 1: scale slices (x30 rebuilt; x100 reused if present) =="
+mkdir -p /tmp/graft_scale
+if [ ! -d /tmp/graft_scale/x100 ]; then
+  mkdir -p /tmp/graft_scale/x100
+  python3 tools/make_scale.py /root/testdata/sf0.1 /tmp/graft_scale/x100 100 \
+    > /tmp/m_scale100.log 2>&1
+fi
+if [ ! -d /tmp/graft_scale/x30 ]; then
+  mkdir -p /tmp/graft_scale/x30
+  python3 tools/make_scale.py /root/testdata/sf0.1 /tmp/graft_scale/x30 30 \
+    > /tmp/m_scale30.log 2>&1
+fi
 
-echo "== step 2: shuffle-partition sweep at 100x (t25, the spiller) =="
-# verdict item 1 (the round's headline promise): per-partition working set =
-# shuffle bytes / partition count; sweeping the PINNED count (AQE coalescing
-# off — see Bench.buildSession) locates the no-spill knee on one box, the
-# single-box stand-in for adding executors. t25 only: t26 winnowed has no
-# spill to sweep, and t27 shares t25's detection plan (the spilling stage).
-# 2 forked rounds per point for the diag record (spill/shuffle bytes live in
-# bench_diag_only.json).
-for P in 32 128 512; do
+echo "== step 2: 100x scaling points under the SIZED session (the rule's win) =="
+# verdict items 1+6: the char family re-measured at 100x under the new
+# bytes-aware initial-partition count (unpinned — AQE coalescing on), plus
+# first-ever 100x points for t14c/t20 and re-measures for the other
+# carried-100x rows (t21/t14b/t10/x_v12) so every 100x point in
+# SCALING_r15 shares one session basis.
+SPARK_GRAFT_ONLY="t25_char_spans,t26_winnowed_spans,t27_char_redaction,t21_bigram_ppl,t14b_bpe_packing,t14c_bpe_vocab,t20_bigram_pmi,t10_neardup_clusters,x_v12_ivfpq_index" \
+  SPARK_GRAFT_RUNS=3 SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x100 \
+  SPARK_GRAFT_ROUND_TIMEOUT_MIN=120 \
+  sbt -batch "runMain graft.Bench" > /tmp/m_scalebench_100.log 2>&1
+cp bench_only.json /tmp/m_scale_rec_100.json
+cp bench_diag_only.json /tmp/m_scale_diag_100.json
+rm -f bench_only.json bench_diag_only.json
+
+echo "== step 3: 30x scaling points under the SIZED session =="
+# same basis argument at 30x (~71 initial partitions vs the old 32): all
+# 11 queries holding 30x points re-measure fresh.
+SPARK_GRAFT_ONLY="t25_char_spans,t26_winnowed_spans,t27_char_redaction,t21_bigram_ppl,t14b_bpe_packing,t14c_bpe_vocab,t20_bigram_pmi,t10_neardup_clusters,x_v12_ivfpq_index,j5_star_join_revenue,d4_feature_corr" \
+  SPARK_GRAFT_RUNS=3 SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x30 \
+  SPARK_GRAFT_ROUND_TIMEOUT_MIN=60 \
+  sbt -batch "runMain graft.Bench" > /tmp/m_scalebench_30.log 2>&1
+cp bench_only.json /tmp/m_scale_rec_30.json
+cp bench_diag_only.json /tmp/m_scale_diag_30.json
+rm -f bench_only.json bench_diag_only.json
+python3 tools/merge_scaling.py SCALING_r15.json SCALING_r15_diag.json \
+  SCALING_r14.json SCALING_r14_diag.json \
+  30:/tmp/m_scale_rec_30.json:/tmp/m_scale_diag_30.json \
+  100:/tmp/m_scale_rec_100.json:/tmp/m_scale_diag_100.json \
+  "--note=1x/3x/10x carried: the r15 bytes-aware sizing rule returns the identical core-count conf at those sizes and no r15 engine diff touches these queries' plans; ALL 30x/100x points re-measured fresh under the sized session (x30 -> ~71 initial partitions, x100 -> ~235)"
+
+echo "== step 4: shuffle-partition sweep at 100x, 3 forked rounds =="
+# verdict item 4: the five-point sweep re-emitted at the bench-standard 3
+# rounds; shuffle_sweep_report.py now carries the ForkedRounds guard
+# fields (rounds_discarded / discarded_totals / residual flag) per point
+# and stamps the machine-readable cold-cache basis token. Pinning still
+# disables AQE coalescing AND the sizing heuristic (pinned wins).
+for P in 32 64 128 256 512; do
   SPARK_GRAFT_SHUFFLE_PARTITIONS=$P \
     SPARK_GRAFT_ONLY="t25_char_spans" \
-    SPARK_GRAFT_RUNS=2 SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x100 \
+    SPARK_GRAFT_RUNS=3 SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x100 \
     SPARK_GRAFT_ROUND_TIMEOUT_MIN=120 \
     SPARK_GRAFT_RECORD="/tmp/m_shufsweep_$P.json" \
     sbt -batch "runMain graft.Bench" > "/tmp/m_shufsweep_$P.log" 2>&1
   cp bench_diag_only.json "/tmp/m_shufsweep_diag_$P.json"
 done
-python3 tools/shuffle_sweep_report.py shufflesweep100.json 32 128 512
+python3 tools/shuffle_sweep_report.py shufflesweep100.json 32 64 128 256 512
 rm -f bench_diag_only.json
 
-echo "== step 3: streambench disturbance-guard validation =="
-# verdict item 3, the r11 bench validation pattern for the streaming
-# harness: a near-1.0 factor makes natural round jitter trip the discard
-# path, so the committed smoke record demonstrates the guard discarding +
-# re-forking (rounds_discarded > 0) without needing a deliberately-loaded
-# box. DISTURB_FACTOR smoke-names the record, so the canonical
-# streambench.json (re-measured in step 9) is untouched.
-# A validation record with rounds_discarded=0 demonstrates NOTHING — on a
-# very quiet box 1.02 may never trip, so retry once at 1.001 (any jitter
-# >0.1% trips it) and FAIL the pipeline if even that records no discard
-# (set -e aborts loudly instead of committing a vacuous record).
-for F in 1.02 1.001; do
-  SPARK_GRAFT_CPUS=4 SPARK_GRAFT_STREAM_N=100000 SPARK_GRAFT_DISTURB_FACTOR=$F \
-    sbt -batch "runMain graft.StreamBench" > "/tmp/m_streamguard_$F.log" 2>&1
-  if python3 -c "
-import json, sys
-d = json.load(open('streambench_smoke.json'))
-print(f'guard validation (factor $F): rounds_discarded={d[\"rounds_discarded\"]} '
-      f'discarded_totals={d[\"discarded_totals\"]}')
-sys.exit(0 if d['rounds_discarded'] > 0 else 1)"; then
-    break
-  elif [ "$F" = "1.001" ]; then
-    echo "guard validation NEVER discarded — record is vacuous, aborting" >&2
-    exit 1
-  fi
-done
-
-echo "== step 4: full forked bench (5 rounds, 132 queries) =="
+echo "== step 5: full forked bench (5 rounds, 133 queries) =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
   > /tmp/m_bench_full.log 2>&1
 
-echo "== step 5: multi-JVM cluster verify (132 queries) =="
+echo "== step 6: multi-JVM cluster verify (133 queries) =="
 SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_MASTER='local-cluster[2,8,4096]' \
   SPARK_GRAFT_CPUS=16 \
   sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_cluster" \
@@ -93,58 +110,10 @@ SPARK_GRAFT_MASTER='local-cluster[2,8,4096]' \
   python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_cluster \
   --json clusterverify.json >> /tmp/m_clusterverify.log 2>&1
 
-echo "== step 6: multi-JVM cluster bench (top 40, 3 forked rounds) =="
-# verdict item 5: RUNS raised 2 -> 3 so the top-40 cluster ratios carry the
-# same band confidence as every other headline record. Slice derived from
-# the step-4 record so a ranking shift can never strand the list, plus the
-# char family (shuffle-richest) if it fell out.
-TOP40=$(python3 -c "
-import json
-d = json.load(open('bench_full.json'))
-qs = [k for k, _ in sorted(d['queries'].items(), key=lambda kv: -kv[1])[:40]]
-for must in ['t25_char_spans', 't26_winnowed_spans', 't27_char_redaction']:
-    if must not in qs:
-        qs.append(must)
-print(','.join(qs))")
-SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_MASTER='local-cluster[2,8,4096]' \
-  SPARK_GRAFT_CPUS=16 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_RUNS=3 \
-  SPARK_GRAFT_RECORD=clusterbench.json SPARK_GRAFT_ROUND_TIMEOUT_MIN=40 \
-  SPARK_GRAFT_ONLY="$TOP40" \
-  sbt -batch "runMain graft.Bench" > /tmp/m_clusterbench.log 2>&1
-# the diag is the committed evidence for executor-side CPU/GC in cluster
-# mode: task_cpu_ms/task_gc_ms are summed from task metrics, so they price
-# the EXECUTORS, not the driver
-cp bench_diag_only.json clusterbench_diag.json
-rm -f bench_diag_only.json
-
-echo "== step 7: 100x scaling points for the heaviest NON-char queries =="
-# verdict item 6: t21/t14b/t10/x_v12 had clean 30x slopes, but r12's lesson
-# is that regimes (collision, spill) announce themselves per-decade — so the
-# heaviest non-char queries get measured 100x points with diag capture.
-# Merged into SCALING_r14 with the carried r13 points (see header).
-SPARK_GRAFT_ONLY="t21_bigram_ppl,t14b_bpe_packing,t10_neardup_clusters,x_v12_ivfpq_index" \
-  SPARK_GRAFT_RUNS=3 SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x100 \
-  SPARK_GRAFT_ROUND_TIMEOUT_MIN=120 \
-  sbt -batch "runMain graft.Bench" > /tmp/m_scalebench_100nc.log 2>&1
-cp bench_only.json /tmp/m_scale_rec_100nc.json
-cp bench_diag_only.json /tmp/m_scale_diag_100nc.json
-rm -f bench_only.json bench_diag_only.json
-python3 tools/merge_scaling.py SCALING_r14.json SCALING_r14_diag.json \
-  SCALING_r13.json SCALING_r13_diag.json \
-  100:/tmp/m_scale_rec_100nc.json:/tmp/m_scale_diag_100nc.json
-
-echo "== step 8: stateful streaming under multi-JVM executors =="
-# re-run (fp hash sums are JSON strings since r14): four stateful paths x
-# both state backends, local[4] vs local-cluster, output-identity
-# fingerprints + rates -> clusterstream.json. CPUS=4 pins the local baseline
-# to the streambench basis.
+echo "== step 7: stateful streaming under multi-JVM executors (+grid row) =="
+# re-run (verdict item 8): the fixed-cadence LOCF ticker joins the
+# identity matrix — 5 paths x both state backends x two topologies.
 SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_CPUS=4 sbt -batch "runMain graft.ClusterStream" \
   > /tmp/m_clusterstream.log 2>&1
-
-echo "== step 9: streambench throughput (forked rounds, unified driver) =="
-# re-run under the shared ForkedRounds driver — the record's shape and
-# rates should be unchanged vs r13 (that IS the refactor's claim).
-SPARK_GRAFT_CPUS=4 sbt -batch "runMain graft.StreamBench" \
-  > /tmp/m_streambench.log 2>&1
 
 echo "ALL MEASUREMENTS DONE"

@@ -1,8 +1,10 @@
 #!/usr/bin/env python3
 """Compose shufflesweep100.json from the per-partition-count bench records
-(step 10 of tools/run_measurements.sh): the char family at the 100x slice
-with spark.sql.shuffle.partitions PINNED (AQE coalescing off) at each swept
-count.
+(the sweep step of tools/run_measurements.sh): the char family at the 100x
+slice with spark.sql.shuffle.partitions PINNED (AQE coalescing off) at each
+swept count, 3 forked rounds per point under the ForkedRounds disturbance
+guard — whose per-point outcome (discards, totals, residual flag) is
+carried INTO the composed record (r15, verdict item 4).
 
 Per query per count: min wall across the forked rounds, plus that round's
 spill and shuffle-write bytes from the diag record — per-partition working
@@ -20,9 +22,22 @@ out_path = sys.argv[1]
 parts = [int(p) for p in sys.argv[2:]]
 
 queries = {}
+guard = {}  # per swept P: the ForkedRounds disturbance-guard outcome
+runs_by_p = {}
 for P in parts:
     rec = json.load(open(f"/tmp/m_shufsweep_{P}.json"))
     diag = json.load(open(f"/tmp/m_shufsweep_diag_{P}.json"))
+    runs_by_p[P] = rec.get("runs")
+    # each swept point runs under the SAME ForkedRounds driver as the
+    # bench, so a transient child death (the r14 P=64 OOM lived only in
+    # SCALE.md prose) is visible IN the record: discarded rounds, their
+    # totals, and any residual-broken flag are carried per point
+    guard[str(P)] = {
+        "rounds_discarded": rec.get("rounds_discarded", 0),
+        "discarded_totals": rec.get("discarded_totals", []),
+        "residual_broken_round": rec.get("residual_broken_round", False),
+        "round_totals": rec.get("round_totals", []),
+    }
     for name, wall_min in rec["queries_min"].items():
         rounds = diag["rounds_per_query"].get(name, [])
         # the diag row of the MIN-wall round — the round the wall number is
@@ -61,13 +76,24 @@ for name, by_p in queries.items():
             by_p[str(knee)]["bytes_per_partition"] if knee else None),
     }
 
+distinct_runs = sorted({v for v in runs_by_p.values()})
+if len(distinct_runs) != 1:
+    sys.exit(f"swept points disagree on runs ({runs_by_p}) — re-run the "
+             "stragglers before composing one record")
+
 summary = {
     "metric": "shuffle_partition_sweep_100x",
     "sf": "/tmp/graft_scale/x100",
     "partitions_swept": parts,
-    "basis": ("spark.sql.shuffle.partitions pinned per point, AQE partition "
-              "coalescing disabled (Bench.buildSession), local[32], 2 forked "
-              "rounds, min-wall round quoted"),
+    # machine-readable token first (spread_report-style tooling classifies
+    # on it); the sweep-specific footing lives in basis_detail
+    "basis": "cold-cache",
+    "basis_detail": ("spark.sql.shuffle.partitions pinned per point, AQE "
+                     "partition coalescing disabled (Bench.buildSession), "
+                     f"local[32], {distinct_runs[0]} forked rounds under the "
+                     "ForkedRounds disturbance guard, min-wall round quoted"),
+    "runs_per_point": distinct_runs[0],
+    "guard_per_point": guard,
     "queries": rows,
 }
 json.dump(summary, open(out_path, "w"), indent=1)
