@@ -145,11 +145,13 @@ object Bench {
     // partitions before AQE can act. At sf0.1 and below this returns
     // exactly `cpus` — the committed bench basis is unchanged; the 100x
     // slice sizes to ~235 (see GraftSession.sizedShufflePartitions).
-    val sized = GraftSession.sizedShufflePartitions(
-      GraftSession.dirBytes(sfDir), cpus.toInt)
+    // Inside getOrElse (by-name) so PINNED rounds — the sweep's 15 child
+    // JVMs — never pay the recursive dir walk for a discarded value.
+    def sized: String = GraftSession.sizedShufflePartitions(
+      GraftSession.dirBytes(sfDir), cpus.toInt).toString
     val b0 = SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions", pinnedShuffle.getOrElse(sized.toString))
+      .config("spark.sql.shuffle.partitions", pinnedShuffle.getOrElse(sized))
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         pinnedShuffle.isEmpty.toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

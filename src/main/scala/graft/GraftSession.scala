@@ -59,10 +59,13 @@ object GraftSession {
     * merges DOWN from `spark.sql.shuffle.partitions` toward the 64 MB
     * advisory — it can never split an undersized count — so a core-count
     * initial value binds every heavy shuffle to giant partitions before
-    * AQE can help. Measured on the 100x slice: the default (32 = cores)
-    * ran t25 at 125.6 s with 8.9 GB disk spill (164 MB/partition working
-    * sets force repeated spill-merge cycles); 128 initial partitions
-    * (~40 MB each) ran 101.2 s with 1.7 GB spill and 34% less task CPU.
+    * AQE can help. Measured on the 100x slice, within the one pinned
+    * sweep record (shufflesweep100.json): 32 partitions ran t25 in
+    * 135.5 s with 8.9 GB disk spill and 1208 s task CPU (164 MB/partition
+    * working sets force repeated spill-merge cycles); 128 partitions
+    * (~43 MB each) ran 101.2 s with 1.7 GB spill and 796 s task CPU —
+    * 34% less. The unpinned AQE session with the old 32-partition initial
+    * count measured 125.6 s there (SCALING_r14, its own record).
     *
     * Why a crude input-bytes estimate suffices: true shuffle volume is
     * query-dependent (t25's char-span hashing emits ~100x its compressed
@@ -87,10 +90,17 @@ object GraftSession {
     */
   def sizedShufflePartitions(inputBytes: Long, cores: Int): Int = {
     require(cores > 0, s"cores must be positive, got $cores")
-    val target = TargetShuffleBytesPerPartition
-    val byBytes =
-      (math.max(0L, inputBytes) * InflightExpansionAllowance + target - 1) / target
-    math.max(cores.toLong, math.min(cores.toLong * 128, byBytes)).toInt
+    // bytes*allowance would overflow Long in the exabyte regime — exactly
+    // where returning the floor would be worst — so divide instead
+    // (target is an exact multiple of the allowance) and saturate at the
+    // cap before any arithmetic can wrap
+    val perPartition = TargetShuffleBytesPerPartition / InflightExpansionAllowance
+    val cap = cores.toLong * 128
+    if (inputBytes >= perPartition * cap) cap.toInt
+    else {
+      val byBytes = (math.max(0L, inputBytes) + perPartition - 1) / perPartition
+      math.max(cores.toLong, math.min(cap, byBytes)).toInt
+    }
   }
 
   /** Total bytes under a data directory, via the Hadoop FileSystem API so
@@ -103,7 +113,13 @@ object GraftSession {
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(new org.apache.hadoop.conf.Configuration())
         .getContentSummary(p).getLength
-    } catch { case _: java.io.IOException => 0L }
+    } catch {
+      // NonFatal, not just IOException: Path/getFileSystem throw
+      // IllegalArgumentException on empty or malformed-URI strings, and the
+      // contract here is "unpriceable dirs fall back to the per-core
+      // floor", never "abort a multi-hour run at session build"
+      case scala.util.control.NonFatal(_) => 0L
+    }
 
   /** Multi-JVM knobs for a `local-cluster[n,cores,memMB]` master (r12,
     * verdict item 3): every other measurement in this repo is single-JVM

@@ -13,6 +13,27 @@ import graft.operators.{Bpe, Corpus, Profile}
   */
 object CorpusQueries {
 
+  /** Frequency-rank vocab ids over a one-column `token` frame: (token,
+    * n_occurrences, token_id) with ids by (count desc, token) — the ONE
+    * definition of the BPE id space, shared by the plain (t14c), marked
+    * (t14d), and encode (t14e) queries so the "t14e resolves ids in t14d's
+    * id space" claim is true by construction, not by copy-paste. The rank
+    * window runs over the AGGREGATED vocab — bounded by alphabet + merge
+    * table — so the single partition it implies is a dimension-table
+    * sort, never a corpus sort.
+    */
+  private def vocabRank(tokens: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tokens
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn(
+        "token_id",
+        row_number()
+          .over(Window.orderBy(col("n_occurrences").desc, col("token")))
+          .cast("long"))
+  }
+
   /** DuckDB twin of [[Corpus.hashBucket]]. */
   private def duckBucket(saltedExpr: String, buckets: Int): String =
     s"(CAST(concat('0x', substr(md5($saltedExpr), 1, 8)) AS BIGINT) % $buckets)"
@@ -116,16 +137,8 @@ object CorpusQueries {
     // bounded by alphabet + merge table, not corpus rows — so the single
     // partition it implies is a dimension-table sort, never a corpus sort.
     "t14c_bpe_vocab" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      Tables.richDocuments(s, dir)
-        .select(explode(TextFunctions.bpeTokens(col("text"), Bpe.Merges)).as("token"))
-        .groupBy("token")
-        .agg(count(lit(1)).as("n_occurrences"))
-        .withColumn(
-          "token_id",
-          row_number()
-            .over(Window.orderBy(col("n_occurrences").desc, col("token")))
-            .cast("long"))
+      vocabRank(Tables.richDocuments(s, dir)
+        .select(explode(TextFunctions.bpeTokens(col("text"), Bpe.Merges)).as("token")))
     },
     // C-vocab-marked — t14c's vocab with the Sennrich/GPT-2 END-OF-WORD
     // MARKER on each word-final token (r14, the carried verdict extension):
@@ -137,17 +150,9 @@ object CorpusQueries {
     // AGGREGATED vocab (bounded by alphabet + merges, each token at most
     // doubled by its marked form), never the corpus.
     "t14d_bpe_vocab_marked" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      Tables.richDocuments(s, dir)
+      vocabRank(Tables.richDocuments(s, dir)
         .select(
-          explode(TextFunctions.bpeTokensMarked(col("text"), Bpe.Merges)).as("token"))
-        .groupBy("token")
-        .agg(count(lit(1)).as("n_occurrences"))
-        .withColumn(
-          "token_id",
-          row_number()
-            .over(Window.orderBy(col("n_occurrences").desc, col("token")))
-            .cast("long"))
+          explode(TextFunctions.bpeTokensMarked(col("text"), Bpe.Merges)).as("token")))
         .withColumn("is_word_end", col("token").endsWith(TextKernels.EowMarker))
     },
     // C-encode — the ENCODE pass that closes the tokenizer loop (r15,
@@ -163,21 +168,12 @@ object CorpusQueries {
     // exactly the two passes a real encode ships as; the rank window runs
     // over the AGGREGATED vocab, never corpus rows (t14c's plan shape).
     "t14e_bpe_encode" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val toks = Tables.richDocuments(s, dir)
         .select(
           col("doc_id"),
           posexplode(TextFunctions.bpeTokensMarked(col("text"), Bpe.Merges))
             .as(Seq("p", "token")))
-      val vocab = toks
-        .groupBy("token")
-        .agg(count(lit(1)).as("n_occurrences"))
-        .withColumn(
-          "token_id",
-          row_number()
-            .over(Window.orderBy(col("n_occurrences").desc, col("token")))
-            .cast("long"))
-        .select(col("token"), col("token_id"))
+      val vocab = vocabRank(toks.select("token")).select(col("token"), col("token_id"))
       toks
         .join(broadcast(vocab), Seq("token"))
         .select(
@@ -348,10 +344,9 @@ object CorpusQueries {
     (Tables.richDocsOracleCte
       +: s"""w0 AS (SELECT doc_id, u.wi AS wi,
          |  list_transform(generate_series(1, length(u.w)), i -> substr(u.w, i, 1)) AS xs
-         |  FROM (SELECT doc_id, unnest(list_transform(
-         |      generate_series(1, len(string_split(text, ' '))),
-         |      j -> struct_pack(wi := j, w := string_split(text, ' ')[j]))) AS u
-         |    FROM docs_rich))""".stripMargin
+         |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+         |      j -> struct_pack(wi := j, w := tk[j]))) AS u
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM docs_rich)))""".stripMargin
       +: steps).mkString(",\n")
   }
 

@@ -51,6 +51,10 @@ class SizedPartitionsSpec extends AnyFunSuite {
     // documented answer there is MORE EXECUTORS, whose cores re-raise it
     assert(GraftSession.sizedShufflePartitions(Long.MaxValue / 8, 32) === 32 * 128)
     assert(GraftSession.sizedShufflePartitions(Long.MaxValue / 8, 4) === 4 * 128)
+    // exabyte inputs must SATURATE at the cap, never overflow into the
+    // per-core floor (the worst answer in exactly the huge-input regime)
+    assert(GraftSession.sizedShufflePartitions(Long.MaxValue, 32) === 32 * 128)
+    assert(GraftSession.sizedShufflePartitions(Long.MaxValue / 2, 32) === 32 * 128)
   }
 
   test("rounds UP: one byte past a target boundary adds a partition") {

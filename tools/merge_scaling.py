@@ -96,7 +96,8 @@ for name, by_size in fresh.items():
     if d is not None and name in fresh_diag:
         d.update(fresh_diag[name])
 
-distinct_runs = sorted({v for v in runs_by_slice.values()})
+distinct_runs = sorted({v for v in runs_by_slice.values()},
+                       key=lambda v: (v is None, v))
 if len(distinct_runs) > 1:
     sys.exit(f"fresh slices disagree on runs ({runs_by_slice}) — one "
              "provenance sentence cannot describe both; merge them in "

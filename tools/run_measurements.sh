@@ -36,18 +36,21 @@ cd /root/repo
 # the r9 basis of local[4] — comparability over core count.
 export SPARK_GRAFT_CPUS=32
 
-echo "== step 1: scale slices (x30 rebuilt; x100 reused if present) =="
+echo "== step 1: scale slices (reused only behind a completion sentinel) =="
+# a bare directory-existence check would silently reuse a PARTIAL slice
+# from an interrupted make_scale run (r15 review finding) — the _SUCCESS
+# sentinel is touched only after the build exits cleanly, and a
+# sentinel-less dir is torn down and rebuilt
 mkdir -p /tmp/graft_scale
-if [ ! -d /tmp/graft_scale/x100 ]; then
-  mkdir -p /tmp/graft_scale/x100
-  python3 tools/make_scale.py /root/testdata/sf0.1 /tmp/graft_scale/x100 100 \
-    > /tmp/m_scale100.log 2>&1
-fi
-if [ ! -d /tmp/graft_scale/x30 ]; then
-  mkdir -p /tmp/graft_scale/x30
-  python3 tools/make_scale.py /root/testdata/sf0.1 /tmp/graft_scale/x30 30 \
-    > /tmp/m_scale30.log 2>&1
-fi
+for K in 30 100; do
+  if [ ! -f "/tmp/graft_scale/x$K/_SUCCESS" ]; then
+    rm -rf "/tmp/graft_scale/x$K"
+    mkdir -p "/tmp/graft_scale/x$K"
+    python3 tools/make_scale.py /root/testdata/sf0.1 "/tmp/graft_scale/x$K" "$K" \
+      > "/tmp/m_scale$K.log" 2>&1
+    touch "/tmp/graft_scale/x$K/_SUCCESS"
+  fi
+done
 
 echo "== step 2: 100x scaling points under the SIZED session (the rule's win) =="
 # verdict items 1+6: the char family re-measured at 100x under the new

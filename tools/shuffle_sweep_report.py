@@ -76,10 +76,13 @@ for name, by_p in queries.items():
             by_p[str(knee)]["bytes_per_partition"] if knee else None),
     }
 
-distinct_runs = sorted({v for v in runs_by_p.values()})
-if len(distinct_runs) != 1:
-    sys.exit(f"swept points disagree on runs ({runs_by_p}) — re-run the "
-             "stragglers before composing one record")
+# a record missing 'runs' contributes None — sort-key it rather than let
+# a None-vs-int comparison crash before the friendly refusal fires
+distinct_runs = sorted({v for v in runs_by_p.values()},
+                       key=lambda v: (v is None, v))
+if len(distinct_runs) != 1 or distinct_runs[0] is None:
+    sys.exit(f"swept points disagree on (or lack) runs ({runs_by_p}) — "
+             "re-run the stragglers before composing one record")
 
 summary = {
     "metric": "shuffle_partition_sweep_100x",
