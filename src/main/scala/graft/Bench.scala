@@ -300,6 +300,14 @@ object Bench {
     * not contaminate the emitted record, and so the disturbance guard can
     * tell "fast because quiet" from "fast because broken".
     */
+  /** Sentinel failure key marking a round whose child JVM died or exited
+    * nonzero (never a real query name — query names are lowercase
+    * identifiers). Carried in a round's error map so the shared
+    * [[ForkedRounds]] guard discards and re-forks the round exactly like a
+    * broken one; any sentinel SURVIVING the guard aborts the run.
+    */
+  private[graft] val ChildDiedKey = "__child_died__"
+
   private final case class ChildRound(
       times: Seq[(String, Double)],
       diag: Map[String, Seq[Long]], // gc_ms, cpu_ms, spill_mem, spill_disk, shuf_read, shuf_write
@@ -418,15 +426,29 @@ object Bench {
       // or the watchdog killed it — this wait only reaps the exit code
       val exited = p.waitFor(1, java.util.concurrent.TimeUnit.MINUTES)
       if (!exited) p.destroyForcibly()
-      // a round that died mid-pass poisons the medians — fail LOUDLY, a
-      // partial bench record is worse than none (r6's silent-failure lesson)
-      require(done && exited && p.exitValue() == 0 && times.size == selected.size,
-        s"bench child round $label incomplete: done=$done exited=$exited " +
-          s"times=${times.size}/${selected.size} (see stderr above)")
-      System.err.println(
-        s"[bench] round $label: ${num(times.values.sum, 1)} s over ${times.size} queries" +
-          (if (errors.nonEmpty) s" (${errors.size} errored)" else ""))
-      ChildRound(times.toSeq, diag.toMap, exec.toSeq, errors.toMap)
+      // A round whose child died (or exited nonzero — e.g. the transient
+      // spill read-ahead OOM that killed one r14 sweep point AFTER all
+      // queries had timed) is handed to the disturbance guard as a BROKEN
+      // round via a sentinel failure key, so it is discarded and re-forked
+      // like any other disturbance and the death is visible in the record
+      // (rounds_discarded / discarded_totals). It must never enter the
+      // medians: if deaths persist in EVERY kept round the run still fails
+      // loudly below (r6's silent-failure lesson) — a partial bench record
+      // is worse than none.
+      val complete = done && exited && p.exitValue() == 0 && times.size == selected.size
+      if (!complete) {
+        val why = s"child death: done=$done exited=$exited " +
+          s"exit=${if (exited) p.exitValue().toString else "?"} " +
+          s"times=${times.size}/${selected.size}"
+        System.err.println(s"[bench] round $label $why — left to the disturbance guard")
+        ChildRound(times.toSeq, diag.toMap, exec.toSeq,
+          errors.toMap + (ChildDiedKey -> why))
+      } else {
+        System.err.println(
+          s"[bench] round $label: ${num(times.values.sum, 1)} s over ${times.size} queries" +
+            (if (errors.nonEmpty) s" (${errors.size} errored)" else ""))
+        ChildRound(times.toSeq, diag.toMap, exec.toSeq, errors.toMap)
+      }
     }
 
     // Disturbance guard (r11, one shared driver since r14 — semantics
@@ -443,6 +465,16 @@ object Bench {
     val rounds = outcome.rounds
     val discardedTotals = outcome.discardedTotals
     val residualBroken = outcome.residualBroken
+    // Transient child deaths self-heal through the guard above; a death
+    // surviving the re-fork budget (or present in every round, which the
+    // guard cannot tell from "the build") means the medians CANNOT be
+    // trusted — fail loudly rather than emit a partial record.
+    val dead = rounds.zipWithIndex.collect {
+      case (r, i) if r.errors.contains(ChildDiedKey) => s"round $i: ${r.errors(ChildDiedKey)}"
+    }
+    require(dead.isEmpty,
+      s"bench rounds incomplete after the disturbance guard (budget $maxReforks): " +
+        dead.mkString("; "))
     // errors from KEPT rounds only — a discarded round's transient failure
     // must not be reported against the record built from its replacement
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -814,15 +814,24 @@ object StreamBench {
       }
       val exited = p.waitFor(1, java.util.concurrent.TimeUnit.MINUTES)
       if (!exited) p.destroyForcibly()
-      // a child that died mid-pass (vs one that completed with some failed
-      // rows) poisons the medians — fail loudly, as Bench does
-      require(done && exited && p.exitValue() == 0,
-        s"streambench child round $label incomplete: done=$done exited=$exited " +
-          "(see stderr above)")
-      System.err.println(s"[streambench] round $label: " +
-        s"${num(times.valuesIterator.map(_._1).sum, 1)} s over ${times.size} rows" +
-        (if (fails.nonEmpty) s" (${fails.size} failed: ${fails.keys.mkString(",")})" else ""))
-      Round(order.toSeq, times.toMap, fails.toMap)
+      // A child that died mid-pass (vs one that completed with some failed
+      // rows) must never enter the medians — but a transient death (e.g. a
+      // spill read-ahead OOM on a loaded box) is exactly what the
+      // disturbance guard exists for, so it is handed over as a BROKEN
+      // round via Bench.ChildDiedKey (as Bench does) and discarded +
+      // re-forked; a death SURVIVING the guard aborts loudly below.
+      val complete = done && exited && p.exitValue() == 0
+      if (!complete) {
+        val why = s"child death: done=$done exited=$exited " +
+          s"exit=${if (exited) p.exitValue().toString else "?"}"
+        System.err.println(s"[streambench] round $label $why — left to the disturbance guard")
+        Round(order.toSeq, times.toMap, fails.toMap + (Bench.ChildDiedKey -> why))
+      } else {
+        System.err.println(s"[streambench] round $label: " +
+          s"${num(times.valuesIterator.map(_._1).sum, 1)} s over ${times.size} rows" +
+          (if (fails.nonEmpty) s" (${fails.size} failed: ${fails.keys.mkString(",")})" else ""))
+        Round(order.toSeq, times.toMap, fails.toMap)
+      }
     }
 
     // Disturbance guard — the ONE shared driver (r14): broken rounds (extra
@@ -837,6 +846,15 @@ object StreamBench {
     val rounds = outcome.rounds
     val discardedTotals = outcome.discardedTotals
     val residualBroken = outcome.residualBroken
+    // a child death surviving the re-fork budget poisons every median —
+    // abort rather than emit a partial record (Bench does the same)
+    val dead = rounds.zipWithIndex.collect {
+      case (r, i) if r.failures.contains(Bench.ChildDiedKey) =>
+        s"round $i: ${r.failures(Bench.ChildDiedKey)}"
+    }
+    require(dead.isEmpty,
+      s"streambench rounds incomplete after the disturbance guard (budget ${Bench.maxReforks}): " +
+        dead.mkString("; "))
 
     // aggregate: per-row median/min/max seconds over the rounds where the
     // row completed; rate = events / seconds (events are a per-row constant)

@@ -117,4 +117,31 @@ class ForkedRoundsSpec extends AnyFunSuite {
     assert(out.settled)
     assert(log.map(_._2) == Seq("0", "1", "2", "1-refork1", "1-refork2"))
   }
+
+  test("a child-death sentinel round is discarded broken-first and re-forked (r15)") {
+    // Bench/StreamBench mark a dead or nonzero-exit child with
+    // Bench.ChildDiedKey instead of throwing, so a transient OOM death
+    // self-heals through the guard and is visible as a discard in the
+    // record. The sentinel rides the ordinary broken-round path: discarded
+    // BEFORE any merely-slow round, replacement lands in place.
+    val (out, log) = drive(
+      Seq(R(10.0), R(2.0, Set(Bench.ChildDiedKey)), R(40.0)),
+      replacements = Seq(R(10.1), R(10.2)))
+    assert(out.settled && !out.residualBroken)
+    // dead round 1 discarded first (total 2.0), then the slow round 2
+    assert(out.discardedTotals == Seq(2.0, 40.0))
+    assert(out.rounds.map(_.total) == IndexedSeq(10.0, 10.1, 10.2))
+    assert(out.rounds.forall(!_.failed.contains(Bench.ChildDiedKey)))
+    assert(log.map(_._2) == Seq("0", "1", "2", "1-refork1", "2-refork2"))
+  }
+
+  test("a death in EVERY round settles as persistent — callers must abort on the sentinel") {
+    // the guard cannot tell all-round deaths from a broken build (same
+    // intersection rule as persistent failures); Bench/StreamBench require
+    // no kept round carries the sentinel and fail loudly themselves
+    val (out, _) = drive(
+      Seq(R(10.0, Set(Bench.ChildDiedKey)), R(10.1, Set(Bench.ChildDiedKey))))
+    assert(out.settled && out.discardedTotals.isEmpty)
+    assert(out.rounds.forall(_.failed.contains(Bench.ChildDiedKey)))
+  }
 }
