@@ -39,8 +39,10 @@ object GraftSession {
   /** Measured sweet spot for per-partition shuffle working sets
     * (shufflesweep100.json, r14): sweeping t25's pinned partition count on
     * the 100x slice traced a U whose minimum sits at ~40 MB of shuffle
-    * write per partition — disk spill drops 5x and task CPU 34% vs the
-    * 164 MB/partition the core-count default produced there.
+    * write per partition — disk spill drops 5x and task CPU ~20% vs the
+    * ~160 MB/partition the core-count default produced there (numbers
+    * re-confirmed by the r15 3-round re-measure: the minimum is a
+    * 40-80 MB plateau and ~40 MB is its spill-cheapest end).
     */
   val TargetShuffleBytesPerPartition: Long = 40L * 1024 * 1024
 
@@ -60,12 +62,13 @@ object GraftSession {
     * advisory — it can never split an undersized count — so a core-count
     * initial value binds every heavy shuffle to giant partitions before
     * AQE can help. Measured on the 100x slice, within the one pinned
-    * sweep record (shufflesweep100.json): 32 partitions ran t25 in
-    * 135.5 s with 8.9 GB disk spill and 1208 s task CPU (164 MB/partition
-    * working sets force repeated spill-merge cycles); 128 partitions
-    * (~43 MB each) ran 101.2 s with 1.7 GB spill and 796 s task CPU —
-    * 34% less. The unpinned AQE session with the old 32-partition initial
-    * count measured 125.6 s there (SCALING_r14, its own record).
+    * sweep record (shufflesweep100.json, r15 3-round re-measure): 32
+    * partitions ran t25 in 95.5 s with 8.3 GB disk spill and 921 s task
+    * CPU (156 MB/partition working sets force repeated spill-merge
+    * cycles); 128 partitions (~41 MB each) ran 86.6 s with 1.6 GB spill
+    * and 721 s task CPU — 22% less. Under the applied rule the unpinned
+    * AQE session improved the heavy 30x/100x points 20%/10% in aggregate
+    * (SCALING_r15 vs _r14, its own record).
     *
     * Why a crude input-bytes estimate suffices: true shuffle volume is
     * query-dependent (t25's char-span hashing emits ~100x its compressed
