@@ -72,6 +72,7 @@ object Bench {
   private def offBasis: Boolean =
     sys.env.contains("SPARK_GRAFT_MASTER") ||
       sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS") ||
+      sys.env.contains("SPARK_GRAFT_ADVISORY_MB") ||
       !sfDir.startsWith("/root/testdata/")
 
   /** Guard/round knobs count as non-default too (r14 review): a
@@ -149,11 +150,25 @@ object Bench {
     // JVMs — never pay the recursive dir walk for a discarded value.
     def sized: String = GraftSession.sizedShufflePartitions(
       GraftSession.dirBytes(sfDir), cpus.toInt).toString
+    // SPARK_GRAFT_ADVISORY_MB overrides AQE's advisory partition size for
+    // the advisory-alignment experiment (TODO #1): the sweep's measured
+    // optimum is ~40 MB of shuffle write per partition, but coalescing
+    // merges back toward the 64 MB default advisory — above the optimum —
+    // so the sized initial count alone recovers only part of the pinned
+    // win. Off-basis (smoke-named) like the pinned knob; the DEFAULT
+    // session is unchanged when unset.
+    val advisoryMb = sys.env.get("SPARK_GRAFT_ADVISORY_MB").map { v =>
+      require(v.trim.matches("[0-9]+") && v.trim.toInt > 0,
+        s"SPARK_GRAFT_ADVISORY_MB must be a positive whole number of MB, got '$v'")
+      v.trim.toInt
+    }
     val b0 = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", pinnedShuffle.getOrElse(sized))
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         pinnedShuffle.isEmpty.toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        s"${advisoryMb.getOrElse(64)}m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
