@@ -162,6 +162,18 @@ object Bench {
         s"SPARK_GRAFT_ADVISORY_MB must be a positive whole number of MB, got '$v'")
       v.trim.toInt
     }
+    // SPARK_GRAFT_SPAN_PARTITIONS overrides the char-span STAGE pin
+    // (Corpus.SpanPartitionsConf: 0 = off, >0 = forced count) for the
+    // stage-pin sweep — off-basis like the session knobs above. A
+    // session-wide PINNED sweep always turns the stage pin OFF so the
+    // sweep measures pure session pinning, never a mix of the two.
+    val spanPin =
+      if (pinnedShuffle.isDefined) Some("0")
+      else sys.env.get("SPARK_GRAFT_SPAN_PARTITIONS").map { v =>
+        require(v.trim.matches("[0-9]+"),
+          s"SPARK_GRAFT_SPAN_PARTITIONS must be a non-negative whole number, got '$v'")
+        v.trim
+      }
     val b0 = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", pinnedShuffle.getOrElse(sized))
@@ -179,8 +191,10 @@ object Bench {
       // uniformly) — a bench-harness artifact, not a plan cost. A
       // production job runs few queries repeatedly and never sees this.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+    val b1 = spanPin.fold(b0)(p =>
+      b0.config(graft.operators.Corpus.SpanPartitionsConf, p))
     val spark =
-      (if (master.startsWith("local-cluster")) GraftSession.withMultiJvm(b0) else b0)
+      (if (master.startsWith("local-cluster")) GraftSession.withMultiJvm(b1) else b1)
         .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

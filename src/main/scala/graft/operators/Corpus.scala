@@ -287,7 +287,8 @@ object Corpus {
     require(l >= 2, s"window length must be >= 2 chars, got $l")
     spansFromPositioned(
       docs.select(id.as("doc_id"), posexplode(TextFunctions.charWindowHashSeq(text, l))),
-      width = l, minDocs = minDocs, lengthCol = "span_chars")
+      width = l, minDocs = minDocs, lengthCol = "span_chars",
+      pin = charSpanPin(docs))
   }
 
   /** [[repeatedCharSpans]] on WINNOWED fingerprints — the MOSS sampling
@@ -319,7 +320,9 @@ object Corpus {
         pmod(col("v"), lit(4294967296L)).as("pos"), // 1-based, packed low bits
         // integer div, NOT `/` (double division loses bits above 2^53)
         expr("v div 4294967296").as("h"))
-    spansFromHits(hits, width = l, minDocs = minDocs, lengthCol = "span_chars")
+    spansFromHits(
+      hits, width = l, minDocs = minDocs, lengthCol = "span_chars",
+      pin = charSpanPin(docs, densityNum = 2, densityDen = w + 1))
   }
 
   /** The removal half at CHARACTER granularity — [[redactSpans]]' twin
@@ -389,16 +392,96 @@ object Corpus {
       exploded: DataFrame,
       width: Int,
       minDocs: Long,
-      lengthCol: String): DataFrame =
+      lengthCol: String,
+      pin: Option[Int] = None): DataFrame =
     // 1-based positions (the DuckDB generate_series convention)
     spansFromHits(
       exploded.select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h")),
-      width, minDocs, lengthCol)
+      width, minDocs, lengthCol, pin)
 
   /** Session conf overriding the broadcast budget for the repeated-set
     * join (bytes; tests use it to force the merge path on small data).
     */
   val BroadcastBudgetConf = "spark.graft.corpus.broadcastSetMaxBytes"
+
+  /** Session conf for the char-span STAGE partition pin ([[charSpanPin]]):
+    * unset -> sized from plan statistics (the default); `0` -> hint OFF
+    * (Bench's session-wide pinned sweep sets this so the sweep measures
+    * pure session pinning, never a mix); `> 0` -> forced count (tests and
+    * the stage-pin sweep).
+    */
+  val SpanPartitionsConf = "spark.graft.corpus.spanShufflePartitions"
+
+  /** Measured shuffle expansion of the every-position char-span pass:
+    * total shuffle write / compressed documents bytes, from
+    * shufflesweep100.json (t25 wrote 5.48 GB of shuffle at P128 over the
+    * x100 slice's 54.6 MB documents.parquet — ratio 100.3). The explode
+    * turns every CHAR into a (doc_id, pos, hash) row, so shuffle volume
+    * is ~chars x serialized row overhead against dictionary+snappy-
+    * compressed text input. Precision is not required: the pinned-sweep
+    * optimum is a 40-80 MB/partition PLATEAU, so landing within 2x of
+    * the true volume lands ON it.
+    */
+  val CharSpanShuffleExpansion: Long = 100L
+
+  /** Partition count for a pinned char-family shuffle stage, from the
+    * estimated stage shuffle volume — `ceil(bytes / 40 MB)`, the sweet
+    * spot shufflesweep100.json measured — floored OFF (None) when the
+    * sized count would not exceed the core count (small inputs keep
+    * today's adaptive plans bit-identical: sf0.1's ~50 MB estimate sizes
+    * to 2 <= 32 cores) and capped at 128 task waves per core like the
+    * session rule. BigInt end to end: a 100 TB corpus times the expansion
+    * factor overflows Long exactly where the cap must still engage.
+    */
+  private[graft] def spanPinFor(estShuffleBytes: BigInt, cores: Int): Option[Int] = {
+    require(cores > 0, s"cores must be positive, got $cores")
+    val target = BigInt(graft.GraftSession.TargetShuffleBytesPerPartition)
+    val sized = ((estShuffleBytes max BigInt(0)) + target - 1) / target
+    val cap = BigInt(cores) * 128
+    if (sized <= BigInt(cores)) None else Some((sized min cap).toInt)
+  }
+
+  /** The char-span stage pin, resolved for a concrete corpus: the conf
+    * override if set, else [[spanPinFor]] over the docs relation's
+    * logical-plan size estimate (for a parquet table, the file bytes —
+    * the same quantity the session rule prices) times the measured
+    * [[CharSpanShuffleExpansion]].
+    *
+    * WHY a per-stage pin exists on top of the session's sized initial
+    * count (GraftSession.sizedShufflePartitions): AQE coalescing merges
+    * ADJACENT map-output ranges, which yields uneven post-shuffle
+    * partitions; pinning gives uniform hash partitions. r15 measured the
+    * gap — t25@100x ran 108.2 s under the sized adaptive session vs
+    * 85.5-86.6 s with the count pinned session-wide (shufflesweep100) —
+    * and falsified the advisory-alignment explanation (advisory100.json:
+    * aligning the advisory to 40 MB cut spill but RAISED wall 12%,
+    * because the coalesced ranges stay uneven). A user
+    * `repartition(n, col)` is a REPARTITION_BY_NUM exchange, which AQE
+    * never coalesces, so pinning exactly the heavy stages keeps the rest
+    * of the plan adaptive — the "when a heavy shuffle's volume is known,
+    * PIN that stage" rule from SCALE.md, applied by the operator that
+    * knows it.
+    */
+  private def charSpanPin(
+      docs: DataFrame,
+      densityNum: Int = 1,
+      densityDen: Int = 1): Option[Int] = {
+    val spark = docs.sparkSession
+    spark.conf.getOption(SpanPartitionsConf).map(_.trim.toInt) match {
+      case Some(0) => None
+      case Some(p) =>
+        require(p > 0, s"$SpanPartitionsConf must be >= 0, got $p")
+        Some(p)
+      case None =>
+        // density scales the expansion for SAMPLED variants: winnowing
+        // keeps ~2/(w+1) of positions, so its shuffle is that fraction of
+        // the every-position volume the expansion constant was measured on
+        spanPinFor(
+          docs.queryExecution.optimizedPlan.stats.sizeInBytes *
+            CharSpanShuffleExpansion * densityNum / densityDen,
+          spark.sparkContext.defaultParallelism)
+    }
+  }
 
   /** Conservative broadcast-build footprint of one 8-byte hash key inside a
     * HashedRelation (key + slot + UnsafeRow + load-factor headroom).
@@ -450,7 +533,8 @@ object Corpus {
       set: DataFrame,
       key: String,
       joinType: String = "inner",
-      bytesPerRow: Long = BytesPerBroadcastKey): DataFrame = {
+      bytesPerRow: Long = BytesPerBroadcastKey,
+      pin: Option[Int] = None): DataFrame = {
     val spark = big.sparkSession
     val executorHeap = spark.conf.getOption("spark.executor.memory")
       .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
@@ -461,7 +545,14 @@ object Corpus {
     val priced = set.persist(StorageLevel.DISK_ONLY)
     val estBytes = priced.count() * bytesPerRow
     if (estBytes <= budget) big.join(broadcast(priced), Seq(key), joinType)
-    else big.join(priced.hint("SHUFFLE_MERGE"), Seq(key), joinType)
+    else {
+      // `pin` fixes the big side's shuffle at a uniform REPARTITION_BY_NUM
+      // exchange (the set side then matches it) — see [[charSpanPin]].
+      // Only the MERGE branch pins: the broadcast fast path's whole point
+      // is that `big` is never shuffled.
+      val bigSide = pin.fold(big)(p => big.repartition(p, col(key)))
+      bigSide.join(priced.hint("SHUFFLE_MERGE"), Seq(key), joinType)
+    }
   }
 
   /** [[spansFromPositioned]] after position normalization: `positioned` =
@@ -471,14 +562,25 @@ object Corpus {
       positioned: DataFrame,
       width: Int,
       minDocs: Long,
-      lengthCol: String): DataFrame = {
+      lengthCol: String,
+      pin: Option[Int] = None): DataFrame = {
     require(minDocs >= 2, s"minDocs < 2 would mark every in-doc window repeated, got $minDocs")
-    val repeated = positioned
+    // `pin` fixes the two corpus-sized exchanges — the set-build groupBy
+    // here and the merge join inside sizeAwareSetJoin — at a uniform
+    // hash-partition count sized to the measured ~40 MB/partition optimum
+    // (see [[charSpanPin]] for the evidence chain). Repartitioning by `h`
+    // ALONE, never (h, doc_id): hashpartitioning(h) satisfies every
+    // downstream clustering requirement of the distinct-aggregate rewrite
+    // ((h, doc_id) then (h)), so ONE pinned exchange serves all phases; a
+    // finer (h, doc_id) partitioning would force Spark to re-shuffle the
+    // near-undeduplicated pairs a second time for the final group on h.
+    val setSrc = pin.fold(positioned)(p => positioned.repartition(p, col("h")))
+    val repeated = setSrc
       .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("h")
-    val hits = sizeAwareSetJoin(positioned, repeated, "h")
+    val hits = sizeAwareSetJoin(positioned, repeated, "h", pin = pin)
       .select(col("doc_id"), col("pos"), (col("pos") + (width - 1)).as("e"))
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)

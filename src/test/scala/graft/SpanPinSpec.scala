@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Corpus
+
+/** Pins the char-span STAGE partition pin (r15, TODO #1 — the
+  * "when a heavy shuffle's volume is known, PIN that stage" rule from
+  * SCALE.md applied by the operator that knows the volume).
+  *
+  * Two surfaces: the pure sizing function ([[Corpus.spanPinFor]] — the
+  * 40 MB/partition rule with an off-below-cores floor and a
+  * 128-waves/core cap), and the plan effect (a forced pin inserts
+  * REPARTITION_BY_NUM exchanges — which AQE never coalesces — on exactly
+  * the set-build and merge-join stages, while small inputs and the
+  * `0` override leave today's adaptive plans bit-identical).
+  */
+class SpanPinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val MB = BigInt(1024L * 1024)
+
+  private def docs =
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely unrelated text with no repeats whatsoever here")
+    ).toDF("doc_id", "text")
+
+  /** Pin placement is asserted on the ANALYZED plan: sizeAwareSetJoin
+    * persists the repeated set, so by optimizedPlan time the CacheManager
+    * has folded the set-build subtree (and its pin) into an
+    * InMemoryRelation — the pinned exchange still executes (the cached
+    * plan compiles from the pinned logical plan) but is invisible to a
+    * collect over the outer tree. The join-side pin is additionally
+    * asserted post-optimizer below, proving the node survives
+    * optimization rather than being collapsed away.
+    */
+  private def repartitions(df: DataFrame): Seq[RepartitionByExpression] =
+    df.queryExecution.analyzed.collect { case r: RepartitionByExpression => r }
+
+  private def optimizedRepartitions(df: DataFrame): Seq[RepartitionByExpression] =
+    df.queryExecution.optimizedPlan.collect { case r: RepartitionByExpression => r }
+
+  private def withConf[A](kvs: (String, String)*)(body: => A): A = {
+    try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  // ------------------------------------------------------- sizing function
+
+  test("spanPinFor: off (None) when the sized count does not exceed cores") {
+    // sf0.1 regime: ~0.6 MB of documents x85 expansion = ~50 MB -> 2
+    // partitions, under any real core count -> no pin, plans unchanged
+    assert(Corpus.spanPinFor(50 * MB, 32) === None)
+    assert(Corpus.spanPinFor(BigInt(0), 32) === None)
+    assert(Corpus.spanPinFor(BigInt(-1), 32) === None)
+    // exactly at the floor is still OFF (<=, not <)
+    assert(Corpus.spanPinFor(32 * 40 * MB, 32) === None)
+  }
+
+  test("spanPinFor: sizes by the measured 40 MB/partition rule, rounding up") {
+    assert(Corpus.spanPinFor(32 * 40 * MB + 1, 32) === Some(33))
+    // the x100 anchor: ~5.5 GB of char-span shuffle -> ~138 partitions,
+    // inside the measured 40-80 MB plateau's pinned band
+    val p = Corpus.spanPinFor(5500 * MB, 32).get
+    assert(p >= 128 && p <= 160, s"x100-sized pin out of band: $p")
+  }
+
+  test("spanPinFor: capped at 128 waves per core, saturating for huge inputs") {
+    assert(Corpus.spanPinFor(BigInt(Long.MaxValue) * 16, 32) === Some(32 * 128))
+    assert(Corpus.spanPinFor(BigInt(10).pow(18), 4) === Some(4 * 128))
+  }
+
+  // ----------------------------------------------------------- plan effect
+
+  test("default: small corpus stats leave the plan free of repartitions") {
+    // the shared-session conf is unset here -> auto sizing; a 3-row local
+    // relation prices far under the cores x 40 MB floor
+    val out = Corpus.repeatedCharSpans(docs, $"doc_id", $"text", l = 10, minDocs = 2L)
+    assert(repartitions(out).isEmpty)
+  }
+
+  test("forced pin places REPARTITION_BY_NUM exchanges on set-build AND merge join") {
+    withConf(
+      Corpus.SpanPartitionsConf -> "6",
+      // force the merge branch so the join-side pin is exercised too
+      Corpus.BroadcastBudgetConf -> "1") {
+      val out = Corpus.repeatedCharSpans(docs, $"doc_id", $"text", l = 10, minDocs = 2L)
+      val reps = repartitions(out)
+      assert(reps.size === 2, s"expected set-build + join pins, got ${reps.size}")
+      assert(reps.forall(_.optNumPartitions.contains(6)))
+      // the join-side pin survives the optimizer (not collapsed/removed)
+      val opt = optimizedRepartitions(out)
+      assert(opt.size === 1 && opt.head.optNumPartitions.contains(6))
+    }
+  }
+
+  test("broadcast fast path pins only the set-build stage (big side never shuffles)") {
+    withConf(Corpus.SpanPartitionsConf -> "6") {
+      val out = Corpus.repeatedCharSpans(docs, $"doc_id", $"text", l = 10, minDocs = 2L)
+      assert(repartitions(out).size === 1)
+    }
+  }
+
+  test("'0' turns the stage pin OFF (session-pinned sweep mode)") {
+    withConf(Corpus.SpanPartitionsConf -> "0", Corpus.BroadcastBudgetConf -> "1") {
+      val out = Corpus.repeatedCharSpans(docs, $"doc_id", $"text", l = 10, minDocs = 2L)
+      assert(repartitions(out).isEmpty)
+    }
+  }
+
+  test("pinned and unpinned plans produce identical spans") {
+    val unpinned = Corpus.repeatedCharSpans(docs, $"doc_id", $"text", l = 10, minDocs = 2L)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    val pinned = withConf(
+      Corpus.SpanPartitionsConf -> "6",
+      Corpus.BroadcastBudgetConf -> "1") {
+      Corpus.repeatedCharSpans(docs, $"doc_id", $"text", l = 10, minDocs = 2L)
+        .orderBy("doc_id", "span_start").collect().toSeq
+    }
+    assert(unpinned.nonEmpty && pinned === unpinned)
+  }
+
+  test("winnowed form pins too, with the sampling-density-scaled estimate") {
+    // forced-pin path: the conf short-circuits sizing for every char form
+    withConf(Corpus.SpanPartitionsConf -> "6", Corpus.BroadcastBudgetConf -> "1") {
+      val out = Corpus.winnowedCharSpans(docs, $"doc_id", $"text", l = 8, w = 4, minDocs = 2L)
+      assert(repartitions(out).size === 2)
+    }
+    // auto path: small stats x (2/(w+1) of the measured expansion) stays off
+    val auto = Corpus.winnowedCharSpans(docs, $"doc_id", $"text", l = 8, w = 4, minDocs = 2L)
+    assert(repartitions(auto).isEmpty)
+  }
+
+  test("token-family spans stay unpinned (expansion factor unmeasured there)") {
+    withConf(Corpus.SpanPartitionsConf -> "6", Corpus.BroadcastBudgetConf -> "1") {
+      val out = Corpus.repeatedSpans(docs, $"doc_id", $"text", n = 3, minDocs = 2L)
+      assert(repartitions(out).isEmpty)
+    }
+  }
+}
