@@ -23,8 +23,14 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_SPAN_PARTITIONS mirrors Bench's knob for the char-span
+    // stage pin (Corpus.SpanPartitionsConf: 0 = off, >0 = forced): the
+    // r15 scale-identity check dumps the same query pinned and unpinned
+    // and diffs the parquet — partitioning must never change results.
+    val b1 = sys.env.get("SPARK_GRAFT_SPAN_PARTITIONS").fold(b0)(v =>
+      b0.config(graft.operators.Corpus.SpanPartitionsConf, v.trim))
     val spark =
-      (if (master.startsWith("local-cluster")) GraftSession.withMultiJvm(b0) else b0)
+      (if (master.startsWith("local-cluster")) GraftSession.withMultiJvm(b1) else b1)
         .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -447,20 +447,21 @@ object Corpus {
     * the same quantity the session rule prices) times the measured
     * [[CharSpanShuffleExpansion]].
     *
-    * WHY a per-stage pin exists on top of the session's sized initial
-    * count (GraftSession.sizedShufflePartitions): AQE coalescing merges
-    * ADJACENT map-output ranges, which yields uneven post-shuffle
-    * partitions; pinning gives uniform hash partitions. r15 measured the
-    * gap — t25@100x ran 108.2 s under the sized adaptive session vs
-    * 85.5-86.6 s with the count pinned session-wide (shufflesweep100) —
-    * and falsified the advisory-alignment explanation (advisory100.json:
-    * aligning the advisory to 40 MB cut spill but RAISED wall 12%,
-    * because the coalesced ranges stay uneven). A user
-    * `repartition(n, col)` is a REPARTITION_BY_NUM exchange, which AQE
-    * never coalesces, so pinning exactly the heavy stages keeps the rest
-    * of the plan adaptive — the "when a heavy shuffle's volume is known,
-    * PIN that stage" rule from SCALE.md, applied by the operator that
-    * knows it.
+    * WHY a per-stage pin beats both the sized adaptive session and a
+    * session-wide pin (stagepin100.json — same-day three-way at 100x, 3
+    * forked rounds each): a user `repartition(n, col)` is a
+    * REPARTITION_BY_NUM exchange, which AQE never coalesces, so it buys
+    * the uniform hash partitions coalescing cannot produce (AQE merges
+    * ADJACENT map ranges — uneven; worth 27%: session-pinned 126.1 s vs
+    * adaptive 172.9 s) — but the dominant term is the PLAN SHAPE:
+    * repartition-first moves the distinct aggregate entirely
+    * post-shuffle, DELETING the map-side partial phase, which over the
+    * near-unique (h, doc) pairs of a char-window explode deduplicates
+    * almost nothing while building giant spilling per-task hash maps and
+    * inflating the shuffle 27% with agg buffers. Stage-pinned t25 runs
+    * 57.7 s with ZERO spill and -44% task CPU where the adaptive plan
+    * spilled 58 GB; 3.5x on 4 cores (the per-executor budget). Only the
+    * two corpus-sized stages pin; the rest of the plan stays adaptive.
     */
   private def charSpanPin(
       docs: DataFrame,

@@ -52,11 +52,15 @@ record = {
     "basis_detail": (
         "operator stage pin (Corpus.charSpanPin, REPARTITION_BY_NUM on the "
         "set-build + merge-join exchanges, sized bytes/40MB from plan "
-        "statistics) AUTO vs OFF (SPARK_GRAFT_SPAN_PARTITIONS=0); forked "
-        "rounds under the ForkedRounds disturbance guard, min-wall round "
-        "quoted with its own diag; cores32 = the committed local[32] bench "
-        "basis, cores4 = local[4], the per-executor core budget of the "
-        "clustermem100 executor topology"),
+        "statistics) AUTO vs OFF (SPARK_GRAFT_SPAN_PARTITIONS=0), plus the "
+        "sess128 attribution arm (SPARK_GRAFT_SHUFFLE_PARTITIONS=128: "
+        "session-wide pin, stage pin auto-disabled — uniform partitions "
+        "WITH the map-side partial agg kept, isolating uniformity from "
+        "the stage pin's repartition-first shape); forked rounds under "
+        "the ForkedRounds disturbance guard, min-wall round quoted with "
+        "its own diag; all cells same-day same-box pairs; cores32 = the "
+        "committed local[32] bench basis, cores4 = local[4], the "
+        "per-executor core budget of the clustermem100 executor topology"),
     "runs_per_cell": runs,
     "guard_per_cell": guard,
     "queries": cells,
