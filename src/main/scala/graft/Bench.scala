@@ -167,13 +167,21 @@ object Bench {
     // stage-pin sweep — off-basis like the session knobs above. A
     // session-wide PINNED sweep always turns the stage pin OFF so the
     // sweep measures pure session pinning, never a mix of the two.
+    val spanPinEnv = sys.env.get("SPARK_GRAFT_SPAN_PARTITIONS").map { v =>
+      require(v.trim.matches("[0-9]+"),
+        s"SPARK_GRAFT_SPAN_PARTITIONS must be a non-negative whole number, got '$v'")
+      v.trim
+    }
     val spanPin =
-      if (pinnedShuffle.isDefined) Some("0")
-      else sys.env.get("SPARK_GRAFT_SPAN_PARTITIONS").map { v =>
-        require(v.trim.matches("[0-9]+"),
-          s"SPARK_GRAFT_SPAN_PARTITIONS must be a non-negative whole number, got '$v'")
-        v.trim
-      }
+      if (pinnedShuffle.isDefined) {
+        // the session-wide pin overrides the stage knob by design — but an
+        // experimenter setting BOTH must get a signal that one was ignored
+        spanPinEnv.filterNot(_ == "0").foreach(v => System.err.println(
+          s"[bench] SPARK_GRAFT_SHUFFLE_PARTITIONS is set: ignoring " +
+            s"SPARK_GRAFT_SPAN_PARTITIONS=$v (stage pin forced OFF so the " +
+            "sweep measures pure session pinning)"))
+        Some("0")
+      } else spanPinEnv
     val b0 = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", pinnedShuffle.getOrElse(sized))

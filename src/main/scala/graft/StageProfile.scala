@@ -1,6 +1,6 @@
 package graft
 
-import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 
@@ -28,12 +28,14 @@ object StageProfile {
     case class St(
         name: String, tasks: Int, wallMs: Long, taskMs: Long, cpuMs: Long,
         input: Long, sRead: Long, sWrite: Long, spillMem: Long, spillDisk: Long)
-    val stages = mutable.ArrayBuffer.empty[St]
+    // appended on the listener-bus thread, drained on the main thread: a
+    // concurrent queue gives the memory barrier a plain ArrayBuffer lacks
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]
     val listener = new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val i = e.stageInfo
         val m = i.taskMetrics
-        stages += St(
+        stages add St(
           i.name.takeWhile(_ != '\n'),
           i.numTasks,
           (for { a <- i.completionTime; b <- i.submissionTime } yield a - b).getOrElse(-1L),
@@ -54,13 +56,19 @@ object StageProfile {
     df.write.format("noop").mode("overwrite").save()
     val wall = (System.nanoTime() - t0) / 1e9
     // the listener bus is async; completion events for the last stage can
-    // trail the job end — a short settle is enough for a diagnostics print
-    Thread.sleep(1000)
+    // trail the job end. No public waitUntilEmpty, so poll until the stage
+    // count is stable across two consecutive checks (bounded at 10 s).
+    var (prev, stable, waited) = (-1, 0, 0)
+    while (stable < 2 && waited < 10000) {
+      Thread.sleep(250); waited += 250
+      val n = stages.size
+      if (n == prev) stable += 1 else { stable = 0; prev = n }
+    }
 
     println(f"=== $name @ $dir — ${wall}%.1f s, ${stages.size} stages ===")
     println(f"${"stage"}%-44s ${"tasks"}%5s ${"wall_s"}%7s ${"task_s"}%7s ${"cpu_s"}%7s " +
       f"${"in_mb"}%7s ${"sr_mb"}%7s ${"sw_mb"}%7s ${"spl_mem"}%8s ${"spl_dsk"}%8s")
-    stages.foreach { s =>
+    stages.asScala.foreach { s =>
       println(f"${s.name.take(44)}%-44s ${s.tasks}%5d ${s.wallMs / 1000.0}%7.1f " +
         f"${s.taskMs / 1000.0}%7.1f ${s.cpuMs / 1000.0}%7.1f " +
         f"${s.input >> 20}%7d ${s.sRead >> 20}%7d ${s.sWrite >> 20}%7d " +

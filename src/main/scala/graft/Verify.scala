@@ -27,8 +27,14 @@ object Verify {
     // stage pin (Corpus.SpanPartitionsConf: 0 = off, >0 = forced): the
     // r15 scale-identity check dumps the same query pinned and unpinned
     // and diffs the parquet — partitioning must never change results.
-    val b1 = sys.env.get("SPARK_GRAFT_SPAN_PARTITIONS").fold(b0)(v =>
-      b0.config(graft.operators.Corpus.SpanPartitionsConf, v.trim))
+    val b1 = sys.env.get("SPARK_GRAFT_SPAN_PARTITIONS").fold(b0) { v =>
+      // validate at env-read time, mirroring Bench: a malformed value would
+      // otherwise surface later as a bare NumberFormatException from deep
+      // inside query construction
+      require(v.trim.matches("[0-9]+"),
+        s"SPARK_GRAFT_SPAN_PARTITIONS must be a non-negative whole number, got '$v'")
+      b0.config(graft.operators.Corpus.SpanPartitionsConf, v.trim)
+    }
     val spark =
       (if (master.startsWith("local-cluster")) GraftSession.withMultiJvm(b1) else b1)
         .getOrCreate()

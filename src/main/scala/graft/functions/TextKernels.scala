@@ -503,15 +503,26 @@ object TextKernels {
 
   /** The Sennrich end-of-word marker appended to each word-FINAL token by
     * [[bpeTokensMarked]]. The no-collision guarantee (no UNMARKED token ever
-    * ends with this suffix) is grounded in the corpus ALPHABET, not the
-    * whitespace split: the synthetic documents are syllable text with no
-    * angle brackets, so the literal '</w>' cannot occur inside a word. On
-    * arbitrary input text containing '</w>' verbatim, a suffix test
-    * (endsWith / LIKE '%</w>') can misfire on unmarked tokens — a caller
-    * feeding such text should pre-escape the marker (as GPT-2's own
-    * byte-level vocab does by construction).
+    * ends with this suffix) holds UNCONDITIONALLY (r16): the marked path
+    * pre-escapes every literal '</w>' in the input to [[EowEscaped]]
+    * before symbolization, so the processed text contains no marker
+    * substring at all and a suffix test (endsWith / LIKE '%</w>')
+    * identifies exactly the word-final tokens on ANY input. The escape is
+    * length-preserving (same codepoint count), so token counts and
+    * positions are unchanged; it is applied only in the marked emission
+    * (the unmarked [[bpeTokens]]/[[bpeTokenCount]] surfaces pass text
+    * through verbatim). Not injective on text already containing the
+    * escaped form — absent from any alphabet that lacks '\\' — and merge
+    * behavior inside an escaped run can differ from the unmarked pass if
+    * the merge table pairs punctuation (trained tables here merge letters
+    * only).
     */
   val EowMarker = "</w>"
+
+  /** What a literal '</w>' in INPUT text becomes in [[bpeTokensMarked]]'s
+    * output — same length as the marker, does not contain it.
+    */
+  val EowEscaped = "<\\w>"
 
   /** [[bpeTokens]] with the GPT-2/Sennrich END-OF-WORD MARKER: the last
     * token of every word carries [[EowMarker]], so a (merges, vocab) pair
@@ -528,7 +539,11 @@ object TextKernels {
 
   private def bpeTokensImpl(
       t: UTF8String, merges: Array[Array[String]], marked: Boolean): GenericArrayData = {
-    val s = t.toString
+    val raw = t.toString
+    // pre-escape the marker (see EowMarker doc): length-preserving, so the
+    // word-boundary scan below is unaffected; contains() guards the common
+    // path from an allocation
+    val s = if (marked && raw.contains(EowMarker)) raw.replace(EowMarker, EowEscaped) else raw
     val out = new java.util.ArrayList[UTF8String]()
     var start = 0
     var more = true

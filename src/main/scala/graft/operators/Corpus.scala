@@ -260,7 +260,8 @@ object Corpus {
     require(n >= 1, s"shingle width must be >= 1, got $n")
     spansFromPositioned(
       docs.select(id.as("doc_id"), posexplode(TextFunctions.shingleHashSeq(text, n))),
-      width = n, minDocs = minDocs, lengthCol = "span_tokens")
+      width = n, minDocs = minDocs, lengthCol = "span_tokens",
+      pin = tokenSpanPin(docs))
   }
 
   /** [[repeatedSpans]] at CHARACTER granularity — the ExactSubstr-style
@@ -424,6 +425,19 @@ object Corpus {
     */
   val CharSpanShuffleExpansion: Long = 100L
 
+  /** Measured shuffle expansion of the TOKEN-span pass (r16, verdict task
+    * 1): set-build exchange write / compressed documents bytes, from
+    * `graft.StageProfile t23_repeated_spans` over the x100 slice — 250 MB
+    * of set-build shuffle over 54.6 MB of documents.parquet, ratio ~4.6,
+    * rounded up. ~20x below the char constant, NOT the naive ~6x row
+    * ratio: word-shingle rows are one per TOKEN (~6x fewer than chars)
+    * AND neighbouring shingles share 4 of 5 words, so the on-wire lz4
+    * compresses the pairs far harder than the char windows' near-random
+    * rolling hashes. Same 2x-tolerance argument as the char constant: the
+    * pinned optimum is a 40-80 MB/partition plateau.
+    */
+  val TokenSpanShuffleExpansion: Long = 5L
+
   /** Partition count for a pinned char-family shuffle stage, from the
     * estimated stage shuffle volume — `ceil(bytes / 40 MB)`, the sweet
     * spot shufflesweep100.json measured — floored OFF (None) when the
@@ -466,7 +480,44 @@ object Corpus {
   private def charSpanPin(
       docs: DataFrame,
       densityNum: Int = 1,
-      densityDen: Int = 1): Option[Int] = {
+      densityDen: Int = 1): Option[Int] =
+    spanPin(docs, CharSpanShuffleExpansion, densityNum, densityDen, family = "char")
+
+  /** The token-family twin of [[charSpanPin]] (r16): identical near-unique
+    * (h, doc_id) distinct aggregate, ~20x smaller measured expansion
+    * ([[TokenSpanShuffleExpansion]]) — so under the shared below-cores
+    * OFF-floor the auto pin stays off through ~x450 of sf0.1 on 32 cores
+    * (zero spill measured at x100, where the working set still fits), and
+    * engages with the same repartition-first shape beyond it.
+    */
+  private def tokenSpanPin(docs: DataFrame): Option[Int] =
+    spanPin(docs, TokenSpanShuffleExpansion, 1, 1, family = "token")
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The conf/auto resolution shared by the char and token families: the
+    * [[SpanPartitionsConf]] override if set, else [[spanPinFor]] over the
+    * docs relation's plan-statistics size times the family's measured
+    * shuffle-expansion constant.
+    *
+    * Auto mode only trusts statistics that carry information: a relation
+    * with no size estimate (LogicalRDD / createDataFrame-from-RDD, JDBC,
+    * or a post-join plan without CBO) reports
+    * `spark.sql.defaultSizeInBytes` — Long.MaxValue — or a multiplied
+    * overestimate ABOVE it, which the sizing pipeline would saturate at
+    * the cores*128 cap, silently forcing thousands-of-partition shuffles
+    * on a possibly tiny corpus. At or beyond the sentinel the auto pin
+    * stands down (None keeps the plan adaptive, today's default shape);
+    * file-backed scans — the case the constant was measured on — report
+    * real file bytes, far below it. Engaged pins log their sizing at WARN
+    * so a surprise pin is visible in the driver log.
+    */
+  private def spanPin(
+      docs: DataFrame,
+      expansion: Long,
+      densityNum: Int,
+      densityDen: Int,
+      family: String): Option[Int] = {
     val spark = docs.sparkSession
     spark.conf.getOption(SpanPartitionsConf).map(_.trim.toInt) match {
       case Some(0) => None
@@ -474,13 +525,29 @@ object Corpus {
         require(p > 0, s"$SpanPartitionsConf must be >= 0, got $p")
         Some(p)
       case None =>
-        // density scales the expansion for SAMPLED variants: winnowing
-        // keeps ~2/(w+1) of positions, so its shuffle is that fraction of
-        // the every-position volume the expansion constant was measured on
-        spanPinFor(
-          docs.queryExecution.optimizedPlan.stats.sizeInBytes *
-            CharSpanShuffleExpansion * densityNum / densityDen,
-          spark.sparkContext.defaultParallelism)
+        val stats = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+        val sentinel = BigInt(
+          spark.conf.get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString).toLong)
+        if (stats >= sentinel) {
+          log.warn(
+            s"graft $family-span stage pin: plan statistics carry no size " +
+              s"estimate (sizeInBytes=$stats >= defaultSizeInBytes sentinel) — " +
+              "auto pin OFF, plan stays adaptive; set " +
+              s"$SpanPartitionsConf to pin explicitly")
+          None
+        } else {
+          // density scales the expansion for SAMPLED variants: winnowing
+          // keeps ~2/(w+1) of positions, so its shuffle is that fraction of
+          // the every-position volume the expansion constant was measured on
+          val pin = spanPinFor(
+            stats * expansion * densityNum / densityDen,
+            spark.sparkContext.defaultParallelism)
+          pin.foreach(p => log.warn(
+            s"graft $family-span stage pin ENGAGED: $p partitions " +
+              s"(input stats $stats B x expansion $expansion x " +
+              s"$densityNum/$densityDen / 40 MB); set $SpanPartitionsConf=0 to disable"))
+          pin
+        }
     }
   }
 

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persistence for the trained tokenizer — the (merges, vocab) pair — the
+  * same artifact lifecycle [[VectorIndex]] gives the ANN index: training
+  * builds the merge table and frequency-rank vocab offline, this writes
+  * both as plain parquet, and an encode job loads them and tokenizes the
+  * corpus without ever recomputing the vocab aggregate. Two tables under
+  * one directory:
+  *
+  *   - `merges` — (rank, left, right), the ORDERED merge table (BPE merge
+  *     order is the tokenizer: replaying the same merges in a different
+  *     order produces different tokens). Bounded by the training budget
+  *     (~256 rows), written as one footer.
+  *   - `vocab` — (token, n_occurrences, token_id), the frequency-rank id
+  *     space (t14c/t14d's `vocabRank` output, marked or unmarked per the
+  *     caller). Bounded by alphabet + merges (each token at most doubled
+  *     by its end-of-word-marked form), one footer.
+  *
+  * Paths are plain Spark parquet locations — `file:`/`hdfs:`/`s3a:` all
+  * work. Parquet round-trips the string/long columns exactly, so a loaded
+  * (merges, vocab) pair encodes identically to the just-trained one —
+  * the t14f query's oracle (identical to t14e's) is the end-to-end
+  * losslessness proof.
+  */
+object TokenizerArtifact {
+
+  def save(spark: SparkSession, merges: Seq[(String, String)], vocab: DataFrame,
+      dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    vocab.coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  /** The ordered merge table, rank-ascending — ready for
+    * [[graft.functions.TextFunctions.bpeTokens]]/`bpeTokensMarked`. The
+    * table is bounded by the training budget, so a driver-side collect is
+    * a dimension read, never a corpus read.
+    */
+  def loadMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
+    spark.read.parquet(s"$dir/merges").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("left"), r.getAs[String]("right")))
+      .sortBy(_._1).map(t => (t._2, t._3)).toSeq
+
+  /** The vocab as a DataFrame — stays a (bounded) relation so the encode
+    * join can broadcast it; the plan visibly READS the artifact instead of
+    * recomputing the corpus aggregate.
+    */
+  def loadVocab(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/vocab")
+}

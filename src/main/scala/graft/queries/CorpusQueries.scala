@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions, TextKernels}
-import graft.operators.{Bpe, Corpus, Profile}
+import graft.operators.{Bpe, Corpus, Profile, TokenizerArtifact}
 
 /** Corpus-assembly queries: deterministic splits, weighted sampling,
   * contamination checks, sequence packing, PII redaction. Hash constants are
@@ -32,6 +32,83 @@ object CorpusQueries {
         row_number()
           .over(Window.orderBy(col("n_occurrences").desc, col("token")))
           .cast("long"))
+  }
+
+  /** The corpus as one (doc_id, p, token) row per MARKED BPE token
+    * occurrence under `merges` — the shared front half of the t14e/t14f/
+    * t14g encode queries (and of t14f's train step).
+    */
+  private def markedTokenStream(
+      s: SparkSession, dir: String, merges: Seq[(String, String)]): DataFrame =
+    Tables.richDocuments(s, dir)
+      .select(
+        col("doc_id"),
+        posexplode(TextFunctions.bpeTokensMarked(col("text"), merges))
+          .as(Seq("p", "token")))
+
+  /** Load the persisted (merges, vocab) artifact and ENCODE the corpus with
+    * it — the shared back half of t14f/t14g. The returned plan's only
+    * corpus pass is the encode explode; token ids come from a broadcast of
+    * the artifact's bounded vocab SCAN (never a recomputed corpus
+    * aggregate), and the merge table the kernel applies is the artifact's.
+    */
+  private def encodeFromArtifact(s: SparkSession, dir: String, art: String): DataFrame = {
+    val merges = TokenizerArtifact.loadMerges(s, art)
+    val vocab = TokenizerArtifact.loadVocab(s, art).select(col("token"), col("token_id"))
+    markedTokenStream(s, dir, merges)
+      .join(broadcast(vocab), Seq("token"))
+      .select(
+        col("doc_id"),
+        (col("p") + 1).cast("long").as("pos"),
+        col("token"),
+        col("token_id"))
+  }
+
+  /** Train the (merges, vocab) artifact for `sfDir` and persist it via
+    * [[TokenizerArtifact.save]]. Merges = the committed [[Bpe.Merges]]
+    * (training is TrainBpe's offline job; committing the table is what
+    * keeps the DuckDB oracles replayable), vocab = t14d's marked
+    * frequency-rank vocab computed fresh from the corpus.
+    */
+  private def trainAndSaveTokenizer(s: SparkSession, dir: String, art: String): Unit = {
+    val vocab = vocabRank(markedTokenStream(s, dir, Bpe.Merges).select("token"))
+    TokenizerArtifact.save(s, Bpe.Merges, vocab, art)
+    FixtureCleanup.registerTree(new java.io.File(art))
+  }
+
+  /** t14f's artifact directory: one per (process, sf dir), overwritten per
+    * invocation — each run pays the full train+save+load+encode lifecycle
+    * (that IS the measured surface), without leaking a temp dir per run.
+    * Same convention as the x_v12 index dir.
+    */
+  private object ArtifactDir {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def of(sfDir: String, variant: String): String = {
+      val key = FixtureKey.of(sfDir, "documents.parquet", variant = s"bpe_artifact_$variant")
+      cache.getOrElseUpdate(key, {
+        val d = java.nio.file.Files.createTempDirectory(s"graft_bpe_${variant}_").toFile
+        d.deleteOnExit()
+        d.toString
+      })
+    }
+  }
+
+  /** t14g's SERVING artifact: trained + saved ONCE per (process, sf dir)
+    * and never overwritten (content-fingerprint key, so a regenerated sf
+    * dir still re-trains) — the x_v14 convention: a 100 TB encode job
+    * trains its tokenizer offline and only ever pays load + encode, so the
+    * bench needs a row where the measured surface is exactly that.
+    */
+  private object ServeArtifact {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def of(s: SparkSession, sfDir: String): String = {
+      val key = FixtureKey.of(sfDir, "documents.parquet", variant = "bpe_artifact_serve")
+      cache.getOrElseUpdate(key, {
+        val d = java.nio.file.Files.createTempDirectory("graft_bpe_serve_").toFile
+        trainAndSaveTokenizer(s, sfDir, d.toString)
+        d.toString
+      })
+    }
   }
 
   /** DuckDB twin of [[Corpus.hashBucket]]. */
@@ -181,6 +258,30 @@ object CorpusQueries {
           (col("p") + 1).cast("long").as("pos"),
           col("token"),
           col("token_id"))
+    },
+    // C-encode-artifact — t14e's encode through the PERSISTED tokenizer
+    // (r16, verdict item 3): train the (merges, vocab) pair, SAVE it via
+    // TokenizerArtifact (parquet, the same artifact lifecycle as the
+    // x_v12 ANN index), LOAD it back, and encode the corpus with the
+    // LOADED state — merge table and token ids both come from the
+    // artifact, so the returned plan's only corpus pass is the encode
+    // explode (no recomputed vocab aggregate; the broadcast side is a
+    // bounded parquet scan). Must hash-match t14e's identical oracle —
+    // the proof that an encode job can reuse a persisted tokenizer
+    // without retraining and lose nothing.
+    "t14f_bpe_encode_artifact" -> { (s, dir) =>
+      val art = ArtifactDir.of(dir, "t14f")
+      trainAndSaveTokenizer(s, dir, art)
+      encodeFromArtifact(s, dir, art)
+    },
+    // C-encode-serve — the SERVING path in isolation: the same persisted-
+    // artifact encode as t14f, but against a memoized artifact (trained +
+    // saved once per process, the x_v14 convention) so the measured
+    // surface is load + encode ONLY — the per-run cost a 100 TB encode
+    // job actually pays, with training amortized offline where it
+    // belongs. Hash-matches t14e's oracle.
+    "t14g_bpe_encode_serve" -> { (s, dir) =>
+      encodeFromArtifact(s, dir, ServeArtifact.of(s, dir))
     },
     // C-spans — cross-document repeated n-gram SPAN dedup (the train-set
     // memorization pass): merged token intervals per doc covered by
@@ -350,6 +451,33 @@ object CorpusQueries {
       +: steps).mkString(",\n")
   }
 
+  /** The encode oracle, shared verbatim by t14e (in-query vocab), t14f
+    * (persisted-artifact lifecycle), and t14g (memoized serving artifact):
+    * document token order reconstructed from (wi, ti) — wi is the word's
+    * position carried through the merge CTEs, ti the token's position
+    * inside its word's final symbol list; the marker lands on each
+    * word-final token with the same '</w>' constant the Spark kernel
+    * appends, and ids are the marked vocab's frequency-rank ids (t14d).
+    * One definition, three consumers: the three queries differ only in
+    * WHERE the (merges, vocab) state lives, which the oracle must not see.
+    */
+  private def encodeOracle: String =
+    s"""WITH $bpeCtes,
+       |tok AS (SELECT doc_id, wi, u.ti AS ti, u.tok AS token FROM (
+       |  SELECT doc_id, wi, unnest(list_transform(generate_series(1, len(xs)),
+       |    i -> struct_pack(ti := i, tok :=
+       |      CASE WHEN i = len(xs) THEN xs[i] || '${TextKernels.EowMarker}'
+       |           ELSE xs[i] END))) AS u
+       |  FROM w${Bpe.Merges.size})),
+       |agg AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY token),
+       |voc AS (SELECT token,
+       |  row_number() OVER (ORDER BY n_occurrences DESC, token) AS token_id
+       |  FROM agg)
+       |SELECT t.doc_id,
+       |  row_number() OVER (PARTITION BY t.doc_id ORDER BY t.wi, t.ti) AS pos,
+       |  t.token, v.token_id
+       |FROM tok t JOIN voc v USING (token)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "t14b_bpe_packing" ->
       // NULL-text docs produce zero w0 rows (unnest of a NULL split), so the
@@ -394,27 +522,13 @@ object CorpusQueries {
          |  row_number() OVER (ORDER BY n_occurrences DESC, token) AS token_id,
          |  token LIKE '%${TextKernels.EowMarker}' AS is_word_end
          |FROM agg""".stripMargin,
-    "t14e_bpe_encode" ->
-      // document token order reconstructed from (wi, ti): wi is the word's
-      // position carried through the merge CTEs, ti the token's position
-      // inside its word's final symbol list; the marker lands on each
-      // word-final token with the same '</w>' constant the Spark kernel
-      // appends, and ids are the marked vocab's frequency-rank ids (t14d)
-      s"""WITH $bpeCtes,
-         |tok AS (SELECT doc_id, wi, u.ti AS ti, u.tok AS token FROM (
-         |  SELECT doc_id, wi, unnest(list_transform(generate_series(1, len(xs)),
-         |    i -> struct_pack(ti := i, tok :=
-         |      CASE WHEN i = len(xs) THEN xs[i] || '${TextKernels.EowMarker}'
-         |           ELSE xs[i] END))) AS u
-         |  FROM w${Bpe.Merges.size})),
-         |agg AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY token),
-         |voc AS (SELECT token,
-         |  row_number() OVER (ORDER BY n_occurrences DESC, token) AS token_id
-         |  FROM agg)
-         |SELECT t.doc_id,
-         |  row_number() OVER (PARTITION BY t.doc_id ORDER BY t.wi, t.ti) AS pos,
-         |  t.token, v.token_id
-         |FROM tok t JOIN voc v USING (token)""".stripMargin,
+    "t14e_bpe_encode" -> encodeOracle,
+    // t14f/t14g: the SAME oracle as t14e by design — the parquet-persisted
+    // (merges, vocab) artifact must encode bit-identically to the in-query
+    // computation; a hash mismatch here would mean persistence loses
+    // information.
+    "t14f_bpe_encode_artifact" -> encodeOracle,
+    "t14g_bpe_encode_serve" -> encodeOracle,
     "d3_profile_columns" ->
       (Seq("doc_id", "n_chars").map(duckProfileNum) ++
         Seq("text", "lang", "source").map(duckProfileStr))

@@ -478,4 +478,32 @@ class CorpusSpec extends SparkSpec {
       }
     }
   }
+
+  test("bpeTokensMarked pre-escapes a literal '</w>' in input (r16, no suffix collision)") {
+    import graft.functions.{TextFunctions, TextKernels}
+    import graft.operators.Bpe
+    // adversarial input: the marker appears VERBATIM inside words — without
+    // the escape, unmarked tokens could end with '</w>' and a suffix test
+    // (t14d's is_word_end, an external loader's endsWith) would misfire
+    val docs = Seq(
+      (1L, "abc</w> x</w>y the"),
+      (2L, "</w>")
+    ).toDF("doc_id", "text")
+    val out = docs.select(
+      $"doc_id",
+      TextFunctions.bpeTokenCount($"text", Bpe.Merges).as("n"),
+      TextFunctions.bpeTokensMarked($"text", Bpe.Merges).as("marked"))
+    out.collect().foreach { r =>
+      val marked = r.getSeq[String](2)
+      val finals = marked.count(_.endsWith(TextKernels.EowMarker))
+      val words = r.getLong(0) match { case 1L => 3; case 2L => 1 }
+      assert(finals === words,
+        s"doc ${r.getLong(0)}: suffix test found $finals word-final tokens, want $words")
+      // the escape is length-preserving, so counts still match the
+      // unmarked bpeTokenCount surface on this (letters-only-merges) table
+      assert(marked.size.toLong === r.getLong(1))
+      // input marker bytes surface as the documented escaped form
+      assert(marked.mkString.contains(TextKernels.EowEscaped))
+    }
+  }
 }

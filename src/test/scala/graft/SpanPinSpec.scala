@@ -134,10 +134,47 @@ class SpanPinSpec extends SparkSpec {
     assert(repartitions(auto).isEmpty)
   }
 
-  test("token-family spans stay unpinned (expansion factor unmeasured there)") {
+  test("token family pins too: forced conf places set-build AND join pins") {
     withConf(Corpus.SpanPartitionsConf -> "6", Corpus.BroadcastBudgetConf -> "1") {
       val out = Corpus.repeatedSpans(docs, $"doc_id", $"text", n = 3, minDocs = 2L)
-      assert(repartitions(out).isEmpty)
+      val reps = repartitions(out)
+      assert(reps.size === 2, s"expected set-build + join pins, got ${reps.size}")
+      assert(reps.forall(_.optNumPartitions.contains(6)))
     }
+  }
+
+  test("token family auto: small corpus stats stay below the floor — no pins") {
+    // the measured token expansion (~5x) prices a 3-row corpus far under
+    // cores x 40 MB, so sf0.1-and-below token plans are bit-identical to
+    // the pre-pin rounds by construction
+    val out = Corpus.repeatedSpans(docs, $"doc_id", $"text", n = 3, minDocs = 2L)
+    assert(repartitions(out).isEmpty)
+  }
+
+  test("token family: pinned and unpinned plans produce identical spans") {
+    val unpinned = Corpus.repeatedSpans(docs, $"doc_id", $"text", n = 3, minDocs = 2L)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    val pinned = withConf(
+      Corpus.SpanPartitionsConf -> "6",
+      Corpus.BroadcastBudgetConf -> "1") {
+      Corpus.repeatedSpans(docs, $"doc_id", $"text", n = 3, minDocs = 2L)
+        .orderBy("doc_id", "span_start").collect().toSeq
+    }
+    assert(unpinned.nonEmpty && pinned === unpinned)
+  }
+
+  test("auto pin stands down on sentinel statistics (non-file-backed input)") {
+    // a LogicalRDD (createDataFrame-from-RDD) reports
+    // spark.sql.defaultSizeInBytes — Long.MaxValue — as its size; trusting
+    // it would saturate the sizing at the cores*128 cap and force
+    // thousands-of-partition shuffles on a 3-row corpus (r15 ADVICE)
+    val rows = docs.collect().toSeq
+    val rdd = spark.sparkContext.parallelize(rows, 2)
+    val rddDocs = spark.createDataFrame(rdd, docs.schema)
+    val stats = rddDocs.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(stats >= BigInt(Long.MaxValue), s"precondition: sentinel stats, got $stats")
+    val char = Corpus.repeatedCharSpans(rddDocs, $"doc_id", $"text", l = 10, minDocs = 2L)
+    val token = Corpus.repeatedSpans(rddDocs, $"doc_id", $"text", n = 3, minDocs = 2L)
+    assert(repartitions(char).isEmpty && repartitions(token).isEmpty)
   }
 }
