@@ -76,9 +76,16 @@ def refit(min_sec):
 for name, by_size in fresh.items():
     row = base["queries"].get(name)
     if row is None:
-        print(f"{name}: not in base record — skipped (no 1x anchor)",
-              file=sys.stderr)
-        continue
+        # r16: a query new to the scaling net joins with an ALL-FRESH row,
+        # provided the fresh points alone anchor a fit (>= 2 sizes incl. 1x)
+        if len(by_size) >= 2 and "1.0" in by_size:
+            row = {"min_sec": {}, "median_sec": {}, "exec_sec": {}}
+            base["queries"][name] = row
+            base_diag["queries"].setdefault(name, {})
+        else:
+            print(f"{name}: not in base record and fresh points lack a 1x "
+                  "anchor — skipped", file=sys.stderr)
+            continue
     # a fresh point RE-measuring an already-carried size supersedes the
     # carried one — it must not be listed under both (r15 advice)
     carried = sorted((k for k in row["min_sec"] if k not in by_size),

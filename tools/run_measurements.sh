@@ -1,48 +1,38 @@
 #!/bin/bash
-# Round-15 serialized measurement pipeline — each step runs alone so no two
+# Round-16 serialized measurement pipeline — each step runs alone so no two
 # Spark workloads contend (concurrent runs poison both measurements).
 #
-# r15 shape: PROMISES-FIRST ordering (r14 precedent) — the round's mandated
-# records run before re-measured baselines, so a timeout strands polish,
-# not promises. This round's promises:
-#   - the bytes-aware initial-partition rule's WIN, measured: fresh 100x
-#     points for the char family under the sized (unpinned) session
-#     (verdict item 1), plus t14c/t20's first 100x points (item 6);
-#   - the 5-point shuffle sweep re-emitted at the bench-standard 3 forked
-#     rounds with the ForkedRounds guard fields IN the record (item 4);
-#   - bench_full at sf0.1 showing no regression (the sizing rule returns
-#     exactly the core count there, so none is expected) — now 133 queries
-#     (t14e joined);
-#   - clusterverify at 133; clusterstream with the new grid (LOCF ticker)
-#     row (item 8).
+# r16 shape: PROMISES-FIRST ordering (r14/r15 precedent). This round's
+# promises (verdict tasks 1/2/6/7 + the new-query records):
+#   - the TOKEN-family stage pin measured in a stagepin-style arms record
+#     at 100x (t23/t24: off vs auto vs forced-32) — the auto arm doubles
+#     as the family's 100x scaling point (same default-session basis);
+#   - t14e joins the scaling net 1x..100x (all points fresh — the query
+#     had none), plus fresh 100x re-measures for t14c/t21 so SCALE.md's
+#     flat-wall attributions re-quote from r16 diag (task 7);
+#   - clustermem100_pin8: the char trio at 100x on EIGHT 4-core 2 GiB
+#     executors with the stage pin in its default AUTO mode — does the
+#     one-box zero-spill result survive real serialized exchanges (task 6);
+#   - x30 output identity across (local auto-pin, local pin-off,
+#     cluster-pin8 auto-pin) for t25 AND t23 — partitioning and topology
+#     must never change results;
+#   - bench_full at sf0.1 (now 135 queries: t14f/t14g joined) + spread;
+#   - clusterverify at 135.
 #
-# Basis note for SCALING: the r15 sizing rule changes the UNPINNED session
-# only where the SF dir's bytes exceed one 40 MB partition per core — x30
-# (~71 initial partitions) and x100 (~235). Every 30x and 100x point is
-# therefore re-measured fresh this round; 1x/3x/10x points are carried
-# (the rule returns the identical core-count conf there, and no r15 engine
-# diff touches those queries' plans).
-#
-# What is NOT re-run (unchanged code + inputs, r13/r14 precedent):
-# statesweep, batchsweep, memsweep, statesweep_capped, clustermem*
-# (StreamBench/MemSweep paths untouched this round), streambench +
-# streambench_smoke (StatefulPaths row set unchanged — grid lives outside
-# it precisely so the carried record stays valid), clusterbench (runs at
-# sf0.1 where the sizing rule returns the identical conf; top-40 slice
-# unchanged).
+# What is NOT re-run (unchanged code + inputs, r13-r15 precedent):
+# statesweep, batchsweep, memsweep, statesweep_capped, clustermem/n8/n16
+# (StreamBench/MemSweep paths untouched), streambench + streambench_smoke
+# + clusterstream (no streaming-path diff this round), clusterbench (top-40
+# slice; r16 engine diffs touch only corpus-family plans ABOVE sf0.1),
+# shufflesweep100/stagepin100/advisory100 (their code paths and the char
+# constants they measured are unchanged).
 set -e
 cd /root/repo
-# Bench rows run at local[32] (the driver contract); the stream benches keep
-# the r9 basis of local[4] — comparability over core count.
 export SPARK_GRAFT_CPUS=32
 
 echo "== step 1: scale slices (reused only behind a completion sentinel) =="
-# a bare directory-existence check would silently reuse a PARTIAL slice
-# from an interrupted make_scale run (r15 review finding) — the _SUCCESS
-# sentinel is touched only after the build exits cleanly, and a
-# sentinel-less dir is torn down and rebuilt
 mkdir -p /tmp/graft_scale
-for K in 30 100; do
+for K in 3 10 30 100; do
   if [ ! -f "/tmp/graft_scale/x$K/_SUCCESS" ]; then
     rm -rf "/tmp/graft_scale/x$K"
     mkdir -p "/tmp/graft_scale/x$K"
@@ -52,59 +42,137 @@ for K in 30 100; do
   fi
 done
 
-echo "== step 2: 100x scaling points under the SIZED session (the rule's win) =="
-# verdict items 1+6: the char family re-measured at 100x under the new
-# bytes-aware initial-partition count (unpinned — AQE coalescing on), plus
-# first-ever 100x points for t14c/t20 and re-measures for the other
-# carried-100x rows (t21/t14b/t10/x_v12) so every 100x point in
-# SCALING_r15 shares one session basis.
-SPARK_GRAFT_ONLY="t25_char_spans,t26_winnowed_spans,t27_char_redaction,t21_bigram_ppl,t14b_bpe_packing,t14c_bpe_vocab,t20_bigram_pmi,t10_neardup_clusters,x_v12_ivfpq_index" \
-  SPARK_GRAFT_RUNS=3 SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x100 \
-  SPARK_GRAFT_ROUND_TIMEOUT_MIN=120 \
-  sbt -batch "runMain graft.Bench" > /tmp/m_scalebench_100.log 2>&1
-cp bench_only.json /tmp/m_scale_rec_100.json
-cp bench_diag_only.json /tmp/m_scale_diag_100.json
-rm -f bench_only.json bench_diag_only.json
-
-echo "== step 3: 30x scaling points under the SIZED session =="
-# same basis argument at 30x (~71 initial partitions vs the old 32): all
-# 11 queries holding 30x points re-measure fresh.
-SPARK_GRAFT_ONLY="t25_char_spans,t26_winnowed_spans,t27_char_redaction,t21_bigram_ppl,t14b_bpe_packing,t14c_bpe_vocab,t20_bigram_pmi,t10_neardup_clusters,x_v12_ivfpq_index,j5_star_join_revenue,d4_feature_corr" \
-  SPARK_GRAFT_RUNS=3 SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x30 \
-  SPARK_GRAFT_ROUND_TIMEOUT_MIN=60 \
-  sbt -batch "runMain graft.Bench" > /tmp/m_scalebench_30.log 2>&1
-cp bench_only.json /tmp/m_scale_rec_30.json
-cp bench_diag_only.json /tmp/m_scale_diag_30.json
-rm -f bench_only.json bench_diag_only.json
-python3 tools/merge_scaling.py SCALING_r15.json SCALING_r15_diag.json \
-  SCALING_r14.json SCALING_r14_diag.json \
-  30:/tmp/m_scale_rec_30.json:/tmp/m_scale_diag_30.json \
-  100:/tmp/m_scale_rec_100.json:/tmp/m_scale_diag_100.json \
-  "--note=1x/3x/10x carried: the r15 bytes-aware sizing rule returns the identical core-count conf at those sizes and no r15 engine diff touches these queries' plans; ALL 30x/100x points re-measured fresh under the sized session (x30 -> ~71 initial partitions, x100 -> ~235)"
-
-echo "== step 4: shuffle-partition sweep at 100x, 3 forked rounds =="
-# verdict item 4: the five-point sweep re-emitted at the bench-standard 3
-# rounds; shuffle_sweep_report.py now carries the ForkedRounds guard
-# fields (rounds_discarded / discarded_totals / residual flag) per point
-# and stamps the machine-readable cold-cache basis token. Pinning still
-# disables AQE coalescing AND the sizing heuristic (pinned wins).
-for P in 32 64 128 256 512; do
-  SPARK_GRAFT_SHUFFLE_PARTITIONS=$P \
-    SPARK_GRAFT_ONLY="t25_char_spans" \
+echo "== step 2: token-family stage-pin arms at 100x (t23/t24) =="
+# three arms, 3 forked rounds each: OFF (SPAN=0, the pre-r16 adaptive
+# plan), AUTO (default — expected identical to OFF at x100: the sized
+# count, ~7 partitions from the measured ~5x expansion, sits under the
+# 32-core floor, so the record PROVES the floor does no harm), and
+# FORCED-32 (one uniform partition per core — isolates what the
+# repartition-first shape is worth at a scale where nothing spills).
+for ARM in off auto f32; do
+  case $ARM in
+    off) PIN_ENV="SPARK_GRAFT_SPAN_PARTITIONS=0" ;;
+    auto) PIN_ENV="" ;;
+    f32) PIN_ENV="SPARK_GRAFT_SPAN_PARTITIONS=32" ;;
+  esac
+  env $PIN_ENV \
+    SPARK_GRAFT_ONLY="t23_repeated_spans,t24_span_redaction" \
     SPARK_GRAFT_RUNS=3 SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x100 \
-    SPARK_GRAFT_ROUND_TIMEOUT_MIN=120 \
-    SPARK_GRAFT_RECORD="/tmp/m_shufsweep_$P.json" \
-    sbt -batch "runMain graft.Bench" > "/tmp/m_shufsweep_$P.log" 2>&1
-  cp bench_diag_only.json "/tmp/m_shufsweep_diag_$P.json"
+    SPARK_GRAFT_ROUND_TIMEOUT_MIN=60 \
+    SPARK_GRAFT_RECORD="/tmp/m_tokpin_$ARM.json" \
+    sbt -batch "runMain graft.Bench" > "/tmp/m_tokpin_$ARM.log" 2>&1
+  cp bench_diag_only.json "/tmp/m_tokpin_diag_$ARM.json"
 done
-python3 tools/shuffle_sweep_report.py shufflesweep100.json 32 64 128 256 512
+python3 tools/stagepin_report.py tokenpin100.json \
+  cores32_off:/tmp/m_tokpin_off.json:/tmp/m_tokpin_diag_off.json \
+  cores32_auto:/tmp/m_tokpin_auto.json:/tmp/m_tokpin_diag_auto.json \
+  cores32_f32:/tmp/m_tokpin_f32.json:/tmp/m_tokpin_diag_f32.json \
+  "--metric=token_span_stage_pin_100x" \
+  "--detail=token-family stage pin (Corpus.tokenSpanPin, the measured ~5x expansion constant) at the 100x slice, t23/t24, 3 forked rounds per arm under the ForkedRounds disturbance guard, min-wall round quoted with its own diag, same-day same-box: cores32_off = SPARK_GRAFT_SPAN_PARTITIONS=0 (the pre-r16 adaptive plan), cores32_auto = default (sized count ~7 < the 32-core floor, so auto stays OFF — the arm proves the floor costs nothing), cores32_f32 = forced 32 (one uniform REPARTITION_BY_NUM partition per core, isolating the repartition-first shape where nothing spills)"
 rm -f bench_diag_only.json
 
-echo "== step 5: full forked bench (5 rounds, 133 queries) =="
+echo "== step 3: t14e scaling points 1x..30x (+ t23/t24 at 30x) =="
+SPARK_GRAFT_ONLY="t14e_bpe_encode" \
+  SPARK_GRAFT_RUNS=3 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  SPARK_GRAFT_RECORD=/tmp/m_sc1.json \
+  sbt -batch "runMain graft.Bench" > /tmp/m_sc1.log 2>&1
+cp bench_diag_only.json /tmp/m_sc1_diag.json
+SPARK_GRAFT_ONLY="t14e_bpe_encode" \
+  SPARK_GRAFT_RUNS=3 SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x3 \
+  SPARK_GRAFT_RECORD=/tmp/m_sc3.json \
+  sbt -batch "runMain graft.Bench" > /tmp/m_sc3.log 2>&1
+cp bench_diag_only.json /tmp/m_sc3_diag.json
+SPARK_GRAFT_ONLY="t14e_bpe_encode" \
+  SPARK_GRAFT_RUNS=3 SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x10 \
+  SPARK_GRAFT_RECORD=/tmp/m_sc10.json \
+  sbt -batch "runMain graft.Bench" > /tmp/m_sc10.log 2>&1
+cp bench_diag_only.json /tmp/m_sc10_diag.json
+SPARK_GRAFT_ONLY="t14e_bpe_encode,t23_repeated_spans,t24_span_redaction" \
+  SPARK_GRAFT_RUNS=3 SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x30 \
+  SPARK_GRAFT_ROUND_TIMEOUT_MIN=60 \
+  SPARK_GRAFT_RECORD=/tmp/m_sc30.json \
+  sbt -batch "runMain graft.Bench" > /tmp/m_sc30.log 2>&1
+cp bench_diag_only.json /tmp/m_sc30_diag.json
+
+echo "== step 4: 100x scaling points (t14e fresh; t14c/t21 re-measures) =="
+SPARK_GRAFT_ONLY="t14e_bpe_encode,t14c_bpe_vocab,t21_bigram_ppl" \
+  SPARK_GRAFT_RUNS=3 SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x100 \
+  SPARK_GRAFT_ROUND_TIMEOUT_MIN=120 \
+  SPARK_GRAFT_RECORD=/tmp/m_sc100.json \
+  sbt -batch "runMain graft.Bench" > /tmp/m_sc100.log 2>&1
+cp bench_diag_only.json /tmp/m_sc100_diag.json
+# t23/t24's 100x points come from step 2's AUTO arm — the default-session
+# basis, same runs; merge everything into SCALING_r16.
+python3 tools/merge_scaling.py SCALING_r16.json SCALING_r16_diag.json \
+  SCALING_r15.json SCALING_r15_diag.json \
+  1:/tmp/m_sc1.json:/tmp/m_sc1_diag.json \
+  3:/tmp/m_sc3.json:/tmp/m_sc3_diag.json \
+  10:/tmp/m_sc10.json:/tmp/m_sc10_diag.json \
+  30:/tmp/m_sc30.json:/tmp/m_sc30_diag.json \
+  100:/tmp/m_sc100.json:/tmp/m_sc100_diag.json \
+  "--note=r16 engine diffs touch only the token-span pin (auto-OFF below one partition per core, so t23/t24 plans are unchanged at every size measured here), the marked-BPE escape (t14e re-measured fresh at every size), and the pin's sentinel guard (file-backed scans unaffected); all other carried points' plans are untouched. t14e is NEW to the net — every point fresh. t14c/t21 100x points re-measured fresh under the r16 box state for the task-7 re-attribution" \
+  2> /tmp/m_merge_scaling.err
+python3 tools/merge_scaling.py SCALING_r16.json SCALING_r16_diag.json \
+  SCALING_r16.json SCALING_r16_diag.json \
+  100:/tmp/m_tokpin_auto.json:/tmp/m_tokpin_diag_auto.json \
+  "--note=t23/t24 100x points from the tokenpin100 AUTO arm — the default session at 3 forked rounds, the same basis as every other fresh point this round" \
+  2>> /tmp/m_merge_scaling.err
+rm -f bench_diag_only.json
+
+echo "== step 5: clustermem100_pin8 — the pinned char trio on 8x4-core 2 GiB executors =="
+SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_MASTER='local-cluster[8,4,2304]' \
+  SPARK_GRAFT_EXEC_MEM=2g \
+  SPARK_GRAFT_ONLY="t25_char_spans,t26_winnowed_spans,t27_char_redaction" \
+  SPARK_GRAFT_RUNS=3 SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x100 \
+  SPARK_GRAFT_ROUND_TIMEOUT_MIN=120 \
+  SPARK_GRAFT_RECORD=clustermem100_pin8.json \
+  sbt -batch "runMain graft.Bench" > /tmp/m_pin8.log 2>&1
+cp bench_diag_only.json clustermem100_pin8_diag.json
+rm -f bench_diag_only.json
+
+echo "== step 6: x30 output identity across pin modes and topologies =="
+# three dumps of t25 (char, pin ENGAGES at x30: ~41 partitions) and t23
+# (token, pin auto-OFF at x30) — local default, local pin-off, and the
+# step-5 cluster topology with the default auto pin; results must be
+# row-identical regardless of partitioning or executor topology.
+SPARK_GRAFT_ONLY="t25_char_spans,t23_repeated_spans" \
+  sbt -batch "runMain graft.Verify /tmp/graft_scale/x30 /tmp/id_local_auto" \
+  > /tmp/m_id1.log 2>&1
+SPARK_GRAFT_ONLY="t25_char_spans,t23_repeated_spans" SPARK_GRAFT_SPAN_PARTITIONS=0 \
+  sbt -batch "runMain graft.Verify /tmp/graft_scale/x30 /tmp/id_local_off" \
+  > /tmp/m_id2.log 2>&1
+SPARK_GRAFT_ONLY="t25_char_spans,t23_repeated_spans" \
+  SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_MASTER='local-cluster[8,4,2304]' \
+  SPARK_GRAFT_EXEC_MEM=2g \
+  sbt -batch "runMain graft.Verify /tmp/graft_scale/x30 /tmp/id_cluster_auto" \
+  > /tmp/m_id3.log 2>&1
+python3 - > scaleidentity.json <<'EOF'
+import duckdb, json
+con = duckdb.connect()
+out = {"metric": "x30_identity_pin_modes_and_topologies",
+       "arms": ["local_auto", "local_off", "cluster_pin8_auto"], "queries": {}}
+for q in ("t25_char_spans", "t23_repeated_spans"):
+    hashes, rows = {}, {}
+    for arm, d in (("local_auto", "/tmp/id_local_auto"),
+                   ("local_off", "/tmp/id_local_off"),
+                   ("cluster_pin8_auto", "/tmp/id_cluster_auto")):
+        n, h = con.execute(
+            f"SELECT count(*), md5(string_agg(r, '|' ORDER BY r)) FROM "
+            f"(SELECT concat_ws(',', COLUMNS(*)) AS r FROM '{d}/{q}/*.parquet')"
+        ).fetchone()
+        hashes[arm], rows[arm] = h, n
+    out["queries"][q] = {"rows": rows, "hash": hashes,
+                         "identical": len(set(hashes.values())) == 1}
+print(json.dumps(out, indent=1))
+EOF
+python3 -c "import json; d=json.load(open('scaleidentity.json')); assert all(q['identical'] for q in d['queries'].values()), d"
+
+echo "== step 7: full forked bench (5 rounds, 135 queries) =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
   > /tmp/m_bench_full.log 2>&1
+python3 tools/spread_report.py > /tmp/m_spread.log 2>&1 || true
 
-echo "== step 6: multi-JVM cluster verify (133 queries) =="
+echo "== step 8: multi-JVM cluster verify (135 queries) =="
 SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_MASTER='local-cluster[2,8,4096]' \
   SPARK_GRAFT_CPUS=16 \
   sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_cluster" \
@@ -112,11 +180,5 @@ SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_MASTER='local-cluster[2,8,4096]' \
 SPARK_GRAFT_MASTER='local-cluster[2,8,4096]' \
   python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_cluster \
   --json clusterverify.json >> /tmp/m_clusterverify.log 2>&1
-
-echo "== step 7: stateful streaming under multi-JVM executors (+grid row) =="
-# re-run (verdict item 8): the fixed-cadence LOCF ticker joins the
-# identity matrix — 5 paths x both state backends x two topologies.
-SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_CPUS=4 sbt -batch "runMain graft.ClusterStream" \
-  > /tmp/m_clusterstream.log 2>&1
 
 echo "ALL MEASUREMENTS DONE"

@@ -12,15 +12,24 @@ Each cell: min wall across the forked rounds plus that round's diag
 the same evidence shape as shufflesweep100.json.
 
 Usage: stagepin_report.py <out.json> <label:rec:diag> [<label:rec:diag> ...]
+                          [--metric=<name>] [--detail=<basis sentence>]
+(--metric/--detail override the char-family defaults so the same composer
+emits the token-family arms record with its own metadata.)
 """
 import json
 import sys
 
 out_path = sys.argv[1]
+metric = next((a.split("=", 1)[1] for a in sys.argv[2:]
+               if a.startswith("--metric=")), None)
+detail = next((a.split("=", 1)[1] for a in sys.argv[2:]
+               if a.startswith("--detail=")), None)
 cells = {}
 guard = {}
 runs = {}
 for arg in sys.argv[2:]:
+    if arg.startswith("--"):
+        continue
     label, rec_path, diag_path = arg.split(":")
     rec = json.load(open(rec_path))
     diag = json.load(open(diag_path))
@@ -46,10 +55,10 @@ for arg in sys.argv[2:]:
         }
 
 record = {
-    "metric": "char_span_stage_pin_100x",
+    "metric": metric or "char_span_stage_pin_100x",
     "sf": "/tmp/graft_scale/x100",
     "basis": "cold-cache",
-    "basis_detail": (
+    "basis_detail": detail or (
         "operator stage pin (Corpus.charSpanPin, REPARTITION_BY_NUM on the "
         "set-build + merge-join exchanges, sized bytes/40MB from plan "
         "statistics) AUTO vs OFF (SPARK_GRAFT_SPAN_PARTITIONS=0), plus the "
