@@ -483,15 +483,47 @@ object Corpus {
       densityDen: Int = 1): Option[Int] =
     spanPin(docs, CharSpanShuffleExpansion, densityNum, densityDen, family = "char")
 
+  /** Engage threshold for [[tokenSpanPinFor]]: the token family's measured
+    * knee (tokenpinknee.json, a 5-size forced-vs-off sweep at 3 forked
+    * rounds per cell). The repartition-first shape NEVER loses and wins
+    * 1.19-1.51x from the x10 slice up (estimated set-build volume ~27 MB)
+    * while the 1x/3x cells (est <= 8 MB) read noise-level — so the
+    * threshold sits in the bracket between them: 16 MiB of estimated
+    * exchange volume. Below it (sf0.1 and the verify SFs) plans remain
+    * bit-identical to the adaptive default by construction.
+    */
+  val MinTokenPinBytes: Long = 16L * 1024 * 1024
+
+  /** Sizing for the token family (r16): unlike [[spanPinFor]]'s
+    * below-cores OFF-floor, the token rule ENGAGES at `max(cores, sized)`
+    * once the estimate crosses [[MinTokenPinBytes]] — the knee sweep
+    * measured the repartition-first SHAPE (the deleted map-side partial
+    * agg over near-unique (h, doc_id) pairs) worth 1.2-1.5x at every size
+    * from x10 to x100 even though nothing spills there, so waiting for
+    * the sized count to exceed the core count (the char rule, tuned for a
+    * 20x larger expansion where the floor region is a sliver) would leave
+    * that factor on the table through ~x450. Same 128-waves/core cap.
+    */
+  private[graft] def tokenSpanPinFor(estShuffleBytes: BigInt, cores: Int): Option[Int] = {
+    require(cores > 0, s"cores must be positive, got $cores")
+    if (estShuffleBytes < BigInt(MinTokenPinBytes)) None
+    else {
+      val target = BigInt(graft.GraftSession.TargetShuffleBytesPerPartition)
+      val sized = (estShuffleBytes + target - 1) / target
+      val cap = BigInt(cores) * 128
+      Some(((sized max BigInt(cores)) min cap).toInt)
+    }
+  }
+
   /** The token-family twin of [[charSpanPin]] (r16): identical near-unique
     * (h, doc_id) distinct aggregate, ~20x smaller measured expansion
-    * ([[TokenSpanShuffleExpansion]]) — so under the shared below-cores
-    * OFF-floor the auto pin stays off through ~x450 of sf0.1 on 32 cores
-    * (zero spill measured at x100, where the working set still fits), and
-    * engages with the same repartition-first shape beyond it.
+    * ([[TokenSpanShuffleExpansion]]), and its OWN engage rule
+    * ([[tokenSpanPinFor]] — knee-thresholded engage-at-cores instead of
+    * the char floor; the evidence chain is on that method).
     */
   private def tokenSpanPin(docs: DataFrame): Option[Int] =
-    spanPin(docs, TokenSpanShuffleExpansion, 1, 1, family = "token")
+    spanPin(docs, TokenSpanShuffleExpansion, 1, 1, family = "token",
+      sizing = tokenSpanPinFor)
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -517,7 +549,8 @@ object Corpus {
       expansion: Long,
       densityNum: Int,
       densityDen: Int,
-      family: String): Option[Int] = {
+      family: String,
+      sizing: (BigInt, Int) => Option[Int] = spanPinFor): Option[Int] = {
     val spark = docs.sparkSession
     spark.conf.getOption(SpanPartitionsConf).map(_.trim.toInt) match {
       case Some(0) => None
@@ -539,7 +572,7 @@ object Corpus {
           // density scales the expansion for SAMPLED variants: winnowing
           // keeps ~2/(w+1) of positions, so its shuffle is that fraction of
           // the every-position volume the expansion constant was measured on
-          val pin = spanPinFor(
+          val pin = sizing(
             stats * expansion * densityNum / densityDen,
             spark.sparkContext.defaultParallelism)
           pin.foreach(p => log.warn(

@@ -143,12 +143,51 @@ class SpanPinSpec extends SparkSpec {
     }
   }
 
-  test("token family auto: small corpus stats stay below the floor — no pins") {
+  test("token family auto: small corpus stats stay below the knee — no pins") {
     // the measured token expansion (~5x) prices a 3-row corpus far under
-    // cores x 40 MB, so sf0.1-and-below token plans are bit-identical to
-    // the pre-pin rounds by construction
+    // MinTokenPinBytes, so sf0.1-and-below token plans are bit-identical
+    // to the pre-pin rounds by construction
     val out = Corpus.repeatedSpans(docs, $"doc_id", $"text", n = 3, minDocs = 2L)
     assert(repartitions(out).isEmpty)
+  }
+
+  test("tokenSpanPinFor: knee-thresholded ENGAGE at max(cores, sized), capped") {
+    // below the measured 16 MiB knee: off, any core count
+    assert(Corpus.tokenSpanPinFor(15 * MB, 32) === None)
+    assert(Corpus.tokenSpanPinFor(BigInt(0), 4) === None)
+    // past the knee but under one partition per core: engage AT cores —
+    // the shape (deleted partial agg) is the win, not the count
+    assert(Corpus.tokenSpanPinFor(27 * MB, 32) === Some(32))
+    // past one per core: track the sized count like the char rule
+    assert(Corpus.tokenSpanPinFor(33 * 40 * MB, 32) === Some(33))
+    // capped at 128 waves/core, saturating
+    assert(Corpus.tokenSpanPinFor(BigInt(Long.MaxValue) * 16, 32) === Some(32 * 128))
+  }
+
+  test("token family auto ENGAGES past the knee (plan-level)") {
+    // the auto pin prices PLAN STATISTICS, which only file-backed scans
+    // report from real bytes (a LocalRelation estimates strings at 20 B
+    // regardless of content) — so write an incompressible corpus to
+    // parquet and read it back; assertions are plan-only, nothing heavy
+    // executes
+    val rnd = new scala.util.Random(7)
+    val dir = java.nio.file.Files.createTempDirectory("graft_fatdocs_").toString
+    Seq.tabulate(4)(i => (i.toLong,
+      Seq.fill(200000)(java.lang.Long.toString(rnd.nextLong(), 36)).mkString(" ")))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val fat = spark.read.parquet(dir)
+    val stats = fat.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(stats * Corpus.TokenSpanShuffleExpansion >= BigInt(Corpus.MinTokenPinBytes),
+      s"precondition: fat corpus est too small ($stats)")
+    withConf(Corpus.BroadcastBudgetConf -> "1") {
+      val out = Corpus.repeatedSpans(fat, $"doc_id", $"text", n = 3, minDocs = 2L)
+      val reps = repartitions(out)
+      assert(reps.size === 2, s"expected engaged set-build + join pins, got ${reps.size}")
+      // 4-core test session, sized under cores -> engage AT the core count
+      assert(reps.forall(_.optNumPartitions.contains(
+        spark.sparkContext.defaultParallelism)))
+    }
   }
 
   test("token family: pinned and unpinned plans produce identical spans") {
