@@ -438,25 +438,45 @@ object Corpus {
     */
   val TokenSpanShuffleExpansion: Long = 5L
 
-  /** Partition count for a pinned char-family shuffle stage, from the
-    * estimated stage shuffle volume — `ceil(bytes / 40 MB)`, the sweet
-    * spot shufflesweep100.json measured — floored OFF (None) when the
-    * sized count would not exceed the core count (small inputs keep
-    * today's adaptive plans bit-identical: sf0.1's ~50 MB estimate sizes
-    * to 2 <= 32 cores) and capped at 128 task waves per core like the
-    * session rule. BigInt end to end: a 100 TB corpus times the expansion
-    * factor overflows Long exactly where the cap must still engage.
+  /** Engage threshold for the span-stage pin, BOTH families: the measured
+    * knee bracket. The token sweep (tokenpinknee.json, five sizes x
+    * forced-vs-off, 3 forked rounds per cell) reads noise-level at
+    * estimates <= 8 MB and solid 1.19-1.51x wins from ~27 MB up; the char
+    * sweep (charknee.json) wins 1.25x already at its LOWEST measured
+    * estimate (~55 MB, sf0.1 itself) and 1.6-1.7x at 3x. 16 MiB sits in
+    * the bracket; below it (the verify SFs, spec corpora) plans stay
+    * adaptive and sub-second, bit-identical to the pre-pin rounds.
     */
-  private[graft] def spanPinFor(estShuffleBytes: BigInt, cores: Int): Option[Int] = {
+  val MinSpanPinBytes: Long = 16L * 1024 * 1024
+
+  /** Partition count for a pinned span-family shuffle stage, from the
+    * estimated stage shuffle volume (r16, the ENGAGE rule that replaced
+    * the r15 below-cores floor): OFF below [[MinSpanPinBytes]], else
+    * `max(cores, ceil(bytes / 40 MB))` capped at 128 task waves per core
+    * like the session rule. Engage-at-cores rather than floor-at-cores
+    * because BOTH knee sweeps measured the repartition-first SHAPE — the
+    * deleted map-side partial agg over near-unique (h, doc_id) pairs —
+    * worth 1.2-1.7x even where nothing spills, so waiting for the sized
+    * count to exceed the core count left that factor on the table;
+    * at and past one partition per core the rule is numerically
+    * IDENTICAL to the r15 floor (x30/x100 char records unchanged:
+    * max(32, 41) = 41, max(32, 131) = 131). BigInt end to end: a 100 TB
+    * corpus times the expansion factor overflows Long exactly where the
+    * cap must still engage.
+    */
+  private[graft] def spanEngageFor(estShuffleBytes: BigInt, cores: Int): Option[Int] = {
     require(cores > 0, s"cores must be positive, got $cores")
-    val target = BigInt(graft.GraftSession.TargetShuffleBytesPerPartition)
-    val sized = ((estShuffleBytes max BigInt(0)) + target - 1) / target
-    val cap = BigInt(cores) * 128
-    if (sized <= BigInt(cores)) None else Some((sized min cap).toInt)
+    if (estShuffleBytes < BigInt(MinSpanPinBytes)) None
+    else {
+      val target = BigInt(graft.GraftSession.TargetShuffleBytesPerPartition)
+      val sized = (estShuffleBytes + target - 1) / target
+      val cap = BigInt(cores) * 128
+      Some(((sized max BigInt(cores)) min cap).toInt)
+    }
   }
 
   /** The char-span stage pin, resolved for a concrete corpus: the conf
-    * override if set, else [[spanPinFor]] over the docs relation's
+    * override if set, else [[spanEngageFor]] over the docs relation's
     * logical-plan size estimate (for a parquet table, the file bytes —
     * the same quantity the session rule prices) times the measured
     * [[CharSpanShuffleExpansion]].
@@ -483,52 +503,18 @@ object Corpus {
       densityDen: Int = 1): Option[Int] =
     spanPin(docs, CharSpanShuffleExpansion, densityNum, densityDen, family = "char")
 
-  /** Engage threshold for [[tokenSpanPinFor]]: the token family's measured
-    * knee (tokenpinknee.json, a 5-size forced-vs-off sweep at 3 forked
-    * rounds per cell). The repartition-first shape NEVER loses and wins
-    * 1.19-1.51x from the x10 slice up (estimated set-build volume ~27 MB)
-    * while the 1x/3x cells (est <= 8 MB) read noise-level — so the
-    * threshold sits in the bracket between them: 16 MiB of estimated
-    * exchange volume. Below it (sf0.1 and the verify SFs) plans remain
-    * bit-identical to the adaptive default by construction.
-    */
-  val MinTokenPinBytes: Long = 16L * 1024 * 1024
-
-  /** Sizing for the token family (r16): unlike [[spanPinFor]]'s
-    * below-cores OFF-floor, the token rule ENGAGES at `max(cores, sized)`
-    * once the estimate crosses [[MinTokenPinBytes]] — the knee sweep
-    * measured the repartition-first SHAPE (the deleted map-side partial
-    * agg over near-unique (h, doc_id) pairs) worth 1.2-1.5x at every size
-    * from x10 to x100 even though nothing spills there, so waiting for
-    * the sized count to exceed the core count (the char rule, tuned for a
-    * 20x larger expansion where the floor region is a sliver) would leave
-    * that factor on the table through ~x450. Same 128-waves/core cap.
-    */
-  private[graft] def tokenSpanPinFor(estShuffleBytes: BigInt, cores: Int): Option[Int] = {
-    require(cores > 0, s"cores must be positive, got $cores")
-    if (estShuffleBytes < BigInt(MinTokenPinBytes)) None
-    else {
-      val target = BigInt(graft.GraftSession.TargetShuffleBytesPerPartition)
-      val sized = (estShuffleBytes + target - 1) / target
-      val cap = BigInt(cores) * 128
-      Some(((sized max BigInt(cores)) min cap).toInt)
-    }
-  }
-
   /** The token-family twin of [[charSpanPin]] (r16): identical near-unique
     * (h, doc_id) distinct aggregate, ~20x smaller measured expansion
-    * ([[TokenSpanShuffleExpansion]]), and its OWN engage rule
-    * ([[tokenSpanPinFor]] — knee-thresholded engage-at-cores instead of
-    * the char floor; the evidence chain is on that method).
+    * ([[TokenSpanShuffleExpansion]]), same knee-thresholded engage rule
+    * ([[spanEngageFor]] — the evidence chain is on that method).
     */
   private def tokenSpanPin(docs: DataFrame): Option[Int] =
-    spanPin(docs, TokenSpanShuffleExpansion, 1, 1, family = "token",
-      sizing = tokenSpanPinFor)
+    spanPin(docs, TokenSpanShuffleExpansion, 1, 1, family = "token")
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** The conf/auto resolution shared by the char and token families: the
-    * [[SpanPartitionsConf]] override if set, else [[spanPinFor]] over the
+    * [[SpanPartitionsConf]] override if set, else [[spanEngageFor]] over the
     * docs relation's plan-statistics size times the family's measured
     * shuffle-expansion constant.
     *
@@ -549,8 +535,7 @@ object Corpus {
       expansion: Long,
       densityNum: Int,
       densityDen: Int,
-      family: String,
-      sizing: (BigInt, Int) => Option[Int] = spanPinFor): Option[Int] = {
+      family: String): Option[Int] = {
     val spark = docs.sparkSession
     spark.conf.getOption(SpanPartitionsConf).map(_.trim.toInt) match {
       case Some(0) => None
@@ -572,7 +557,7 @@ object Corpus {
           // density scales the expansion for SAMPLED variants: winnowing
           // keeps ~2/(w+1) of positions, so its shuffle is that fraction of
           // the every-position volume the expansion constant was measured on
-          val pin = sizing(
+          val pin = spanEngageFor(
             stats * expansion * densityNum / densityDen,
             spark.sparkContext.defaultParallelism)
           pin.foreach(p => log.warn(

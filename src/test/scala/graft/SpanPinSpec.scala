@@ -9,9 +9,9 @@ import graft.operators.Corpus
   * "when a heavy shuffle's volume is known, PIN that stage" rule from
   * SCALE.md applied by the operator that knows the volume).
   *
-  * Two surfaces: the pure sizing function ([[Corpus.spanPinFor]] — the
-  * 40 MB/partition rule with an off-below-cores floor and a
-  * 128-waves/core cap), and the plan effect (a forced pin inserts
+  * Two surfaces: the pure sizing function ([[Corpus.spanEngageFor]] —
+  * the 40 MB/partition rule engaging at max(cores, sized) past the
+  * measured 16 MiB knee, with a 128-waves/core cap), and the plan effect (a forced pin inserts
   * REPARTITION_BY_NUM exchanges — which AQE never coalesces — on exactly
   * the set-build and merge-join stages, while small inputs and the
   * `0` override leave today's adaptive plans bit-identical).
@@ -50,34 +50,37 @@ class SpanPinSpec extends SparkSpec {
 
   // ------------------------------------------------------- sizing function
 
-  test("spanPinFor: off (None) when the sized count does not exceed cores") {
-    // sf0.1 regime: ~0.6 MB of documents x85 expansion = ~50 MB -> 2
-    // partitions, under any real core count -> no pin, plans unchanged
-    assert(Corpus.spanPinFor(50 * MB, 32) === None)
-    assert(Corpus.spanPinFor(BigInt(0), 32) === None)
-    assert(Corpus.spanPinFor(BigInt(-1), 32) === None)
-    // exactly at the floor is still OFF (<=, not <)
-    assert(Corpus.spanPinFor(32 * 40 * MB, 32) === None)
+  test("spanEngageFor: off (None) below the measured 16 MiB knee") {
+    // spec/verify-SF regime: tiny estimates keep plans adaptive and
+    // bit-identical to the pre-pin rounds
+    assert(Corpus.spanEngageFor(15 * MB, 32) === None)
+    assert(Corpus.spanEngageFor(BigInt(0), 32) === None)
+    assert(Corpus.spanEngageFor(BigInt(-1), 32) === None)
   }
 
-  test("spanPinFor: sizes by the measured 40 MB/partition rule, rounding up") {
-    assert(Corpus.spanPinFor(32 * 40 * MB + 1, 32) === Some(33))
-    // the x100 anchor: ~5.5 GB of char-span shuffle -> ~138 partitions,
-    // inside the measured 40-80 MB plateau's pinned band
-    val p = Corpus.spanPinFor(5500 * MB, 32).get
+  test("spanEngageFor: ENGAGES at max(cores, sized) past the knee") {
+    // past the knee but under one partition per core: engage AT cores —
+    // both knee sweeps measured the repartition-first SHAPE (deleted
+    // partial agg) as the win, not the partition count
+    assert(Corpus.spanEngageFor(50 * MB, 32) === Some(32))
+    assert(Corpus.spanEngageFor(27 * MB, 4) === Some(4))
+    // past one per core the rule is numerically identical to the r15
+    // floor — the committed x30/x100 char records' counts reproduce
+    assert(Corpus.spanEngageFor(32 * 40 * MB + 1, 32) === Some(33))
+    val p = Corpus.spanEngageFor(5500 * MB, 32).get
     assert(p >= 128 && p <= 160, s"x100-sized pin out of band: $p")
   }
 
-  test("spanPinFor: capped at 128 waves per core, saturating for huge inputs") {
-    assert(Corpus.spanPinFor(BigInt(Long.MaxValue) * 16, 32) === Some(32 * 128))
-    assert(Corpus.spanPinFor(BigInt(10).pow(18), 4) === Some(4 * 128))
+  test("spanEngageFor: capped at 128 waves per core, saturating for huge inputs") {
+    assert(Corpus.spanEngageFor(BigInt(Long.MaxValue) * 16, 32) === Some(32 * 128))
+    assert(Corpus.spanEngageFor(BigInt(10).pow(18), 4) === Some(4 * 128))
   }
 
   // ----------------------------------------------------------- plan effect
 
   test("default: small corpus stats leave the plan free of repartitions") {
     // the shared-session conf is unset here -> auto sizing; a 3-row local
-    // relation prices far under the cores x 40 MB floor
+    // relation prices far under the 16 MiB knee
     val out = Corpus.repeatedCharSpans(docs, $"doc_id", $"text", l = 10, minDocs = 2L)
     assert(repartitions(out).isEmpty)
   }
@@ -145,23 +148,10 @@ class SpanPinSpec extends SparkSpec {
 
   test("token family auto: small corpus stats stay below the knee — no pins") {
     // the measured token expansion (~5x) prices a 3-row corpus far under
-    // MinTokenPinBytes, so sf0.1-and-below token plans are bit-identical
+    // MinSpanPinBytes, so sf0.1-and-below token plans are bit-identical
     // to the pre-pin rounds by construction
     val out = Corpus.repeatedSpans(docs, $"doc_id", $"text", n = 3, minDocs = 2L)
     assert(repartitions(out).isEmpty)
-  }
-
-  test("tokenSpanPinFor: knee-thresholded ENGAGE at max(cores, sized), capped") {
-    // below the measured 16 MiB knee: off, any core count
-    assert(Corpus.tokenSpanPinFor(15 * MB, 32) === None)
-    assert(Corpus.tokenSpanPinFor(BigInt(0), 4) === None)
-    // past the knee but under one partition per core: engage AT cores —
-    // the shape (deleted partial agg) is the win, not the count
-    assert(Corpus.tokenSpanPinFor(27 * MB, 32) === Some(32))
-    // past one per core: track the sized count like the char rule
-    assert(Corpus.tokenSpanPinFor(33 * 40 * MB, 32) === Some(33))
-    // capped at 128 waves/core, saturating
-    assert(Corpus.tokenSpanPinFor(BigInt(Long.MaxValue) * 16, 32) === Some(32 * 128))
   }
 
   test("token family auto ENGAGES past the knee (plan-level)") {
@@ -178,7 +168,7 @@ class SpanPinSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(dir)
     val fat = spark.read.parquet(dir)
     val stats = fat.queryExecution.optimizedPlan.stats.sizeInBytes
-    assert(stats * Corpus.TokenSpanShuffleExpansion >= BigInt(Corpus.MinTokenPinBytes),
+    assert(stats * Corpus.TokenSpanShuffleExpansion >= BigInt(Corpus.MinSpanPinBytes),
       s"precondition: fat corpus est too small ($stats)")
     withConf(Corpus.BroadcastBudgetConf -> "1") {
       val out = Corpus.repeatedSpans(fat, $"doc_id", $"text", n = 3, minDocs = 2L)
