@@ -57,9 +57,11 @@ object StageProfile {
     val wall = (System.nanoTime() - t0) / 1e9
     // the listener bus is async; completion events for the last stage can
     // trail the job end. No public waitUntilEmpty, so poll until the stage
-    // count is stable across two consecutive checks (bounded at 10 s).
+    // count is stable across two consecutive checks (bounded at 10 s), and
+    // never exit before the old fixed 1 s settle — a backlogged bus can
+    // deliver nothing for 750 ms and then the heaviest stage.
     var (prev, stable, waited) = (-1, 0, 0)
-    while (stable < 2 && waited < 10000) {
+    while ((stable < 2 || waited < 1000) && waited < 10000) {
       Thread.sleep(250); waited += 250
       val n = stages.size
       if (n == prev) stable += 1 else { stable = 0; prev = n }

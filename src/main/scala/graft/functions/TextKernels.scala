@@ -531,8 +531,14 @@ object TextKernels {
     * the plain t14c vocab cannot offer. Merges are trained and applied
     * UNMARKED (strictly intra-word — graft.operators.Bpe's documented
     * deviation stands); the marker is attached at emission time only, so
-    * token COUNTS are unchanged: `size(bpeTokensMarked(x)) ==
-    * bpeTokenCount(x)`.
+    * token COUNTS match the unmarked surface —
+    * `size(bpeTokensMarked(x)) == bpeTokenCount(x)` — whenever the
+    * [[EowMarker]] pre-escape is a no-op (text without a literal '</w>')
+    * OR the merge table never pairs the escaped run's punctuation (true
+    * of every table TrainBpe emits from the syllable corpus: letters
+    * only). On text containing '</w>' under a punctuation-pairing table
+    * the escape can shift merge boundaries and the counts may differ —
+    * see the [[EowMarker]] doc for the trade.
     */
   def bpeTokensMarked(t: UTF8String, merges: Array[Array[String]]): GenericArrayData =
     bpeTokensImpl(t, merges, marked = true)

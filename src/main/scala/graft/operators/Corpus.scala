@@ -544,8 +544,13 @@ object Corpus {
         Some(p)
       case None =>
         val stats = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+        // byteStringAsBytes, not .toLong: defaultSizeInBytes is a bytesConf
+        // a user may legally set as '10GB' — a bare parse would throw from
+        // inside query construction (the very failure mode the r16 Verify
+        // validation fix removes elsewhere)
         val sentinel = BigInt(
-          spark.conf.get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString).toLong)
+          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString)))
         if (stats >= sentinel) {
           log.warn(
             s"graft $family-span stage pin: plan statistics carry no size " +

@@ -428,7 +428,22 @@ object CorpusQueries {
     * Generated from the SAME committed [[Bpe.Merges]] constant the Spark
     * side applies, so the two can never drift.
     */
-  private def bpeCtes: String = {
+  private def bpeCtes: String = bpeCtesImpl(escaped = false)
+
+  /** [[bpeCtes]] with the kernel's MARKED-path pre-escape mirrored (r16
+    * review finding): `bpeTokensMarked` rewrites literal '</w>' in input
+    * to the escaped form BEFORE symbolization, so the oracles of the
+    * marked surfaces (t14d vocab, the t14e/t14f/t14g encodes) must
+    * tokenize the same rewritten text or a corpus containing a verbatim
+    * marker would hash-mismatch as a false engine failure. The replace is
+    * a no-op on the marker-free syllable corpus (bit-identical results),
+    * but the oracle now reproduces the kernel's semantics on ANY input.
+    * Unmarked surfaces (t14b counts, t14c vocab) keep the raw text — the
+    * kernel only escapes when `marked`.
+    */
+  private def bpeCtesMarked: String = bpeCtesImpl(escaped = true)
+
+  private def bpeCtesImpl(escaped: Boolean): String = {
     def esc(s: String) = s.replace("'", "''")
     val steps = Bpe.Merges.zipWithIndex.map { case ((a, b), k) =>
       s"""w${k + 1} AS (SELECT doc_id, wi,
@@ -438,6 +453,12 @@ object CorpusQueries {
          |         WHEN i > 1 AND xs[i-1] = '${esc(a)}' AND xs[i] = '${esc(b)}' THEN NULL
          |         ELSE xs[i] END), x -> x IS NOT NULL) AS xs FROM w$k)""".stripMargin
     }
+    // DuckDB single-quoted strings take backslashes literally, so the
+    // escaped form needs no further quoting
+    val src =
+      if (escaped)
+        s"replace(text, '${TextKernels.EowMarker}', '${TextKernels.EowEscaped}')"
+      else "text"
     // wi = the word's 1-based position in its document (r15, for t14e):
     // the chain holds one WORD per row, so reconstructing the document's
     // token ORDER downstream needs the word index carried through every
@@ -447,7 +468,7 @@ object CorpusQueries {
          |  list_transform(generate_series(1, length(u.w)), i -> substr(u.w, i, 1)) AS xs
          |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
          |      j -> struct_pack(wi := j, w := tk[j]))) AS u
-         |    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM docs_rich)))""".stripMargin
+         |    FROM (SELECT doc_id, string_split($src, ' ') AS tk FROM docs_rich)))""".stripMargin
       +: steps).mkString(",\n")
   }
 
@@ -462,7 +483,7 @@ object CorpusQueries {
     * WHERE the (merges, vocab) state lives, which the oracle must not see.
     */
   private def encodeOracle: String =
-    s"""WITH $bpeCtes,
+    s"""WITH $bpeCtesMarked,
        |tok AS (SELECT doc_id, wi, u.ti AS ti, u.tok AS token FROM (
        |  SELECT doc_id, wi, unnest(list_transform(generate_series(1, len(xs)),
        |    i -> struct_pack(ti := i, tok :=
@@ -512,7 +533,7 @@ object CorpusQueries {
       // the w{N} CTE holds ONE WORD per row (w0 unnests the whitespace
       // split), so "word-final token" is simply the list's last element —
       // marked with the same '</w>' constant the Spark kernel appends
-      s"""WITH $bpeCtes,
+      s"""WITH $bpeCtesMarked,
          |tokm AS (SELECT unnest(list_transform(generate_series(1, len(xs)),
          |    i -> CASE WHEN i = len(xs) THEN xs[i] || '${TextKernels.EowMarker}'
          |         ELSE xs[i] END)) AS token

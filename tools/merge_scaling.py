@@ -87,8 +87,15 @@ for name, by_size in fresh.items():
                   "anchor — skipped", file=sys.stderr)
             continue
     # a fresh point RE-measuring an already-carried size supersedes the
-    # carried one — it must not be listed under both (r15 advice)
-    carried = sorted((k for k in row["min_sec"] if k not in by_size),
+    # carried one — it must not be listed under both (r15 advice). When
+    # the merge CHAINS onto its own output within one round (base == out,
+    # the r16 pattern), sizes an earlier invocation measured fresh stay
+    # labeled fresh — relabeling them 'carried' would misattribute this
+    # round's measurements to a prior round (r16 review finding).
+    prev_fresh = (set(row.get("provenance", {}).get("fresh_sizes", []))
+                  if base_path == out_path else set())
+    fresh_all = sorted(prev_fresh | set(by_size), key=float)
+    carried = sorted((k for k in row["min_sec"] if k not in fresh_all),
                      key=float)
     for key, (mn, med, exe) in by_size.items():
         row["min_sec"][key] = round(mn, 3)
@@ -97,7 +104,7 @@ for name, by_size in fresh.items():
     row["slope"] = round(refit(row["min_sec"]), 3)
     row["provenance"] = {
         "carried_sizes": carried,
-        "fresh_sizes": sorted(by_size, key=float),
+        "fresh_sizes": fresh_all,
     }
     d = base_diag["queries"].get(name)
     if d is not None and name in fresh_diag:
@@ -117,12 +124,17 @@ base["superlinear"] = sorted(
     key=lambda n: -base["queries"][n]["slope"])
 note = next((a.split("=", 1)[1] for a in sys.argv[5:]
              if a.startswith("--note=")), None)
-base["provenance"] = (
+sentence = (
     f"base points carried from {base_path}"
     + (f" ({note})" if note else " (see that record's own provenance)")
     + f"; fresh points measured at runs={runs_fresh} on the same box and "
     f"cold-cache basis. Per-query carried/fresh split in each row's "
     f"'provenance'.")
+# chained same-file merges APPEND their note — replacing it would discard
+# the earlier invocations' basis explanation (r16 review finding)
+base["provenance"] = (
+    base["provenance"] + " THEN: " + sentence
+    if base_path == out_path and "provenance" in base else sentence)
 base_diag["sizes"] = sorted({float(k) for k in base["sizes"]})
 base_diag["provenance"] = base["provenance"]
 json.dump(base, open(out_path, "w"), indent=1)

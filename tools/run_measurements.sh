@@ -25,7 +25,11 @@
 # + clusterstream (no streaming-path diff this round), clusterbench (top-40
 # slice; r16 engine diffs touch only corpus-family plans ABOVE sf0.1),
 # shufflesweep100/stagepin100/advisory100 (their code paths and the char
-# constants they measured are unchanged).
+# constants they measured are unchanged). LATE-r16 CAVEAT on the
+# clusterbench carry: the unified engage rule (landed after this script
+# ran) DOES change the char trio's and t23/t24's sf0.1 plans, so the
+# carried clusterbench.json top-40 slice predates HEAD's plans for those
+# five queries — re-measure it next round or on demand.
 set -e
 cd /root/repo
 export SPARK_GRAFT_CPUS=32
@@ -43,12 +47,15 @@ for K in 3 10 30 100; do
 done
 
 echo "== step 2: token-family stage-pin arms at 100x (t23/t24) =="
-# three arms, 3 forked rounds each: OFF (SPAN=0, the pre-r16 adaptive
-# plan), AUTO (default — expected identical to OFF at x100: the sized
-# count, ~7 partitions from the measured ~5x expansion, sits under the
-# 32-core floor, so the record PROVES the floor does no harm), and
-# FORCED-32 (one uniform partition per core — isolates what the
-# repartition-first shape is worth at a scale where nothing spills).
+# three arms, 3 forked rounds each, AS RUN EARLY-r16 (before the engage
+# rule landed): OFF (SPAN=0, the adaptive plan), AUTO (which at that
+# commit used the char-style below-cores floor, so it measured the OFF
+# plan — byte-identical shuffle, see tokenpin100.json's historical
+# note), and FORCED-32 (one uniform partition per core — isolating the
+# repartition-first shape where nothing spills). NOTE at HEAD: the
+# unified engage rule makes a re-run's AUTO arm plan exactly as the
+# FORCED-32 arm (max(cores, sized)=32 past the 16 MiB knee) — the
+# committed record is the pre-rule evidence that motivated the rule.
 for ARM in off auto f32; do
   case $ARM in
     off) PIN_ENV="SPARK_GRAFT_SPAN_PARTITIONS=0" ;;
@@ -68,7 +75,7 @@ python3 tools/stagepin_report.py tokenpin100.json \
   cores32_auto:/tmp/m_tokpin_auto.json:/tmp/m_tokpin_diag_auto.json \
   cores32_f32:/tmp/m_tokpin_f32.json:/tmp/m_tokpin_diag_f32.json \
   "--metric=token_span_stage_pin_100x" \
-  "--detail=token-family stage pin (Corpus.tokenSpanPin, the measured ~5x expansion constant) at the 100x slice, t23/t24, 3 forked rounds per arm under the ForkedRounds disturbance guard, min-wall round quoted with its own diag, same-day same-box: cores32_off = SPARK_GRAFT_SPAN_PARTITIONS=0 (the pre-r16 adaptive plan), cores32_auto = default (sized count ~7 < the 32-core floor, so auto stays OFF — the arm proves the floor costs nothing), cores32_f32 = forced 32 (one uniform REPARTITION_BY_NUM partition per core, isolating the repartition-first shape where nothing spills)"
+  "--detail=token-family stage pin (Corpus.tokenSpanPin, the measured ~5x expansion constant) at the 100x slice, t23/t24, 3 forked rounds per arm under the ForkedRounds disturbance guard, min-wall round quoted with its own diag, same-day same-box: cores32_off = SPARK_GRAFT_SPAN_PARTITIONS=0 (the pre-r16 adaptive plan), cores32_auto = the pre-rule default (the then-current below-cores floor kept auto OFF; at HEAD the unified engage rule plans auto as the f32 arm), cores32_f32 = forced 32 (one uniform REPARTITION_BY_NUM partition per core, isolating the repartition-first shape where nothing spills)"
 rm -f bench_diag_only.json
 
 echo "== step 3: t14e scaling points 1x..30x (+ t23/t24 at 30x) =="
@@ -101,8 +108,10 @@ SPARK_GRAFT_ONLY="t14e_bpe_encode,t14c_bpe_vocab,t21_bigram_ppl" \
   SPARK_GRAFT_RECORD=/tmp/m_sc100.json \
   sbt -batch "runMain graft.Bench" > /tmp/m_sc100.log 2>&1
 cp bench_diag_only.json /tmp/m_sc100_diag.json
-# t23/t24's 100x points come from step 2's AUTO arm — the default-session
-# basis, same runs; merge everything into SCALING_r16.
+# t23/t24's 100x points: initially merged from step 2's AUTO arm; after
+# the engage rule landed they were re-merged from the forced-32 knee
+# cells, which ARE the rule's default plan at 10x/30x/100x (see the
+# record's provenance chain).
 python3 tools/merge_scaling.py SCALING_r16.json SCALING_r16_diag.json \
   SCALING_r15.json SCALING_r15_diag.json \
   1:/tmp/m_sc1.json:/tmp/m_sc1_diag.json \
@@ -110,12 +119,12 @@ python3 tools/merge_scaling.py SCALING_r16.json SCALING_r16_diag.json \
   10:/tmp/m_sc10.json:/tmp/m_sc10_diag.json \
   30:/tmp/m_sc30.json:/tmp/m_sc30_diag.json \
   100:/tmp/m_sc100.json:/tmp/m_sc100_diag.json \
-  "--note=r16 engine diffs touch only the token-span pin (auto-OFF below one partition per core, so t23/t24 plans are unchanged at every size measured here), the marked-BPE escape (t14e re-measured fresh at every size), and the pin's sentinel guard (file-backed scans unaffected); all other carried points' plans are untouched. t14e is NEW to the net — every point fresh. t14c/t21 100x points re-measured fresh under the r16 box state for the task-7 re-attribution" \
+  "--note=r16 engine diffs touch only the span-stage pin (off below the 16 MiB knee; at HEAD the engage rule DOES pin t23/t24 and the char trio at the big slices — their points are superseded by later re-merges from the knee cells, see the committed provenance chain), the marked-BPE escape (t14e re-measured fresh at every size), and the pin's sentinel guard (file-backed scans unaffected); all other carried points' plans are untouched. t14e is NEW to the net — every point fresh. t14c/t21 100x points re-measured fresh under the r16 box state for the task-7 re-attribution" \
   2> /tmp/m_merge_scaling.err
 python3 tools/merge_scaling.py SCALING_r16.json SCALING_r16_diag.json \
   SCALING_r16.json SCALING_r16_diag.json \
   100:/tmp/m_tokpin_auto.json:/tmp/m_tokpin_diag_auto.json \
-  "--note=t23/t24 100x points from the tokenpin100 AUTO arm — the default session at 3 forked rounds, the same basis as every other fresh point this round" \
+  "--note=t23/t24 100x points from the tokenpin100 AUTO arm (superseded later the same round by the engage rule's own records — see the committed provenance)" \
   2>> /tmp/m_merge_scaling.err
 rm -f bench_diag_only.json
 
@@ -131,9 +140,10 @@ cp bench_diag_only.json clustermem100_pin8_diag.json
 rm -f bench_diag_only.json
 
 echo "== step 6: x30 output identity across pin modes and topologies =="
-# three dumps of t25 (char, pin ENGAGES at x30: ~41 partitions) and t23
-# (token, pin auto-OFF at x30) — local default, local pin-off, and the
-# step-5 cluster topology with the default auto pin; results must be
+# three dumps of t25 (char, pin ENGAGES at x30: ~39-41 partitions) and
+# t23 (token: engaged at the core count under the HEAD rule — 4 local /
+# 32 on the cluster) — local default, local pin-off, and the step-5
+# cluster topology with the default auto pin; results must be
 # row-identical regardless of partitioning or executor topology.
 SPARK_GRAFT_ONLY="t25_char_spans,t23_repeated_spans" \
   sbt -batch "runMain graft.Verify /tmp/graft_scale/x30 /tmp/id_local_auto" \
