@@ -174,15 +174,25 @@ object Corpus {
     * and phase 2 joins the broadcast bucket offsets back to a bucket-local
     * window. Corpus-side parallelism is O(buckets), never 1; if the bucket
     * table itself outgrows one partition, the same two phases recurse on it.
+    *
+    * `carry` columns (r17, for the marked-stream packing export) ride the
+    * corpus side of the plan only — base select → bucket-local window →
+    * offset join — never the bucket aggregate, so carrying a token array
+    * adds zero shuffle: phase 1 still exchanges one (bucket, sum) row per
+    * bucket, and the corpus rows that carry the payload are exactly the
+    * rows the caller gets back.
     */
   def packSequences(
       docs: DataFrame,
       id: Column,
       nTokens: Column,
       seqLen: Int,
-      bucketWidth: Long = 64L): DataFrame = {
+      bucketWidth: Long = 64L,
+      carry: Seq[(String, Column)] = Nil): DataFrame = {
     val base = docs
-      .select(id.as("doc_id"), nTokens.cast("long").as("n_tokens"))
+      .select(
+        (id.as("doc_id") +: nTokens.cast("long").as("n_tokens") +:
+          carry.map { case (n, c) => c.as(n) }): _*)
       .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
     val bucketOffsets = base
       .groupBy(col("bucket"))
@@ -205,14 +215,15 @@ object Corpus {
       .join(broadcast(bucketOffsets), Seq("bucket"))
       .withColumn("start_offset", col("bucket_offset") + col("local_offset"))
       .select(
-        col("doc_id"), col("n_tokens"), col("start_offset"),
-        expr(s"start_offset div $seqLen").as("seq_id"),
-        pmod(col("start_offset"), lit(seqLen.toLong)).as("offset_in_seq"),
-        when(col("n_tokens") === 0L, lit(0L))
-          .otherwise(
-            expr(s"(start_offset + n_tokens - 1) div $seqLen") -
-              expr(s"start_offset div $seqLen") + 1L)
-          .as("n_seqs_spanned"))
+        (Seq(
+          col("doc_id"), col("n_tokens"), col("start_offset"),
+          expr(s"start_offset div $seqLen").as("seq_id"),
+          pmod(col("start_offset"), lit(seqLen.toLong)).as("offset_in_seq"),
+          when(col("n_tokens") === 0L, lit(0L))
+            .otherwise(
+              expr(s"(start_offset + n_tokens - 1) div $seqLen") -
+                expr(s"start_offset div $seqLen") + 1L)
+            .as("n_seqs_spanned")) ++ carry.map { case (n, _) => col(n) }): _*)
   }
 
   /** Cross-document repeated-SPAN detection — the train-set memorization
@@ -524,11 +535,22 @@ object Corpus {
     * `spark.sql.defaultSizeInBytes` — Long.MaxValue — or a multiplied
     * overestimate ABOVE it, which the sizing pipeline would saturate at
     * the cores*128 cap, silently forcing thousands-of-partition shuffles
-    * on a possibly tiny corpus. At or beyond the sentinel the auto pin
-    * stands down (None keeps the plan adaptive, today's default shape);
-    * file-backed scans — the case the constant was measured on — report
-    * real file bytes, far below it. Engaged pins log their sizing at WARN
-    * so a surprise pin is visible in the driver log.
+    * on a possibly tiny corpus. Three stand-down triggers (r17, the
+    * second and third closing the r16 ADVICE hole where a Project/Filter
+    * over a statless leaf reports the sentinel SCALED DOWN by column-
+    * width/selectivity ratios — below the sentinel yet still carrying
+    * zero information):
+    *   - derived stats at/above the sentinel (the r16 guard);
+    *   - derived stats within 2x of it (a ratio-scaled sentinel that
+    *     happens to land just under);
+    *   - ANY LEAF of the optimized plan reporting at/above the sentinel —
+    *     the root cause: every derived estimate over such a leaf is the
+    *     sentinel times size-independent ratios, meaningless at any
+    *     magnitude. File-backed scans — the case the expansion constants
+    *     were measured on — report real file bytes, far below all three.
+    * When standing down, None keeps the plan adaptive (today's default
+    * shape). Engaged pins log their sizing at WARN so a surprise pin is
+    * visible in the driver log.
     */
   private def spanPin(
       docs: DataFrame,
@@ -543,7 +565,8 @@ object Corpus {
         require(p > 0, s"$SpanPartitionsConf must be >= 0, got $p")
         Some(p)
       case None =>
-        val stats = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+        val plan = docs.queryExecution.optimizedPlan
+        val stats = plan.stats.sizeInBytes
         // byteStringAsBytes, not .toLong: defaultSizeInBytes is a bytesConf
         // a user may legally set as '10GB' — a bare parse would throw from
         // inside query construction (the very failure mode the r16 Verify
@@ -551,11 +574,14 @@ object Corpus {
         val sentinel = BigInt(
           org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
             spark.conf.get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString)))
-        if (stats >= sentinel) {
+        val statlessLeaf = plan.collectLeaves().exists(_.stats.sizeInBytes >= sentinel)
+        if (stats * 2 >= sentinel || statlessLeaf) {
           log.warn(
             s"graft $family-span stage pin: plan statistics carry no size " +
-              s"estimate (sizeInBytes=$stats >= defaultSizeInBytes sentinel) — " +
-              "auto pin OFF, plan stays adaptive; set " +
+              s"estimate (sizeInBytes=$stats" +
+              (if (statlessLeaf) ", derived from a leaf at the defaultSizeInBytes sentinel"
+               else " within 2x of the defaultSizeInBytes sentinel") +
+              ") — auto pin OFF, plan stays adaptive; set " +
               s"$SpanPartitionsConf to pin explicitly")
           None
         } else {

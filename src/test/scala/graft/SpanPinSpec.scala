@@ -206,4 +206,24 @@ class SpanPinSpec extends SparkSpec {
     val token = Corpus.repeatedSpans(rddDocs, $"doc_id", $"text", n = 3, minDocs = 2L)
     assert(repartitions(char).isEmpty && repartitions(token).isEmpty)
   }
+
+  test("auto pin stands down on RATIO-SCALED sentinel statistics (r16 ADVICE)") {
+    // a Project/Filter over a statless leaf reports the sentinel SCALED by
+    // column-width/selectivity ratios — below the raw sentinel but equally
+    // meaningless; the r16 guard (stats >= sentinel only) passed it and the
+    // pin could saturate at cores*128 on a 3-row corpus. The r17 guard walks
+    // the leaves: any leaf at the sentinel stands the auto pin down.
+    val wide = docs
+      .withColumn("pad1", $"text").withColumn("pad2", $"text")
+      .withColumn("pad3", $"text").withColumn("pad4", $"text")
+    val rdd = spark.sparkContext.parallelize(wide.collect().toSeq, 2)
+    val rddWide = spark.createDataFrame(rdd, wide.schema)
+    val projected = rddWide.select($"doc_id", $"text").filter($"doc_id" > 0)
+    val stats = projected.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(stats < BigInt(Long.MaxValue) / 2,
+      s"precondition: derived stats must land BELOW the r16 guard's line, got $stats")
+    val char = Corpus.repeatedCharSpans(projected, $"doc_id", $"text", l = 10, minDocs = 2L)
+    val token = Corpus.repeatedSpans(projected, $"doc_id", $"text", n = 3, minDocs = 2L)
+    assert(repartitions(char).isEmpty && repartitions(token).isEmpty)
+  }
 }
