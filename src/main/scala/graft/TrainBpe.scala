@@ -1,24 +1,35 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, explode}
 
-import graft.operators.Bpe
+import graft.functions.TextFunctions
+import graft.operators.{Bpe, TokenizerArtifact, Vocab}
 
 /** Regenerates [[graft.operators.TrainedMerges]] — the committed BPE merge
   * table — from a documents table: distributed word histogram, then the
   * driver-side merge loop. Usage:
   *
-  *   sbt "runMain graft.TrainBpe [sfDir] [nMerges]"
+  *   sbt "runMain graft.TrainBpe [sfDir] [nMerges] [artifactDir]"
   *
   * Prints the Scala source of TrainedMerges to stdout; paste it over
   * `operators/TrainedMerges.scala`. The artifact is committed (not trained
   * per run) so queries and DuckDB oracles replay identical merges.
+  *
+  * With `artifactDir` (r17, verdict task 3) the SAME training run also
+  * persists the directory form via [[TokenizerArtifact.save]]: the ordered
+  * merge table plus the marked frequency-rank vocab the trained merges
+  * induce on the training corpus — the (merges, vocab) pair an external
+  * tokenizer stack loads, and what `artifacts/bpe_sf0.1` (committed) holds.
+  * The tokenizer surface is artifact-first end to end: train → emit
+  * directory → queries load the directory; the compiled constant remains
+  * only as the oracle fixture that keeps the DuckDB SQL replayable.
   */
 object TrainBpe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nMerges = args.lift(1).map(_.toInt).getOrElse(256)
+    val artifactDir = args.lift(2)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -31,6 +42,13 @@ object TrainBpe {
     val docs = Tables.richDocuments(spark, sfDir)
     val hist = Bpe.wordHistogram(docs, col("text"), maxVocab = 4096)
     val merges = Bpe.trainMerges(hist, nMerges)
+    artifactDir.foreach { ad =>
+      val vocab = Vocab.frequencyRankVocab(
+        docs.select(explode(
+          TextFunctions.bpeTokensMarked(col("text"), merges)).as("token")))
+      TokenizerArtifact.save(spark, merges, vocab, ad)
+      System.err.println(s"tokenizer artifact written to $ad (merges + marked vocab)")
+    }
     // escape control chars too: a token carrying a raw \n or \t (split is on
     // ' ' only) would otherwise emit uncompilable Scala source
     def lit(s: String) = "\"" + s.flatMap {

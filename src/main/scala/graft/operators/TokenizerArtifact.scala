@@ -26,6 +26,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TokenizerArtifact {
 
+  /** Conf key overriding where [[shippedDir]] looks for the COMMITTED
+    * tokenizer artifact (specs point it at tampered copies to prove the
+    * artifact — not the compiled table — is what a loading query applies).
+    */
+  val ShippedDirConf = "spark.graft.bpe.artifactDir"
+
+  /** The TrainBpe-emitted artifact shipped IN the repo
+    * (`artifacts/bpe_sf0.1`, committed parquet — regenerate with `runMain
+    * graft.TrainBpe /root/testdata/sf0.1 256 artifacts/bpe_sf0.1`): the
+    * directory form of the compiled [[graft.operators.TrainedMerges]]
+    * table, trained by the same job on the same corpus, so queries loading
+    * it replay the DuckDB oracles generated from the compiled constant.
+    * Resolved against the working directory (the repo root under the
+    * driver contract) unless [[ShippedDirConf]] overrides.
+    */
+  def shippedDir(spark: SparkSession): String =
+    spark.conf.getOption(ShippedDirConf)
+      .getOrElse(new java.io.File("artifacts/bpe_sf0.1").getAbsolutePath)
+
   def save(spark: SparkSession, merges: Seq[(String, String)], vocab: DataFrame,
       dir: String): Unit = {
     import spark.implicits._

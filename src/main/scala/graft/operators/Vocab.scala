@@ -18,6 +18,27 @@ import graft.functions.TextFunctions
   */
 object Vocab {
 
+  /** Frequency-rank vocab ids over a one-column `token` frame: (token,
+    * n_occurrences, token_id) with ids by (count desc, token) — the ONE
+    * definition of the BPE id space, shared by the t14c/t14d/t14h vocab
+    * queries, the t14e encode, and [[graft.TrainBpe]]'s artifact emission
+    * so every surface resolves ids in the same space by construction. The
+    * rank window runs over the AGGREGATED vocab — bounded by alphabet +
+    * merge table, not corpus rows — so the single partition it implies is
+    * a dimension-table sort, never a corpus sort.
+    */
+  def frequencyRankVocab(tokens: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tokens
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn(
+        "token_id",
+        row_number()
+          .over(Window.orderBy(col("n_occurrences").desc, col("token")))
+          .cast("long"))
+  }
+
   /** Token vocabulary: term frequency (total occurrences) and document
     * frequency per token, top `n` by (tf desc, token) — a total order, so
     * the cut is deterministic. Tokenization is the pipeline-wide whitespace

@@ -13,26 +13,14 @@ import graft.operators.{Bpe, Corpus, Profile, TokenizerArtifact}
   */
 object CorpusQueries {
 
-  /** Frequency-rank vocab ids over a one-column `token` frame: (token,
-    * n_occurrences, token_id) with ids by (count desc, token) — the ONE
-    * definition of the BPE id space, shared by the plain (t14c), marked
-    * (t14d), and encode (t14e) queries so the "t14e resolves ids in t14d's
-    * id space" claim is true by construction, not by copy-paste. The rank
-    * window runs over the AGGREGATED vocab — bounded by alphabet + merge
-    * table — so the single partition it implies is a dimension-table
-    * sort, never a corpus sort.
+  /** The ONE definition of the BPE id space — [[Vocab.frequencyRankVocab]]
+    * (moved there r17 so [[graft.TrainBpe]]'s artifact emission shares it) —
+    * aliased for the plain (t14c), marked (t14d), artifact-loaded (t14h),
+    * and encode (t14e) queries so the "t14e resolves ids in t14d's id
+    * space" claim is true by construction, not by copy-paste.
     */
-  private def vocabRank(tokens: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    tokens
-      .groupBy("token")
-      .agg(count(lit(1)).as("n_occurrences"))
-      .withColumn(
-        "token_id",
-        row_number()
-          .over(Window.orderBy(col("n_occurrences").desc, col("token")))
-          .cast("long"))
-  }
+  private def vocabRank(tokens: DataFrame): DataFrame =
+    graft.operators.Vocab.frequencyRankVocab(tokens)
 
   /** The corpus as one (doc_id, p, token) row per MARKED BPE token
     * occurrence under `merges` — the shared front half of the t14e/t14f/
@@ -231,6 +219,55 @@ object CorpusQueries {
         .select(
           explode(TextFunctions.bpeTokensMarked(col("text"), Bpe.Merges)).as("token")))
         .withColumn("is_word_end", col("token").endsWith(TextKernels.EowMarker))
+    },
+    // C-vocab-artifact — t14d's marked vocab with the merge table LOADED
+    // from the TrainBpe-emitted artifact directory (r17, verdict task 3):
+    // the committed `artifacts/bpe_sf0.1` parquet — the directory form of
+    // the compiled TrainedMerges constant, written by the same training
+    // job on the same corpus — is what this query's kernel applies; the
+    // compiled table never appears in the construction (tamper-proven in
+    // TokenizerArtifactSpec: pointing the conf at a truncated artifact
+    // changes the vocab). The oracle is t14d's verbatim: artifact merges
+    // and compiled merges are the same trained table, so an artifact-
+    // loading engine must reproduce the compiled-fixture oracle exactly.
+    "t14h_bpe_vocab_artifact" -> { (s, dir) =>
+      val merges = TokenizerArtifact.loadMerges(s, TokenizerArtifact.shippedDir(s))
+      vocabRank(Tables.richDocuments(s, dir)
+        .select(
+          explode(TextFunctions.bpeTokensMarked(col("text"), merges)).as("token")))
+        .withColumn("is_word_end", col("token").endsWith(TextKernels.EowMarker))
+    },
+    // C-pack-streams — t14b's packing emitting the MARKED TOKEN STREAM per
+    // packed sequence (r17, verdict task 6): the export a marked-vocab
+    // trainer actually ingests — one row per 256-token training sequence
+    // with its tokens in global order, doc-boundary-crossing by
+    // construction. Same one-corpus-pass shape as t14b: the kernel runs
+    // once (the `toks` array rides packSequences' carry path — the prefix
+    // sum still exchanges one row per 64-doc bucket), then the exploded
+    // stream shuffles ONCE, keyed by seq_id — uniform at exactly 256
+    // tokens per key by construction, the best-case shuffle at 100 TB.
+    // n_tokens < 256 only on the final partial sequence.
+    "t14i_bpe_packed_streams" -> { (s, dir) =>
+      val withToks = Tables.richDocuments(s, dir).select(
+        col("doc_id"),
+        TextFunctions.bpeTokensMarked(col("text"), Bpe.Merges).as("toks"))
+      Corpus.packSequences(
+          withToks, col("doc_id"), size(col("toks")), seqLen = 256,
+          carry = Seq("toks" -> col("toks")))
+        .select(
+          col("doc_id"), col("start_offset"),
+          posexplode(col("toks")).as(Seq("p", "token")))
+        .withColumn("gp", col("start_offset") + col("p"))
+        .withColumn("seq_id", expr("gp div 256"))
+        .groupBy("seq_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("gp"), col("token")))),
+              x => x.getField("token")),
+            " ").as("seq_text"))
     },
     // C-encode — the ENCODE pass that closes the tokenizer loop (r15,
     // verdict item 7): apply the TRAINED merge table to the corpus and
@@ -499,6 +536,26 @@ object CorpusQueries {
        |  t.token, v.token_id
        |FROM tok t JOIN voc v USING (token)""".stripMargin
 
+  /** The marked-vocab oracle, shared verbatim by t14d (compiled merge
+    * table) and t14h (merge table loaded from the TrainBpe-emitted
+    * artifact directory): the two queries differ only in WHERE the merge
+    * table lives, which the oracle must not see. The w{N} CTE holds ONE
+    * WORD per row (w0 unnests the whitespace split), so "word-final token"
+    * is simply the list's last element — marked with the same '</w>'
+    * constant the Spark kernel appends.
+    */
+  private def markedVocabOracle: String =
+    s"""WITH $bpeCtesMarked,
+       |tokm AS (SELECT unnest(list_transform(generate_series(1, len(xs)),
+       |    i -> CASE WHEN i = len(xs) THEN xs[i] || '${TextKernels.EowMarker}'
+       |         ELSE xs[i] END)) AS token
+       |  FROM w${Bpe.Merges.size}),
+       |agg AS (SELECT token, count(*) AS n_occurrences FROM tokm GROUP BY token)
+       |SELECT token, n_occurrences,
+       |  row_number() OVER (ORDER BY n_occurrences DESC, token) AS token_id,
+       |  token LIKE '%${TextKernels.EowMarker}' AS is_word_end
+       |FROM agg""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "t14b_bpe_packing" ->
       // NULL-text docs produce zero w0 rows (unnest of a NULL split), so the
@@ -529,20 +586,40 @@ object CorpusQueries {
          |SELECT token, n_occurrences,
          |  row_number() OVER (ORDER BY n_occurrences DESC, token) AS token_id
          |FROM agg""".stripMargin,
-    "t14d_bpe_vocab_marked" ->
-      // the w{N} CTE holds ONE WORD per row (w0 unnests the whitespace
-      // split), so "word-final token" is simply the list's last element —
-      // marked with the same '</w>' constant the Spark kernel appends
+    "t14d_bpe_vocab_marked" -> markedVocabOracle,
+    // t14h: the SAME oracle as t14d by design — the TrainBpe-emitted
+    // artifact directory and the compiled TrainedMerges constant are the
+    // same trained table, so loading the directory must reproduce the
+    // compiled-fixture vocab bit for bit; a hash mismatch here would mean
+    // the artifact path applies different merges.
+    "t14h_bpe_vocab_artifact" -> markedVocabOracle,
+    "t14i_bpe_packed_streams" ->
+      // per-doc ordered marked tokens (encodeOracle's tok CTE), per-doc
+      // counts + the t14b prefix-sum offsets, then regroup by the global
+      // 256-token cut; docs with NULL text carry no tok rows, which the
+      // window sum treats exactly as the Spark side's null n_tokens
       s"""WITH $bpeCtesMarked,
-         |tokm AS (SELECT unnest(list_transform(generate_series(1, len(xs)),
-         |    i -> CASE WHEN i = len(xs) THEN xs[i] || '${TextKernels.EowMarker}'
-         |         ELSE xs[i] END)) AS token
-         |  FROM w${Bpe.Merges.size}),
-         |agg AS (SELECT token, count(*) AS n_occurrences FROM tokm GROUP BY token)
-         |SELECT token, n_occurrences,
-         |  row_number() OVER (ORDER BY n_occurrences DESC, token) AS token_id,
-         |  token LIKE '%${TextKernels.EowMarker}' AS is_word_end
-         |FROM agg""".stripMargin,
+         |tok AS (SELECT doc_id, wi, u.ti AS ti, u.tok AS token FROM (
+         |  SELECT doc_id, wi, unnest(list_transform(generate_series(1, len(xs)),
+         |    i -> struct_pack(ti := i, tok :=
+         |      CASE WHEN i = len(xs) THEN xs[i] || '${TextKernels.EowMarker}'
+         |           ELSE xs[i] END))) AS u
+         |  FROM w${Bpe.Merges.size})),
+         |ord AS (SELECT doc_id, token,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti) - 1 AS p
+         |  FROM tok),
+         |cnt AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+         |off AS (SELECT doc_id,
+         |  CAST(coalesce(sum(n_tokens) OVER (
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS start_offset
+         |  FROM cnt),
+         |g AS (SELECT o.doc_id, f.start_offset + o.p AS gp, o.token
+         |  FROM ord o JOIN off f USING (doc_id))
+         |SELECT gp // 256 AS seq_id, count(*) AS n_tokens,
+         |  count(DISTINCT doc_id) AS n_docs,
+         |  string_agg(token, ' ' ORDER BY gp) AS seq_text
+         |FROM g GROUP BY 1""".stripMargin,
     "t14e_bpe_encode" -> encodeOracle,
     // t14f/t14g: the SAME oracle as t14e by design — the parquet-persisted
     // (merges, vocab) artifact must encode bit-identically to the in-query

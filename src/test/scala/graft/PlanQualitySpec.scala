@@ -91,6 +91,23 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("t14i packed-stream export keeps t14b's corpus-pass shape; the one stream shuffle is keyed by seq_id") {
+    // the toks array rides packSequences' carry path, so the marked-stream
+    // variant must not add corpus scans over t14b's two prefix-sum branches
+    // (a naive join-back of the exploded stream against a separately
+    // counted packing table would read the corpus a third time)
+    def scans(name: String): Int = SparkEntry.queries(name)(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }.size
+    assert(scans("t14i_bpe_packed_streams") === scans("t14b_bpe_packing"))
+    val p = plan("t14i_bpe_packed_streams")
+    // sequence assembly shuffles the token stream exactly once, keyed by
+    // seq_id — uniform at 256 tokens per key by construction
+    assert("hashpartitioning\\(seq_id".r.findFirstIn(p).nonEmpty, p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("p1 projection pushes filters into the parquet scan") {
     val p = plan("p1_projection_validation")
     assert(p.contains("PushedFilters: [IsNotNull"), p.take(800))

@@ -48,6 +48,35 @@ class TokenizerArtifactSpec extends SparkSpec {
     assert(run("t14g_bpe_encode_serve").orderBy("doc_id", "pos").collect().toSeq === base)
   }
 
+  test("the shipped artifact directory carries exactly the compiled merge table") {
+    // artifacts/bpe_sf0.1 (committed) is TrainBpe's directory emission of
+    // the SAME training run that generated TrainedMerges.scala; drift
+    // between the two committed forms would silently split the tokenizer
+    // surface into two different tokenizers
+    val loaded = TokenizerArtifact.loadMerges(spark, TokenizerArtifact.shippedDir(spark))
+    assert(loaded === Bpe.Merges)
+  }
+
+  test("t14h reproduces t14d from the artifact, and a tampered artifact CHANGES it") {
+    val base = run("t14d_bpe_vocab_marked").orderBy("token_id").collect().toSeq
+    assert(base.nonEmpty)
+    // default shipped artifact == the compiled table's vocab, bit for bit
+    assert(run("t14h_bpe_vocab_artifact").orderBy("token_id").collect().toSeq === base)
+    // the no-compiled-table pin: point the conf at a TRUNCATED artifact
+    // (first 10 merges only) — if t14h consulted Bpe.Merges anywhere, its
+    // output could not move; it must re-tokenize under the loaded table
+    val tampered = tmp()
+    TokenizerArtifact.save(
+      spark, Bpe.Merges.take(10),
+      Seq(("a", 1L, 1L)).toDF("token", "n_occurrences", "token_id"), tampered)
+    try {
+      spark.conf.set(TokenizerArtifact.ShippedDirConf, tampered)
+      val t = run("t14h_bpe_vocab_artifact").orderBy("token_id").collect().toSeq
+      assert(t !== base, "tampered artifact produced the compiled-table vocab — " +
+        "t14h is not actually loading its merges from the artifact")
+    } finally spark.conf.unset(TokenizerArtifact.ShippedDirConf)
+  }
+
   test("the artifact-encode plan READS the saved vocab, never recomputes it") {
     for (name <- Seq("t14f_bpe_encode_artifact", "t14g_bpe_encode_serve")) {
       val plan = run(name).queryExecution.optimizedPlan
