@@ -37,6 +37,10 @@ run_arm() { # dir record logfile
     SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_RUNS="$RUNS" \
     SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_RECORD="$2" \
     sbt -batch "runMain graft.Bench" > "$3" 2>&1)
+  # retain the arm's diag (spill/shuffle/CPU per round) — Bench overwrites
+  # bench_diag_only.json per run and the worktree is removed at the end, so
+  # without this copy a surprising arm delta cannot be attributed post-hoc
+  cp "$1"/bench_diag_only.json "${2%.json}_diag.json" 2>/dev/null || true
 }
 
 echo "== paired bench: old=$OLD_SHA new=$NEW_SHA queries=$QUERIES =="
