@@ -450,15 +450,24 @@ object Corpus {
   val TokenSpanShuffleExpansion: Long = 5L
 
   /** Engage threshold for the span-stage pin, BOTH families: the measured
-    * knee bracket. The token sweep (tokenpinknee.json, five sizes x
-    * forced-vs-off, 3 forked rounds per cell) reads noise-level at
-    * estimates <= 8 MB and solid 1.19-1.51x wins from ~27 MB up; the char
-    * sweep (charknee.json) wins 1.25x already at its LOWEST measured
-    * estimate (~55 MB, sf0.1 itself) and 1.6-1.7x at 3x. 16 MiB sits in
-    * the bracket; below it (the verify SFs, spec corpora) plans stay
-    * adaptive and sub-second, bit-identical to the pre-pin rounds.
+    * knee, bracketed then bisected. The token sweep (tokenpinknee.json,
+    * five sizes x forced-vs-off, 3 forked rounds per cell) reads
+    * noise-level at estimates <= 8.5 MB and solid 1.19-1.51x wins from
+    * ~27 MB up; the r17 interior sweep (tokenknee_bisect.json, x4/x6/x8
+    * slices = estimates ~11/17/23 MB, same protocol) shows the
+    * repartition-first shape ALREADY winning at every interior point —
+    * 1.28/1.24/1.25x on t23 and 1.17/1.35/1.14x on t24, zero spill in
+    * every cell — so the wins start between the 8.5 MB noise cell and
+    * the 11 MB win cell, and 10 MiB sits in THAT measured gap (the r16
+    * 16 MiB pick, chosen from the coarse bracket alone, priced the
+    * x4-x5 region as noise when it measurably pays). The char sweep
+    * (charknee.json) wins 1.25x already at its LOWEST measured estimate
+    * (~55 MB, sf0.1 itself), far above the knee either way. Below the
+    * threshold (the verify SFs, spec corpora, the token family at
+    * sf0.1's ~2.7 MB) plans stay adaptive and sub-second, bit-identical
+    * to the pre-pin rounds.
     */
-  val MinSpanPinBytes: Long = 16L * 1024 * 1024
+  val MinSpanPinBytes: Long = 10L * 1024 * 1024
 
   /** Partition count for a pinned span-family shuffle stage, from the
     * estimated stage shuffle volume (r16, the ENGAGE rule that replaced

@@ -11,7 +11,7 @@ import graft.operators.Corpus
   *
   * Two surfaces: the pure sizing function ([[Corpus.spanEngageFor]] —
   * the 40 MB/partition rule engaging at max(cores, sized) past the
-  * measured 16 MiB knee, with a 128-waves/core cap), and the plan effect (a forced pin inserts
+  * measured 10 MiB knee, with a 128-waves/core cap), and the plan effect (a forced pin inserts
   * REPARTITION_BY_NUM exchanges — which AQE never coalesces — on exactly
   * the set-build and merge-join stages, while small inputs and the
   * `0` override leave today's adaptive plans bit-identical).
@@ -50,12 +50,16 @@ class SpanPinSpec extends SparkSpec {
 
   // ------------------------------------------------------- sizing function
 
-  test("spanEngageFor: off (None) below the measured 16 MiB knee") {
+  test("spanEngageFor: off (None) below the measured 10 MiB knee") {
     // spec/verify-SF regime: tiny estimates keep plans adaptive and
     // bit-identical to the pre-pin rounds
-    assert(Corpus.spanEngageFor(15 * MB, 32) === None)
+    assert(Corpus.spanEngageFor(9 * MB, 32) === None)
     assert(Corpus.spanEngageFor(BigInt(0), 32) === None)
     assert(Corpus.spanEngageFor(BigInt(-1), 32) === None)
+    // the r17 bisection's lowest winning cell (x4, est ~11 MB) engages:
+    // tokenknee_bisect.json measured 1.17-1.28x there, which the r16
+    // 16 MiB bracket pick left on the table
+    assert(Corpus.spanEngageFor(11 * MB, 32) === Some(32))
   }
 
   test("spanEngageFor: ENGAGES at max(cores, sized) past the knee") {
@@ -80,7 +84,7 @@ class SpanPinSpec extends SparkSpec {
 
   test("default: small corpus stats leave the plan free of repartitions") {
     // the shared-session conf is unset here -> auto sizing; a 3-row local
-    // relation prices far under the 16 MiB knee
+    // relation prices far under the 10 MiB knee
     val out = Corpus.repeatedCharSpans(docs, $"doc_id", $"text", l = 10, minDocs = 2L)
     assert(repartitions(out).isEmpty)
   }
