@@ -5,10 +5,14 @@
 # builder's 69.70 s and the driver's 89.35 s measured the SAME code on the
 # same box hours apart (box-state drift), and a round of headline deltas
 # chased it. Round-over-round claims should instead cite a PAIRED record:
-# both commits benched in one sitting, interleaved A1 -> B -> A2, so the
-# within-pair drift (A1 vs A2, identical code) bounds the noise any A-vs-B
-# delta must clear. This is the same discipline the r16 knee records
-# applied by hand, packaged as a tool.
+# both commits benched in one sitting.
+#
+# Arm schedule: A1 -> B1 -> A2 -> B2 (each rev measured FIRST and LAST).
+# The maiden 3-arm run (A1->B->A2) showed a monotone within-sitting box
+# trend putting the single B arm at a systematic disadvantage against
+# min(A1,A2); with two arms per side, min-vs-min cancels any monotone
+# trend instead of merely detecting it, and each side carries its own
+# same-code drift band.
 #
 # Usage: tools/paired_bench.sh <old-ref> <queries-csv> <sf-dir> <out.json> [runs]
 #   old-ref      git rev the NEW head is compared against (e.g. last
@@ -45,12 +49,14 @@ run_arm() { # dir record logfile
 
 echo "== paired bench: old=$OLD_SHA new=$NEW_SHA queries=$QUERIES =="
 echo "== arm A1 (old) =="; run_arm "$WT"   /tmp/paired_old1.json /tmp/paired_old1.log
-echo "== arm B  (new) =="; run_arm "$REPO" /tmp/paired_new.json  /tmp/paired_new.log
+echo "== arm B1 (new) =="; run_arm "$REPO" /tmp/paired_new1.json /tmp/paired_new1.log
 echo "== arm A2 (old) =="; run_arm "$WT"   /tmp/paired_old2.json /tmp/paired_old2.log
+echo "== arm B2 (new) =="; run_arm "$REPO" /tmp/paired_new2.json /tmp/paired_new2.log
 
 python3 "$REPO/tools/paired_report.py" "$OUT" \
   "$OLD_SHA" "$NEW_SHA" \
-  /tmp/paired_old1.json /tmp/paired_new.json /tmp/paired_old2.json
+  /tmp/paired_old1.json /tmp/paired_new1.json \
+  /tmp/paired_old2.json /tmp/paired_new2.json
 
 git worktree remove --force "$WT"
 rm -f "$REPO"/bench_diag_only.json "$WT"/bench_diag_only.json 2>/dev/null || true

@@ -1,22 +1,25 @@
 #!/usr/bin/env python3
-"""Merge the three arms of tools/paired_bench.sh into one paired record.
+"""Merge the arms of tools/paired_bench.sh into one paired record.
 
-Usage: paired_report.py out.json old_sha new_sha old1.json new.json old2.json
+Usage:
+  paired_report.py out.json old_sha new_sha A1.json B1.json A2.json [B2.json]
 
-Per query, on the suite's standard MIN-WALL basis (the quoting basis of
-every other committed record), three readings:
+With four arms (A1 -> B1 -> A2 -> B2, the schedule paired_bench.sh runs)
+each rev is measured first AND last, so a monotone within-sitting box
+trend hits both sides symmetrically and min-vs-min cancels it. Per
+query, on the suite's standard MIN-WALL basis:
 
-  - `ratio_vs_best_old` — new vs min(A1, A2): a CONSERVATIVE bound for
-    claiming improvements (new beat the best of two same-code sittings);
-    read regressions from it with care, because when box state trends
-    WITHIN the sitting (the r17 maiden run: A2 fastest on every query —
-    the box sped up monotonically over ~25 min) the best old arm absorbs
-    all favourable drift and same-plan code reads 1.1-1.4x "slower".
-  - `ratio_adjacent` — new vs A1, the arm measured immediately before it:
-    the drift-minimizing point estimate.
-  - `drift` — the A1-vs-A2 same-code relative gap. Any |ratio - 1| inside
-    it is noise by the record's own evidence; only deltas clearing it on
-    BOTH ratio bases are attributable to the code change.
+  - `ratio` — min(B1, B2) / min(A1, A2): the headline point estimate.
+  - `drift_old` / `drift_new` — each side's same-code relative gap
+    between its two arms. Any |ratio - 1| inside max(drift_old,
+    drift_new) is noise by the record's own evidence; only deltas
+    clearing it are attributable to the code change.
+
+With three arms (the legacy maiden-run layout A1 -> B -> A2) the lone B
+arm is compared both against min(A1, A2) (`ratio_vs_best_old`,
+conservative for improvement claims) and against the adjacent A1
+(`ratio_adjacent`, drift-minimizing), since a monotone trend biases the
+former — see paired_r17's maiden analysis.
 
 Cross-round medians per arm are retained alongside the mins so a reader
 can check round-structure effects.
@@ -25,55 +28,78 @@ import json
 import sys
 
 
+def mins(rec):
+    # min-wall per query; fall back to medians for legacy records
+    return rec.get("queries_min") or rec["queries"]
+
+
 def main() -> None:
-    out, old_sha, new_sha, old1_p, new_p, old2_p = sys.argv[1:7]
-    old1 = json.load(open(old1_p))
-    new = json.load(open(new_p))
-    old2 = json.load(open(old2_p))
+    out, old_sha, new_sha = sys.argv[1:4]
+    arm_paths = sys.argv[4:]
+    arms = [json.load(open(p)) for p in arm_paths]
+    four = len(arms) == 4
+    if four:
+        old_arms, new_arms = [arms[0], arms[2]], [arms[1], arms[3]]
+        arm_order = ["old_a1", "new_b1", "old_a2", "new_b2"]
+    else:
+        old_arms, new_arms = [arms[0], arms[2]], [arms[1]]
+        arm_order = ["old_a1", "new", "old_a2"]
 
-    def mins(rec):
-        # min-wall per query; fall back to medians for legacy records
-        return rec.get("queries_min") or rec["queries"]
-
-    o1m, o2m, bm = mins(old1), mins(old2), mins(new)
+    new_named = mins(new_arms[0])
     queries = {}
-    for q in sorted(new.get("queries", {})):
-        if q not in o1m or q not in o2m:
-            queries[q] = {"new_min": bm.get(q), "note": "query absent at old ref"}
+    for q in sorted(arms[1].get("queries", {})):
+        if any(q not in mins(a) for a in old_arms):
+            queries[q] = {"new_min": new_named.get(q),
+                          "note": "query absent at old ref"}
             continue
-        a1, a2, b = o1m[q], o2m[q], bm[q]
-        best_old = min(a1, a2)
-        queries[q] = {
-            "old_a1_min": a1,
-            "old_a2_min": a2,
-            "new_min": b,
-            "old_a1_median": old1["queries"].get(q),
-            "old_a2_median": old2["queries"].get(q),
-            "new_median": new["queries"].get(q),
-            "ratio_vs_best_old": round(b / best_old, 4) if best_old else None,
-            "ratio_adjacent": round(b / a1, 4) if a1 else None,
-            "drift": round(abs(a1 - a2) / min(a1, a2), 4) if min(a1, a2) else None,
+        olds = [mins(a)[q] for a in old_arms]
+        news = [mins(a)[q] for a in new_arms]
+        best_old, best_new = min(olds), min(news)
+        entry = {
+            "old_min_arms": olds,
+            "new_min_arms": news,
+            "old_median_arms": [a["queries"].get(q) for a in old_arms],
+            "new_median_arms": [a["queries"].get(q) for a in new_arms],
+            "drift_old": (round(abs(olds[0] - olds[1]) / min(olds), 4)
+                          if min(olds) else None),
         }
-    with_r = [r for r in queries.values() if "drift" in r]
-    a2_faster = sum(1 for r in with_r if r["old_a2_min"] < r["old_a1_min"])
+        if four:
+            entry["ratio"] = round(best_new / best_old, 4) if best_old else None
+            entry["drift_new"] = (round(abs(news[0] - news[1]) / min(news), 4)
+                                  if min(news) else None)
+        else:
+            entry["ratio_vs_best_old"] = (round(best_new / best_old, 4)
+                                          if best_old else None)
+            entry["ratio_adjacent"] = (round(best_new / olds[0], 4)
+                                       if olds[0] else None)
+        queries[q] = entry
+    with_r = [r for r in queries.values() if "drift_old" in r]
+    a2_faster = sum(1 for r in with_r
+                    if r["old_min_arms"][1] < r["old_min_arms"][0])
     rec = {
         "metric": "paired_same_day_bench",
         "old_sha": old_sha,
         "new_sha": new_sha,
-        "sf": new.get("sf"),
-        "runs_per_arm": new.get("runs"),
-        "arm_order": ["old_a1", "new", "old_a2"],
+        "sf": arms[1].get("sf"),
+        "runs_per_arm": arms[1].get("runs"),
+        "arm_order": arm_order,
         "basis": "cold-cache",
         "basis_detail": (
-            "interleaved A1->B->A2 in one sitting on one box, min-wall per "
-            "arm; ratio_vs_best_old = new/min(A1,A2) (conservative for "
-            "improvement claims), ratio_adjacent = new/A1 (drift-minimizing "
-            "point estimate), drift = the same-code A1-vs-A2 relative gap "
-            "that bounds attributable deltas"
+            "interleaved arms in one sitting on one box, min-wall per arm; "
+            + ("ratio = min(B1,B2)/min(A1,A2) — each rev measured first and "
+               "last so monotone box trends cancel; drift_old/drift_new are "
+               "each side's same-code arm gap, and only |ratio-1| clearing "
+               "max(drift) is attributable to the code change"
+               if four else
+               "ratio_vs_best_old = new/min(A1,A2) (conservative for "
+               "improvement claims), ratio_adjacent = new/A1 "
+               "(drift-minimizing point estimate), drift_old the same-code "
+               "A1-vs-A2 gap that bounds attributable deltas")
         ),
         "box_trend": (
             f"A2 faster than A1 on {a2_faster}/{len(with_r)} queries — "
-            + ("box state trended WITHIN the sitting; prefer ratio_adjacent"
+            + ("box state trended WITHIN the sitting"
+               + ("" if four else "; prefer ratio_adjacent")
                if with_r and a2_faster >= 0.8 * len(with_r)
                else "no monotone within-sitting trend")
         ),
@@ -82,13 +108,17 @@ def main() -> None:
     with open(out, "w") as f:
         json.dump(rec, f, indent=1)
     for q, r in queries.items():
-        if "drift" in r:
-            print(f"{q}: old_min {min(r['old_a1_min'], r['old_a2_min']):.3f}s "
-                  f"new_min {r['new_min']:.3f}s "
-                  f"vs_best {r['ratio_vs_best_old']} adj {r['ratio_adjacent']} "
-                  f"(drift {r['drift']})")
-        else:
+        if "drift_old" not in r:
             print(f"{q}: new {r['new_min']:.3f}s ({r['note']})")
+        elif four:
+            print(f"{q}: old_min {min(r['old_min_arms']):.3f}s "
+                  f"new_min {min(r['new_min_arms']):.3f}s ratio {r['ratio']} "
+                  f"(drift old {r['drift_old']} new {r['drift_new']})")
+        else:
+            print(f"{q}: old_min {min(r['old_min_arms']):.3f}s "
+                  f"new_min {min(r['new_min_arms']):.3f}s "
+                  f"vs_best {r['ratio_vs_best_old']} "
+                  f"adj {r['ratio_adjacent']} (drift {r['drift_old']})")
     print(rec["box_trend"])
 
 
