@@ -177,10 +177,16 @@ object Corpus {
     *
     * `carry` columns (r17, for the marked-stream packing export) ride the
     * corpus side of the plan only — base select → bucket-local window →
-    * offset join — never the bucket aggregate, so carrying a token array
-    * adds zero shuffle: phase 1 still exchanges one (bucket, sum) row per
-    * bucket, and the corpus rows that carry the payload are exactly the
-    * rows the caller gets back.
+    * offset join — never the bucket aggregate: phase 1 still exchanges
+    * one (bucket, sum) row per bucket, and no NEW exchange appears. The
+    * payload does cross the phase-2 bucket window's existing hash
+    * exchange (t14b shipped only (doc_id, n_tokens, bucket) rows through
+    * it; a carried token array widens those rows by the token bytes) —
+    * that crossing is inherent to any one-query formulation: computing
+    * offsets narrow and joining the payload back by doc_id would shuffle
+    * the same bytes through the join exchange instead, for an extra
+    * narrow shuffle of the offsets. The exchange is keyed by `bucket`,
+    * uniform at bucketWidth docs per key.
     */
   def packSequences(
       docs: DataFrame,
@@ -544,22 +550,28 @@ object Corpus {
     * `spark.sql.defaultSizeInBytes` — Long.MaxValue — or a multiplied
     * overestimate ABOVE it, which the sizing pipeline would saturate at
     * the cores*128 cap, silently forcing thousands-of-partition shuffles
-    * on a possibly tiny corpus. Three stand-down triggers (r17, the
-    * second and third closing the r16 ADVICE hole where a Project/Filter
-    * over a statless leaf reports the sentinel SCALED DOWN by column-
-    * width/selectivity ratios — below the sentinel yet still carrying
-    * zero information):
+    * on a possibly tiny corpus. Two stand-down triggers (r17, the second
+    * closing the r16 ADVICE hole where a Project/Filter over a statless
+    * leaf reports the sentinel SCALED DOWN by column-width/selectivity
+    * ratios — below the sentinel yet still carrying zero information):
     *   - derived stats at/above the sentinel (the r16 guard);
-    *   - derived stats within 2x of it (a ratio-scaled sentinel that
-    *     happens to land just under);
     *   - ANY LEAF of the optimized plan reporting at/above the sentinel —
     *     the root cause: every derived estimate over such a leaf is the
     *     sentinel times size-independent ratios, meaningless at any
-    *     magnitude. File-backed scans — the case the expansion constants
-    *     were measured on — report real file bytes, far below all three.
-    * When standing down, None keeps the plan adaptive (today's default
-    * shape). Engaged pins log their sizing at WARN so a surprise pin is
-    * visible in the driver log.
+    *     magnitude, whatever value it lands on.
+    * The leaf walk deliberately replaces the "stats within a small factor
+    * of the sentinel" heuristic ADVICE also floated: a ratio-scaled
+    * sentinel is meaningless at ANY magnitude (a near-sentinel cutoff
+    * still passes a sentinel scaled by aggressive column pruning), while
+    * REAL file-backed stats that legitimately approach a user-lowered
+    * `spark.sql.defaultSizeInBytes` (a bytesConf, legally '10GB') must
+    * keep engaging the pin — that large-corpus regime is exactly where
+    * the measured 58 GB-spill adaptive plan lives. File-backed scans —
+    * the case the expansion constants were measured on — report real
+    * file bytes from leaves far below the sentinel. When standing down,
+    * None keeps the plan adaptive (today's default shape). Engaged pins
+    * log their sizing at WARN so a surprise pin is visible in the driver
+    * log.
     */
   private def spanPin(
       docs: DataFrame,
@@ -584,12 +596,13 @@ object Corpus {
           org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
             spark.conf.get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString)))
         val statlessLeaf = plan.collectLeaves().exists(_.stats.sizeInBytes >= sentinel)
-        if (stats * 2 >= sentinel || statlessLeaf) {
+        if (stats >= sentinel || statlessLeaf) {
           log.warn(
             s"graft $family-span stage pin: plan statistics carry no size " +
               s"estimate (sizeInBytes=$stats" +
-              (if (statlessLeaf) ", derived from a leaf at the defaultSizeInBytes sentinel"
-               else " within 2x of the defaultSizeInBytes sentinel") +
+              (if (statlessLeaf && stats < sentinel)
+                 ", derived from a leaf at the defaultSizeInBytes sentinel"
+               else " at/above the defaultSizeInBytes sentinel") +
               ") — auto pin OFF, plan stays adaptive; set " +
               s"$SpanPartitionsConf to pin explicitly")
           None

@@ -39,11 +39,26 @@ object TokenizerArtifact {
     * table, trained by the same job on the same corpus, so queries loading
     * it replay the DuckDB oracles generated from the compiled constant.
     * Resolved against the working directory (the repo root under the
-    * driver contract) unless [[ShippedDirConf]] overrides.
+    * driver contract) unless [[ShippedDirConf]] overrides. Existence is
+    * checked HERE with an error naming the conf knob: every other query
+    * takes its inputs from the sfDir argument, so this is the one path
+    * that breaks when the process runs from outside the repo root — a
+    * bare parquet path-not-found deep in query construction (or worse, a
+    * stray same-named directory at another CWD silently supplying a
+    * different merge table) would be much harder to diagnose.
     */
   def shippedDir(spark: SparkSession): String =
-    spark.conf.getOption(ShippedDirConf)
-      .getOrElse(new java.io.File("artifacts/bpe_sf0.1").getAbsolutePath)
+    spark.conf.getOption(ShippedDirConf).getOrElse {
+      // the existence check guards only the CWD-resolved default — a conf
+      // override may name any Spark-readable URI (hdfs:/s3a:), which a
+      // local File probe cannot see
+      val dir = new java.io.File("artifacts/bpe_sf0.1").getAbsolutePath
+      require(new java.io.File(dir, "merges").isDirectory,
+        s"tokenizer artifact not found at $dir (no merges/ table): run " +
+          s"from the repo root, or point $ShippedDirConf at a " +
+          "TrainBpe-emitted artifact directory")
+      dir
+    }
 
   def save(spark: SparkSession, merges: Seq[(String, String)], vocab: DataFrame,
       dir: String): Unit = {

@@ -22,6 +22,19 @@ object CorpusQueries {
   private def vocabRank(tokens: DataFrame): DataFrame =
     graft.operators.Vocab.frequencyRankVocab(tokens)
 
+  /** The marked-vocab construction shared VERBATIM by t14d (compiled merge
+    * table) and t14h (merge table loaded from the TrainBpe-emitted
+    * artifact): the two queries differ only in where the merges come
+    * from, which this helper's signature makes structural — the Scala
+    * twin of the shared `markedVocabOracle` SQL.
+    */
+  private def markedVocab(
+      s: SparkSession, dir: String, merges: Seq[(String, String)]): DataFrame =
+    vocabRank(Tables.richDocuments(s, dir)
+      .select(
+        explode(TextFunctions.bpeTokensMarked(col("text"), merges)).as("token")))
+      .withColumn("is_word_end", col("token").endsWith(TextKernels.EowMarker))
+
   /** The corpus as one (doc_id, p, token) row per MARKED BPE token
     * occurrence under `merges` — the shared front half of the t14e/t14f/
     * t14g encode queries (and of t14f's train step).
@@ -215,10 +228,7 @@ object CorpusQueries {
     // AGGREGATED vocab (bounded by alphabet + merges, each token at most
     // doubled by its marked form), never the corpus.
     "t14d_bpe_vocab_marked" -> { (s, dir) =>
-      vocabRank(Tables.richDocuments(s, dir)
-        .select(
-          explode(TextFunctions.bpeTokensMarked(col("text"), Bpe.Merges)).as("token")))
-        .withColumn("is_word_end", col("token").endsWith(TextKernels.EowMarker))
+      markedVocab(s, dir, Bpe.Merges)
     },
     // C-vocab-artifact — t14d's marked vocab with the merge table LOADED
     // from the TrainBpe-emitted artifact directory (r17, verdict task 3):
@@ -231,34 +241,36 @@ object CorpusQueries {
     // and compiled merges are the same trained table, so an artifact-
     // loading engine must reproduce the compiled-fixture oracle exactly.
     "t14h_bpe_vocab_artifact" -> { (s, dir) =>
-      val merges = TokenizerArtifact.loadMerges(s, TokenizerArtifact.shippedDir(s))
-      vocabRank(Tables.richDocuments(s, dir)
-        .select(
-          explode(TextFunctions.bpeTokensMarked(col("text"), merges)).as("token")))
-        .withColumn("is_word_end", col("token").endsWith(TextKernels.EowMarker))
+      markedVocab(s, dir,
+        TokenizerArtifact.loadMerges(s, TokenizerArtifact.shippedDir(s)))
     },
     // C-pack-streams — t14b's packing emitting the MARKED TOKEN STREAM per
     // packed sequence (r17, verdict task 6): the export a marked-vocab
     // trainer actually ingests — one row per 256-token training sequence
     // with its tokens in global order, doc-boundary-crossing by
-    // construction. Same one-corpus-pass shape as t14b: the kernel runs
-    // once (the `toks` array rides packSequences' carry path — the prefix
-    // sum still exchanges one row per 64-doc bucket), then the exploded
-    // stream shuffles ONCE, keyed by seq_id — uniform at exactly 256
-    // tokens per key by construction, the best-case shuffle at 100 TB.
-    // n_tokens < 256 only on the final partial sequence.
+    // construction. Same corpus-pass shape as t14b: the tokenize kernel
+    // evaluates in both prefix-sum branches exactly as t14b's count
+    // kernel does (phase 1 aggregates one row per 64-doc bucket from its
+    // own pass; the `toks` array rides packSequences' carry path through
+    // phase 2 only). The token payload crosses two keyed uniform
+    // exchanges — the bucket window's (arrays, 64 docs/key, inherent to
+    // any one-query offset+payload formulation; see the packSequences
+    // carry note) and the final seq_id groupBy's (exploded tokens,
+    // exactly 256/key by construction). n_tokens < 256 only on the final
+    // partial sequence.
     "t14i_bpe_packed_streams" -> { (s, dir) =>
+      val seqLen = 256
       val withToks = Tables.richDocuments(s, dir).select(
         col("doc_id"),
         TextFunctions.bpeTokensMarked(col("text"), Bpe.Merges).as("toks"))
       Corpus.packSequences(
-          withToks, col("doc_id"), size(col("toks")), seqLen = 256,
+          withToks, col("doc_id"), size(col("toks")), seqLen = seqLen,
           carry = Seq("toks" -> col("toks")))
         .select(
           col("doc_id"), col("start_offset"),
           posexplode(col("toks")).as(Seq("p", "token")))
         .withColumn("gp", col("start_offset") + col("p"))
-        .withColumn("seq_id", expr("gp div 256"))
+        .withColumn("seq_id", expr(s"gp div $seqLen"))
         .groupBy("seq_id")
         .agg(
           count(lit(1)).as("n_tokens"),

@@ -45,12 +45,27 @@ def main() -> None:
         old_arms, new_arms = [arms[0], arms[2]], [arms[1]]
         arm_order = ["old_a1", "new", "old_a2"]
 
-    new_named = mins(new_arms[0])
     queries = {}
-    for q in sorted(arms[1].get("queries", {})):
+    all_qs = sorted({q for a in arms for q in a.get("queries", {})})
+    for q in all_qs:
+        # a query that THREW in an arm still posts a (near-zero, partial)
+        # wall into queries_min with the failure recorded only in `errors`
+        # (the same hazard merge_scaling.py guards) — never let such a wall
+        # masquerade as a measurement, let alone an attributable ratio
+        err_arms = [name for name, a in zip(arm_order, arms)
+                    if q in a.get("errors", {})]
+        if err_arms:
+            queries[q] = {"note": f"query errored in arm(s) {err_arms} — "
+                                  "no ratio; see the arm records' errors"}
+            continue
         if any(q not in mins(a) for a in old_arms):
-            queries[q] = {"new_min": new_named.get(q),
+            news_only = [mins(a)[q] for a in new_arms if q in mins(a)]
+            queries[q] = {"new_min": min(news_only) if news_only else None,
                           "note": "query absent at old ref"}
+            continue
+        if any(q not in mins(a) for a in new_arms):
+            queries[q] = {"note": "query absent from a new arm's record — "
+                                  "no ratio"}
             continue
         olds = [mins(a)[q] for a in old_arms]
         news = [mins(a)[q] for a in new_arms]
@@ -109,7 +124,9 @@ def main() -> None:
         json.dump(rec, f, indent=1)
     for q, r in queries.items():
         if "drift_old" not in r:
-            print(f"{q}: new {r['new_min']:.3f}s ({r['note']})")
+            nm = r.get("new_min")
+            print(f"{q}: new {nm:.3f}s ({r['note']})" if nm is not None
+                  else f"{q}: {r['note']}")
         elif four:
             print(f"{q}: old_min {min(r['old_min_arms']):.3f}s "
                   f"new_min {min(r['new_min_arms']):.3f}s ratio {r['ratio']} "
