@@ -266,15 +266,26 @@ object CorpusQueries {
       Corpus.packSequences(
           withToks, col("doc_id"), size(col("toks")), seqLen = seqLen,
           carry = Seq("toks" -> col("toks")))
-        .select(
-          col("doc_id"), col("start_offset"),
-          posexplode(col("toks")).as(Seq("p", "token")))
+        .select(col("start_offset"), posexplode(col("toks")).as(Seq("p", "token")))
         .withColumn("gp", col("start_offset") + col("p"))
         .withColumn("seq_id", expr(s"gp div $seqLen"))
+        // n_docs WITHOUT count(DISTINCT doc_id): tokens of one doc are
+        // gp-contiguous, so each (doc, sequence) intersection holds exactly
+        // one token at gp == max(sequence start, doc start) — summing that
+        // pre-shuffle indicator counts distinct docs per sequence while
+        // keeping the aggregate SINGLE-phase. The distinct form would
+        // expand to a two-level aggregate shipping the collect_list
+        // buffers through an extra (seq_id, doc_id) exchange — a second
+        // full pass of the token payload (PlanQualitySpec pins the
+        // exchange budget).
+        .withColumn(
+          "doc_head",
+          (col("gp") === greatest(col("seq_id") * lit(seqLen.toLong),
+            col("start_offset"))).cast("long"))
         .groupBy("seq_id")
         .agg(
           count(lit(1)).as("n_tokens"),
-          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("doc_head")).as("n_docs"),
           array_join(
             transform(
               array_sort(collect_list(struct(col("gp"), col("token")))),

@@ -91,7 +91,7 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("t14i packed-stream export keeps t14b's corpus-pass shape; the one stream shuffle is keyed by seq_id") {
+  test("t14i packed-stream export keeps t14b's corpus-pass shape and its documented exchange budget") {
     // the toks array rides packSequences' carry path, so the marked-stream
     // variant must not add corpus scans over t14b's two prefix-sum branches
     // (a naive join-back of the exploded stream against a separately
@@ -102,9 +102,17 @@ class PlanQualitySpec extends SparkSpec {
       }.size
     assert(scans("t14i_bpe_packed_streams") === scans("t14b_bpe_packing"))
     val p = plan("t14i_bpe_packed_streams")
-    // sequence assembly shuffles the token stream exactly once, keyed by
-    // seq_id — uniform at 256 tokens per key by construction
-    assert("hashpartitioning\\(seq_id".r.findFirstIn(p).nonEmpty, p.take(800))
+    // the PAYLOAD-bearing exchanges are exactly the two the operator doc
+    // claims: the phase-2 bucket window's (carried arrays, 64 docs/key)
+    // and the final seq_id assembly's (exploded tokens, 256/key); the
+    // phase-1 branch adds only narrow rows — a (bucket, sum) exchange and
+    // the bucket table's single-partition ordered window — so bucket-keyed
+    // exchanges count exactly 2 and seq_id-keyed exactly 1, with nothing
+    // else shuffling
+    def count(re: String): Int = re.r.findAllIn(p).size
+    assert(count("hashpartitioning\\(bucket") === 2, p.take(1200))
+    assert(count("hashpartitioning\\(seq_id") === 1, p.take(1200))
+    assert(count("Exchange hashpartitioning") === 3, p.take(1200))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
