@@ -434,6 +434,24 @@ object TextKernels {
     count
   }
 
+  /** [[bpeTokenCount]] through a [[BpeTable]] memo — the codegen entry point
+    * of [[BpeCountExpr]]; same per-word kernel, each distinct word paying it
+    * once per task instead of once per occurrence.
+    */
+  def bpeTokenCount(t: UTF8String, table: BpeTable): Long = {
+    val s = t.toString
+    var count = 0L
+    var start = 0
+    var more = true
+    while (more) {
+      val sp = s.indexOf(' ', start)
+      val end = if (sp < 0) s.length else sp
+      if (end > start) count += table.entryFor(s, start, end).unmarked.length
+      if (sp < 0) more = false else start = sp + 1
+    }
+    count
+  }
+
   /** Codepoint symbols of `s[from, until)` — BPE's starting alphabet. The
     * SINGLE split shared by the apply kernel and the trainer
     * ([[graft.operators.Bpe]]): both must segment identically or trained
@@ -493,6 +511,15 @@ object TextKernels {
 
   private def bpeWordTokens(s: String, from: Int, until: Int, merges: Array[Array[String]]): Long =
     if (until <= from) 0L else bpeWordTokenList(s, from, until, merges).size.toLong
+
+  /** [[BpeTable]]'s per-word compute hook — package-private access to the
+    * shared merge-application loop so the memo class can stay top-level
+    * (its name must be source-referenceable from generated Java).
+    */
+  private[functions] def bpeWordTokensFor(
+      s: String, from: Int, until: Int,
+      merges: Array[Array[String]]): java.util.ArrayList[String] =
+    bpeWordTokenList(s, from, until, merges)
 
   /** All BPE tokens of `t` in order (the vocab-emission surface; same word
     * split and merge passes as [[bpeTokenCount]], so
@@ -571,16 +598,56 @@ object TextKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** [[bpeTokens]] through a [[BpeTable]] memo (codegen entry of
+    * [[BpeTokensExpr]]).
+    */
+  def bpeTokens(t: UTF8String, table: BpeTable): GenericArrayData =
+    bpeTokensCached(t, table, marked = false)
+
+  /** [[bpeTokensMarked]] through a [[BpeTable]] memo (codegen entry of
+    * [[BpeTokensMarkedExpr]]).
+    */
+  def bpeTokensMarked(t: UTF8String, table: BpeTable): GenericArrayData =
+    bpeTokensCached(t, table, marked = true)
+
+  /** The memoized twin of [[bpeTokensImpl]]: identical word scan, escape,
+    * and emission semantics — each word's token arrays come from the
+    * table's per-distinct-word entry instead of a fresh merge-loop run.
+    * Keying the cache on the POST-escape word is sound because the escape
+    * is space-free (word boundaries unchanged) and deterministic on the
+    * word's characters alone.
+    */
+  private def bpeTokensCached(
+      t: UTF8String, table: BpeTable, marked: Boolean): GenericArrayData = {
+    val raw = t.toString
+    val s = if (marked && raw.contains(EowMarker)) raw.replace(EowMarker, EowEscaped) else raw
+    val out = new java.util.ArrayList[UTF8String]()
+    var start = 0
+    var more = true
+    while (more) {
+      val sp = s.indexOf(' ', start)
+      val end = if (sp < 0) s.length else sp
+      if (end > start) {
+        val entry = table.entryFor(s, start, end)
+        val toks = if (marked) entry.marked else entry.unmarked
+        var i = 0
+        while (i < toks.length) { out.add(toks(i)); i += 1 }
+      }
+      if (sp < 0) more = false else start = sp + 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   case class BpeTokensExpr(child: Expression, merges: Seq[(String, String)])
       extends UnaryExpression {
-    private lazy val mergesArr: Array[Array[String]] =
-      merges.map(p => Array(p._1, p._2)).toArray
+    private lazy val table: BpeTable =
+      new BpeTable(merges.map(p => Array(p._1, p._2)).toArray)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
-      bpeTokens(input.asInstanceOf[UTF8String], mergesArr)
+      bpeTokens(input.asInstanceOf[UTF8String], table)
     override protected def doGenCode(
         ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
-      val ref = ctx.addReferenceObj("bpeMerges", mergesArr, "java.lang.String[][]")
+      val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
       defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.bpeTokens($c, $ref)")
     }
     override protected def withNewChildInternal(newChild: Expression): BpeTokensExpr =
@@ -589,14 +656,14 @@ object TextKernels {
 
   case class BpeTokensMarkedExpr(child: Expression, merges: Seq[(String, String)])
       extends UnaryExpression {
-    private lazy val mergesArr: Array[Array[String]] =
-      merges.map(p => Array(p._1, p._2)).toArray
+    private lazy val table: BpeTable =
+      new BpeTable(merges.map(p => Array(p._1, p._2)).toArray)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
-      bpeTokensMarked(input.asInstanceOf[UTF8String], mergesArr)
+      bpeTokensMarked(input.asInstanceOf[UTF8String], table)
     override protected def doGenCode(
         ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
-      val ref = ctx.addReferenceObj("bpeMerges", mergesArr, "java.lang.String[][]")
+      val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
       defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.bpeTokensMarked($c, $ref)")
     }
     override protected def withNewChildInternal(newChild: Expression): BpeTokensMarkedExpr =
@@ -605,14 +672,14 @@ object TextKernels {
 
   case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
       extends UnaryExpression {
-    private lazy val mergesArr: Array[Array[String]] =
-      merges.map(p => Array(p._1, p._2)).toArray
+    private lazy val table: BpeTable =
+      new BpeTable(merges.map(p => Array(p._1, p._2)).toArray)
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any =
-      java.lang.Long.valueOf(bpeTokenCount(input.asInstanceOf[UTF8String], mergesArr))
+      java.lang.Long.valueOf(bpeTokenCount(input.asInstanceOf[UTF8String], table))
     override protected def doGenCode(
         ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
-      val ref = ctx.addReferenceObj("bpeMerges", mergesArr, "java.lang.String[][]")
+      val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
       defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.bpeTokenCount($c, $ref)")
     }
     override protected def withNewChildInternal(newChild: Expression): BpeCountExpr =
@@ -629,4 +696,62 @@ object TextKernels {
     override protected def withNewChildInternal(newChild: Expression): Simhash32Expr =
       copy(child = newChild)
   }
+}
+
+/** A merge table plus a PER-INSTANCE word → tokens memo (r17 optimization
+  * round): the merge-application loop is O(word len · merges) — 256 greedy
+  * merge passes per word OCCURRENCE — while a corpus repeats its vocabulary
+  * constantly (Zipf), so production BPE tokenizers (GPT-2's `encoder.py`
+  * cache, HuggingFace tokenizers' `cache`) all memoize per-word results.
+  * This is that memo, scoped deliberately small: the table is the codegen
+  * reference object of one Expression instance, (de)serialized with the
+  * task binary, so the `@transient` cache lives AT MOST for one task of one
+  * execution — nothing persists across queries, rounds, or JVMs, and a
+  * timed pass always recomputes every distinct word from scratch.
+  *
+  * Entries hold BOTH emission variants (unmarked, and with
+  * [[TextKernels.EowMarker]] on the word-final token) as immutable
+  * `UTF8String` arrays shared across rows — `GenericArrayData` copies
+  * references, and downstream consumers treat UTF8String as a value.
+  * Capacity-bounded: once [[BpeTable.MaxEntries]] distinct words are
+  * resident, further words compute uncached (no eviction cost,
+  * deterministic behavior, bounded task memory for adversarial
+  * vocabularies). Top-level class (not nested in the TextKernels object)
+  * because generated Java source must name the type.
+  */
+final class BpeTable(val merges: Array[Array[String]]) extends Serializable {
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, BpeTable.Entry](1024)
+
+  /** Both token emissions of `s[from, until)`; cached per distinct word. */
+  def entryFor(s: String, from: Int, until: Int): BpeTable.Entry = {
+    val word = s.substring(from, until)
+    val hit = cache.get(word)
+    if (hit != null) return hit
+    val toks = TextKernels.bpeWordTokensFor(s, from, until, merges)
+    val n = toks.size
+    val unmarked = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { unmarked(i) = UTF8String.fromString(toks.get(i)); i += 1 }
+    val marked = new Array[UTF8String](n)
+    System.arraycopy(unmarked, 0, marked, 0, n)
+    if (n > 0)
+      marked(n - 1) = UTF8String.fromString(toks.get(n - 1) + TextKernels.EowMarker)
+    val e = new BpeTable.Entry(unmarked, marked)
+    if (cache.size < BpeTable.MaxEntries) cache.putIfAbsent(word, e)
+    e
+  }
+}
+
+object BpeTable {
+  /** Tokens of one distinct word, in both emission variants. */
+  final class Entry(val unmarked: Array[UTF8String], val marked: Array[UTF8String])
+
+  /** Cache capacity: generous vs any trained vocabulary (the committed
+    * table's corpus holds ~4k distinct words; real tokenizer caches default
+    * to the same order), yet small enough that a pathological
+    * all-unique-words corpus costs a task a few MB before the cache stops
+    * admitting and rows simply compute uncached.
+    */
+  val MaxEntries: Int = 1 << 15
 }
