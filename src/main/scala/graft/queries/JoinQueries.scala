@@ -104,8 +104,12 @@ object JoinQueries {
     },
     // J5 — multi-way equi-join with broadcast dims (RDS_SCHEMA.md:573-661
     // analog): revenue per region/nation across the star schema.
+    // ScanFill (r17 opt): all four join probes + the revenue partial
+    // aggregate run inside the fact scan stage — one task on the bench
+    // file (diag: 1.5 s task CPU at ~0.9-way). Filled on the JOIN key so
+    // a non-broadcast orders join could reuse the exchange outright.
     "j5_star_join_revenue" -> { (s, dir) =>
-      val li = Tables.lineitem(s, dir)
+      val li = ScanFill.fill(Tables.lineitem(s, dir), col("l_orderkey"))
       val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir)
       val n = Tables.nation(s, dir)

@@ -15,8 +15,13 @@ object MarketQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 — trade-batch aggregate (feature_builder.py:88-185) on lineitem.
+    // ScanFill (r17 opt): the struct-ordered min_by/max_by plans as a
+    // SortAggregate whose partial phase runs inside the scan stage — one
+    // task on the single-row-group bench file (diag: 1.8 s task CPU at
+    // ~0.9-way on 32 cores). Fill keys are the line's primary key.
     "a1_trade_batch_stats" -> { (s, dir) =>
-      val li = Tables.lineitem(s, dir)
+      val li = ScanFill.fill(
+        Tables.lineitem(s, dir), col("l_orderkey"), col("l_linenumber"))
       TradeAggregates.tradeBatchStats(
         li,
         keys = Seq(col("l_returnflag"), col("l_linestatus")),

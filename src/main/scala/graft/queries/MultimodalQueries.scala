@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Multimodal
+import graft.operators.{Multimodal, ScanFill}
 
 /** Multimodal-column queries: binary payload + typed metadata plumbing.
   * (The mapPartitions feature-extraction path is exercised in ScalaTest; the
@@ -18,7 +18,12 @@ object MultimodalQueries {
     * the DuckDB oracle predicts the metadata from the same doc_id formula.
     */
   private def realImages(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    // ScanFill (r17 opt): the ImageIO encode (and each consumer's decode)
+    // is codec work at ~0.2 ms/row — orders of magnitude above the byte
+    // cost of the 8-48 px payloads — and it all runs inside the scan stage
+    // (m4 diag: 1.0 s task CPU at ~0.9-way on 32 cores). Work expansion
+    // 128 ≈ measured codec cost over compressed input bytes.
+    ScanFill.fill(Tables.documents(s, dir), 128L, col("doc_id"))
       .select(
         col("doc_id").as("id"),
         (col("doc_id") % 31 + 8).cast("int").as("w0"),

@@ -359,10 +359,18 @@ class PlanQualitySpec extends SparkSpec {
 
   test("m1/m4 image pipeline never shuffles the binary payload") {
     for (q <- Seq("m1_multimodal_meta", "m4_image_thumb")) {
-      val p = plan(q)
-      // scan -> encode -> decode is projection-only: any Exchange would
-      // move real image bytes across the wire for no join/agg reason
-      assert(!p.contains("Exchange"), s"$q shuffles the payload:\n" + p.take(600))
+      // formatted explain lists every operator's Input/Output columns —
+      // the only legal Exchange is the r17 ScanFill's pre-encode doc_id
+      // repartition (one 8-byte column/row), so every Exchange node's
+      // Input must be payload-free: the encoded bytes and everything
+      // derived from them stay strictly above the last exchange
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      import org.apache.spark.sql.execution.exchange.Exchange
+      val exchanges = qe.executedPlan.collect { case e: Exchange => e }
+      for (e <- exchanges; attr <- e.output)
+        assert(
+          attr.dataType != org.apache.spark.sql.types.BinaryType,
+          s"$q shuffles a binary payload column ${attr.name}:\n$e")
     }
   }
 }
