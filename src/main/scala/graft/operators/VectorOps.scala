@@ -291,13 +291,21 @@ object VectorOps {
               sum(floor(col("x") * lit(1e8) + lit(0.5)).cast("long")).as("sx8"),
               count(lit(1)).as("n"))
             .withColumn("m", col("sx8").cast("double") / lit(1e8) / col("n"))
+      // ONE exchange per round, not two (r17 opt): the per-(cell, dim)
+      // means are bounded by k·dim rows — the same driver traffic either
+      // way — so the per-cell array assembly that used to run as a second
+      // groupBy exchange (+ its own AQE stage) happens driver-side on the
+      // identical doubles, grouped and ordered by the same (cid, dim)
+      // total order the array_sort produced.
       cents = means
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cid"), transform(col("dm"), e => e.getField("m")).as("c"))
+        .select(col("cid"), col("dim"), col("m"))
         .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
-        .sortBy(_._1).toSeq
+        .groupBy(_.getInt(0))
+        .map { case (cid, rs) =>
+          (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq: Seq[Double])
+        }
+        .toSeq
+        .sortBy(_._1)
     }
     (assignCids(v, cents), centroidDf(vecs.sparkSession, cents))
   }
@@ -415,14 +423,19 @@ object VectorOps {
           sum(floor(col("x") * lit(1e8) + lit(0.5)).cast("long")).as("sx8"),
           count(lit(1)).as("n"))
         .withColumn("mn", col("sx8").cast("double") / lit(1e8) / col("n"))
-        .groupBy("s", "cid")
-        .agg(array_sort(collect_list(struct(col("sd"), col("mn")))).as("dm"))
-        .select(col("s"), col("cid"), transform(col("dm"), e => e.getField("mn")).as("c"))
+        // one exchange per round (r17 opt, the ivfAssign argument): the
+        // means are bounded by m·ks·sub rows, so the per-(s, cid) array
+        // assembly happens driver-side instead of as a second groupBy
+        // exchange — identical doubles, same (sd) order
+        .select(col("s"), col("cid"), col("sd"), col("mn"))
         .collect()
       books = (0 until m).map(s =>
         means.filter(_.getInt(0) == s)
-          .map(r => (r.getInt(1), r.getSeq[Double](2)))
-          .sortBy(_._1).toSeq)
+          .groupBy(_.getInt(1))
+          .map { case (cid, rs) =>
+            (cid, rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq: Seq[Double])
+          }
+          .toSeq.sortBy(_._1))
     }
     books
   }

@@ -72,8 +72,19 @@ object Vocab {
     * per-doc mean is one map-side-combined aggregate.
     */
   def bigramPerplexity(docs: DataFrame, docId: Column, text: Column): DataFrame = {
-    val tk = docs.filter(text.isNotNull)
-      .select(docId.as("doc_id"), TextFunctions.tokens(text).as("tk"))
+    // Materialize the tokenized stream ONCE (r17 opt): this plan consumes
+    // `tk` in four branches (bigram source twice, via cb/cw; the scoring
+    // join; the doc roster), and without a materialization point each
+    // branch re-evaluates the upstream text projection per scan — for the
+    // t21 corpus that is the ~6x doc_id-seeded enrichment expression, the
+    // dominant CPU, evaluated FOUR times (one even inside the roster
+    // scan's isnotnull DataFilter). Same Materialize.cached contract as
+    // t10's BSP rounds: compute-once, lineage-preserving, ContextCleaner-
+    // reclaimed, no CacheManager pinning.
+    val tk = Materialize.cached(
+      docs.filter(text.isNotNull)
+        .select(docId.as("doc_id"), TextFunctions.tokens(text).as("tk")),
+      eager = false)
     val bi = tk.select(col("doc_id"), explode(
         zip_with(
           slice(col("tk"), lit(1), size(col("tk")) - 1),
@@ -110,6 +121,9 @@ object Vocab {
     * between engines is the same contract BM25 (t16) already pins.
     */
   def bigramPmi(docs: DataFrame, text: Column, n: Int): DataFrame = {
+    // NOT materialized (r17 opt, measured): only two branches consume `tk`
+    // here, and the cache write+read balanced the saved recompute exactly
+    // (0.97x) — unlike bigramPerplexity's four-branch plan below
     val tk = docs.filter(text.isNotNull).select(TextFunctions.tokens(text).as("tk"))
     val uni = tk.select(explode(col("tk")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cx"))

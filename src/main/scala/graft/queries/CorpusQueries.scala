@@ -35,13 +35,32 @@ object CorpusQueries {
         explode(TextFunctions.bpeTokensMarked(col("text"), merges)).as("token")))
       .withColumn("is_word_end", col("token").endsWith(TextKernels.EowMarker))
 
+  /** The enriched corpus projected to the two columns the tokenizer family
+    * reads — the narrowest thing a per-query materialization point can hold
+    * (Materialize's contract: project before caching).
+    */
+  private def richSlim(s: SparkSession, dir: String): DataFrame =
+    Tables.richDocuments(s, dir).select(col("doc_id"), col("text"))
+
+  /** [[richSlim]] materialized ONCE for queries whose plan consumes the
+    * corpus in MORE THAN ONE branch (r17 opt): the ~6x doc_id-seeded
+    * enrichment expression is the family's dominant remaining per-row cost
+    * after the BPE memo, and without a materialization point every branch
+    * re-evaluates it serially in its own scan (t14e: vocab build + encode;
+    * t14b/t14i: both prefix-sum phases). Single-branch queries (t14c/t14d/
+    * t14g/t14h) deliberately stay uncached — measured pure overhead there
+    * (the t20-vs-t21 asymmetry).
+    */
+  private def richCached(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Materialize.cached(richSlim(s, dir), eager = false)
+
   /** The corpus as one (doc_id, p, token) row per MARKED BPE token
     * occurrence under `merges` — the shared front half of the t14e/t14f/
     * t14g encode queries (and of t14f's train step).
     */
   private def markedTokenStream(
-      s: SparkSession, dir: String, merges: Seq[(String, String)]): DataFrame =
-    Tables.richDocuments(s, dir)
+      docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    docs
       .select(
         col("doc_id"),
         posexplode(TextFunctions.bpeTokensMarked(col("text"), merges))
@@ -53,10 +72,10 @@ object CorpusQueries {
     * the artifact's bounded vocab SCAN (never a recomputed corpus
     * aggregate), and the merge table the kernel applies is the artifact's.
     */
-  private def encodeFromArtifact(s: SparkSession, dir: String, art: String): DataFrame = {
+  private def encodeFromArtifact(s: SparkSession, docs: DataFrame, art: String): DataFrame = {
     val merges = TokenizerArtifact.loadMerges(s, art)
     val vocab = TokenizerArtifact.loadVocab(s, art).select(col("token"), col("token_id"))
-    markedTokenStream(s, dir, merges)
+    markedTokenStream(docs, merges)
       .join(broadcast(vocab), Seq("token"))
       .select(
         col("doc_id"),
@@ -71,8 +90,8 @@ object CorpusQueries {
     * keeps the DuckDB oracles replayable), vocab = t14d's marked
     * frequency-rank vocab computed fresh from the corpus.
     */
-  private def trainAndSaveTokenizer(s: SparkSession, dir: String, art: String): Unit = {
-    val vocab = vocabRank(markedTokenStream(s, dir, Bpe.Merges).select("token"))
+  private def trainAndSaveTokenizer(s: SparkSession, docs: DataFrame, art: String): Unit = {
+    val vocab = vocabRank(markedTokenStream(docs, Bpe.Merges).select("token"))
     TokenizerArtifact.save(s, Bpe.Merges, vocab, art)
     FixtureCleanup.registerTree(new java.io.File(art))
   }
@@ -106,7 +125,7 @@ object CorpusQueries {
       val key = FixtureKey.of(sfDir, "documents.parquet", variant = "bpe_artifact_serve")
       cache.getOrElseUpdate(key, {
         val d = java.nio.file.Files.createTempDirectory("graft_bpe_serve_").toFile
-        trainAndSaveTokenizer(s, sfDir, d.toString)
+        trainAndSaveTokenizer(s, richSlim(s, sfDir), d.toString)
         d.toString
       })
     }
@@ -203,8 +222,10 @@ object CorpusQueries {
     // .richDocuments, r12): the raw fixture has 31 distinct words, which
     // saturated training at 89 merges and made the tokenizer family a toy.
     "t14b_bpe_packing" -> { (s, dir) =>
+      // richCached: the count kernel (and the enrichment below it)
+      // evaluates in BOTH prefix-sum phases — see richCached's doc
       Corpus.packSequences(
-        Tables.richDocuments(s, dir),
+        richCached(s, dir),
         col("doc_id"),
         TextFunctions.bpeTokenCount(col("text"), Bpe.Merges), seqLen = 256)
     },
@@ -260,7 +281,7 @@ object CorpusQueries {
     // partial sequence.
     "t14i_bpe_packed_streams" -> { (s, dir) =>
       val seqLen = 256
-      val withToks = Tables.richDocuments(s, dir).select(
+      val withToks = richCached(s, dir).select(
         col("doc_id"),
         TextFunctions.bpeTokensMarked(col("text"), Bpe.Merges).as("toks"))
       Corpus.packSequences(
@@ -305,11 +326,9 @@ object CorpusQueries {
     // exactly the two passes a real encode ships as; the rank window runs
     // over the AGGREGATED vocab, never corpus rows (t14c's plan shape).
     "t14e_bpe_encode" -> { (s, dir) =>
-      val toks = Tables.richDocuments(s, dir)
-        .select(
-          col("doc_id"),
-          posexplode(TextFunctions.bpeTokensMarked(col("text"), Bpe.Merges))
-            .as(Seq("p", "token")))
+      // richCached: the vocab build and the encode are separate corpus
+      // branches — see richCached's doc
+      val toks = markedTokenStream(richCached(s, dir), Bpe.Merges)
       val vocab = vocabRank(toks.select("token")).select(col("token"), col("token_id"))
       toks
         .join(broadcast(vocab), Seq("token"))
@@ -331,8 +350,11 @@ object CorpusQueries {
     // without retraining and lose nothing.
     "t14f_bpe_encode_artifact" -> { (s, dir) =>
       val art = ArtifactDir.of(dir, "t14f")
-      trainAndSaveTokenizer(s, dir, art)
-      encodeFromArtifact(s, dir, art)
+      // richCached: the train step's vocab pass and the encode pass are
+      // separate corpus branches (the save executes the first eagerly)
+      val rich = richCached(s, dir)
+      trainAndSaveTokenizer(s, rich, art)
+      encodeFromArtifact(s, rich, art)
     },
     // C-encode-serve — the SERVING path in isolation: the same persisted-
     // artifact encode as t14f, but against a memoized artifact (trained +
@@ -341,7 +363,8 @@ object CorpusQueries {
     // job actually pays, with training amortized offline where it
     // belongs. Hash-matches t14e's oracle.
     "t14g_bpe_encode_serve" -> { (s, dir) =>
-      encodeFromArtifact(s, dir, ServeArtifact.of(s, dir))
+      // single corpus pass — uncached by the richCached rule
+      encodeFromArtifact(s, richSlim(s, dir), ServeArtifact.of(s, dir))
     },
     // C-spans — cross-document repeated n-gram SPAN dedup (the train-set
     // memorization pass): merged token intervals per doc covered by
