@@ -63,11 +63,21 @@ object TokenizerArtifact {
   def save(spark: SparkSession, merges: Seq[(String, String)], vocab: DataFrame,
       dir: String): Unit = {
     import spark.implicits._
-    merges.zipWithIndex
-      .map { case ((a, b), i) => (i.toLong, a, b) }
-      .toDF("rank", "left", "right")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    // the two writes are independent jobs — overlap the tiny merges write
+    // with the vocab aggregation job instead of serializing them (r17 opt,
+    // the VectorIndex.save argument; guide §2.6)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val mergesF = Future {
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rank", "left", "right")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    }
     vocab.coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+    Await.result(mergesF, Duration.Inf)
   }
 
   /** The ordered merge table, rank-ascending — ready for
