@@ -499,9 +499,52 @@ object Bench {
       runs, tag = "bench", brokenNoun = "query errors",
       fork = (idx, label) => childRound(label, withExec = idx == 0),
       total = _.total, failedKeys = _.errors.keySet)
-    val rounds = outcome.rounds
+    var rounds = outcome.rounds
     val discardedTotals = outcome.discardedTotals
     val residualBroken = outcome.residualBroken
+    // Exec-pass disturbance guard (r18, TODO #0 / verdict item 7): the exec
+    // record comes from ONE pass inside round 0, so host interference during
+    // exactly that window used to contaminate it with no re-fork protection
+    // (the first r17-opt record attempt read exec 117.9 s with untouched t20
+    // at 29.9 s — 32x its own SIMULTANEOUS timed median). A clean exec total
+    // (planning EXCLUDED, same queries, same cold-cache basis) can never
+    // legitimately exceed the disturbance factor times the clean round
+    // minimum (planning INCLUDED), so that reading means the pass was
+    // disturbed: re-fork slot 0 — full round, EXEC=1, exactly what
+    // ForkedRounds' in-place slot-0 replacement runs — on its own re-fork
+    // budget. A replacement is accepted only if it is keepable by the
+    // normal guard rules (child alive, no extra errors, timed total within
+    // the factor); an unacceptable replacement burns budget and is logged.
+    // Discarded exec totals land in the full record (`exec_reforks` /
+    // `exec_discarded_totals`) — additions only, the stdout contract line
+    // carries the same fields as before.
+    val execDiscards = scala.collection.mutable.ArrayBuffer.empty[Double]
+    if (runs > 1) {
+      val commonErrs = rounds.map(_.errors.keySet).reduce(_ intersect _)
+      var tries = 0
+      def cleanMin: Double = rounds.map(_.total).min
+      def execTotal: Double = rounds.head.exec.map(_._2).sum
+      while (rounds.head.exec.nonEmpty && execTotal > disturbFactor * cleanMin &&
+          tries < maxReforks) {
+        System.err.println(
+          s"[bench] round 0 EXEC pass disturbed (exec ${num(execTotal, 1)} s > " +
+            s"${num(disturbFactor, 2)}x clean round min ${num(cleanMin, 1)} s) — " +
+            s"re-forking slot 0 (${tries + 1}/$maxReforks)")
+        execDiscards += execTotal
+        tries += 1
+        val repl = childRound(s"0-execrefork$tries", withExec = true)
+        val keepable = !repl.errors.contains(ChildDiedKey) &&
+          repl.errors.keySet == commonErrs &&
+          repl.total <= disturbFactor * cleanMin
+        if (keepable) rounds = rounds.updated(0, repl)
+        else System.err.println(
+          s"[bench] exec re-fork $tries not keepable " +
+            s"(total ${num(repl.total, 1)} s, errors ${repl.errors.size}) — discarded")
+      }
+      if (rounds.head.exec.nonEmpty && execTotal > disturbFactor * cleanMin)
+        System.err.println(s"[bench] exec re-fork budget exhausted ($maxReforks); " +
+          "exec pass recorded as-is — box may be genuinely busy")
+    }
     // Transient child deaths self-heal through the guard above; a death
     // surviving the re-fork budget (or present in every round, which the
     // guard cannot tell from "the build") means the medians CANNOT be
@@ -554,7 +597,8 @@ object Bench {
     emit(runs, mode = "forked-jvm", sweep = rounds.head.times, stats = stats,
       roundTotals = rounds.map(_.total).toSeq, execTimes = rounds.head.exec,
       errors = errors, selectedCount = selected.size,
-      discardedTotals = discardedTotals.toSeq, residualBroken = residualBroken)
+      discardedTotals = discardedTotals.toSeq, residualBroken = residualBroken,
+      execDiscardedTotals = execDiscards.toSeq)
   }
 
   /** r8 behavior: interleaved rounds inside this one JVM (`SPARK_GRAFT_FORK=0`),
@@ -628,7 +672,8 @@ object Bench {
       errors: scala.collection.Map[String, String],
       selectedCount: Int,
       discardedTotals: Seq[Double] = Seq.empty,
-      residualBroken: Boolean = false): Unit = {
+      residualBroken: Boolean = false,
+      execDiscardedTotals: Seq[Double] = Seq.empty): Unit = {
     val total = stats.map(_._2).sum
     val totalMin = stats.map(_._3).sum
     val totalExec = execTimes.map(_._2).sum
@@ -654,6 +699,8 @@ object Bench {
          |"round_totals":${roundTotals.map(num(_, 3)).mkString("[", ",", "]")},
          |"rounds_discarded":${discardedTotals.size},
          |"discarded_totals":${discardedTotals.map(num(_, 3)).mkString("[", ",", "]")},
+         |"exec_reforks":${execDiscardedTotals.size},
+         |"exec_discarded_totals":${execDiscardedTotals.map(num(_, 3)).mkString("[", ",", "]")},
          |"residual_broken_round":$residualBroken,
          |"errors":$errJson,
          |"queries":${fmt(stats.map { case (n, m, _, _) => n -> m }, 6)},

@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{codegen, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.{codegen, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -54,12 +54,13 @@ object TextKernels {
     new GenericArrayData(seen.iterator.map(x => UTF8String.fromString(x): Any).toArray)
   }
 
-  def shingleHashes(t: UTF8String, n: Int, p: Long): GenericArrayData = {
+  def shingleHashes(t: UTF8String, n: Int, p: Long): ArrayData = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    new GenericArrayData(
-      wordShingleSeq(t.toString, n).iterator
-        .map(s => java.lang.Long.valueOf(md5Prefix(s, md) % p): Any)
-        .toArray)
+    val sh = wordShingleSeq(t.toString, n)
+    val out = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { out(i) = md5Prefix(sh(i), md) % p; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** Shingle hash at EVERY token position, in order and NOT deduplicated —
@@ -68,11 +69,11 @@ object TextKernels {
     * span-level dedup needs: [[shingleHashes]]' distinct set loses WHERE a
     * repeat sits, which is the whole point of a span.
     */
-  def shingleHashSeq(t: UTF8String, n: Int, p: Long): GenericArrayData = {
+  def shingleHashSeq(t: UTF8String, n: Int, p: Long): ArrayData = {
     val tk = t.toString.split(' ')
-    if (tk.length < n) return new GenericArrayData(Array.empty[Any])
+    if (tk.length < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val md = java.security.MessageDigest.getInstance("MD5")
-    val out = new Array[Any](tk.length - n + 1)
+    val out = new Array[Long](tk.length - n + 1)
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i <= tk.length - n) {
@@ -83,10 +84,10 @@ object TextKernels {
         sb.append(tk(i + j))
         j += 1
       }
-      out(i) = java.lang.Long.valueOf(md5Prefix(sb.toString, md) % p)
+      out(i) = md5Prefix(sb.toString, md) % p
       i += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   def simhash32(t: UTF8String): Long = {
@@ -113,15 +114,78 @@ object TextKernels {
     * materializing the per-character array or folding it interpreted.
     */
   def rollingHash(t: UTF8String, base: Long, mod: Long): Long = {
+    val cps = codepointsOf(t)
     var h = 0L
-    val s = t.toString
     var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      h = (h * base + cp) % mod
-      i += Character.charCount(cp)
+    while (i < cps.length) {
+      h = (h * base + cps(i)) % mod
+      i += 1
     }
     h
+  }
+
+  /** Codepoints of `t` decoded STRAIGHT from its UTF-8 bytes (r18, guide §4
+    * per-task work): the old path paid a UTF-8 → UTF-16 String
+    * materialization (`t.toString`) and then a second full `codePointAt`
+    * walk with surrogate re-assembly — two passes and two allocations per
+    * row before any kernel work started. Well-formed UTF-8 (every parquet
+    * string in this suite) decodes to the IDENTICAL codepoint sequence in
+    * one pass; any malformed sequence falls back to the String path, whose
+    * U+FFFD replacement semantics are what the oracles were verified under.
+    * Validation is exact (continuation bytes, overlong forms, surrogate
+    * range, > U+10FFFF), so the fast path can never silently disagree with
+    * the fallback.
+    */
+  private[graft] def codepointsOf(t: UTF8String): Array[Int] = {
+    val b = t.getBytes
+    val n = b.length
+    val out = new Array[Int](n) // upper bound: one codepoint per byte
+    var i = 0
+    var k = 0
+    while (i < n) {
+      val b0 = b(i) & 0xff
+      if (b0 < 0x80) { out(k) = b0; i += 1 }
+      else if (b0 < 0xc2) return codepointsSlow(t) // bare continuation / overlong lead
+      else if (b0 < 0xe0) { // 2-byte
+        if (i + 1 >= n || (b(i + 1) & 0xc0) != 0x80) return codepointsSlow(t)
+        out(k) = ((b0 & 0x1f) << 6) | (b(i + 1) & 0x3f)
+        i += 2
+      } else if (b0 < 0xf0) { // 3-byte
+        if (i + 2 >= n || (b(i + 1) & 0xc0) != 0x80 || (b(i + 2) & 0xc0) != 0x80)
+          return codepointsSlow(t)
+        val cp = ((b0 & 0x0f) << 12) | ((b(i + 1) & 0x3f) << 6) | (b(i + 2) & 0x3f)
+        if (cp < 0x800 || (cp >= 0xd800 && cp <= 0xdfff)) return codepointsSlow(t)
+        out(k) = cp
+        i += 3
+      } else if (b0 < 0xf5) { // 4-byte
+        if (i + 3 >= n || (b(i + 1) & 0xc0) != 0x80 || (b(i + 2) & 0xc0) != 0x80 ||
+            (b(i + 3) & 0xc0) != 0x80) return codepointsSlow(t)
+        val cp = ((b0 & 0x07) << 18) | ((b(i + 1) & 0x3f) << 12) |
+          ((b(i + 2) & 0x3f) << 6) | (b(i + 3) & 0x3f)
+        if (cp < 0x10000 || cp > 0x10ffff) return codepointsSlow(t)
+        out(k) = cp
+        i += 4
+      } else return codepointsSlow(t) // 0xf5-0xff: never valid UTF-8 leads
+      k += 1
+    }
+    if (k == n) out else java.util.Arrays.copyOf(out, k)
+  }
+
+  /** The pre-r18 decode, kept as the malformed-input fallback: String
+    * conversion (U+FFFD replacement) then a codePointAt walk.
+    */
+  private def codepointsSlow(t: UTF8String): Array[Int] = {
+    val s = t.toString
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var ci = 0
+    var k = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      out(k) = cp
+      k += 1
+      ci += Character.charCount(cp)
+    }
+    out
   }
 
   case class RollingHashExpr(child: Expression, base: Long, mod: Long) extends UnaryExpression {
@@ -200,30 +264,16 @@ object TextKernels {
     * Overflow-safe in signed 64-bit: h < p <= 2^31, base = 131 < 2^8, and
     * codepoints < 2^21, so every intermediate product stays below 2^52.
     */
-  def charWindowHashSeq(t: UTF8String, l: Int, p: Long): GenericArrayData = {
-    val hs = windowPolyHashes(t.toString, l, p)
-    val out = new Array[Any](hs.length)
-    var i = 0
-    while (i < hs.length) { out(i) = java.lang.Long.valueOf(hs(i)); i += 1 }
-    new GenericArrayData(out)
-  }
+  def charWindowHashSeq(t: UTF8String, l: Int, p: Long): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(windowPolyHashes(codepointsOf(t), l, p))
 
   /** Rolling Karp-Rabin window hashes over the codepoint stream; element i
     * (0-based) is the hash of codepoints [i, i+l). Empty when the text has
     * fewer than l codepoints.
     */
-  private def windowPolyHashes(s: String, l: Int, p: Long): Array[Long] = {
-    val nCp = s.codePointCount(0, s.length)
+  private def windowPolyHashes(cps: Array[Int], l: Int, p: Long): Array[Long] = {
+    val nCp = cps.length
     if (nCp < l) return Array.emptyLongArray
-    val cps = new Array[Int](nCp)
-    var ci = 0
-    var k = 0
-    while (ci < s.length) {
-      val cp = s.codePointAt(ci)
-      cps(k) = cp
-      k += 1
-      ci += Character.charCount(cp)
-    }
     val total = nCp - l + 1
     val out = new Array[Long](total)
     var h = 0L
@@ -261,10 +311,10 @@ object TextKernels {
     * once. Selection runs IN-ROW via a monotone deque (O(n) total), so
     * only the ~2n/(w+1) survivors ever reach the explode.
     */
-  def winnowedPackSeq(t: UTF8String, l: Int, w: Int, p: Long): GenericArrayData = {
-    val hs = windowPolyHashes(t.toString, l, p)
+  def winnowedPackSeq(t: UTF8String, l: Int, w: Int, p: Long): ArrayData = {
+    val hs = windowPolyHashes(codepointsOf(t), l, p)
     val total = hs.length
-    if (total < w) return new GenericArrayData(Array.empty[Any])
+    if (total < w) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val packs = new Array[Long](total)
     var i = 0
     while (i < total) {
@@ -272,22 +322,33 @@ object TextKernels {
       packs(i) = hs(i) * 4294967296L + (i + 1)
       i += 1
     }
-    val out = new scala.collection.mutable.ArrayBuffer[Any](2 * total / (w + 1) + 1)
-    // monotone deque of indices with increasing pack values
-    val deque = new java.util.ArrayDeque[Int](w + 1)
+    // survivors are bounded by the full-window count; a flat primitive
+    // buffer + copyOf stays unboxed end to end (one boxed Long per selected
+    // position was the r17 shape)
+    val out = new Array[Long](total - w + 1)
+    var m = 0
+    // monotone deque of indices with increasing pack values — a primitive
+    // int ring (capacity w+1 bounds its size) instead of ArrayDeque[Int],
+    // which boxed one Integer per position
+    val cap = w + 1
+    val ring = new Array[Int](cap)
+    var head = 0 // ring slot of the first (smallest-pack) index
+    var len = 0
     var last = -1L
     i = 0
     while (i < total) {
-      while (!deque.isEmpty && packs(deque.peekLast) >= packs(i)) deque.pollLast()
-      deque.addLast(i)
-      if (deque.peekFirst <= i - w) deque.pollFirst()
+      while (len > 0 && packs(ring((head + len - 1) % cap)) >= packs(i)) len -= 1
+      ring((head + len) % cap) = i
+      len += 1
+      if (ring(head) <= i - w) { head = (head + 1) % cap; len -= 1 }
       if (i >= w - 1) { // first FULL window ends at w-1
-        val m = packs(deque.peekFirst)
-        if (m != last) { out += java.lang.Long.valueOf(m); last = m }
+        val v = packs(ring(head))
+        if (v != last) { out(m) = v; m += 1; last = v }
       }
       i += 1
     }
-    new GenericArrayData(out.toArray)
+    UnsafeArrayData.fromPrimitiveArray(
+      if (m == out.length) out else java.util.Arrays.copyOf(out, m))
   }
 
   case class WinnowedPackSeqExpr(child: Expression, l: Int, w: Int, p: Long)

@@ -45,8 +45,6 @@ object Profile {
   def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
     require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
-    val spark = df.sparkSession
-    import spark.implicits._
     val complete = df
       .filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
       .select(cols.map(c => col(c).cast("double").as(c)): _*)
@@ -55,30 +53,40 @@ object Profile {
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (i, j)
     // moment aliases by POSITION, not name: name-derived aliases like
     // sp_${a}_${b} collide for underscore-bearing columns (("a","b_c") and
-    // ("a_b","c") both yield sp_a_b_c) and getAs would then silently read
-    // one pair's cross-moment for another
+    // ("a_b","c") both yield sp_a_b_c) and a name lookup would then silently
+    // read one pair's cross-moment for another
     val aggs =
       cols.indices.map(i => dsum(col(cols(i))).as(s"s_$i")) ++
         cols.indices.map(i => dsum(col(cols(i)) * col(cols(i))).as(s"ss_$i")) ++
         pairs.map { case (i, j) =>
           dsum(col(cols(i)) * col(cols(j))).as(s"sp_${i}_$j")
         }
-    val row = complete
-      .agg(count(lit(1)).as("n"), aggs: _*)
-      .head()
-    val n = row.getAs[Long]("n").toDouble
-    val out = pairs.map { case (i, j) =>
-      val (sa, sb) = (row.getAs[Double](s"s_$i"), row.getAs[Double](s"s_$j"))
-      val cov = n * row.getAs[Double](s"sp_${i}_$j") - sa * sb
-      val va = n * row.getAs[Double](s"ss_$i") - sa * sa
-      val vb = n * row.getAs[Double](s"ss_$j") - sb * sb
-      val r =
-        if (va <= 0.0 || vb <= 0.0) None // a constant column has no correlation
-        else Some(BigDecimal(cov / math.sqrt(va) / math.sqrt(vb))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      (cols(i), cols(j), r, n.toLong)
+    // Matrix assembly IN THE PLAN (r18, guide §2.6/§5 — no driver-side jobs
+    // in a query path): the pre-r18 form collected the moment row with
+    // .head() at CONSTRUCTION time — a full-scan driver job serializing
+    // every downstream consumer — and built the matrix on the driver. The
+    // k·(k−1)/2 pair rows now come from exploding a literal pair list over
+    // the single aggregate row, so the whole query is ONE job at execution
+    // time. Arithmetic is the identical IEEE sequence (n·sp − sa·sb etc.,
+    // same association), and `round` on a double is the same
+    // BigDecimal-HALF_UP-at-6dp the driver-side code ran — bit-identical
+    // output, oracle-verified.
+    val moments = complete.agg(count(lit(1)).as("n"), aggs: _*)
+    val nD = col("n").cast("double")
+    val pairStructs = pairs.map { case (i, j) =>
+      val sa = col(s"s_$i")
+      val sb = col(s"s_$j")
+      val cov = nD * col(s"sp_${i}_$j") - sa * sb
+      val va = nD * col(s"ss_$i") - sa * sa
+      val vb = nD * col(s"ss_$j") - sb * sb
+      struct(
+        lit(cols(i)).as("col_a"),
+        lit(cols(j)).as("col_b"),
+        // a constant column has no correlation (va/vb <= 0 -> null)
+        when(va > 0.0 && vb > 0.0, round(cov / sqrt(va) / sqrt(vb), 6)).as("corr_r"),
+        col("n").as("n_rows"))
     }
-    out.toDF("col_a", "col_b", "corr_r", "n_rows")
+    moments.select(explode(array(pairStructs: _*)).as("p")).select("p.*")
   }
 
   /** One output row per profiled column:

@@ -194,11 +194,27 @@ object TextDedup {
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
       eager = false)
+    // Round 1 folded into the seed (r18, guide §2.6 — the BSP lifecycle's
+    // fixed per-round job latency IS t10's wall cost): with the identity
+    // seed labels_0(v) = v, round 1's join degenerates to
+    //   labels_1(v) = min(v, min over neighbors of v)  =  one groupBy(src)
+    // over the symmetrized edges — no separate labels_0 materialization
+    // job, no round-1 join. One eager stage and one full equi-join per run
+    // deleted; rounds 2+ run the general join+groupBy unchanged. The node
+    // domain is identical (every node appears as src of the symmetrized
+    // edge set), so results are bit-equal — oracle-verified (the DuckDB
+    // unroll replays all `iterations` rounds).
     var labels = Materialize.stage(
-      edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id")),
+      if (iterations >= 1)
+        edges.groupBy(col("src")).agg(min(col("dst")).as("min_dst"))
+          .select(
+            col("src").as("doc_id"),
+            least(col("src"), col("min_dst")).as("cluster_id"))
+      else
+        edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("cluster_id", col("doc_id")),
       checkpointDir, eager = true)
-    for (_ <- 0 until iterations) {
+    for (_ <- 1 until math.max(iterations, 1)) {
       val neigh = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .select(edges("src").as("doc_id"), col("cluster_id"))

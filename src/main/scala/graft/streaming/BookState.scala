@@ -123,8 +123,15 @@ object BookState {
             Iterator.empty
           } else {
             val prev = state.getOption.getOrElse(Book(Map.empty, Map.empty, Long.MinValue, 0L))
-            var bids = prev.bids
-            var asks = prev.asks
+            // per-batch MUTABLE level maps (r18, guide §1.2 step 2): the
+            // immutable `updated`/`-` forms allocated a fresh HAMT path per
+            // DELTA; one copy-in/copy-out per batch bounds the immutable
+            // work by the level count instead of the delta count. Content
+            // (and therefore every emitted metric) is identical.
+            val bidsM = scala.collection.mutable.HashMap.empty[Double, Double]
+            bidsM ++= prev.bids
+            val asksM = scala.collection.mutable.HashMap.empty[Double, Double]
+            asksM ++= prev.asks
             var lastId = prev.lastUpdateId
             var lastTs = prev.lastTsMs
             var touched = false
@@ -135,9 +142,9 @@ object BookState {
               if (d.update_id > lastId) {
                 val applied =
                   if (d.side == "bid")
-                    { bids = if (d.qty > 0) bids.updated(d.price, d.qty) else bids - d.price; true }
+                    { if (d.qty > 0) bidsM(d.price) = d.qty else bidsM.remove(d.price); true }
                   else if (d.side == "ask")
-                    { asks = if (d.qty > 0) asks.updated(d.price, d.qty) else asks - d.price; true }
+                    { if (d.qty > 0) asksM(d.price) = d.qty else asksM.remove(d.price); true }
                   else false
                 if (applied) {
                   lastId = d.update_id
@@ -147,6 +154,8 @@ object BookState {
               }
             }
             if (touched) {
+              val bids = bidsM.toMap
+              val asks = asksM.toMap
               state.update(Book(bids, asks, lastId, lastTs))
               state.setTimeoutTimestamp(
                 math.max(state.getCurrentWatermarkMs() + 1, lastTs + idleTimeoutMs))

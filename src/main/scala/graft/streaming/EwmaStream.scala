@@ -46,14 +46,6 @@ object EwmaStream {
   private def rnd6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** The batch ewmaFold's exact double sequence: seed = frame head, left
-    * fold over the rest.
-    */
-  private def fold(frame: List[Double], alpha: Double): Double = {
-    val decay = 1.0 - alpha
-    rnd6(frame.tail.foldLeft(frame.head)((acc, x) => acc * decay + x * alpha))
-  }
-
   def features(
       ticks: Dataset[Px],
       fastAlpha: Double = graft.operators.Rolling.EwmaFastAlpha,
@@ -76,7 +68,32 @@ object EwmaStream {
           } else {
             val prev = state.getOption.getOrElse(
               EwmaState(Nil, Long.MinValue, Long.MinValue, 0L))
-            var frame = prev.frame
+            // The trailing frame as a primitive ring (r18, guide §1.2 step 2
+            // per-task work): the List form rebuilt the whole frame per
+            // EVENT (append + takeRight, both O(lookback)) and ran the two
+            // folds over boxed doubles. The ring holds the identical
+            // trailing window and foldRing walks it oldest-first with the
+            // identical IEEE op sequence (seed = oldest, acc·(1−α) + x·α),
+            // so every emitted value is bit-equal to the List fold — the
+            // batch-parity spec still pins it against Rolling.ewmaFeatures.
+            val cap = lookback
+            val buf = new Array[Double](cap)
+            var rStart = 0 // ring slot of the oldest frame element
+            var rCount = 0
+            prev.frame.foreach { v => buf((rStart + rCount) % cap) = v; rCount += 1 }
+            def push(x: Double): Unit =
+              if (rCount == cap) { buf(rStart) = x; rStart = (rStart + 1) % cap }
+              else { buf((rStart + rCount) % cap) = x; rCount += 1 }
+            def foldRing(alpha: Double): Double = {
+              val decay = 1.0 - alpha
+              var acc = buf(rStart)
+              var i = 1
+              while (i < rCount) {
+                acc = acc * decay + buf((rStart + i) % cap) * alpha
+                i += 1
+              }
+              rnd6(acc)
+            }
             var lastTs = prev.lastTs
             var lastTie = prev.lastTie
             var dropped = prev.dropped
@@ -86,9 +103,9 @@ object EwmaStream {
                 p.ts_ms < lastTs || (p.ts_ms == lastTs && p.trade_id <= lastTie)
               if (stale) dropped += 1
               else {
-                frame = (frame :+ p.price).takeRight(lookback)
-                val fast = fold(frame, fastAlpha)
-                val slow = fold(frame, slowAlpha)
+                push(p.price)
+                val fast = foldRing(fastAlpha)
+                val slow = foldRing(slowAlpha)
                 out += Feat(
                   symbol, p.ts_ms, p.trade_id, p.price,
                   fast, slow, rnd6(fast - slow), dropped)
@@ -97,7 +114,16 @@ object EwmaStream {
               }
             }
             if (out.nonEmpty || dropped != prev.dropped) {
-              state.update(EwmaState(frame.takeRight(lookback - 1), lastTs, lastTie, dropped))
+              // last lookback−1 frame elements, oldest first — what
+              // frame.takeRight(lookback − 1) kept on the List path
+              val keep = math.min(rCount, lookback - 1)
+              var kept = List.empty[Double]
+              var idx = rCount - 1
+              while (idx >= rCount - keep) {
+                kept = buf((rStart + idx) % cap) :: kept
+                idx -= 1
+              }
+              state.update(EwmaState(kept, lastTs, lastTie, dropped))
               state.setTimeoutTimestamp(
                 math.max(state.getCurrentWatermarkMs() + 1,
                   math.max(lastTs, 0L) + idleTimeoutMs))

@@ -66,10 +66,31 @@ object GridTicker {
         (symbol: String, it: Iterator[Obs], state: GroupState[TickerState]) => {
           val wm = state.getCurrentWatermarkMs()
           val incoming = it.toList
+          // `pending` is kept sorted by (ts_ms, price) as a state invariant,
+          // so only the incoming slice needs sorting; a linear merge
+          // replaces the r17 full re-sort of the whole buffer every
+          // micro-batch (guide §1.2 step 2 — per-task work). Ties prefer
+          // the pending side, exactly what the stable sortBy over
+          // pending ++ incoming produced.
+          def merge(a: List[Obs], b: List[Obs]): List[Obs] = {
+            val out = List.newBuilder[Obs]
+            var x = a
+            var y = b
+            while (x.nonEmpty && y.nonEmpty) {
+              val xa = x.head
+              val yb = y.head
+              if (xa.ts_ms < yb.ts_ms || (xa.ts_ms == yb.ts_ms && xa.price <= yb.price)) {
+                out += xa; x = x.tail
+              } else { out += yb; y = y.tail }
+            }
+            out ++= x
+            out ++= y
+            out.result()
+          }
           val prev = state.getOption match {
             case Some(s) => s.copy(
-              lastObsTs = (s.lastObsTs +: incoming.map(_.ts_ms)).max,
-              pending = (s.pending ++ incoming).sortBy(o => (o.ts_ms, o.price)))
+              lastObsTs = incoming.foldLeft(s.lastObsTs)((m, o) => math.max(m, o.ts_ms)),
+              pending = merge(s.pending, incoming.sortBy(o => (o.ts_ms, o.price))))
             case None =>
               val sorted = incoming.sortBy(o => (o.ts_ms, o.price))
               // anchor at the first observation ever seen for the key

@@ -209,6 +209,80 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(new java.io.File(ckDir).listFiles().nonEmpty)
   }
 
+  test("neardupClusters: the r18 round-1 fold equals the unfolded BSP at every iteration count") {
+    // random sparse graphs: the folded seed (min over self + neighbors in
+    // one groupBy) must equal identity-labels + one join round, and the
+    // remaining rounds must compose identically
+    val rnd = new scala.util.Random(11L)
+    val pairs = (1 to 60).map { _ =>
+      val a = rnd.nextInt(40).toLong
+      val b = a + 1 + rnd.nextInt(5)
+      (a, b)
+    }.distinct.toDF("doc_a", "doc_b")
+    // the pre-r18 reference: identity seed + `iters` generic join rounds
+    def unfolded(iters: Int): Set[(Long, Long)] = {
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id"))
+      for (_ <- 0 until iters) {
+        val neigh = edges.join(labels, edges("dst") === labels("doc_id"))
+          .select(edges("src").as("doc_id"), col("cluster_id"))
+        labels = labels.unionByName(neigh)
+          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+      }
+      labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    for (iters <- Seq(0, 1, 3)) {
+      val folded = TextDedup.neardupClusters(pairs, iterations = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(folded === unfolded(iters), s"fold drift at iterations=$iters")
+    }
+  }
+
+  test("correlations: the r18 in-plan matrix equals the driver-side moment assembly") {
+    import graft.operators.Profile
+    val rnd = new scala.util.Random(7L)
+    val data = (1 to 400).map { i =>
+      (rnd.nextDouble() * 100,
+       rnd.nextDouble() * 10 + 5,
+       if (i % 7 == 0) None else Some(rnd.nextDouble() - 0.5),
+       1.0) // constant column: corr must be null against everything
+    }
+    val df = data.toDF("a", "b", "c", "k")
+    val cols = Seq("a", "b", "c", "k")
+    // the pre-r18 reference: collect the one moment row, assemble on the
+    // driver with BigDecimal HALF_UP rounding at 6 dp
+    def dsum(e: org.apache.spark.sql.Column) = sum(e.cast("decimal(38,12)")).cast("double")
+    val pairsIdx = for { i <- cols.indices; j <- cols.indices if i < j } yield (i, j)
+    val aggs =
+      cols.indices.map(i => dsum(col(cols(i)))).zipWithIndex.map { case (c, i) => c.as(s"s_$i") } ++
+        cols.indices.map(i => dsum(col(cols(i)) * col(cols(i))).as(s"ss_$i")) ++
+        pairsIdx.map { case (i, j) => dsum(col(cols(i)) * col(cols(j))).as(s"sp_${i}_$j") }
+    val row = df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .agg(count(lit(1)).as("n"), aggs: _*).head()
+    val n = row.getAs[Long]("n").toDouble
+    val expected = pairsIdx.map { case (i, j) =>
+      val (sa, sb) = (row.getAs[Double](s"s_$i"), row.getAs[Double](s"s_$j"))
+      val cov = n * row.getAs[Double](s"sp_${i}_$j") - sa * sb
+      val va = n * row.getAs[Double](s"ss_$i") - sa * sa
+      val vb = n * row.getAs[Double](s"ss_$j") - sb * sb
+      val r = if (va <= 0.0 || vb <= 0.0) null
+        else java.lang.Double.valueOf(BigDecimal(cov / math.sqrt(va) / math.sqrt(vb))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (cols(i), cols(j), r, n.toLong)
+    }.toSet
+    val got = Profile.correlations(df, cols).collect().map { r =>
+      (r.getString(0), r.getString(1),
+       if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2)),
+       r.getLong(3))
+    }.toSet
+    assert(got === expected)
+    // and the constant column really produces null correlations
+    assert(got.filter(t => t._1 == "k" || t._2 == "k").forall(_._3 == null))
+  }
+
   // --- Momentum materialization modes -------------------------------------
 
   test("momentumBucketed: all materialization modes match the per-symbol plan") {

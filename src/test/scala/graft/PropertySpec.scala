@@ -353,6 +353,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("codepointsOf matches the String decode on well-formed AND malformed UTF-8 (r18 kernel path)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.TextKernels
+    // the reference the fast path must reproduce byte-for-byte: String
+    // conversion (U+FFFD replacement on malformed input) + codePointAt walk
+    def viaString(b: Array[Byte]): Seq[Int] = {
+      val s = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        out += cp
+        i += Character.charCount(cp)
+      }
+      out.toSeq
+    }
+    val wellFormed = Seq(
+      "", "plain ascii", "café naïve", // 2-byte
+      "中文テスト", // 3-byte
+      new String(Character.toChars(0x1F600)) + "mixed" + new String(Character.toChars(0x10FFFF)), // 4-byte
+      " embedded nul", "edge ߿ࠀ￿")
+    wellFormed.foreach { s =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      assert(TextKernels.codepointsOf(UTF8String.fromBytes(b)).toSeq === viaString(b),
+        s"well-formed drift on ${s.take(20)}")
+    }
+    val malformed = Seq[Array[Byte]](
+      Array(0x80.toByte), // bare continuation
+      Array(0xc0.toByte, 0xaf.toByte), // overlong 2-byte
+      Array(0xc2.toByte), // truncated 2-byte
+      Array(0xe0.toByte, 0x80.toByte, 0x80.toByte), // overlong 3-byte
+      Array(0xed.toByte, 0xa0.toByte, 0x80.toByte), // CESU-8 surrogate D800
+      Array(0xf0.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte), // overlong 4-byte
+      Array(0xf4.toByte, 0x90.toByte, 0x80.toByte, 0x80.toByte), // > U+10FFFF
+      Array(0xf5.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte), // invalid lead
+      Array('a'.toByte, 0xe4.toByte, 'b'.toByte), // 3-byte lead, ascii continuation
+      Array('a'.toByte, 0xc2.toByte)) // truncated at end
+    malformed.foreach { b =>
+      assert(TextKernels.codepointsOf(UTF8String.fromBytes(b)).toSeq === viaString(b),
+        s"malformed drift on ${b.map(x => f"${x & 0xff}%02x").mkString(" ")}")
+    }
+  }
+
   test("TimeUnits: micros->millis->timestamp roundtrips and bucket index is floor-consistent") {
     val rnd = new scala.util.Random(3L)
     val ts = (0 until 500).map(_ => math.abs(rnd.nextLong()) % 4102444800000L).toDF("ms")
