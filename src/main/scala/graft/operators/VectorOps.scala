@@ -249,8 +249,17 @@ object VectorOps {
     // guard is the codegen dot kernel: dot(v, v) is null exactly when v is
     // null, has a null element, or mismatches itself (never) — one cheap
     // per-row check, no interpreted HOF.
-    val v = vecs.select(col("id"), asDouble(col("embedding")).as("v"))
-      .filter(dot(col("v"), col("v")).isNotNull)
+    // Materialized once (r18, guide §5 — the t21/ivfPqTrain rule applied to
+    // the Lloyd loop itself): the filtered corpus is consumed by the seed
+    // job, every iteration's mean job, and the final assignment — each used
+    // to re-scan the source and re-run the null-guard filter. The cache is
+    // the narrow (id, v) projection, created lazily INSIDE the query
+    // (ContextCleaner-reclaimed, nothing outlives it), so a cold timed pass
+    // still pays the first scan.
+    val v = Materialize.cached(
+      vecs.select(col("id"), asDouble(col("embedding")).as("v"))
+        .filter(dot(col("v"), col("v")).isNotNull),
+      eager = false)
     // Seed = the k smallest ids numbered 0..k-1 in id order.
     var cents: Seq[(Int, Seq[Double])] = v.orderBy("id").limit(k)
       .select(col("v")).collect().zipWithIndex
@@ -389,9 +398,13 @@ object VectorOps {
     // standard PQ practice (FAISS trains on a bounded sample) and the scale
     // lever that keeps every training round O(sample) while the encode pass
     // stays the only full-corpus job.
-    val v = vecs.select(col("id"), asDouble(col("embedding")).as("v"))
-      .filter(dot(col("v"), col("v")).isNotNull)
-      .filter(col("id") % trainModulus === 0)
+    // Materialized once (r18): the training sample feeds the seed job plus
+    // every codebook round — same in-query cache rationale as ivfAssign's.
+    val v = Materialize.cached(
+      vecs.select(col("id"), asDouble(col("embedding")).as("v"))
+        .filter(dot(col("v"), col("v")).isNotNull)
+        .filter(col("id") % trainModulus === 0),
+      eager = false)
     val seeds = v.orderBy("id").limit(ks)
       .select(col("v")).collect().map(_.getSeq[Double](0))
     var books: IndexedSeq[Seq[(Int, Seq[Double])]] =
